@@ -1,0 +1,356 @@
+"""Engine: executes the JSON query language over narrow DataFrames.
+
+The Spark analog of the reference's two-stage pipeline (SURVEY.md §3):
+QueryParser -> ReshapeRequest -> QueryPlanBuilder -> executor.  Here the
+"plan" is a declarative DataFrame program; Catalyst supplies predicate
+pushdown, partial aggregation, and the physical strategy (the reference
+hand-rolls these per query shape, stdb/query/plan/query_plan_builder.cc).
+
+Output shapes (DataFrame-native renderings of the reference's sample
+stream):
+
+    select           -> (series string, ts long, value double)
+    select-events    -> (series, ts, body string)
+    aggregate        -> (series "metric:func tags", value)
+    group-aggregate  -> (series "m:f1|m:f2 tags", ts bucket, <func cols>)
+    join             -> (series "m1|m2 tags", ts, <metric cols>)
+    group-agg-join   -> same as join over buckets
+    select meta:names-> (series)
+
+Scale notes: the series binding (`where`) filters on the fact table's own
+metric/tags columns so Parquet predicate pushdown applies; group-by keys
+are strings (canonical tag suffix) to keep every shuffle key sortable;
+aggregates are single Catalyst expressions so map-side partials apply;
+pivot passes an explicit metric list to avoid the discovery pass.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator as _op
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stdb_spark import model
+from stdb_spark.operators.aggregates import agg_expr
+from stdb_spark.query.apply_nodes import apply_pipeline
+from stdb_spark.query.parser import (
+    QueryKind,
+    QueryParseError,
+    QueryRequest,
+    ValueFilter,
+    parse_query,
+)
+
+
+def _tags_suffix():
+    """Sorted ``k1=v1 k2=v2`` string for the tags map (canonical-form
+    parity with SeriesParser, stdb/index/seriesparser.h:39-53)."""
+    kv = F.transform(
+        F.array_sort(F.map_keys(F.col("tags"))),
+        lambda k: F.concat(k, F.lit("="), F.col("tags")[k]),
+    )
+    return F.array_join(kv, " ")
+
+
+def _series_name(metric_expr):
+    sfx = _tags_suffix()
+    return F.when(
+        F.length(sfx) > 0, F.concat(metric_expr, F.lit(" "), sfx)
+    ).otherwise(metric_expr)
+
+
+def _and_all(conds):
+    return functools.reduce(_op.and_, conds)
+
+
+def _or_all(conds):
+    return functools.reduce(_op.or_, conds)
+
+
+def _vf_condition(col, vf: ValueFilter):
+    conds = []
+    if vf.gt is not None:
+        conds.append(col > F.lit(vf.gt))
+    if vf.ge is not None:
+        conds.append(col >= F.lit(vf.ge))
+    if vf.lt is not None:
+        conds.append(col < F.lit(vf.lt))
+    if vf.le is not None:
+        conds.append(col <= F.lit(vf.le))
+    return _and_all(conds)
+
+
+class Engine:
+    """Query executor bound to narrow samples/events/series DataFrames."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        samples: DataFrame | None = None,
+        events: DataFrame | None = None,
+        series: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.samples = samples
+        self.events = events
+        if series is None and samples is not None:
+            series = model.series_registry(samples)
+        self.series = series
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_sf_dir(cls, spark: SparkSession, sf_dir: str) -> "Engine":
+        """Bind to the driver's events table (TESTDATA.md adapter)."""
+        return cls(
+            spark,
+            samples=model.events_as_samples(spark, sf_dir),
+            events=model.events_as_event_stream(spark, sf_dir),
+        )
+
+    # ------------------------------------------------------------------
+    def query(self, q) -> DataFrame:
+        req = parse_query(q)
+        dispatch = {
+            QueryKind.SELECT: self._select,
+            QueryKind.SELECT_EVENTS: self._select_events,
+            QueryKind.SELECT_META: self._select_meta,
+            QueryKind.AGGREGATE: self._aggregate,
+            QueryKind.JOIN: self._join,
+            QueryKind.GROUP_AGGREGATE: self._group_aggregate,
+            QueryKind.GROUP_AGGREGATE_JOIN: self._group_aggregate_join,
+        }
+        return dispatch[req.kind](req)
+
+    # ------------------------------------------------------------------
+    # shared stages
+    def _bind(self, df: DataFrame, req: QueryRequest, metrics: list[str] | None = None) -> DataFrame:
+        """metric + where -> row filter (the parse-time series binding of
+        the reference, queryparser.cc:683-740, becomes a pushed-down
+        predicate on the fact table)."""
+        metrics = metrics if metrics is not None else req.metrics
+        if metrics:
+            df = df.filter(F.col("metric").isin(list(dict.fromkeys(metrics))))
+        if req.where:
+            if req.where.tag_values:
+                conds = [
+                    F.col("tags")[t].isin(vals)
+                    for t, vals in req.where.tag_values.items()
+                ]
+                df = df.filter(_and_all(conds))
+            if req.where.series_combos:
+                combos = [
+                    _and_all([F.col("tags")[k] == F.lit(v) for k, v in combo.items()])
+                    for combo in req.where.series_combos
+                ]
+                df = df.filter(_or_all(combos))
+        return df
+
+    @staticmethod
+    def _range(df: DataFrame, req: QueryRequest) -> DataFrame:
+        """Half-open [from, to); reversed bounds scan backward over
+        (to, from] (operator.h:88-94)."""
+        if req.begin is None:
+            return df
+        if req.backward:
+            return df.filter((F.col("ts") <= req.begin) & (F.col("ts") > req.end))
+        return df.filter((F.col("ts") >= req.begin) & (F.col("ts") < req.end))
+
+    @staticmethod
+    def _group_remap(df: DataFrame, req: QueryRequest) -> DataFrame:
+        """group-by-tag / pivot-by-tag: project the tags map down to the
+        listed keys so series sharing them merge (GroupByTag,
+        stdb/index/seriesparser.h:66-107).  Both ops reduce to the same
+        projection in the DataFrame model; the reference differs only in
+        how the output series set is *named* through the id remapper."""
+        if not req.group_op:
+            return df
+        keys = F.array(*[F.lit(t) for t in req.group_tags])
+        return df.withColumn(
+            "tags", F.map_filter("tags", lambda k, _: F.array_contains(keys, k))
+        )
+
+    @staticmethod
+    def _order(df: DataFrame, req: QueryRequest, preordered: bool = False) -> DataFrame:
+        if preordered:
+            return df
+        ts = F.col("ts").desc() if req.backward else F.col("ts").asc()
+        sr = F.col("series").desc() if req.backward else F.col("series").asc()
+        if req.order_by == "series":
+            return df.orderBy(sr, ts)
+        return df.orderBy(ts, sr)
+
+    @staticmethod
+    def _limit(df: DataFrame, req: QueryRequest) -> DataFrame:
+        # the reference overwrote limit with offset (queryparser.cc:624);
+        # correct semantics implemented here on purpose.
+        if req.offset:
+            df = df.offset(req.offset)
+        if req.limit is not None:
+            df = df.limit(req.limit)
+        return df
+
+    def _value_filters(
+        self, df: DataFrame, req: QueryRequest, cols: dict[str, str]
+    ) -> DataFrame:
+        """filters keyed by metric (join/select) or func (group-agg
+        HAVING), combined with all/any (queryparser.cc:748-858)."""
+        if not req.filters:
+            return df
+        conds = []
+        for key, vf in req.filters.items():
+            if key not in cols:
+                raise QueryParseError(f"filter key {key!r} matches no output column")
+            conds.append(_vf_condition(F.col(cols[key]), vf))
+        return df.filter(_and_all(conds) if req.filter_rule == "all" else _or_all(conds))
+
+    # ------------------------------------------------------------------
+    def _select(self, req: QueryRequest) -> DataFrame:
+        df = self._bind(self.samples, req)
+        df = self._range(df, req)
+        df = self._group_remap(df, req)
+        if req.filters:
+            df = df.filter(_vf_condition(F.col("value"), req.filters[req.metrics[0]]))
+        out = df.select(
+            _series_name(F.col("metric")).alias("series"),
+            F.col("ts"),
+            F.col("value"),
+        )
+        out, _, preordered = apply_pipeline(out, req.apply, ["value"], req.backward)
+        return self._limit(self._order(out, req, preordered), req)
+
+    def _select_events(self, req: QueryRequest) -> DataFrame:
+        if self.events is None:
+            raise QueryParseError("no events table bound")
+        df = self._bind(self.events, req)
+        df = self._range(df, req)
+        if req.event_regex:
+            # regex pushed into the scan, like BinaryDataFilter
+            # (stdb/storage/nbtree.cc:1630)
+            df = df.filter(F.col("body").rlike(req.event_regex))
+        df = self._group_remap(df, req)
+        out = df.select(
+            _series_name(F.col("metric")).alias("series"), F.col("ts"), F.col("body")
+        )
+        return self._limit(self._order(out, req), req)
+
+    def _select_meta(self, req: QueryRequest) -> DataFrame:
+        if self.series is None:
+            raise QueryParseError("no series registry bound")
+        df = self._bind(self.series, req)
+        out = df.select(F.col("name").alias("series")).orderBy("series")
+        return self._limit(out, req)
+
+    # ------------------------------------------------------------------
+    def _aggregate(self, req: QueryRequest) -> DataFrame:
+        df = self._bind(self.samples, req)
+        df = self._range(df, req)
+        df = self._group_remap(df, req)
+        by_metric: dict[str, list[str]] = {}
+        for m, fn in zip(req.metrics, req.agg_funcs):
+            by_metric.setdefault(m, []).append(fn)
+        all_funcs = sorted({f for fs in by_metric.values() for f in fs})
+        gb = df.groupBy("metric", _tags_suffix().alias("_tags_s")).agg(
+            *[agg_expr(f, req.backward).alias(f"_f_{f}") for f in all_funcs]
+        )
+        parts = []
+        for m, fns in by_metric.items():
+            for fn in fns:
+                sname = F.when(
+                    F.length("_tags_s") > 0,
+                    F.concat(F.lit(f"{m}:{fn} "), F.col("_tags_s")),
+                ).otherwise(F.lit(f"{m}:{fn}"))
+                parts.append(
+                    gb.filter(F.col("metric") == m).select(
+                        sname.alias("series"), F.col(f"_f_{fn}").alias("value")
+                    )
+                )
+        out = functools.reduce(DataFrame.unionAll, parts)
+        # aggregate output is always series-ordered (queryparser.cc:1453+)
+        return self._limit(out.orderBy("series"), req)
+
+    # ------------------------------------------------------------------
+    def _bucket_col(self, req: QueryRequest):
+        """Tumbling buckets aligned to the query's `begin`, NOT to the
+        epoch (stdb/storage/operators/aggregate.cc:160-170):
+        forward  bucket_ts = begin + step*((ts - begin) div step)
+        backward bucket_ts = begin - step*((begin - ts) div step)
+        Integer `div` keeps 1e18-scale nanosecond math exact (a double
+        division would lose precision past 2^53)."""
+        b, s = F.lit(req.begin), F.lit(req.step_ns)
+        if req.backward:
+            return (b - s * F.expr(f"({req.begin}L - ts) div {req.step_ns}L")).alias("ts")
+        return (b + s * F.expr(f"(ts - {req.begin}L) div {req.step_ns}L")).alias("ts")
+
+    def _group_aggregate(self, req: QueryRequest) -> DataFrame:
+        df = self._bind(self.samples, req)
+        df = self._range(df, req)
+        df = self._group_remap(df, req)
+        funcs = req.agg_funcs
+        gb = df.groupBy(
+            "metric", _tags_suffix().alias("_tags_s"), self._bucket_col(req)
+        ).agg(*[agg_expr(f, req.backward).alias(f) for f in funcs])
+        # HAVING over bucket components, keyed by function name
+        gb = self._value_filters(gb, req, {f: f for f in funcs})
+        label = "|".join(f"{{m}}:{f}" for f in funcs)
+        sname = F.when(
+            F.length("_tags_s") > 0,
+            F.concat(
+                F.regexp_replace(F.lit(label), F.lit("\\{m\\}"), F.col("metric")),
+                F.lit(" "),
+                F.col("_tags_s"),
+            ),
+        ).otherwise(F.regexp_replace(F.lit(label), F.lit("\\{m\\}"), F.col("metric")))
+        out = gb.select(sname.alias("series"), F.col("ts"), *[F.col(f) for f in funcs])
+        return self._limit(self._order(out, req), req)
+
+    # ------------------------------------------------------------------
+    def _join(self, req: QueryRequest) -> DataFrame:
+        """N metrics aligned on exact timestamp per tag-set -> one row per
+        (tags, ts) with one column per metric, missing -> null
+        (JoinMaterializer parity, stdb/storage/operators/join.h:18-53).
+        Implemented as groupBy(tags, ts).pivot(metric) — one shuffle, no
+        M-way self-join."""
+        metrics = req.metrics
+        df = self._bind(self.samples, req)
+        df = self._range(df, req)
+        df = self._group_remap(df, req)
+        piv = (
+            df.groupBy(_tags_suffix().alias("_tags_s"), "ts")
+            .pivot("metric", metrics)
+            .agg(F.first("value"))
+        )
+        piv = self._value_filters(piv, req, {m: m for m in metrics})
+        joined_name = "|".join(metrics)
+        sname = F.when(
+            F.length("_tags_s") > 0,
+            F.concat(F.lit(joined_name + " "), F.col("_tags_s")),
+        ).otherwise(F.lit(joined_name))
+        out = piv.select(sname.alias("series"), "ts", *[F.col(m) for m in metrics])
+        out, cols, preordered = apply_pipeline(out, req.apply, list(metrics), req.backward)
+        return self._limit(self._order(out, req, preordered), req)
+
+    def _group_aggregate_join(self, req: QueryRequest) -> DataFrame:
+        """Downsample N metrics with ONE func, align buckets
+        (queryparser.cc:1793-1907)."""
+        metrics = req.metrics
+        fn = req.agg_funcs[0]
+        df = self._bind(self.samples, req)
+        df = self._range(df, req)
+        df = self._group_remap(df, req)
+        piv = (
+            df.groupBy(_tags_suffix().alias("_tags_s"), self._bucket_col(req))
+            .pivot("metric", metrics)
+            .agg(agg_expr(fn, req.backward))
+        )
+        piv = self._value_filters(piv, req, {m: m for m in metrics})
+        joined_name = "|".join(f"{m}:{fn}" for m in metrics)
+        sname = F.when(
+            F.length("_tags_s") > 0,
+            F.concat(F.lit(joined_name + " "), F.col("_tags_s")),
+        ).otherwise(F.lit(joined_name))
+        out = piv.select(sname.alias("series"), "ts", *[F.col(m) for m in metrics])
+        out, cols, preordered = apply_pipeline(out, req.apply, list(metrics), req.backward)
+        return self._limit(self._order(out, req, preordered), req)

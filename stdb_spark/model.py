@@ -1,0 +1,146 @@
+"""Canonical narrow schema and adapters for the driver's test tables.
+
+The engine operates over one long/narrow fact DataFrame (SURVEY.md §1):
+
+    samples(series_id long, metric string, tags map<string,string>,
+            ts long /*ns since epoch*/, value double)
+    events (series_id long, metric string, tags map<string,string>,
+            ts long, body string)
+    series (series_id long, name string, metric string,
+            tags map<string,string>, lon float, lat float)
+
+``series_id`` is a derived dense key; all query semantics are defined on
+(metric, tags) so adapters may synthesize it with a hash.  At 100 TB the
+fact table is partitioned by a time bucket (e.g. day) and bucketed by
+series_id so per-series scans prune partitions and co-locate sorts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SAMPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("series_id", T.LongType()),
+        T.StructField("metric", T.StringType()),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("ts", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("series_id", T.LongType()),
+        T.StructField("metric", T.StringType()),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("ts", T.LongType()),
+        T.StructField("body", T.StringType()),
+    ]
+)
+
+SERIES_SCHEMA = T.StructType(
+    [
+        T.StructField("series_id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("metric", T.StringType()),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("lon", T.FloatType()),
+        T.StructField("lat", T.FloatType()),
+    ]
+)
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def canonical_name_col(metric="metric", tags="tags"):
+    """Spark expression producing the canonical series name
+    ``metric k1=v1 k2=v2`` with keys sorted (SeriesParser parity,
+    stdb/index/seriesparser.h:39-53) — entirely JVM-side."""
+    kv = F.transform(
+        F.array_sort(F.map_keys(F.col(tags))),
+        lambda k: F.concat(k, F.lit("="), F.col(tags)[k]),
+    )
+    return F.when(
+        F.size(F.map_keys(F.col(tags))) > 0,
+        F.concat(F.col(metric), F.lit(" "), F.array_join(kv, " ")),
+    ).otherwise(F.col(metric))
+
+
+def series_id_col(metric="metric", tags="tags"):
+    """Stable 64-bit id from the canonical name (xxhash64, JVM-side)."""
+    return F.xxhash64(canonical_name_col(metric, tags))
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def events_as_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver's ``events`` table into the narrow samples schema:
+    metric = event_type, one tag ``user=<user_id>``, ts already int64 ns
+    (read via nanosAsLong), value = value."""
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        F.col("event_type").alias("metric"),
+        F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("tags"),
+        F.col("ts").cast("long").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return df.withColumn("series_id", series_id_col()).select(
+        "series_id", "metric", "tags", "ts", "value"
+    )
+
+
+def events_as_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver's ``events`` table into the engine's *event* shape
+    (string body instead of double value): metric = '!' + event_type,
+    body = props JSON (reference event convention,
+    stdb/query/queryparser.cc:317-329)."""
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        F.concat(F.lit("!"), F.col("event_type")).alias("metric"),
+        F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("tags"),
+        F.col("ts").cast("long").alias("ts"),
+        F.col("props").alias("body"),
+    )
+    return df.withColumn("series_id", series_id_col()).select(
+        "series_id", "metric", "tags", "ts", "body"
+    )
+
+
+def series_registry(samples: DataFrame) -> DataFrame:
+    """Derive the series dimension (the SeriesMatcher analog,
+    stdb/index/series_matcher.h:40-56) from a fact table.  Small by
+    construction (cardinality = #series), so broadcastable."""
+    return (
+        samples.select("series_id", "metric", "tags")
+        .dropDuplicates(["series_id"])
+        .withColumn("name", canonical_name_col())
+        .withColumn("lon", F.lit(None).cast("float"))
+        .withColumn("lat", F.lit(None).cast("float"))
+        .select("series_id", "name", "metric", "tags", "lon", "lat")
+    )

@@ -1,0 +1,254 @@
+"""The ``apply`` post-processing pipeline compiled to Spark expressions.
+
+Reference: the Node chain built by parse_processing_topology
+(stdb/query/queryparser.cc:2046-2080) with the static token registry
+(stdb/query/queryprocessor_framework.h:305-338).  Every node is a
+per-(series, column) stateful map over the scan-ordered stream, i.e. a
+window function partitioned by series and ordered by ts in scan
+direction.  We always compute windows per series (state in the reference
+is keyed by (ParamId, column) — rate.h:12-16), independent of the final
+output order, then sort.
+
+Node semantics replicated exactly (file:line cites against /root/reference):
+
+- ``rate``      (query_processing/rate.cc:17-49): Δx/Δt in units/sec, the
+                first point uses an implicit previous sample (0, 0).
+- ``accumulate``/``cusum`` (rate.cc:62-89): running sum, nulls skipped.
+- ``sma``       (sliding_window.cc:105-177): the ring buffer starts as N
+                zeros and ``get()`` runs BEFORE ``add()``, so the output
+                is the mean of the **previous** N values zero-padded:
+                sum(x[i-N..i-1], pad 0)/N.
+- ``sma-error`` value minus that prediction.
+- ``ewma``      (sliding_window.cc:7-41,60-103): 11-point warm-up during
+                which the node emits the current value itself; at the
+                11th add the accumulated mean seeds the filter; after
+                warm-up emits the one-step-ahead prediction.
+- ``ewma-error`` value minus prediction.
+- ``cma``       (sliding_window.cc:196-225): cumulative moving average.
+                The reference stores ``(sum + 2x, cnt + 2)`` per step —
+                an obvious double-add bug; we implement the intended
+                running mean and document the divergence.
+- ``abs``       (absolute.cc), ``scale`` (scale.h:10-27).
+- ``sum``/``diff``/``multiply``/``divide`` (math.h/math.cc): row-wise
+                folds across tuple columns.
+- ``top``       (top.cc:18-72): per-series time-weighted sum with the
+                reference's exact accumulation rule (the first sample
+                initializes nothing; integration starts at the second
+                sample, so contributions exist from the third on);
+                emits top-N series by sum desc.
+- ``frequent-items``/``heavy-hitters`` (spacesaver.h:55-150,
+                spacesaver.cc:6-7): SpaceSaving sketch; at Spark scale we
+                compute the EXACT answer (equivalent to 1/error >=
+                #series): items whose count (weight for heavy-hitters)
+                exceeds portion * total, sorted desc.
+- ``eval``      (eval.cc:40-195): scalar expression over the join's
+                metric columns; muParser is replaced by Catalyst
+                ``expr()``; rows evaluating to NULL/NaN are dropped.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EWMA_WARMUP = 10  # sliding_window.cc:7
+
+
+class ApplyError(ValueError):
+    pass
+
+
+def _scan_window(backward: bool):
+    order = F.col("ts").desc() if backward else F.col("ts").asc()
+    return Window.partitionBy("series").orderBy(order)
+
+
+def _weights(step: dict, ncols: int) -> list[float]:
+    w = step.get("weight", step.get("weights"))
+    if w is None:
+        raise ApplyError("`scale` requires a `weight` field")
+    ws = [float(x) for x in (w if isinstance(w, list) else [w])]
+    if len(ws) == 1:
+        ws = ws * ncols
+    if len(ws) != ncols:
+        raise ApplyError(f"scale weights: got {len(ws)}, need {ncols}")
+    return ws
+
+
+def _rowwise_fold(df: DataFrame, cols: list[str], op: str, ignore_missing: bool) -> tuple[DataFrame, list[str]]:
+    """sum/diff/multiply/divide across tuple columns -> single `value`."""
+    ops = {"sum": "+", "diff": "-", "multiply": "*", "divide": "/"}
+    sym = ops[op]
+    if ignore_missing:
+        neutral = 0.0 if op in ("sum", "diff") else 1.0
+        exprs = [F.coalesce(F.col(c), F.lit(neutral)) for c in cols]
+    else:
+        exprs = [F.col(c) for c in cols]
+    acc = exprs[0]
+    for e in exprs[1:]:
+        if sym == "+":
+            acc = acc + e
+        elif sym == "-":
+            acc = acc - e
+        elif sym == "*":
+            acc = acc * e
+        else:
+            acc = acc / e
+    out = df.withColumn("value", acc).drop(*[c for c in cols if c != "value"])
+    return out.select("series", "ts", "value"), ["value"]
+
+
+def _ewma_udf(df: DataFrame, cols: list[str], decay: float, delta: bool, backward: bool) -> DataFrame:
+    """Arrow-batched per-series EWMA with the reference's warm-up rule.
+
+    applyInPandas groups by series — each group fits executor memory for
+    any realistic per-series cardinality; at 100 TB the series key spreads
+    groups across the cluster.
+    """
+    out_schema = df.schema
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts", ascending=not backward).reset_index(drop=True)
+        for c in cols:
+            x = pdf[c].to_numpy()
+            out = x.copy()
+            warm, val = 0, 0.0
+            for i in range(len(x)):
+                if pd.isna(x[i]):
+                    continue
+                cur = float(x[i])
+                exp = cur if warm <= EWMA_WARMUP else val
+                out[i] = (cur - exp) if delta else exp
+                # EWMA::add (sliding_window.cc:23-34)
+                if warm < EWMA_WARMUP:
+                    val += cur
+                    warm += 1
+                elif warm == EWMA_WARMUP:
+                    warm += 1
+                    val = (val + cur) / float(warm)
+                    val = cur * decay + val * (1.0 - decay)
+                else:
+                    val = cur * decay + val * (1.0 - decay)
+            pdf[c] = out
+        return pdf
+
+    return df.groupBy("series").applyInPandas(fn, schema=out_schema)
+
+
+def apply_pipeline(
+    df: DataFrame,
+    steps: Iterable[dict],
+    value_cols: list[str],
+    backward: bool = False,
+) -> tuple[DataFrame, list[str], bool]:
+    """Compile the apply chain over ``df(series, ts, *value_cols)``.
+
+    Returns (df, value_cols, preordered) — preordered=True when a
+    terminal node (top / frequent-items / heavy-hitters) already fixed
+    the output order.
+    """
+    preordered = False
+    for step in steps:
+        name = step["name"]
+        w = _scan_window(backward)
+
+        if name == "abs":
+            for c in value_cols:
+                df = df.withColumn(c, F.abs(F.col(c)))
+        elif name == "scale":
+            for c, wt in zip(value_cols, _weights(step, len(value_cols))):
+                df = df.withColumn(c, F.col(c) * F.lit(wt))
+        elif name in ("sum", "diff", "multiply", "divide"):
+            ignore = bool(step.get("ignore_missing", False))
+            df, value_cols = _rowwise_fold(df, value_cols, name, ignore)
+        elif name == "rate":
+            for c in value_cols:
+                prev = F.last(
+                    F.when(F.col(c).isNotNull(), F.struct("ts", c)), ignorenulls=True
+                ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+                prev_t = F.coalesce(prev.getField("ts"), F.lit(0))
+                prev_x = F.coalesce(prev.getField(c), F.lit(0.0))
+                rate = (F.col(c) - prev_x) / (F.col("ts") - prev_t) * F.lit(1e9)
+                df = df.withColumn(c, F.when(F.col(c).isNotNull(), rate))
+        elif name in ("accumulate", "cusum"):
+            for c in value_cols:
+                run = F.sum(c).over(w.rowsBetween(Window.unboundedPreceding, 0))
+                df = df.withColumn(c, F.when(F.col(c).isNotNull(), run))
+        elif name in ("sma", "sma-error"):
+            n = int(step.get("window-width", 0))
+            if n <= 0:
+                raise ApplyError("`sma` requires positive `window-width`")
+            for c in value_cols:
+                pred = (
+                    F.coalesce(F.sum(c).over(w.rowsBetween(-n, -1)), F.lit(0.0)) / n
+                )
+                out = (F.col(c) - pred) if name == "sma-error" else pred
+                df = df.withColumn(c, F.when(F.col(c).isNotNull(), out))
+        elif name in ("ewma", "ewma-error"):
+            decay = float(step["decay"])
+            df = _ewma_udf(df, value_cols, decay, name == "ewma-error", backward)
+        elif name == "cma":
+            for c in value_cols:
+                run = F.avg(c).over(w.rowsBetween(Window.unboundedPreceding, 0))
+                df = df.withColumn(c, F.when(F.col(c).isNotNull(), run))
+        elif name == "top":
+            n = int(step["N"])
+            c = value_cols[0]
+            rn = F.row_number().over(w)
+            lag_t = F.lag("ts").over(w)
+            lag_x = F.lag(c).over(w)
+            contrib = F.when(
+                F.col("_rn") >= 3,
+                (F.col("ts") - F.col("_lt")) / F.lit(1e9) * F.col("_lx"),
+            ).otherwise(F.lit(0.0))
+            ts_last = F.min("ts") if backward else F.max("ts")
+            df = (
+                df.withColumn("_rn", rn)
+                .withColumn("_lt", lag_t)
+                .withColumn("_lx", lag_x)
+                .withColumn("_c", contrib)
+                .groupBy("series")
+                .agg(F.sum("_c").alias("value"), ts_last.alias("ts"))
+                .orderBy(F.col("value").desc(), F.col("series"))
+                .limit(n)
+                .select("series", "ts", "value")
+            )
+            value_cols = ["value"]
+            preordered = True
+        elif name in ("frequent-items", "heavy-hitters"):
+            portion = float(step["portion"])
+            if not (0.0 <= portion <= 1.0):
+                raise ApplyError("`portion` must be within [0, 1]")
+            c = value_cols[0]
+            weight = F.col(c) if name == "heavy-hitters" else F.lit(1.0)
+            ts_first = F.max("ts") if backward else F.min("ts")
+            counted = (
+                df.withColumn("_w", weight)
+                .groupBy("series")
+                .agg(F.sum("_w").alias("value"), ts_first.alias("ts"))
+            )
+            total = F.sum("value").over(Window.partitionBy())
+            df = (
+                counted.withColumn("_tot", total)
+                .filter(F.col("value") > F.col("_tot") * F.lit(portion))
+                .orderBy(F.col("value").desc(), F.col("series"))
+                .select("series", "ts", "value")
+            )
+            value_cols = ["value"]
+            preordered = True
+        elif name == "eval":
+            expr_text = str(step["expr"])
+            # metric names become column references (longest-first so
+            # `cpu.user` wins over `cpu`) — eval.cc preProcessExpression
+            for col in sorted(value_cols, key=len, reverse=True):
+                expr_text = expr_text.replace(col, f"`{col}`")
+            df = df.withColumn("value", F.expr(expr_text))
+            df = df.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+            df = df.select("series", "ts", "value")
+            value_cols = ["value"]
+        else:
+            raise ApplyError(f"unknown apply node {name!r}")
+    return df, value_cols, preordered

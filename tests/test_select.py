@@ -1,0 +1,123 @@
+"""select end-to-end — mirrors test_column_store_query scenarios
+(stdb/storage/column_store_test.cc:133-279): fwd/bwd scans, order-by
+series/time, series subsets via where, limit/offset, value filters."""
+
+import pytest
+
+from stdb_spark.engine import Engine
+from stdb_spark.query.parser import QueryParseError
+
+
+@pytest.fixture(scope="module")
+def eng(spark, dense_ramp):
+    return Engine(spark, samples=dense_ramp)
+
+
+def test_select_forward_range(eng):
+    out = eng.query(
+        {
+            "select": "test",
+            "range": {"from": 200, "to": 210},
+            "where": {"tag": "T3"},
+        }
+    ).collect()
+    assert [r.ts for r in out] == list(range(200, 210))
+    assert all(r.series == "test tag=T3" for r in out)
+    assert all(abs(r.value - 0.1 * r.ts) < 1e-9 for r in out)
+
+
+def test_select_backward_range(eng):
+    out = eng.query(
+        {"select": "test", "range": {"from": 210, "to": 200}, "where": {"tag": "T3"}}
+    ).collect()
+    # backward: (200, 210] descending
+    assert [r.ts for r in out] == list(range(210, 200, -1))
+
+
+def test_order_by_series_vs_time(eng):
+    q = {
+        "select": "test",
+        "range": {"from": 100, "to": 103},
+        "where": {"tag": ["T1", "T2"]},
+    }
+    by_time = eng.query({**q, "order-by": "time"}).collect()
+    assert [(r.ts, r.series) for r in by_time] == [
+        (100, "test tag=T1"),
+        (100, "test tag=T2"),
+        (101, "test tag=T1"),
+        (101, "test tag=T2"),
+        (102, "test tag=T1"),
+        (102, "test tag=T2"),
+    ]
+    by_series = eng.query({**q, "order-by": "series"}).collect()
+    assert [(r.series, r.ts) for r in by_series] == [
+        ("test tag=T1", 100),
+        ("test tag=T1", 101),
+        ("test tag=T1", 102),
+        ("test tag=T2", 100),
+        ("test tag=T2", 101),
+        ("test tag=T2", 102),
+    ]
+
+
+def test_where_or_values_and_combo_list(eng):
+    q = {
+        "select": "test",
+        "range": {"from": 100, "to": 101},
+        "where": {"tag": ["T1", "T5"]},
+    }
+    got = {r.series for r in eng.query(q).collect()}
+    assert got == {"test tag=T1", "test tag=T5"}
+    q2 = {
+        "select": "test",
+        "range": {"from": 100, "to": 101},
+        "where": [{"tag": "T2"}, {"tag": "T7"}],
+    }
+    got2 = {r.series for r in eng.query(q2).collect()}
+    assert got2 == {"test tag=T2", "test tag=T7"}
+
+
+def test_limit_offset(eng):
+    q = {
+        "select": "test",
+        "range": {"from": 100, "to": 200},
+        "where": {"tag": "T0"},
+        "limit": 5,
+        "offset": 3,
+    }
+    out = eng.query(q).collect()
+    # offset must NOT overwrite limit (reference bug queryparser.cc:624 fixed)
+    assert [r.ts for r in out] == [103, 104, 105, 106, 107]
+
+
+def test_value_filter(eng):
+    q = {
+        "select": "test",
+        "range": {"from": 100, "to": 1000},
+        "where": {"tag": "T0"},
+        "filter": {"gt": 99.0, "le": 99.5},
+    }
+    out = eng.query(q).collect()
+    # value = 0.1*ts -> 990 < ts <= 995
+    assert [r.ts for r in out] == [991, 992, 993, 994, 995]
+
+
+def test_query_validation(eng):
+    with pytest.raises(QueryParseError):
+        eng.query({"select": "test", "join": ["a"], "range": {"from": 0, "to": 1}})
+    with pytest.raises(QueryParseError):
+        eng.query({"bogus": 1})
+    with pytest.raises(QueryParseError):
+        eng.query({"select": "test"})  # missing range
+    with pytest.raises(QueryParseError):
+        eng.query(
+            {"select": "test", "range": {"from": 0, "to": 1}, "order-by": "bogus"}
+        )
+
+
+def test_select_meta(spark, dense_ramp):
+    eng = Engine(spark, samples=dense_ramp)
+    out = eng.query({"select": "meta:names"}).collect()
+    assert [r.series for r in out] == [f"test tag=T{k}" for k in range(10)]
+    out2 = eng.query({"select": "meta:names:test", "where": {"tag": "T4"}}).collect()
+    assert [r.series for r in out2] == ["test tag=T4"]
