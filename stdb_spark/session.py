@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the reference is a C++ engine: float division by zero flows
+        # through as inf/NaN rather than raising; non-ANSI Spark (NULL)
+        # is the closest declarative match
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")

@@ -1,0 +1,155 @@
+"""aggregate / group-aggregate — mirrors column_store_test.cc:469-829
+(sums vs closed form, begin-aligned buckets, HAVING)."""
+
+import pytest
+
+from stdb_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def eng(spark, dense_ramp):
+    return Engine(spark, samples=dense_ramp)
+
+
+def closed_sum(lo, hi):  # sum of 0.1*ts for ts in [lo, hi)
+    return 0.1 * (hi - 1 + lo) * (hi - lo) / 2
+
+
+def test_aggregate_sum_vs_closed_form(eng):
+    out = eng.query(
+        {
+            "aggregate": {"test": "sum"},
+            "range": {"from": 100, "to": 1000},
+            "where": {"tag": "T2"},
+        }
+    ).collect()
+    assert len(out) == 1
+    assert out[0].series == "test:sum tag=T2"
+    assert abs(out[0].value - closed_sum(100, 1000)) < 1e-6
+
+
+def test_aggregate_all_funcs(eng):
+    funcs = [
+        "min", "max", "sum", "count", "mean", "first", "last",
+        "min_timestamp", "max_timestamp", "first_timestamp", "last_timestamp",
+    ]
+    out = eng.query(
+        {
+            "aggregate": {"test": funcs},
+            "range": {"from": 200, "to": 300},
+            "where": {"tag": "T0"},
+        }
+    ).collect()
+    got = {r.series.split(" ")[0]: r.value for r in out}
+    assert got["test:min"] == pytest.approx(20.0)
+    assert got["test:max"] == pytest.approx(29.9)
+    assert got["test:count"] == 100.0
+    assert got["test:mean"] == pytest.approx(closed_sum(200, 300) / 100)
+    assert got["test:first"] == pytest.approx(20.0)
+    assert got["test:last"] == pytest.approx(29.9)
+    assert got["test:min_timestamp"] == 200.0
+    assert got["test:max_timestamp"] == 299.0
+    assert got["test:first_timestamp"] == 200.0
+    assert got["test:last_timestamp"] == 299.0
+
+
+def test_aggregate_backward_swaps_first_last(eng):
+    out = eng.query(
+        {
+            "aggregate": {"test": ["first", "last", "first_timestamp"]},
+            "range": {"from": 300, "to": 200},
+            "where": {"tag": "T0"},
+        }
+    ).collect()
+    got = {r.series.split(" ")[0]: r.value for r in out}
+    # backward range (200, 300] scanned desc: first = ts 300
+    assert got["test:first"] == pytest.approx(30.0)
+    assert got["test:last"] == pytest.approx(20.1)
+    assert got["test:first_timestamp"] == 300.0
+
+
+def test_aggregate_no_range_is_full_history(eng):
+    out = eng.query({"aggregate": {"test": "count"}, "where": {"tag": "T1"}}).collect()
+    assert out[0].value == 900.0
+
+
+def test_aggregate_multi_series_ordering(eng):
+    out = eng.query(
+        {"aggregate": {"test": "count"}, "where": {"tag": ["T3", "T1", "T2"]}}
+    ).collect()
+    assert [r.series for r in out] == [
+        "test:count tag=T1",
+        "test:count tag=T2",
+        "test:count tag=T3",
+    ]
+
+
+def test_group_aggregate_begin_aligned_buckets(eng):
+    # begin=103 is NOT a multiple of step=10 -> buckets [103,113), ...
+    out = eng.query(
+        {
+            "group-aggregate": {"step": "25", "metric": "test", "func": ["count", "sum", "min", "max"]},
+            "range": {"from": 103, "to": 178},
+            "where": {"tag": "T5"},
+        }
+    ).collect()
+    assert [r.ts for r in out] == [103, 128, 153]
+    for r in out:
+        assert r["count"] == 25.0
+        assert r.sum == pytest.approx(closed_sum(r.ts, r.ts + 25))
+        assert r.min == pytest.approx(0.1 * r.ts)
+        assert r.max == pytest.approx(0.1 * (r.ts + 24))
+    assert out[0].series == "test:count|test:sum|test:min|test:max tag=T5"
+
+
+def test_group_aggregate_partial_tail_bucket(eng):
+    out = eng.query(
+        {
+            "group-aggregate": {"step": "30", "metric": "test", "func": "count"},
+            "range": {"from": 100, "to": 170},
+            "where": {"tag": "T5"},
+        }
+    ).collect()
+    # [100,130) [130,160) [160,170): last bucket partial
+    assert [(r.ts, r["count"]) for r in out] == [(100, 30.0), (130, 30.0), (160, 10.0)]
+
+
+def test_group_aggregate_backward(eng):
+    out = eng.query(
+        {
+            "group-aggregate": {"step": "30", "metric": "test", "func": ["count", "first"]},
+            "range": {"from": 170, "to": 100},
+            "where": {"tag": "T5"},
+        }
+    ).collect()
+    # backward: buckets anchored at begin=170 descending:
+    # (140,170] (110,140] (100,110]
+    assert [(r.ts, r["count"]) for r in out] == [(170, 30.0), (140, 30.0), (110, 10.0)]
+    # first = latest point inside each bucket when scanning backward
+    assert out[0].first == pytest.approx(17.0)
+
+
+def test_group_aggregate_having(eng):
+    out = eng.query(
+        {
+            "group-aggregate": {"step": "25", "metric": "test", "func": ["max", "count"]},
+            "range": {"from": 100, "to": 200},
+            "where": {"tag": "T5"},
+            "filter": {"max": {"gt": 15.0}},
+        }
+    ).collect()
+    assert [r.ts for r in out] == [150, 175]
+
+
+def test_group_by_tag_merges_series(eng):
+    out = eng.query(
+        {
+            "aggregate": {"test": "count"},
+            "range": {"from": 100, "to": 200},
+            "group-by-tag": [],
+        }
+    ).collect()
+    # all 10 series merge into one
+    assert len(out) == 1
+    assert out[0].series == "test:count"
+    assert out[0].value == 1000.0

@@ -1,0 +1,151 @@
+"""apply-pipeline nodes vs closed forms (FIXTURES.md F4; reference
+semantics in rate.cc / sliding_window.cc / top.cc / spacesaver.h)."""
+
+import pytest
+
+from stdb_spark.engine import Engine
+from tests.conftest import make_samples
+
+
+@pytest.fixture(scope="module")
+def apply_fix(spark):
+    """3 series, ts_i = i*1e9 + (i%7)*1e7:
+    A constant 5.0, B linear i, C sawtooth i%10."""
+    rows = []
+    for i in range(50):
+        ts = i * 10**9 + (i % 7) * 10**7
+        rows.append(("sig", {"s": "A"}, ts, 5.0))
+        rows.append(("sig", {"s": "B"}, ts, float(i)))
+        rows.append(("sig", {"s": "C"}, ts, float(i % 10)))
+    return make_samples(spark, rows).cache()
+
+
+@pytest.fixture(scope="module")
+def eng(spark, apply_fix):
+    return Engine(spark, samples=apply_fix)
+
+
+TS = [i * 10**9 + (i % 7) * 10**7 for i in range(50)]
+RANGE = {"from": 0, "to": 10**18}
+
+
+def q(name, where, apply):
+    return {"select": name, "range": RANGE, "where": where, "apply": apply,
+            "order-by": "series"}
+
+
+def test_abs_and_scale(eng):
+    out = eng.query(q("sig", {"s": "B"}, [{"name": "scale", "weight": -2.0},
+                                          {"name": "abs"}])).collect()
+    assert [r.value for r in out] == [2.0 * i for i in range(50)]
+
+
+def test_rate_first_point_seeded_at_origin(eng):
+    out = eng.query(q("sig", {"s": "A"}, [{"name": "rate"}])).collect()
+    # first point uses implicit prev (0,0) (rate.cc:24-36); here ts[0]==0
+    # so dt==0 -> NULL (C++ would give NaN; non-ANSI Spark gives NULL)
+    assert out[0].value is None
+    # second point: (5-5)/(t1-t0) = 0
+    assert out[1].value == pytest.approx(0.0)
+
+
+def test_rate_linear_series(eng):
+    out = eng.query(q("sig", {"s": "B"}, [{"name": "rate"}])).collect()
+    for i in range(2, 50):
+        dt = (TS[i] - TS[i - 1]) / 1e9
+        assert out[i].value == pytest.approx(1.0 / dt), i
+
+
+def test_cusum(eng):
+    out = eng.query(q("sig", {"s": "A"}, [{"name": "cusum"}])).collect()
+    assert [r.value for r in out] == [5.0 * (i + 1) for i in range(50)]
+
+
+def test_cma(eng):
+    out = eng.query(q("sig", {"s": "B"}, [{"name": "cma"}])).collect()
+    for i, r in enumerate(out):
+        assert r.value == pytest.approx(sum(range(i + 1)) / (i + 1)), i
+
+
+def test_sma_is_prediction_with_zero_padding(eng):
+    n = 4
+    out = eng.query(q("sig", {"s": "B"}, [{"name": "sma", "window-width": n}])).collect()
+    for i, r in enumerate(out):
+        expect = sum(max(0, j) if j >= 0 else 0 for j in []) # placeholder
+        window = [j for j in range(max(0, i - n), i)]
+        expect = sum(window) / n  # zero-padded ring buffer (sliding_window.cc:105-140)
+        assert r.value == pytest.approx(expect), i
+
+
+def test_ewma_warmup_emits_input(eng):
+    out = eng.query(q("sig", {"s": "B"}, [{"name": "ewma", "decay": 0.5}])).collect()
+    # first 11 points emit the current value itself (EWMA_WARMUP=10)
+    for i in range(11):
+        assert out[i].value == pytest.approx(float(i)), i
+    # 12th point: value_ after 11 adds = blend(avg(0..10), x10)
+    avg11 = sum(range(11)) / 11.0
+    seeded = 10 * 0.5 + avg11 * 0.5
+    assert out[11].value == pytest.approx(seeded)
+    # 13th: prediction updated with x11
+    nxt = 11 * 0.5 + seeded * 0.5
+    assert out[12].value == pytest.approx(nxt)
+
+
+def test_top_time_weighted(eng):
+    out = eng.query(
+        {"select": "sig", "range": RANGE, "apply": [{"name": "top", "N": 2}]}
+    ).collect()
+    # B's time-weighted sum dominates (values up to 49 vs 5 and 0-9)
+    assert len(out) == 2
+    assert out[0].series == "sig s=B"
+    # closed form: sum_{i>=2} (t_i - t_{i-1})/1e9 * x_{i-1}, x linear
+    expect = sum((TS[i] - TS[i - 1]) / 1e9 * (i - 1) for i in range(2, 50))
+    assert out[0].value == pytest.approx(expect)
+    assert out[0].ts == TS[-1]
+
+
+def test_frequent_items_exact(spark):
+    rows = []
+    # series X: 60 points, Y: 30, Z: 10
+    for i, (s, n) in enumerate([("X", 60), ("Y", 30), ("Z", 10)]):
+        for j in range(n):
+            rows.append(("m", {"s": s}, j * 100 + i, 1.0))
+    eng = Engine(spark, samples=make_samples(spark, rows))
+    out = eng.query(
+        {
+            "select": "m",
+            "range": RANGE,
+            "apply": [{"name": "frequent-items", "error": 0.005, "portion": 0.25}],
+        }
+    ).collect()
+    # total=100; threshold 25 -> X (60) and Y (30), sorted desc
+    assert [(r.series, r.value) for r in out] == [("m s=X", 60.0), ("m s=Y", 30.0)]
+
+
+def test_heavy_hitters_weighted(spark):
+    rows = [("m", {"s": "P"}, i, 10.0) for i in range(10)]  # weight 100
+    rows += [("m", {"s": "Q"}, i, 1.0) for i in range(10)]  # weight 10
+    eng = Engine(spark, samples=make_samples(spark, rows))
+    out = eng.query(
+        {
+            "select": "m",
+            "range": RANGE,
+            "apply": [{"name": "heavy-hitters", "error": 0.01, "portion": 0.5}],
+        }
+    ).collect()
+    assert [(r.series, r.value) for r in out] == [("m s=P", 100.0)]
+
+
+def test_math_fold_over_join(spark, multi_metric):
+    eng = Engine(spark, samples=multi_metric)
+    out = eng.query(
+        {
+            "join": ["m1", "m2"],
+            "range": {"from": 100, "to": 106},
+            "where": {"host": "h0"},
+            "apply": [{"name": "sum", "ignore_missing": True}],
+        }
+    ).collect()
+    for r in out:
+        expect = 0.1 * r.ts + (0.2 * r.ts if r.ts % 3 != 0 else 0.0)
+        assert r.value == pytest.approx(expect)

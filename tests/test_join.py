@@ -1,0 +1,100 @@
+"""join / group-aggregate-join — mirrors column_store_test.cc:664-755
+and the JoinMaterializer missing-column semantics (join.h:40-48)."""
+
+import pytest
+
+from stdb_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def eng(spark, multi_metric):
+    return Engine(spark, samples=multi_metric)
+
+
+def test_join_aligns_on_timestamp(eng):
+    out = eng.query(
+        {
+            "join": ["m1", "m2"],
+            "range": {"from": 100, "to": 110},
+            "where": {"host": "h0"},
+        }
+    ).collect()
+    assert [r.ts for r in out] == list(range(100, 110))
+    for r in out:
+        assert r.series == "m1|m2 host=h0"
+        assert r.m1 == pytest.approx(0.1 * r.ts)
+        if r.ts % 3 == 0:
+            assert r.m2 is None  # gap -> null (bitmap parity)
+        else:
+            assert r.m2 == pytest.approx(0.2 * r.ts)
+
+
+def test_join_value_filter_any(eng):
+    out = eng.query(
+        {
+            "join": ["m1", "m2"],
+            "range": {"from": 100, "to": 200},
+            "where": {"host": "h1"},
+            "filter": {"require": "any", "m1": {"gt": 19.0}, "m2": {"gt": 39.0}},
+        }
+    ).collect()
+    # m1 > 19 <=> ts > 190; m2 > 39 <=> ts > 195 -> any: ts >= 191
+    assert [r.ts for r in out] == list(range(191, 200))
+
+
+def test_join_value_filter_all_null_fails(eng):
+    out = eng.query(
+        {
+            "join": ["m1", "m2"],
+            "range": {"from": 100, "to": 200},
+            "where": {"host": "h1"},
+            "filter": {"require": "all", "m1": {"gt": 19.0}, "m2": {"gt": 0.0}},
+        }
+    ).collect()
+    # all: null m2 rows (ts%3==0) never pass
+    assert [r.ts for r in out] == [t for t in range(191, 200) if t % 3 != 0]
+
+
+def test_join_multiple_tagsets_order_by_series(eng):
+    out = eng.query(
+        {
+            "join": ["m1", "m2"],
+            "range": {"from": 100, "to": 102},
+            "where": {"host": ["h0", "h1"]},
+            "order-by": "series",
+        }
+    ).collect()
+    assert [(r.series, r.ts) for r in out] == [
+        ("m1|m2 host=h0", 100),
+        ("m1|m2 host=h0", 101),
+        ("m1|m2 host=h1", 100),
+        ("m1|m2 host=h1", 101),
+    ]
+
+
+def test_group_aggregate_join(eng):
+    out = eng.query(
+        {
+            "group-aggregate-join": {"step": "50", "metric": ["m1", "m2"], "func": "max"},
+            "range": {"from": 100, "to": 200},
+            "where": {"host": "h2"},
+        }
+    ).collect()
+    assert [r.ts for r in out] == [100, 150]
+    assert out[0].series == "m1:max|m2:max host=h2"
+    assert out[0].m1 == pytest.approx(0.1 * 149)
+    assert out[0].m2 == pytest.approx(0.2 * 149)  # 149 % 3 != 0 present
+
+
+def test_join_eval_expression(eng):
+    out = eng.query(
+        {
+            "join": ["m1", "m2"],
+            "range": {"from": 100, "to": 106},
+            "where": {"host": "h0"},
+            "eval": {"expr": "m2 - 2*m1"},
+        }
+    ).collect()
+    # m2 - 2*m1 == 0 where both present; NaN/null rows dropped (ts%3==0)
+    assert [r.ts for r in out] == [t for t in range(100, 106) if t % 3 != 0]
+    assert all(abs(r.value) < 1e-9 for r in out)
