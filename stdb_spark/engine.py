@@ -92,6 +92,7 @@ class Engine:
         samples: DataFrame | None = None,
         events: DataFrame | None = None,
         series: DataFrame | None = None,
+        exact_sums: bool = False,
     ):
         self.spark = spark
         self.samples = samples
@@ -99,6 +100,9 @@ class Engine:
         if series is None and samples is not None:
             series = model.series_registry(samples)
         self.series = series
+        # decimal-backed sum/mean: reproducible independent of partial-agg
+        # order (oracle-comparison mode; slower, default off)
+        self.exact_sums = exact_sums
 
     # ------------------------------------------------------------------
     @classmethod
@@ -253,7 +257,7 @@ class Engine:
             by_metric.setdefault(m, []).append(fn)
         all_funcs = sorted({f for fs in by_metric.values() for f in fs})
         gb = df.groupBy("metric", _tags_suffix().alias("_tags_s")).agg(
-            *[agg_expr(f, req.backward).alias(f"_f_{f}") for f in all_funcs]
+            *[agg_expr(f, req.backward, exact=self.exact_sums).alias(f"_f_{f}") for f in all_funcs]
         )
         parts = []
         for m, fns in by_metric.items():
@@ -291,7 +295,7 @@ class Engine:
         funcs = req.agg_funcs
         gb = df.groupBy(
             "metric", _tags_suffix().alias("_tags_s"), self._bucket_col(req)
-        ).agg(*[agg_expr(f, req.backward).alias(f) for f in funcs])
+        ).agg(*[agg_expr(f, req.backward, exact=self.exact_sums).alias(f) for f in funcs])
         # HAVING over bucket components, keyed by function name
         gb = self._value_filters(gb, req, {f: f for f in funcs})
         label = "|".join(f"{{m}}:{f}" for f in funcs)
@@ -320,7 +324,10 @@ class Engine:
         piv = (
             df.groupBy(_tags_suffix().alias("_tags_s"), "ts")
             .pivot("metric", metrics)
-            .agg(F.first("value"))
+            # a (series, ts) pair holds at most one sample; max() picks it
+            # deterministically even if duplicates sneak in (first() would
+            # be partition-order dependent)
+            .agg(F.max("value"))
         )
         piv = self._value_filters(piv, req, {m: m for m in metrics})
         joined_name = "|".join(metrics)
@@ -343,7 +350,7 @@ class Engine:
         piv = (
             df.groupBy(_tags_suffix().alias("_tags_s"), self._bucket_col(req))
             .pivot("metric", metrics)
-            .agg(agg_expr(fn, req.backward))
+            .agg(agg_expr(fn, req.backward, exact=self.exact_sums))
         )
         piv = self._value_filters(piv, req, {m: m for m in metrics})
         joined_name = "|".join(f"{m}:{fn}" for m in metrics)

@@ -1,0 +1,283 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each designed around Spark's shuffle model:
+
+- exact:        hash-groupBy on a normalized digest — one shuffle.
+- MinHash+LSH:  shingle -> K minhashes -> B bands; candidate pairs only
+                where a band bucket collides (bucket-join), so the
+                quadratic pair space never materializes.  At 100 TB the
+                band join is the only shuffle and its keys are uniform
+                by construction (hash values), so no skew.
+- SimHash:      64-bit signature; near-dups = small Hamming distance.
+- n-gram Jaccard: exact verification on candidate pairs (or, at small
+                scale, within a blocking key).
+
+All hashes are md5-derived so any engine (e.g. the DuckDB oracle) can
+reproduce them bit-for-bit; xxhash64 would be Spark-private.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stdb_spark.functions.text import tokens_col
+
+
+def _md5_long(c: Column, salt: str = "") -> Column:
+    """Deterministic 60-bit positive int from md5 (cross-engine
+    reproducible: DuckDB = ('0x' || substr(md5(x),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(salt), c)), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def normalized_text(text_col: str = "text") -> Column:
+    return F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (normalized) documents.
+    Returns (digest, dup_count, min_doc_id) for groups with >1 member —
+    the survivor-selection step keeps min_doc_id."""
+    digest = F.md5(normalized_text(text_col))
+    return (
+        df.select(digest.alias("digest"), F.col(key))
+        .groupBy("digest")
+        .agg(F.count("*").alias("dup_count"), F.min(key).alias("keep_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def shingles_col(text_col: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    toks = tokens_col(normalized_text(text_col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id",
+    num_hashes: int = 32, shingle_n: int = 3,
+) -> DataFrame:
+    """(key, sig array<long>): sig[i] = min over shingles of md5(i || shingle).
+
+    One narrow projection — no shuffle, no UDF.  The per-row cost is
+    O(#shingles * num_hashes) JVM hash calls.
+    """
+    sh = shingles_col(text_col, shingle_n)
+
+    def make_hash(i: int):
+        # closure capture: a default argument would make pyspark treat the
+        # lambda as binary and bind the array index to i
+        return lambda s: _md5_long(s, f"mh{i}:")
+
+    sig = F.array(
+        *[F.array_min(F.transform(sh, make_hash(i))) for i in range(num_hashes)]
+    )
+    return df.select(F.col(key), sig.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, key: str = "doc_id", bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: equal band-slices -> candidate pair.  Returns distinct
+    (a, b) with a < b.  The self-join is on (band_idx, band_hash) — a
+    uniform key, broadcast-free, skew-free."""
+    nb = bands
+    r = rows_per_band
+    banded = sigs.select(
+        key,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * r + 1, r), lambda x: x.cast("string")
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(nb)
+                ]
+            )
+        ).alias("bb"),
+    ).select(key, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .select(F.col(f"a.{key}").alias("a"), F.col(f"b.{key}").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(
+    sigs: DataFrame, candidates: DataFrame, key: str = "doc_id"
+) -> DataFrame:
+    """Estimated Jaccard = fraction of equal signature slots."""
+    sa = sigs.select(F.col(key).alias("a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(key).alias("b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+            )
+        )
+        / F.size("sig_a")
+    )
+    return (
+        candidates.join(sa, "a").join(sb, "b").select("a", "b", est.alias("est_jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs formed by exploding
+    shingles and joining on them (optionally also blocked by
+    ``block_col``).  inter/union are exact small-int ratios, so results
+    are bit-identical across engines.
+
+    Scale path: the shingle join produces one row per shared shingle —
+    at 100 TB pair this with MinHash-LSH candidates instead of raw
+    shingle join (use ``minhash_lsh_candidates`` then verify here).
+    """
+    sh = df.select(
+        F.col(key), *( [F.col(block_col)] if block_col else [] ),
+        F.explode(shingles_col(text_col, n)).alias("shingle"),
+        F.size(shingles_col(text_col, n)).alias("n_sh"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col(f"a.{key}") < F.col(f"b.{key}")
+    )
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{key}").alias("a"),
+            F.col(f"b.{key}").alias("b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.select("a", "b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", key: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over word shingles: bit j of the signature is the
+    sign of sum over shingles of (+1 if md5-bit j set else -1).
+
+    Implemented as array algebra (transform/aggregate) — JVM-side, no
+    UDF.  Near-duplicate detection = small Hamming distance between
+    signatures (see ``hamming_pairs``)."""
+    sh = shingles_col(text_col)
+    # per-shingle 64-bit value from md5 (two 32-bit halves for exactness)
+    hl = F.transform(
+        sh,
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long").alias("h"),
+            F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long").alias("l"),
+        ),
+    )
+
+    def bit_vote(x, j: int):
+        src = x.getField("h") if j < 32 else x.getField("l")
+        shift = j if j < 32 else j - 32
+        return F.when(F.shiftright(src, shift) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+
+    def make_merge(j: int):
+        # pyspark passes a Column for every named lambda parameter, so j
+        # must be captured by closure, not by default argument
+        return lambda acc, x: acc + bit_vote(x, j)
+
+    sig = None
+    for j in range(bits):
+        vote = F.aggregate(hl, F.lit(0), make_merge(j))
+        # bit 63 is the long sign bit in two's complement
+        bitval = F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
+        term = F.when(vote > 0, bitval).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return df.select(F.col(key), sig.alias("simhash"))
+
+
+def hamming_pairs(
+    sigs: DataFrame, key: str = "doc_id", sig_col: str = "simhash", max_distance: int = 3
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance over SimHash signatures.
+    Blocked on the high 16 bits (a near-dup with distance<=3 collides in
+    at least one of 4 16-bit blocks; we check block 0 here and callers
+    union over rotations for full recall — documented trade-off)."""
+    blocked = sigs.withColumn("block", F.shiftrightunsigned(F.col(sig_col), 48))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    dist = F.bit_count(F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}")))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .select(
+            F.col(f"a.{key}").alias("a"),
+            F.col(f"b.{key}").alias("b"),
+            dist.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine >= threshold.  Blocked
+    self-join (block_col, e.g. an LSH bucket or label) to avoid the full
+    quadratic pair space; exact within blocks."""
+    from stdb_spark.functions.similarity import cosine_expr
+
+    a = df.alias("a")
+    b = df.alias("b")
+    cond = F.col(f"a.{key}") < F.col(f"b.{key}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    cos = cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{key}").alias("a"),
+            F.col(f"b.{key}").alias("b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

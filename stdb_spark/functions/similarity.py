@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+- brute-force cosine top-k: a broadcast of the (tiny) query set against
+  the full table; one scan, no shuffle, JVM-side fold arithmetic.  This
+  is the exact baseline.
+- LSH-bucketed ANN (random hyperplanes): signature = sign-pattern of
+  dot products with H deterministic hyperplanes; candidates = same
+  bucket (multi-probe over N tables).  The scale path: the bucket join
+  replaces the full cross product, turning 100 TB x query into a
+  uniform-key hash join.
+
+Dot products use a sequential left fold (``F.aggregate``) over doubles —
+the same associativity order an external oracle computes with a written
+out sum, so results are bit-reproducible.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in float64."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_top_k(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k for one query vector: scan + per-partition
+    top-k (Spark's TakeOrdered) — no shuffle of the full table."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = cosine_expr(F.col(vec_col), q)
+    return (
+        df.select(F.col(key), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(key))
+        .limit(k)
+    )
+
+
+def brute_force_top_k_many(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    qkey: str = "query_id",
+) -> DataFrame:
+    """Top-k per query via broadcast cross join + window rank.  The query
+    side is broadcast (small); the corpus is scanned once."""
+    from pyspark.sql import Window
+
+    joined = df.crossJoin(F.broadcast(queries.select(qkey, F.col(vec_col).alias("_qv"))))
+    cos = cosine_expr(F.col(vec_col), F.col("_qv"))
+    w = Window.partitionBy(qkey).orderBy(F.col("cosine").desc(), F.col(key))
+    return (
+        joined.select(qkey, key, cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from md5(seed,i):
+    reproducible everywhere, no RNG state."""
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"hp{seed}:{i}".encode()).digest()[:8]
+        # map 64 bits to [-1, 1)
+        out.append(struct.unpack(">q", h)[0] / float(2**63))
+    return out
+
+
+def lsh_signature_col(vec_col: str, dim: int, n_planes: int, table: int = 0) -> Column:
+    """Bit-pattern of signs of dot(vec, hyperplane_j) packed into a long."""
+    bits = []
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, table * 1000 + j)])
+        bits.append(
+            F.when(dot_expr(F.col(vec_col), plane) >= 0, F.shiftleft(F.lit(1).cast("long"), j))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig.bitwiseOR(b)
+    return sig
+
+
+def lsh_top_k(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """ANN top-k: union of candidates from n_tables LSH buckets, exact
+    cosine re-rank.  Recall < 1 by construction; increase n_tables for
+    recall, n_planes for selectivity.  At scale, precompute signatures
+    as table columns (write-time) so queries touch only bucket rows."""
+    dim = len(query_vec)
+    import numpy as np  # local, driver-side only for the query signature
+
+    cands = None
+    for t in range(n_tables):
+        sig = lsh_signature_col(vec_col, dim, n_planes, t)
+        qsig = 0
+        for j in range(n_planes):
+            plane = _hyperplane(dim, t * 1000 + j)
+            if float(np.dot(np.array(query_vec, dtype="float64"), np.array(plane))) >= 0:
+                qsig |= 1 << j
+        bucket = df.filter(sig == F.lit(qsig))
+        cands = bucket if cands is None else cands.unionAll(bucket)
+    cands = cands.dropDuplicates([key])
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = cosine_expr(F.col(vec_col), q)
+    return (
+        cands.select(F.col(key), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(key))
+        .limit(k)
+    )
+
+
+def centroid_per_label(
+    df: DataFrame, vec_col: str = "embedding", label: str = "label"
+) -> DataFrame:
+    """Per-label mean vector: posexplode + groupBy(label, pos) — scales
+    to any corpus (never collects vectors)."""
+    exploded = df.select(label, F.posexplode(vec_col).alias("pos", "x"))
+    return (
+        exploded.groupBy(label, "pos")
+        .agg(F.avg("x").alias("mean_x"))
+        .groupBy(label)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_x"))).alias("_s"))
+        .select(label, F.transform("_s", lambda s: s.getField("mean_x")).alias("centroid"))
+    )

@@ -1,0 +1,112 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All hot-path functions are built from JVM-side ``pyspark.sql.functions``
+(whole-stage codegen, no Python round-trip), so they scale linearly with
+executors over a 100 TB documents table.  Every function takes/returns
+DataFrames or Columns; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal built-in stopword lists used for language id + quality scoring.
+# Deliberately tiny and deterministic — a production deployment would load
+# a broadcast dimension table instead (same plan shape).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with", "for", "query"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "von"],
+    "es": ["el", "la", "los", "que", "de", "es", "una", "con", "por", "para"],
+    "fr": ["le", "la", "les", "et", "est", "une", "des", "du", "dans", "pour"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "他"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"]
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    """Whitespace tokenization (JVM split; empty tokens dropped)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, r"\s+"), lambda t: F.length(t) > 0)
+
+
+def bpe_ish_tokens_col(text: str | Column = "text") -> Column:
+    """BPE-ish sub-word segmentation via regex: splits on word boundaries,
+    digits, and punctuation runs — a deterministic proxy for tokenizer
+    cost accounting (the real BPE model is external)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.split(c, r"(?<=\W)|(?=\W)|(?<=\d)(?=\D)|(?<=\D)(?=\d)"),
+        lambda t: F.length(F.trim(t)) > 0,
+    )
+
+
+def token_count_col(text: str | Column = "text") -> Column:
+    return F.size(tokens_col(text))
+
+
+def stopword_ratio_col(text: str | Column = "text", stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
+    toks = tokens_col(text)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length, mean word length, punctuation
+    density, stopword ratio — the standard cheap pre-filters of an LLM
+    data pipeline.  Pure column expressions; pushdown-friendly."""
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    mean_word_len = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n_tok, F.lit(1))
+    n_chars = F.length(F.col(text_col))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    sw_ratio = stopword_ratio_col(text_col)
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 10), 0.3).otherwise(0.0)
+        + F.when(punct_ratio <= 0.1, 0.2).otherwise(0.0)
+        + F.least(sw_ratio * 2.0, F.lit(0.1))
+    )
+    return df.select(
+        "*",
+        n_tok.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        sw_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language identification: score = #tokens matching each
+    language's marker list; argmax wins (ties broken by language code
+    order).  Entirely JVM-side; at 100 TB this is a single scan."""
+    toks = F.transform(tokens_col(text_col), F.lower)
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(markers, t))).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # max of (score, lang) structs; lang order breaks ties deterministically
+    best = F.array_max(F.array(*scores))
+    return df.withColumn("lang_pred", best.getField("lang")).withColumn(
+        "lang_score", best.getField("score")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Document fingerprint: 64-bit rolling-hash analog built from md5 of
+    the normalized text (lowercase, collapsed whitespace).  md5 is used
+    (not xxhash64) so external engines can reproduce the value."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    fp = F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
+    return df.select(key, fp.alias("fingerprint"))

@@ -33,9 +33,22 @@ AGG_OUTPUT_IS_TS = {
 }
 
 
-def agg_expr(func: str, backward: bool, value: str = "value", ts: str = "ts") -> Column:
-    """One Catalyst aggregate expression per reference function."""
+def agg_expr(
+    func: str, backward: bool, value: str = "value", ts: str = "ts", exact: bool = False
+) -> Column:
+    """One Catalyst aggregate expression per reference function.
+
+    ``exact=True`` computes sum/mean through decimal(28,10) so the result
+    is independent of partial-aggregation order — bit-reproducible across
+    engines (used by the oracle-checked suite; default off for speed).
+    """
     v, t = F.col(value), F.col(ts)
+    if exact:
+        sum_d = F.sum(v.cast("decimal(28,10)")).cast("double")
+        mean_d = F.sum(v.cast("decimal(28,10)")).cast("double") / F.count(v)
+    else:
+        sum_d = F.sum(v)
+        mean_d = F.avg(v)
     first_s = F.min(F.struct(t, v))  # earliest ts, tie -> smallest value
     last_s = F.max(F.struct(t, v))
     minv_s = F.min(F.struct(v, t))  # smallest value, tie -> smallest ts
@@ -49,10 +62,10 @@ def agg_expr(func: str, backward: bool, value: str = "value", ts: str = "ts") ->
     table = {
         "min": F.min(v),
         "max": F.max(v),
-        "sum": F.sum(v),
+        "sum": sum_d,
         "count": F.count(v).cast("double"),
         "cnt": F.count(v).cast("double"),
-        "mean": F.avg(v),
+        "mean": mean_d,
         "first": first_s.getField(value),
         "last": last_s.getField(value),
         "min_timestamp": minv_s.getField(ts).cast("double"),
@@ -65,9 +78,17 @@ def agg_expr(func: str, backward: bool, value: str = "value", ts: str = "ts") ->
     return table[func]
 
 
-def oracle_agg_sql(func: str, backward: bool, value: str = "value", ts: str = "ts") -> str:
+def oracle_agg_sql(
+    func: str, backward: bool, value: str = "value", ts: str = "ts", exact: bool = False
+) -> str:
     """DuckDB SQL fragment with semantics identical to :func:`agg_expr`
     (used to build oracle queries; struct comparison works the same way)."""
+    if exact:
+        sum_d = f"CAST(sum(CAST({value} AS DECIMAL(28,10))) AS DOUBLE)"
+        mean_d = f"{sum_d} / count({value})"
+    else:
+        sum_d = f"sum({value})"
+        mean_d = f"avg({value})"
     first_s = f"min(struct_pack(t := {ts}, v := {value}))"
     last_s = f"max(struct_pack(t := {ts}, v := {value}))"
     minv_s = f"min(struct_pack(v := {value}, t := {ts}))"
@@ -80,10 +101,10 @@ def oracle_agg_sql(func: str, backward: bool, value: str = "value", ts: str = "t
     table = {
         "min": f"min({value})",
         "max": f"max({value})",
-        "sum": f"sum({value})",
+        "sum": sum_d,
         "count": f"CAST(count({value}) AS DOUBLE)",
         "cnt": f"CAST(count({value}) AS DOUBLE)",
-        "mean": f"avg({value})",
+        "mean": mean_d,
         "first": f"({first_s}).v",
         "last": f"({last_s}).v",
         "min_timestamp": f"CAST(({minv_s}).t AS DOUBLE)",

@@ -1,0 +1,71 @@
+"""Spatial operators: the R-tree's query surface as DataFrame ops.
+
+Reference surface (SURVEY.md §2.9): per-series static Location{lon,lat}
+indexed in an R-tree (stdb/index/rtree.h:594-712) with MBR range and
+best-first KNN queries (rtree.h:681,630), plus per-sample locations
+(stdb/common/basic.h:48-52,90).
+
+At Spark scale the index is replaced by predicate pushdown + an optional
+geohash-style grid bucket column: a range query prunes Parquet row
+groups on (grid, lon, lat) min/max stats; KNN scans candidate cells
+outward.  Exact brute-force distance + TakeOrdered(k) is already
+cluster-parallel and is the baseline here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def range_query(
+    df: DataFrame,
+    lon_min: float,
+    lon_max: float,
+    lat_min: float,
+    lat_max: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """MBR intersect (inclusive bounds, matching RTree MBR semantics)."""
+    return df.filter(
+        F.col(lon).between(lon_min, lon_max) & F.col(lat).between(lat_min, lat_max)
+    )
+
+
+def distance2_expr(lon0: float, lat0: float, lon: str = "lon", lat: str = "lat") -> Column:
+    """Squared Euclidean distance in coordinate space (the reference
+    R-tree KNN uses planar distance, rtree.h:630-677)."""
+    dx = F.col(lon) - F.lit(lon0)
+    dy = F.col(lat) - F.lit(lat0)
+    return dx * dx + dy * dy
+
+
+def knn(
+    df: DataFrame,
+    lon0: float,
+    lat0: float,
+    k: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    tie_break: str | None = None,
+) -> DataFrame:
+    """k nearest rows to (lon0, lat0); deterministic tie-break column
+    recommended.  Compiles to TakeOrdered(k) — per-partition top-k then
+    a k-row merge on the driver, no full sort."""
+    d = F.sqrt(distance2_expr(lon0, lat0, lon, lat))
+    order = [F.col("_dist").asc()]
+    if tie_break:
+        order.append(F.col(tie_break).asc())
+    return df.withColumn("_dist", d).orderBy(*order).limit(k)
+
+
+def grid_cell_expr(
+    cell_deg: float, lon: str = "lon", lat: str = "lat"
+) -> Column:
+    """Grid bucket id for write-time partitioning/clustering — the
+    100 TB analog of the R-tree: cell = (floor(lon/cell), floor(lat/cell))
+    packed into a long."""
+    gx = F.floor(F.col(lon) / F.lit(cell_deg)).cast("long")
+    gy = F.floor(F.col(lat) / F.lit(cell_deg)).cast("long")
+    return gx * F.lit(1 << 21) + gy

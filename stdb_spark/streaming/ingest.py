@@ -1,0 +1,83 @@
+"""Structured Streaming ingest: the TCP write path re-expressed.
+
+Reference write path (SURVEY.md §3.2): TCP -> protocol parser ->
+per-series NB+tree append, rejecting out-of-order writes
+(FAIL_LATE_WRITE, stdb/storage/nbtree.h:378-384).  The Spark analog:
+
+    readStream (socket/files/kafka) -> line parse -> watermark
+    -> append to time-partitioned Parquet
+
+Late data beyond the watermark is dropped — the declarative equivalent
+of the reference's late-write rejection.  Same transformations serve
+batch backfill (spark.read) because the parsers are pure column
+expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stdb_spark.sources.opentsdb import parse_opentsdb_lines
+
+
+def stream_from_socket(spark: SparkSession, host: str, port: int) -> DataFrame:
+    lines = spark.readStream.format("socket").option("host", host).option(
+        "port", port
+    ).load()
+    return parse_opentsdb_lines(lines)
+
+
+def stream_from_files(spark: SparkSession, path: str) -> DataFrame:
+    """File-drop ingest (each file = batch of OpenTSDB lines)."""
+    lines = spark.readStream.format("text").load(path)
+    return parse_opentsdb_lines(lines)
+
+
+def with_late_data_policy(samples: DataFrame, max_lateness: str = "1 minute") -> DataFrame:
+    """Watermark on event time: the declarative FAIL_LATE_WRITE analog —
+    rows older than the watermark are dropped by stateful operators."""
+    return samples.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    ).withWatermark("event_time", max_lateness)
+
+
+def write_to_parquet(
+    samples: DataFrame, path: str, checkpoint: str, trigger_once: bool = True
+):
+    """Append into a day-partitioned narrow fact table.  Partitioning by
+    (day, metric) gives time pruning + metric pruning on read — the
+    storage layout the query engine's filters are designed against."""
+    day = F.date_format(
+        F.timestamp_micros((F.col("ts") / 1000).cast("long")), "yyyy-MM-dd"
+    )
+    writer = (
+        samples.withColumn("day", day)
+        .writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("day", "metric")
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_downsample(
+    samples: DataFrame, step: str = "1 minute", max_lateness: str = "1 minute"
+) -> DataFrame:
+    """Continuous group-aggregate: tumbling-window min/max/sum/count/avg
+    per series — the streaming twin of the batch `group-aggregate`
+    operator (epoch-aligned windows; the batch engine's begin-aligned
+    buckets exist for query parity, streaming standardizes on window())."""
+    ev = with_late_data_policy(samples, max_lateness)
+    return ev.groupBy(
+        F.window("event_time", step).alias("bucket"), "series_id", "metric"
+    ).agg(
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+        F.sum("value").alias("sum"),
+        F.count("value").alias("count"),
+        F.avg("value").alias("mean"),
+    )

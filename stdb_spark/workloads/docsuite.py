@@ -1,0 +1,257 @@
+"""LLM-training-data pipeline queries over documents/embeddings, each
+with a DuckDB oracle that replicates the algorithm step-for-step.
+
+Token parity contract: tokens = split(regexp_replace(lower(text),
+'\\s+', ' '), ' ') minus empties — identical in both engines.  Dot
+products are written as left-associated chains in SQL, matching the
+sequential fold of ``F.aggregate`` (0.0 + x1 + x2 ... is IEEE-identical
+to x1 + x2 ...)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stdb_spark import model
+from stdb_spark.functions import dedup, similarity, text
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name, fn, sql=None):
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLES[name] = sql
+
+
+# DuckDB token fragments
+_NORM = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+_TOKS = f"list_filter(string_split({_NORM}, ' '), x -> len(x) > 0)"
+
+
+# ------------------------------------------------------------ fingerprints
+_q(
+    "doc_fingerprint",
+    lambda spark, sf: model.load_table(spark, sf, "documents").select(
+        "doc_id", F.substring(F.md5(dedup.normalized_text()), 1, 16).alias("fp")
+    ),
+    f"SELECT doc_id, substr(md5({_NORM}), 1, 16) AS fp FROM documents",
+)
+
+_q(
+    "doc_exact_dedup",
+    lambda spark, sf: dedup.exact_duplicates(model.load_table(spark, sf, "documents")),
+    f"""
+SELECT md5({_NORM}) AS digest, count(*) AS dup_count, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""",
+)
+
+# blocking-key duplicate groups: md5 of the first 3 tokens — the cheap
+# pre-clustering step ahead of pairwise verification
+_q(
+    "doc_block_dup_groups",
+    lambda spark, sf: (
+        model.load_table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.md5(
+                F.array_join(F.slice(text.tokens_col(dedup.normalized_text()), 1, 3), " ")
+            ).alias("block"),
+        )
+        .groupBy("block")
+        .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("dup_count") > 1)
+    ),
+    f"""
+SELECT md5(array_to_string({_TOKS}[1:3], ' ')) AS block,
+       count(*) AS dup_count, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""",
+)
+
+
+# ------------------------------------------------------------- token stats
+def _token_stats(spark, sf):
+    df = model.load_table(spark, sf, "documents")
+    toks = text.tokens_col("text")
+    n = F.size(toks).cast("long")
+    mean_len = F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t)) / F.greatest(
+        n, F.lit(1)
+    )
+    sw = F.array(*[F.lit(w) for w in text.STOPWORDS_EN])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return df.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        mean_len.alias("mean_word_len"),
+        (hits / F.greatest(n, F.lit(1))).alias("stopword_ratio"),
+    )
+
+
+_SW_LIST = "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS_EN) + "]"
+
+_q(
+    "doc_token_stats",
+    _token_stats,
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+    / greatest(len(toks), 1) AS mean_word_len,
+  CAST(len(list_filter(toks, x -> list_contains({_SW_LIST}, lower(x)))) AS BIGINT)
+    / greatest(len(toks), 1) AS stopword_ratio
+FROM t
+""",
+)
+
+
+# ---------------------------------------------------------------- langid
+def _langid(spark, sf):
+    df = model.load_table(spark, sf, "documents")
+    return text.lang_id(df).select("doc_id", "lang_pred")
+
+
+def _langid_sql() -> str:
+    scores = {
+        lang: f"len(list_filter(tl, x -> list_contains([{', '.join(repr(w) for w in ws)}], x)))"
+        for lang, ws in text.LANG_MARKERS.items()
+    }
+    # Spark picks max (score, lang) struct -> ties go to the LARGEST lang
+    # code; mirror with a descending-language CASE chain of >= tests.
+    langs_desc = sorted(scores, reverse=True)
+    cases = []
+    for lang in langs_desc:
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in scores if other != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " END"
+    score_cols = ",\n    ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_transform(
+      list_filter(string_split(text, ' '), x -> len(x) > 0), x -> lower(x)) AS tl
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    {score_cols}
+  FROM t
+)
+SELECT doc_id, {case_sql} AS lang_pred FROM s
+"""
+
+
+_q("doc_lang_id", _langid, _langid_sql())
+
+
+# --------------------------------------------------------- n-gram jaccard
+_JACCARD_N = 2
+_JACCARD_T = 0.12
+
+_q(
+    "doc_ngram_jaccard_pairs",
+    lambda spark, sf: dedup.ngram_jaccard_pairs(
+        model.load_table(spark, sf, "documents"),
+        block_col="source",
+        n=_JACCARD_N,
+        threshold=_JACCARD_T,
+    ),
+    f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, source,
+    CASE WHEN len(t) >= {_JACCARD_N}
+         THEN list_distinct(list_transform(range(1, len(t) - {_JACCARD_N} + 2),
+              i -> array_to_string(t[i:i+{_JACCARD_N}-1], ' ')))
+         ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks
+), ex AS (
+  SELECT doc_id, source, len(g) AS n_sh, unnest(g) AS shingle FROM sh
+)
+SELECT a, b, jaccard FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         count(*) / (any_value(x.n_sh) + any_value(y.n_sh) - count(*)) AS jaccard
+  FROM ex x JOIN ex y
+    ON x.shingle = y.shingle AND x.source = y.source AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+) WHERE jaccard >= {_JACCARD_T}
+""",
+)
+
+
+# ------------------------------------------------------------- embeddings
+_DIM = 64
+_QVEC = [((i * 37) % 19 - 9) / 10.0 for i in range(_DIM)]
+
+
+def _dot_chain(a: str, b: str) -> str:
+    return " + ".join(f"{a}[{i}]::DOUBLE * {b}[{i}]::DOUBLE" for i in range(1, _DIM + 1))
+
+
+def _norm_chain(a: str) -> str:
+    return "sqrt(" + " + ".join(f"{a}[{i}]::DOUBLE * {a}[{i}]::DOUBLE" for i in range(1, _DIM + 1)) + ")"
+
+
+def _dlit(x: float) -> str:
+    # bare float literals parse as DECIMAL in DuckDB — force DOUBLE
+    return f"CAST({x!r} AS DOUBLE)"
+
+
+def _qvec_dot(a: str) -> str:
+    return " + ".join(f"{a}[{i+1}]::DOUBLE * {_dlit(_QVEC[i])}" for i in range(_DIM))
+
+
+_QNORM = "sqrt(" + " + ".join(f"{_dlit(x)} * {_dlit(x)}" for x in _QVEC) + ")"
+
+_q(
+    "emb_ann_bruteforce",
+    lambda spark, sf: similarity.brute_force_top_k(
+        model.load_table(spark, sf, "embeddings"), _QVEC, k=10
+    ),
+    f"""
+SELECT vec_id,
+  ({_qvec_dot('embedding')}) / ({_norm_chain('embedding')} * {_QNORM}) AS cosine
+FROM embeddings
+ORDER BY cosine DESC, vec_id LIMIT 10
+""",
+)
+
+_q(
+    "emb_near_dup_pairs",
+    lambda spark, sf: dedup.embedding_near_duplicates(
+        model.load_table(spark, sf, "embeddings"), threshold=0.4, block_col="label"
+    ),
+    f"""
+SELECT a.vec_id AS a, b.vec_id AS b,
+  ({_dot_chain('a.embedding', 'b.embedding')})
+    / ({_norm_chain('a.embedding')} * {_norm_chain('b.embedding')}) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ({_dot_chain('a.embedding', 'b.embedding')})
+    / ({_norm_chain('a.embedding')} * {_norm_chain('b.embedding')}) >= 0.4
+""",
+)
+
+# MinHash-LSH near-dup candidates: the md5-derived signatures are
+# reproducible in SQL, but the banding join is unwieldy there — register
+# rows-only (library correctness covered by pytest against exact Jaccard).
+_q(
+    "doc_minhash_lsh_candidates",
+    lambda spark, sf: dedup.minhash_lsh_candidates(
+        dedup.minhash_signatures(model.load_table(spark, sf, "documents"))
+    ),
+)
+
+# SimHash signatures: rows-only (bit-level SQL replication is possible
+# but adds no verification value beyond the md5 fingerprint check).
+_q(
+    "doc_simhash",
+    lambda spark, sf: dedup.simhash(model.load_table(spark, sf, "documents")),
+)

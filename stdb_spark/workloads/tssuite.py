@@ -1,0 +1,614 @@
+"""Time-series engine queries (SURVEY.md §2) over the driver's events
+table, each paired with a DuckDB oracle.
+
+The adapter maps events -> samples(metric=event_type, tags={user}), so
+oracle SQL reconstructs the engine's canonical series names with string
+concatenation ("click user=42").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stdb_spark import model
+from stdb_spark.engine import Engine
+
+# ---------------------------------------------------------------- constants
+JAN01_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+FEB01_US = 1_706_745_600_000_000  # 2024-02-01
+JAN05_US = 1_704_412_800_000_000
+JAN15_US = 1_705_276_800_000_000
+JAN01 = JAN01_US * 1000
+FEB01 = FEB01_US * 1000
+JAN05 = JAN05_US * 1000
+JAN15 = JAN15_US * 1000
+H6_US = 21_600_000_000
+H6 = H6_US * 1000
+D1_US = 86_400_000_000
+D1 = D1_US * 1000
+
+# Shared oracle prelude: the engine's narrow view of the events table.
+BASE = """
+WITH base AS (
+  SELECT event_type AS metric,
+         CAST(user_id AS VARCHAR) AS u,
+         epoch_us(ts) AS tu,
+         value, props
+  FROM events
+)
+"""
+
+DEC = "CAST(value AS DECIMAL(28,10))"
+
+
+def _engine(spark: SparkSession, sf_dir: str) -> Engine:
+    """Engine over µs-truncated ns timestamps + exact (decimal) sums —
+    both required for bit-parity with the DuckDB oracle."""
+    trunc = F.expr("(ts div 1000) * 1000")
+    samples = model.events_as_samples(spark, sf_dir).withColumn("ts", trunc)
+    events = model.events_as_event_stream(spark, sf_dir).withColumn("ts", trunc)
+    return Engine(spark, samples=samples, events=events, exact_sums=True)
+
+
+def _us(df: DataFrame) -> DataFrame:
+    return df.withColumn("ts", F.expr("ts div 1000"))
+
+
+def _samples(spark, sf_dir, metric, lo_us=None, hi_us=None):
+    """Direct narrow view for the window-function queries: (series, ts
+    µs-ns, value)."""
+    df = model.events_as_samples(spark, sf_dir).withColumn(
+        "ts", F.expr("(ts div 1000) * 1000")
+    )
+    df = df.filter(F.col("metric") == metric)
+    if lo_us is not None:
+        df = df.filter(
+            (F.col("ts") >= lo_us * 1000) & (F.col("ts") < hi_us * 1000)
+        )
+    return df.select(
+        F.concat(F.col("metric"), F.lit(" user="), F.col("tags")["user"]).alias(
+            "series"
+        ),
+        "ts",
+        "value",
+    )
+
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name, fn, sql=None):
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLES[name] = sql
+
+
+# ------------------------------------------------------------------ select
+_q(
+    "ts_select_range",
+    lambda spark, sf: _us(
+        _engine(spark, sf).query(
+            {"select": "click", "range": {"from": JAN05, "to": JAN15}}
+        )
+    ),
+    BASE
+    + f"""
+SELECT metric || ' user=' || u AS series, tu AS ts, value
+FROM base WHERE metric = 'click' AND tu >= {JAN05_US} AND tu < {JAN15_US}
+""",
+)
+
+_q(
+    "ts_select_backward_limit",
+    lambda spark, sf: _us(
+        _engine(spark, sf).query(
+            {"select": "view", "range": {"from": FEB01, "to": JAN01}, "limit": 500}
+        )
+    ),
+    BASE
+    + f"""
+SELECT metric || ' user=' || u AS series, tu AS ts, value
+FROM base WHERE metric = 'view' AND tu > {JAN01_US} AND tu <= {FEB01_US}
+ORDER BY tu DESC, series DESC LIMIT 500
+""",
+)
+
+_q(
+    "ts_select_filter_value",
+    lambda spark, sf: _us(
+        _engine(spark, sf).query(
+            {
+                "select": "purchase",
+                "range": {"from": JAN01, "to": FEB01},
+                "filter": {"gt": 15.0, "le": 18.0},
+            }
+        )
+    ),
+    BASE
+    + f"""
+SELECT metric || ' user=' || u AS series, tu AS ts, value
+FROM base WHERE metric = 'purchase' AND tu >= {JAN01_US} AND tu < {FEB01_US}
+  AND value > 15.0 AND value <= 18.0
+""",
+)
+
+# --------------------------------------------------------------- aggregate
+_AGG_G = (
+    BASE
+    + f"""
+, g AS (
+  SELECT u,
+    min(value) AS f_min, max(value) AS f_max,
+    CAST(count(value) AS DOUBLE) AS f_count,
+    CAST(sum({DEC}) AS DOUBLE) AS f_sum,
+    CAST(sum({DEC}) AS DOUBLE) / count(value) AS f_mean,
+    (min(struct_pack(t := tu, v := value))).v AS f_first,
+    (max(struct_pack(t := tu, v := value))).v AS f_last
+  FROM base WHERE metric = 'error' GROUP BY u
+)
+"""
+)
+
+_q(
+    "ts_aggregate_funcs",
+    lambda spark, sf: _engine(spark, sf).query(
+        {
+            "aggregate": {
+                "error": ["min", "max", "count", "sum", "mean", "first", "last"]
+            }
+        }
+    ),
+    _AGG_G
+    + """
+SELECT 'error:min user=' || u AS series, f_min AS value FROM g
+UNION ALL SELECT 'error:max user=' || u, f_max FROM g
+UNION ALL SELECT 'error:count user=' || u, f_count FROM g
+UNION ALL SELECT 'error:sum user=' || u, f_sum FROM g
+UNION ALL SELECT 'error:mean user=' || u, f_mean FROM g
+UNION ALL SELECT 'error:first user=' || u, f_first FROM g
+UNION ALL SELECT 'error:last user=' || u, f_last FROM g
+""",
+)
+
+_q(
+    "ts_aggregate_timestamps",
+    lambda spark, sf: _engine(spark, sf).query(
+        {
+            "aggregate": {
+                "signup": [
+                    "min_timestamp",
+                    "max_timestamp",
+                    "first_timestamp",
+                    "last_timestamp",
+                ]
+            }
+        }
+    ),
+    BASE
+    + """
+, g AS (
+  SELECT u,
+    CAST((min(struct_pack(v := value, t := tu))).t * 1000 AS DOUBLE) AS f_mints,
+    CAST((max(struct_pack(v := value, t := tu))).t * 1000 AS DOUBLE) AS f_maxts,
+    CAST(min(tu) * 1000 AS DOUBLE) AS f_firstts,
+    CAST(max(tu) * 1000 AS DOUBLE) AS f_lastts
+  FROM base WHERE metric = 'signup' GROUP BY u
+)
+SELECT 'signup:min_timestamp user=' || u AS series, f_mints AS value FROM g
+UNION ALL SELECT 'signup:max_timestamp user=' || u, f_maxts FROM g
+UNION ALL SELECT 'signup:first_timestamp user=' || u, f_firstts FROM g
+UNION ALL SELECT 'signup:last_timestamp user=' || u, f_lastts FROM g
+""",
+)
+
+_q(
+    "ts_group_by_tag_agg",
+    lambda spark, sf: _engine(spark, sf).query(
+        {
+            "aggregate": {m: "count" for m in ["click", "view", "purchase", "signup", "error"]},
+            "group-by-tag": [],
+        }
+    ),
+    BASE
+    + """
+SELECT metric || ':count' AS series, CAST(count(*) AS DOUBLE) AS value
+FROM base GROUP BY metric
+""",
+)
+
+# --------------------------------------------------------- group-aggregate
+_GA_FUNCS = ["count", "sum", "min", "max", "mean"]
+_GA_NAME = "|".join(f"error:{f}" for f in _GA_FUNCS)
+
+_q(
+    "ts_group_aggregate",
+    lambda spark, sf: _us(
+        _engine(spark, sf).query(
+            {
+                "group-aggregate": {"step": "6h", "metric": "error", "func": _GA_FUNCS},
+                "range": {"from": JAN01, "to": FEB01},
+            }
+        )
+    ),
+    BASE
+    + f"""
+SELECT '{_GA_NAME} user=' || u AS series,
+  {JAN01_US} + {H6_US} * ((tu - {JAN01_US}) // {H6_US}) AS ts,
+  CAST(count(value) AS DOUBLE) AS "count",
+  CAST(sum({DEC}) AS DOUBLE) AS "sum",
+  min(value) AS "min", max(value) AS "max",
+  CAST(sum({DEC}) AS DOUBLE) / count(value) AS "mean"
+FROM base WHERE metric = 'error' AND tu >= {JAN01_US} AND tu < {FEB01_US}
+GROUP BY u, 2
+""",
+)
+
+_q(
+    "ts_group_aggregate_having",
+    lambda spark, sf: _us(
+        _engine(spark, sf).query(
+            {
+                "group-aggregate": {"step": "6h", "metric": "error", "func": ["max", "count"]},
+                "range": {"from": JAN01, "to": FEB01},
+                "filter": {"max": {"gt": 19.0}},
+            }
+        )
+    ),
+    BASE
+    + f"""
+SELECT 'error:max|error:count user=' || u AS series,
+  {JAN01_US} + {H6_US} * ((tu - {JAN01_US}) // {H6_US}) AS ts,
+  max(value) AS "max", CAST(count(value) AS DOUBLE) AS "count"
+FROM base WHERE metric = 'error' AND tu >= {JAN01_US} AND tu < {FEB01_US}
+GROUP BY u, 2 HAVING max(value) > 19.0
+""",
+)
+
+_q(
+    "ts_group_aggregate_backward",
+    lambda spark, sf: _us(
+        _engine(spark, sf).query(
+            {
+                "group-aggregate": {"step": "6h", "metric": "click", "func": ["count", "first", "last"]},
+                "range": {"from": FEB01, "to": JAN01},
+            }
+        )
+    ),
+    BASE
+    + f"""
+SELECT 'click:count|click:first|click:last user=' || u AS series,
+  {FEB01_US} - {H6_US} * (({FEB01_US} - tu) // {H6_US}) AS ts,
+  CAST(count(value) AS DOUBLE) AS "count",
+  (max(struct_pack(t := tu, v := value))).v AS "first",
+  (min(struct_pack(t := tu, v := value))).v AS "last"
+FROM base WHERE metric = 'click' AND tu > {JAN01_US} AND tu <= {FEB01_US}
+GROUP BY u, 2
+""",
+)
+
+# --------------------------------------------------------------------- join
+_q(
+    "ts_join_pivot",
+    lambda spark, sf: _us(
+        _engine(spark, sf).query(
+            {"join": ["click", "view"], "range": {"from": JAN05, "to": JAN15}}
+        )
+    ),
+    BASE
+    + f"""
+SELECT 'click|view user=' || u AS series, tu AS ts,
+  max(CASE WHEN metric = 'click' THEN value END) AS click,
+  max(CASE WHEN metric = 'view' THEN value END) AS "view"
+FROM base WHERE metric IN ('click', 'view') AND tu >= {JAN05_US} AND tu < {JAN15_US}
+GROUP BY u, tu
+""",
+)
+
+_q(
+    "ts_gaj_eval",
+    lambda spark, sf: _us(
+        _engine(spark, sf).query(
+            {
+                "group-aggregate-join": {"step": "1d", "metric": ["click", "view"], "func": "mean"},
+                "range": {"from": JAN01, "to": FEB01},
+                "eval": {"expr": "click + 2*view"},
+            }
+        )
+    ),
+    BASE
+    + f"""
+, g AS (
+  SELECT u, {JAN01_US} + {D1_US} * ((tu - {JAN01_US}) // {D1_US}) AS b,
+    CAST(sum(CASE WHEN metric='click' THEN {DEC} END) AS DOUBLE)
+      / count(CASE WHEN metric='click' THEN value END) AS click,
+    CAST(sum(CASE WHEN metric='view' THEN {DEC} END) AS DOUBLE)
+      / count(CASE WHEN metric='view' THEN value END) AS v
+  FROM base WHERE metric IN ('click','view') AND tu >= {JAN01_US} AND tu < {FEB01_US}
+  GROUP BY u, 2
+)
+SELECT 'click:mean|view:mean user=' || u AS series, b AS ts, click + 2*v AS value
+FROM g WHERE click IS NOT NULL AND v IS NOT NULL
+""",
+)
+
+# ------------------------------------------------------------------- events
+_q(
+    "ts_select_events_regex",
+    lambda spark, sf: _us(
+        _engine(spark, sf).query(
+            {
+                "select-events": "!signup",
+                "range": {"from": JAN01, "to": FEB01},
+                "filter": '"k": [1-4][0-9]',
+            }
+        )
+    ),
+    BASE
+    + f"""
+SELECT '!' || metric || ' user=' || u AS series, tu AS ts, props AS body
+FROM base WHERE metric = 'signup' AND tu >= {JAN01_US} AND tu < {FEB01_US}
+  AND regexp_matches(props, '"k": [1-4][0-9]')
+""",
+)
+
+_q(
+    "ts_meta_names",
+    lambda spark, sf: _engine(spark, sf).query({"select": "meta:names"}),
+    BASE + "SELECT DISTINCT metric || ' user=' || u AS series FROM base",
+)
+
+# --------------------------------------------------- window (apply) queries
+def _ts_rate(spark, sf):
+    df = _samples(spark, sf, "purchase", JAN05_US, JAN15_US)
+    w = Window.partitionBy("series").orderBy("ts")
+    rate = (
+        (F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)))
+        / (F.col("ts") - F.coalesce(F.lag("ts").over(w), F.lit(0)))
+        * F.lit(1e9)
+    )
+    return df.select("series", F.expr("ts div 1000").alias("ts"), rate.alias("value"))
+
+
+_q(
+    "ts_rate",
+    _ts_rate,
+    BASE
+    + f"""
+SELECT metric || ' user=' || u AS series, tu AS ts,
+  (value - coalesce(lag(value) OVER w, 0))
+    / ((tu * 1000) - coalesce(lag(tu * 1000) OVER w, 0)) * 1e9 AS value
+FROM base WHERE metric = 'purchase' AND tu >= {JAN05_US} AND tu < {JAN15_US}
+WINDOW w AS (PARTITION BY u ORDER BY tu)
+""",
+)
+
+
+def _ts_cusum(spark, sf):
+    df = _samples(spark, sf, "signup", JAN01_US, FEB01_US)
+    w = (
+        Window.partitionBy("series")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = F.sum(F.col("value").cast("decimal(28,10)")).over(w).cast("double")
+    return df.select("series", F.expr("ts div 1000").alias("ts"), run.alias("value"))
+
+
+_q(
+    "ts_cusum",
+    _ts_cusum,
+    BASE
+    + f"""
+SELECT metric || ' user=' || u AS series, tu AS ts,
+  CAST(sum({DEC}) OVER (PARTITION BY u ORDER BY tu
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS value
+FROM base WHERE metric = 'signup' AND tu >= {JAN01_US} AND tu < {FEB01_US}
+""",
+)
+
+
+def _ts_sma(spark, sf):
+    n = 5
+    df = _samples(spark, sf, "click", JAN01_US, FEB01_US)
+    w = Window.partitionBy("series").orderBy("ts").rowsBetween(-n, -1)
+    pred = (
+        F.coalesce(
+            F.sum(F.col("value").cast("decimal(28,10)")).over(w),
+            F.lit(0).cast("decimal(28,10)"),
+        ).cast("double")
+        / n
+    )
+    return df.select("series", F.expr("ts div 1000").alias("ts"), pred.alias("value"))
+
+
+_q(
+    "ts_sma",
+    _ts_sma,
+    BASE
+    + f"""
+SELECT metric || ' user=' || u AS series, tu AS ts,
+  CAST(coalesce(sum({DEC}) OVER (PARTITION BY u ORDER BY tu
+       ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) / 5 AS value
+FROM base WHERE metric = 'click' AND tu >= {JAN01_US} AND tu < {FEB01_US}
+""",
+)
+
+
+def _ts_cma(spark, sf):
+    df = _samples(spark, sf, "view", JAN01_US, FEB01_US)
+    wo = Window.partitionBy("series").orderBy("ts")
+    w = wo.rowsBetween(Window.unboundedPreceding, 0)
+    run = F.sum(F.col("value").cast("decimal(28,10)")).over(w).cast("double")
+    cma = run / F.row_number().over(wo)
+    return df.select("series", F.expr("ts div 1000").alias("ts"), cma.alias("value"))
+
+
+_q(
+    "ts_cma",
+    _ts_cma,
+    BASE
+    + f"""
+SELECT metric || ' user=' || u AS series, tu AS ts,
+  CAST(sum({DEC}) OVER (PARTITION BY u ORDER BY tu
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / row_number() OVER (PARTITION BY u ORDER BY tu) AS value
+FROM base WHERE metric = 'view' AND tu >= {JAN01_US} AND tu < {FEB01_US}
+""",
+)
+
+
+def _ts_top(spark, sf):
+    """Time-weighted top-5 (top.cc:18-72 accumulation rule) with decimal
+    contributions for oracle parity."""
+    df = _samples(spark, sf, "view", JAN01_US, FEB01_US).withColumn(
+        "tu", F.expr("ts div 1000")
+    )
+    w = Window.partitionBy("series").orderBy("tu")
+    rn = F.row_number().over(w)
+    dt = (F.col("tu") - F.lag("tu").over(w)).cast("decimal(16,0)")
+    lx = F.lag("value").over(w).cast("decimal(10,2)")
+    contrib = F.when(rn >= 3, dt * lx).otherwise(F.lit(0).cast("decimal(27,2)"))
+    return (
+        df.withColumn("_c", contrib)
+        .groupBy("series")
+        .agg(
+            (F.sum("_c").cast("double") / F.lit(1e6)).alias("value"),
+            F.max("tu").alias("ts"),
+        )
+        .orderBy(F.col("value").desc(), F.col("series"))
+        .limit(5)
+        .select("series", "ts", "value")
+    )
+
+
+_q(
+    "ts_top_timeweighted",
+    _ts_top,
+    BASE
+    + f"""
+, s AS (
+  SELECT u, tu, value,
+    row_number() OVER w AS rn,
+    lag(tu) OVER w AS lt,
+    lag(value) OVER w AS lx
+  FROM base WHERE metric = 'view' AND tu >= {JAN01_US} AND tu < {FEB01_US}
+  WINDOW w AS (PARTITION BY u ORDER BY tu)
+)
+SELECT 'view user=' || u AS series, max(tu) AS ts,
+  CAST(sum(CASE WHEN rn >= 3
+        THEN CAST(tu - lt AS DECIMAL(16,0)) * CAST(lx AS DECIMAL(10,2))
+        ELSE CAST(0 AS DECIMAL(27,2)) END) AS DOUBLE) / 1e6 AS value
+FROM s GROUP BY u
+ORDER BY value DESC, series LIMIT 5
+""",
+)
+
+
+def _ts_freq(spark, sf):
+    df = _samples(spark, sf, "click", JAN01_US, FEB01_US)
+    counted = df.groupBy("series").agg(
+        F.count("*").cast("double").alias("value"),
+        F.expr("min(ts) div 1000").alias("ts"),
+    )
+    total = F.sum("value").over(Window.partitionBy())
+    return (
+        counted.withColumn("_t", total)
+        .filter(F.col("value") > F.col("_t") * 0.012)
+        .select("series", "ts", "value")
+    )
+
+
+_q(
+    "ts_frequent_items",
+    _ts_freq,
+    BASE
+    + f"""
+, c AS (
+  SELECT 'click user=' || u AS series, min(tu) AS ts,
+         CAST(count(*) AS DOUBLE) AS value
+  FROM base WHERE metric = 'click' AND tu >= {JAN01_US} AND tu < {FEB01_US}
+  GROUP BY u
+)
+SELECT series, ts, value FROM c
+WHERE value > (SELECT sum(value) FROM c) * 0.012
+""",
+)
+
+
+# EWMA is a recursive filter — not SQL-expressible; registered without an
+# oracle (driver records the weaker rows-only check).
+_q(
+    "ts_ewma",
+    lambda spark, sf: _us(
+        _engine(spark, sf).query(
+            {
+                "select": "error",
+                "range": {"from": JAN05, "to": JAN15},
+                "apply": [{"name": "ewma", "decay": 0.3}],
+            }
+        )
+    ),
+)
+
+# ------------------------------------------------------------------ spatial
+def _user_points(spark, sf):
+    """Deterministic per-user locations derived from user_id (the
+    testdata has no native lon/lat; same formula on both engines)."""
+    ev = model.load_table(spark, sf, "events")
+    return ev.select("user_id").distinct().select(
+        "user_id",
+        (F.lit(116.0) + (F.col("user_id") % 40) * 0.01).alias("lon"),
+        (F.lit(39.0) + F.expr("user_id div 40") * 0.01).alias("lat"),
+    )
+
+
+# float literals must be DOUBLE-cast: DuckDB parses bare decimals as
+# DECIMAL and exact-decimal arithmetic diverges from IEEE doubles
+_SP_BASE = """
+WITH pts AS (
+  SELECT user_id,
+         CAST(116.0 AS DOUBLE) + (user_id % 40) * CAST(0.01 AS DOUBLE) AS lon,
+         CAST(39.0 AS DOUBLE) + (user_id // 40) * CAST(0.01 AS DOUBLE) AS lat
+  FROM (SELECT DISTINCT user_id FROM events)
+)
+"""
+
+
+def _sp_range(spark, sf):
+    from stdb_spark.operators.spatial import range_query
+
+    return range_query(_user_points(spark, sf), 116.05, 116.20, 39.0, 39.02)
+
+
+_q(
+    "sp_range_query",
+    _sp_range,
+    _SP_BASE
+    + """
+SELECT user_id, lon, lat FROM pts
+WHERE lon BETWEEN 116.05 AND 116.20 AND lat BETWEEN 39.0 AND 39.02
+""",
+)
+
+
+def _sp_knn(spark, sf):
+    from stdb_spark.operators.spatial import knn
+
+    return knn(_user_points(spark, sf), 116.2, 39.015, 15, tie_break="user_id").select(
+        "user_id", F.col("_dist").alias("dist")
+    )
+
+
+_q(
+    "sp_knn",
+    _sp_knn,
+    _SP_BASE
+    + """
+SELECT user_id,
+  sqrt((lon - CAST(116.2 AS DOUBLE)) * (lon - CAST(116.2 AS DOUBLE))
+     + (lat - CAST(39.015 AS DOUBLE)) * (lat - CAST(39.015 AS DOUBLE))) AS dist
+FROM pts ORDER BY dist, user_id LIMIT 15
+""",
+)

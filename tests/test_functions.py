@@ -1,0 +1,130 @@
+"""text / dedup / similarity / multimodal / spatial library tests."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from stdb_spark.functions import dedup, similarity, text
+from stdb_spark.functions.multimodal import (
+    extract_image_features,
+    make_fake_media,
+    sample_video_frames,
+)
+from stdb_spark.operators import spatial
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "src0"),
+        (1, "the quick brown fox jumps over the lazy cat", "src0"),  # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog", "src0"),  # exact dup of 0
+        (3, "completely different words entirely unrelated text", "src1"),
+        (4, "der hund ist nicht der beste und das ist gut", "src1"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_duplicates(docs):
+    out = dedup.exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0].dup_count == 2 and out[0].keep_id == 0
+
+
+def test_ngram_jaccard_near_dup(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()
+    got = {(r.a, r.b): r.jaccard for r in pairs}
+    assert (0, 2) in got and got[(0, 2)] == 1.0  # exact dup
+    assert (0, 1) in got and 0.5 <= got[(0, 1)] < 1.0  # near dup
+    assert (0, 3) not in got
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sigs = dedup.minhash_signatures(docs, num_hashes=32, shingle_n=2)
+    cands = dedup.minhash_lsh_candidates(sigs, bands=8, rows_per_band=4)
+    got = {(r.a, r.b) for r in cands.collect()}
+    assert (0, 2) in got  # identical docs always collide
+    est = dedup.minhash_jaccard_estimate(sigs, cands).collect()
+    by_pair = {(r.a, r.b): r.est_jaccard for r in est}
+    assert by_pair[(0, 2)] == 1.0
+
+
+def test_simhash_and_hamming(docs):
+    sigs = dedup.simhash(docs)
+    vals = {r.doc_id: r.simhash for r in sigs.collect()}
+    assert vals[0] == vals[2]  # identical text -> identical signature
+    pairs = dedup.hamming_pairs(sigs, max_distance=64).collect()
+    d = {(r.a, r.b): r.hamming for r in pairs if (r.a, r.b) == (0, 2)}
+    assert d.get((0, 2)) == 0
+
+
+def test_lang_id(docs):
+    out = {r.doc_id: r.lang_pred for r in text.lang_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[4] == "de"
+
+
+def test_token_count_and_quality(docs):
+    out = text.quality_score(docs).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[0].n_tokens == 9
+    assert 0 < by_id[0].quality_score <= 1.0
+
+
+def test_brute_force_topk(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.brute_force_top_k(df, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert out[0].vec_id == 0 and abs(out[0].cosine - 1.0) < 1e-12
+
+
+def test_lsh_topk_contains_exact_hit(spark):
+    rows = [(i, [math.sin(i * 7 + j) for j in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [math.sin(21 + j) for j in range(8)]  # == vec 3
+    out = similarity.lsh_top_k(df, q, k=5, n_planes=6, n_tables=4).collect()
+    assert out and out[0].vec_id == 3  # its own bucket always probes
+
+
+def test_centroid_per_label(spark):
+    rows = [(0, 0, [2.0, 0.0]), (1, 0, [0.0, 2.0]), (2, 1, [4.0, 4.0])]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out = {r.label: r.centroid for r in similarity.centroid_per_label(df).collect()}
+    assert out[0] == [1.0, 1.0] and out[1] == [4.0, 4.0]
+
+
+def test_multimodal_features(spark):
+    media = make_fake_media(spark, n=8)
+    feats = extract_image_features(media).collect()
+    assert len(feats) == 8
+    for r in feats:
+        assert r.n_px == 32 * 24
+        assert 0 <= r.mean_px <= 255
+
+
+def test_video_frame_sampling(spark):
+    media = make_fake_media(spark, n=3, kind="video")
+    frames = sample_video_frames(media, every_ms=500)
+    counts = frames.groupBy("media_id").count().collect()
+    # duration 1000+i ms -> 3 ticks (0,500,1000) for all three
+    assert all(r["count"] == 3 for r in counts)
+
+
+def test_spatial_range_and_knn(spark):
+    pts = spark.createDataFrame(
+        [(i * 10 + j, 120.0 + i * 0.001, 30.0 + j * 0.001) for i in range(10) for j in range(10)],
+        "id long, lon double, lat double",
+    )
+    box = spatial.range_query(pts, 120.0, 120.002, 30.0, 30.002).collect()
+    assert len(box) == 9  # 3x3 inclusive grid
+    nn = spatial.knn(pts, 120.0, 30.0, 3, tie_break="id").collect()
+    assert nn[0].id == 0 and nn[0]._dist == 0.0
+
+
+def test_fingerprint_deterministic(docs):
+    a = {r.doc_id: r.fingerprint for r in text.fingerprint(docs).collect()}
+    b = {r.doc_id: r.fingerprint for r in text.fingerprint(docs).collect()}
+    assert a == b
+    assert a[0] == a[2]  # identical text
+    assert a[0] != a[3]
