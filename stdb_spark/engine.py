@@ -129,6 +129,61 @@ class Engine:
         return dispatch[req.kind](req)
 
     # ------------------------------------------------------------------
+    def search(self, q) -> DataFrame:
+        """Search endpoint: metric + where -> matching series names
+        (parse_search_query, queryparser.cc:1009-1059)."""
+        if self.series is None:
+            raise QueryParseError("no series registry bound")
+        q = dict(q)
+        metric = q.get("select")
+        df = self.series
+        if metric:
+            df = df.filter(F.col("metric") == metric)
+        req = QueryRequest(kind=QueryKind.SELECT_META)
+        from stdb_spark.query.parser import _parse_limit_offset, _parse_where
+
+        req.where = _parse_where(q)
+        req.limit, req.offset = _parse_limit_offset(q)
+        df = self._bind(df, req, metrics=[])
+        out = df.select(F.col("name").alias("series")).orderBy("series")
+        return self._limit(out, req)
+
+    def suggest(self, q) -> DataFrame:
+        """Autocomplete endpoint (parse_suggest_query,
+        queryparser.cc:1061-1254): metric-names | tag-names | tag-values,
+        optionally filtered by `metric`, `tag`, and `starts-with`.
+        Runs on the (small) series registry — sub-second at any scale."""
+        if self.series is None:
+            raise QueryParseError("no series registry bound")
+        kind = q.get("select")
+        prefix = q.get("starts-with")
+        if kind == "metric-names":
+            out = self.series.select(F.col("metric").alias("name")).distinct()
+        elif kind == "tag-names":
+            df = self.series
+            if q.get("metric"):
+                df = df.filter(F.col("metric") == q["metric"])
+            out = df.select(
+                F.explode(F.map_keys(F.col("tags"))).alias("name")
+            ).distinct()
+        elif kind == "tag-values":
+            if "tag" not in q:
+                raise QueryParseError("`tag` is required for tag-values")
+            df = self.series
+            if q.get("metric"):
+                df = df.filter(F.col("metric") == q["metric"])
+            out = (
+                df.select(F.col("tags")[q["tag"]].alias("name"))
+                .filter(F.col("name").isNotNull())
+                .distinct()
+            )
+        else:
+            raise QueryParseError(f"unknown suggest target {kind!r}")
+        if prefix:
+            out = out.filter(F.col("name").startswith(prefix))
+        return out.orderBy("name")
+
+    # ------------------------------------------------------------------
     # shared stages
     def _bind(self, df: DataFrame, req: QueryRequest, metrics: list[str] | None = None) -> DataFrame:
         """metric + where -> row filter (the parse-time series binding of

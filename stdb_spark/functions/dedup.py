@@ -167,6 +167,10 @@ def ngram_jaccard_pairs(
         F.explode(shingles_col(text_col, n)).alias("shingle"),
         F.size(shingles_col(text_col, n)).alias("n_sh"),
     )
+    # spread the exploded shingles across the cluster: a single-file
+    # input would otherwise keep the whole pair-join in one task
+    par = sh.sparkSession.sparkContext.defaultParallelism
+    sh = sh.repartition(par, "shingle")
     a = sh.alias("a")
     b = sh.alias("b")
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (

@@ -1,9 +1,15 @@
 """Relational workloads over the TPC-H-ish tables — the queries that
 exercise Spark's join/aggregation machinery at scale (broadcast dims,
-partial aggregation, AQE).  Decimal arithmetic is shared verbatim
-between the Spark side (selectExpr) and the DuckDB oracle so sums are
-bit-identical (every intermediate decimal type below is exact for
-2-decimal prices and discounts)."""
+partial aggregation, AQE).
+
+Decimal arithmetic is shared verbatim between the Spark side
+(selectExpr) and the DuckDB oracle so sums are exact and engine-order
+independent.  The final decimal->double conversion differs per engine:
+Spark's CAST is correctly rounded (BigDecimal), while DuckDB's direct
+CAST divides the scaled integer in float — so the oracle goes through
+VARCHAR (decimal -> exact string -> strtod, correctly rounded) to match
+bit-for-bit once sums exceed 2^53 in scaled-integer form.
+"""
 
 from __future__ import annotations
 
@@ -19,6 +25,15 @@ TAX = "CAST(l_tax AS DECIMAL(9,4))"
 DISC_PRICE = f"CAST({PRICE} * (1 - {DISC}) AS DECIMAL(18,6))"
 CHARGE = f"{DISC_PRICE} * (1 + {TAX})"
 
+
+def sum_spark(e: str) -> str:
+    return f"CAST(sum({e}) AS DOUBLE)"
+
+
+def sum_duck(e: str) -> str:
+    return f"CAST(CAST(sum({e}) AS VARCHAR) AS DOUBLE)"
+
+
 QUERIES = {}
 ORACLES = {}
 
@@ -29,32 +44,26 @@ def _q(name, fn, sql=None):
         ORACLES[name] = sql
 
 
+def _q1_aggs(sumd) -> list[tuple[str, str]]:
+    return [
+        (sumd(QTY), "sum_qty"),
+        (sumd(PRICE), "sum_base_price"),
+        (sumd(DISC_PRICE), "sum_disc_price"),
+        (sumd(CHARGE), "sum_charge"),
+        (f"{sumd(QTY)} / count(*)", "avg_qty"),
+        (f"{sumd(PRICE)} / count(*)", "avg_price"),
+        (f"{sumd(DISC)} / count(*)", "avg_disc"),
+        ("count(*)", "count_order"),
+    ]
+
+
 # ------------------------------------------------------------------ Q1-like
-_Q1_AGGS = f"""
-  CAST(sum({QTY}) AS DOUBLE) AS sum_qty,
-  CAST(sum({PRICE}) AS DOUBLE) AS sum_base_price,
-  CAST(sum({DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
-  CAST(sum({CHARGE}) AS DOUBLE) AS sum_charge,
-  CAST(sum({QTY}) AS DOUBLE) / count(*) AS avg_qty,
-  CAST(sum({PRICE}) AS DOUBLE) / count(*) AS avg_price,
-  CAST(sum({DISC}) AS DOUBLE) / count(*) AS avg_disc,
-  count(*) AS count_order
-"""
-
-
 def _tpch_q1(spark, sf):
     li = model.load_table(spark, sf, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            *[
-                F.expr(e.strip().rsplit(" AS ", 1)[0]).alias(
-                    e.strip().rsplit(" AS ", 1)[1]
-                )
-                for e in _Q1_AGGS.strip().split(",\n")
-            ]
-        )
+        .agg(*[F.expr(e).alias(a) for e, a in _q1_aggs(sum_spark)])
     )
 
 
@@ -62,7 +71,8 @@ _q(
     "rel_q1_pricing_summary",
     _tpch_q1,
     f"""
-SELECT l_returnflag, l_linestatus, {_Q1_AGGS}
+SELECT l_returnflag, l_linestatus,
+  {", ".join(f"{e} AS {a}" for e, a in _q1_aggs(sum_duck))}
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """,
@@ -86,7 +96,7 @@ def _tpch_q3(spark, sf):
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.expr(f"CAST(sum({DISC_PRICE}) AS DOUBLE)").alias("revenue"))
+        .agg(F.expr(sum_spark(DISC_PRICE)).alias("revenue"))
         .select(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
@@ -102,7 +112,7 @@ _q(
     _tpch_q3,
     f"""
 SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-       CAST(sum({DISC_PRICE}) AS DOUBLE) AS revenue
+       {sum_duck(DISC_PRICE)} AS revenue
 FROM customer
 JOIN orders ON o_custkey = c_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -134,7 +144,7 @@ def _tpch_q5(spark, sf):
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.expr(f"CAST(sum({DISC_PRICE}) AS DOUBLE)").alias("revenue"))
+        .agg(F.expr(sum_spark(DISC_PRICE)).alias("revenue"))
     )
 
 
@@ -142,7 +152,7 @@ _q(
     "rel_q5_local_supplier_volume",
     _tpch_q5,
     f"""
-SELECT n_name, CAST(sum({DISC_PRICE}) AS DOUBLE) AS revenue
+SELECT n_name, {sum_duck(DISC_PRICE)} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -194,7 +204,7 @@ def _big_orders(spark, sf):
     li = model.load_table(spark, sf, "lineitem")
     return (
         li.groupBy("l_orderkey")
-        .agg(F.expr(f"CAST(sum({QTY}) AS DOUBLE)").alias("total_qty"))
+        .agg(F.expr(sum_spark(QTY)).alias("total_qty"))
         .filter(F.col("total_qty") > 150.0)
     )
 
@@ -203,7 +213,7 @@ _q(
     "rel_big_orders",
     _big_orders,
     f"""
-SELECT l_orderkey, CAST(sum({QTY}) AS DOUBLE) AS total_qty
-FROM lineitem GROUP BY l_orderkey HAVING CAST(sum({QTY}) AS DOUBLE) > 150.0
+SELECT l_orderkey, {sum_duck(QTY)} AS total_qty
+FROM lineitem GROUP BY l_orderkey HAVING {sum_duck(QTY)} > 150.0
 """,
 )

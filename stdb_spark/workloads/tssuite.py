@@ -142,8 +142,8 @@ _AGG_G = (
   SELECT u,
     min(value) AS f_min, max(value) AS f_max,
     CAST(count(value) AS DOUBLE) AS f_count,
-    CAST(sum({DEC}) AS DOUBLE) AS f_sum,
-    CAST(sum({DEC}) AS DOUBLE) / count(value) AS f_mean,
+    CAST(CAST(sum({DEC}) AS VARCHAR) AS DOUBLE) AS f_sum,
+    CAST(CAST(sum({DEC}) AS VARCHAR) AS DOUBLE) / count(value) AS f_mean,
     (min(struct_pack(t := tu, v := value))).v AS f_first,
     (max(struct_pack(t := tu, v := value))).v AS f_last
   FROM base WHERE metric = 'error' GROUP BY u
@@ -237,9 +237,9 @@ _q(
 SELECT '{_GA_NAME} user=' || u AS series,
   {JAN01_US} + {H6_US} * ((tu - {JAN01_US}) // {H6_US}) AS ts,
   CAST(count(value) AS DOUBLE) AS "count",
-  CAST(sum({DEC}) AS DOUBLE) AS "sum",
+  CAST(CAST(sum({DEC}) AS VARCHAR) AS DOUBLE) AS "sum",
   min(value) AS "min", max(value) AS "max",
-  CAST(sum({DEC}) AS DOUBLE) / count(value) AS "mean"
+  CAST(CAST(sum({DEC}) AS VARCHAR) AS DOUBLE) / count(value) AS "mean"
 FROM base WHERE metric = 'error' AND tu >= {JAN01_US} AND tu < {FEB01_US}
 GROUP BY u, 2
 """,
@@ -321,9 +321,9 @@ _q(
     + f"""
 , g AS (
   SELECT u, {JAN01_US} + {D1_US} * ((tu - {JAN01_US}) // {D1_US}) AS b,
-    CAST(sum(CASE WHEN metric='click' THEN {DEC} END) AS DOUBLE)
+    CAST(CAST(sum(CASE WHEN metric='click' THEN {DEC} END) AS VARCHAR) AS DOUBLE)
       / count(CASE WHEN metric='click' THEN value END) AS click,
-    CAST(sum(CASE WHEN metric='view' THEN {DEC} END) AS DOUBLE)
+    CAST(CAST(sum(CASE WHEN metric='view' THEN {DEC} END) AS VARCHAR) AS DOUBLE)
       / count(CASE WHEN metric='view' THEN value END) AS v
   FROM base WHERE metric IN ('click','view') AND tu >= {JAN01_US} AND tu < {FEB01_US}
   GROUP BY u, 2
@@ -497,9 +497,9 @@ _q(
   WINDOW w AS (PARTITION BY u ORDER BY tu)
 )
 SELECT 'view user=' || u AS series, max(tu) AS ts,
-  CAST(sum(CASE WHEN rn >= 3
+  CAST(CAST(sum(CASE WHEN rn >= 3
         THEN CAST(tu - lt AS DECIMAL(16,0)) * CAST(lx AS DECIMAL(10,2))
-        ELSE CAST(0 AS DECIMAL(27,2)) END) AS DOUBLE) / 1e6 AS value
+        ELSE CAST(0 AS DECIMAL(27,2)) END) AS VARCHAR) AS DOUBLE) / 1e6 AS value
 FROM s GROUP BY u
 ORDER BY value DESC, series LIMIT 5
 """,
@@ -551,6 +551,78 @@ _q(
         )
     ),
 )
+
+# -------------------------------------------------------- suggest / search
+_q(
+    "ts_suggest_metric_names",
+    lambda spark, sf: _engine(spark, sf).suggest({"select": "metric-names"}),
+    BASE + "SELECT DISTINCT metric AS name FROM base",
+)
+
+_q(
+    "ts_suggest_tag_values",
+    lambda spark, sf: _engine(spark, sf).suggest(
+        {"select": "tag-values", "metric": "click", "tag": "user", "starts-with": "1"}
+    ),
+    BASE
+    + """
+SELECT DISTINCT u AS name FROM base
+WHERE metric = 'click' AND u LIKE '1%'
+""",
+)
+
+_q(
+    "ts_search_series",
+    lambda spark, sf: _engine(spark, sf).search(
+        {"select": "purchase", "where": {"user": ["3", "7", "11"]}}
+    ),
+    BASE
+    + """
+SELECT DISTINCT metric || ' user=' || u AS series FROM base
+WHERE metric = 'purchase' AND u IN ('3', '7', '11')
+""",
+)
+
+
+# ------------------------------------------------------------------- OHLC
+def _ts_ohlc(spark, sf):
+    from stdb_spark.operators.ohlc import ohlc
+
+    samples = model.events_as_samples(spark, sf).withColumn(
+        "ts", F.expr("(ts div 1000) * 1000")
+    )
+    out = ohlc(
+        samples.filter(F.col("metric") == "purchase"),
+        step_ns=D1,
+        begin_ns=JAN01,
+        by=("metric",),
+    )
+    return out.select(
+        "metric",
+        F.expr("ts div 1000").alias("ts"),
+        "open",
+        "high",
+        "low",
+        "close",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+_q(
+    "ts_ohlc_daily",
+    _ts_ohlc,
+    BASE
+    + f"""
+SELECT metric, {JAN01_US} + {D1_US} * ((tu - {JAN01_US}) // {D1_US}) AS ts,
+  (min(struct_pack(t := tu, v := value))).v AS open,
+  max(value) AS high, min(value) AS low,
+  (max(struct_pack(t := tu, v := value))).v AS close,
+  count(value) AS n
+FROM base WHERE metric = 'purchase'
+GROUP BY metric, 2
+""",
+)
+
 
 # ------------------------------------------------------------------ spatial
 def _user_points(spark, sf):
