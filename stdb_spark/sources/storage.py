@@ -1,0 +1,119 @@
+"""Storage layout for the narrow fact tables at cluster scale.
+
+The reference's storage engine (NB+tree over 4 KB volumes, SURVEY.md
+§2.1) is replaced wholesale by partitioned Parquet; what remains OURS to
+decide is the layout, and it is chosen so every query-side filter in the
+engine maps to pruning:
+
+- partition by day (from ts): `range` clauses prune directories —
+  the analog of NB+tree time-range descent;
+- sub-partition by metric: metric binding prunes again (the inverted
+  index analog); high-cardinality *tags* stay row-level (row-group
+  stats + dictionary filters catch them);
+- sort within files by (series_id, ts): row-group min/max stats make
+  per-series scans skip row groups, and per-series data is clustered
+  for window functions (rate/sma sort locally, not globally).
+
+At 100 TB this yields: day dirs * ~5-50 metrics * N files; a typical
+query touches days x 1 metric — a few thousand files — and Spark's scan
+parallelism is per row-group.  Writers control file count via
+``target_files_per_partition`` (AQE handles read-side coalescing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stdb_spark.common.timeutil import NS_PER_DAY
+
+
+def with_day(samples: DataFrame) -> DataFrame:
+    """Partition column: UTC day id from the ns timestamp (pure integer
+    math — no timezone surprises, sortable, prunable)."""
+    return samples.withColumn("day", F.expr(f"ts div {NS_PER_DAY}L").cast("int"))
+
+
+def write_samples(
+    samples: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    target_files_per_partition: int = 1,
+) -> None:
+    """Write the narrow fact table partitioned by (day, metric), sorted
+    by (series_id, ts) within files."""
+    df = with_day(samples)
+    df = df.repartition(
+        target_files_per_partition, "day", "metric"
+    ).sortWithinPartitions("day", "metric", "series_id", "ts")
+    df.write.partitionBy("day", "metric").mode(mode).parquet(path)
+
+
+def read_samples(spark: SparkSession, path: str) -> DataFrame:
+    """Read back with partition columns restored to the narrow schema
+    ordering.  Filters on ts/metric prune partitions (day is derived
+    from ts by the caller's range: use ``prune_range``)."""
+    df = spark.read.parquet(path)
+    return df.select("series_id", "metric", "tags", "ts", "value")
+
+
+def prune_range(df: DataFrame, begin_ns: int, end_ns: int) -> DataFrame:
+    """Range filter + explicit day-partition predicate so the directory
+    pruning is visible to Catalyst even though `day` is derived."""
+    lo, hi = min(begin_ns, end_ns), max(begin_ns, end_ns)
+    return df.filter(
+        (F.col("day") >= int(lo // NS_PER_DAY))
+        & (F.col("day") <= int(hi // NS_PER_DAY))
+        & (F.col("ts") >= lo)
+        & (F.col("ts") < hi)
+    )
+
+
+def summary_table(samples: DataFrame, step_ns: int = NS_PER_DAY) -> DataFrame:
+    """Pre-aggregated per-(series, coarse-bucket) summaries — the analog
+    of the reference's SubtreeRef aggregate pushdown
+    (stdb/storage/nbtree_def.h:47-84: each subtree stores
+    count/min/max/sum/first/last and whole-range aggregates combine
+    them without touching leaves).
+
+    A full-range `aggregate` query can be answered from this table via
+    AggregationResult::combine semantics (sum of sums, min of mins,
+    first by min ts...) at 1/N the scan cost.  Kept as an explicit
+    planner choice, not a Catalyst rule (SURVEY.md §4)."""
+    bucket = (F.expr(f"ts div {step_ns}L") * step_ns).alias("bucket_ts")
+    return samples.groupBy("series_id", "metric", bucket).agg(
+        F.count("value").alias("cnt"),
+        F.sum("value").alias("sum"),
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+        F.min(F.struct("ts", "value")).alias("_first"),
+        F.max(F.struct("ts", "value")).alias("_last"),
+    ).select(
+        "series_id",
+        "metric",
+        "bucket_ts",
+        "cnt",
+        "sum",
+        "min",
+        "max",
+        F.col("_first.ts").alias("first_ts"),
+        F.col("_first.value").alias("first"),
+        F.col("_last.ts").alias("last_ts"),
+        F.col("_last.value").alias("last"),
+    )
+
+
+def combine_summaries(summaries: DataFrame) -> DataFrame:
+    """Whole-range aggregate from summaries (AggregationResult::combine,
+    stdb/storage/operators/operator.h:48-73)."""
+    return summaries.groupBy("series_id", "metric").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum").alias("sum"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+        (F.sum("sum") / F.sum("cnt")).alias("mean"),
+        F.min(F.struct("first_ts", "first")).getField("first").alias("first"),
+        F.max(F.struct("last_ts", "last")).getField("last").alias("last"),
+        F.min("first_ts").alias("first_timestamp"),
+        F.max("last_ts").alias("last_timestamp"),
+    )

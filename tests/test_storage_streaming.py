@@ -1,0 +1,100 @@
+"""Storage layout round-trip + structured-streaming ingest smoke."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from stdb_spark.sources import storage
+from tests.conftest import make_samples
+
+
+@pytest.fixture(scope="module")
+def facts(spark):
+    rows = []
+    for day in range(3):
+        for h in range(4):
+            ts = (day * 86400 + h * 3600) * 10**9
+            rows.append(("cpu", {"host": "a"}, ts, float(day * 10 + h)))
+            rows.append(("mem", {"host": "a"}, ts, float(day)))
+    return make_samples(spark, rows)
+
+
+def test_write_read_roundtrip(spark, facts, tmp_path):
+    path = str(tmp_path / "facts")
+    storage.write_samples(facts, path)
+    back = storage.read_samples(spark, path)
+    assert back.count() == facts.count()
+    got = {(r.metric, r.ts, r.value) for r in back.collect()}
+    want = {(r.metric, r.ts, r.value) for r in facts.collect()}
+    assert got == want
+
+
+def test_partition_pruning_in_plan(spark, facts, tmp_path):
+    path = str(tmp_path / "pruned")
+    storage.write_samples(facts, path)
+    df = storage.with_day(storage.read_samples(spark, path).withColumn("day", F.expr("ts div 86400000000000L").cast("int")))
+    lo, hi = 86400 * 10**9, 2 * 86400 * 10**9
+    plan = storage.prune_range(
+        spark.read.parquet(path), lo, hi
+    )._jdf.queryExecution().executedPlan().toString()
+    # day partition filter must reach the scan as a partition filter
+    assert "PartitionFilters" in plan
+    assert storage.prune_range(spark.read.parquet(path), lo, hi).count() == 8
+
+
+def test_summary_combine_matches_direct(spark, facts):
+    summaries = storage.summary_table(facts, step_ns=86400 * 10**9)
+    combined = storage.combine_summaries(summaries)
+    direct = facts.groupBy("series_id", "metric").agg(
+        F.count("value").alias("cnt"),
+        F.sum("value").alias("sum"),
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+    )
+    c = {(r.metric): (r.cnt, r.sum, r.min, r.max) for r in combined.collect()}
+    d = {(r.metric): (r.cnt, r.sum, r.min, r.max) for r in direct.collect()}
+    assert c == d
+    first = {r.metric: r.first for r in combined.collect()}
+    assert first["cpu"] == 0.0  # value at earliest ts
+
+
+def test_streaming_file_ingest(spark, tmp_path):
+    from stdb_spark.streaming.ingest import stream_from_files, write_to_parquet
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    (src / "batch1.txt").write_text(
+        "put cpu.user 1428000000 1.5 host=web01\n"
+        "put cpu.user 1428000060 2.5 host=web01\n"
+        "put mem.used 1428000000 7.0 host=web02\n"
+    )
+    out = str(tmp_path / "table")
+    ck = str(tmp_path / "ck")
+    q = write_to_parquet(stream_from_files(spark, str(src)), out, ck)
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    rows = back.orderBy("metric", "ts").collect()
+    assert [(r.metric, r.value) for r in rows] == [
+        ("cpu.user", 1.5),
+        ("cpu.user", 2.5),
+        ("mem.used", 7.0),
+    ]
+    # partition layout: day + metric directories
+    assert back.select("day").distinct().count() == 1
+
+
+def test_streaming_downsample(spark, tmp_path):
+    from stdb_spark.sources.opentsdb import parse_opentsdb_lines
+    from stdb_spark.streaming.ingest import streaming_downsample
+
+    lines = spark.createDataFrame(
+        [
+            ("put cpu 1428000000 1.0 host=a",),
+            ("put cpu 1428000030 3.0 host=a",),
+            ("put cpu 1428000090 5.0 host=a",),
+        ],
+        "value string",
+    )
+    # batch execution of the same streaming plan shape
+    agg = streaming_downsample(parse_opentsdb_lines(lines), step="1 minute")
+    rows = agg.orderBy("bucket").collect()
+    assert [(r["min"], r["max"], r["count"]) for r in rows] == [(1.0, 3.0, 2), (5.0, 5.0, 1)]
