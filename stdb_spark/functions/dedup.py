@@ -61,26 +61,42 @@ def shingles_col(text_col: str = "text", n: int = 3) -> Column:
     )
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Distribute per-row heavy work.  Small inputs often arrive as a
+    single parquet file -> one scan task; tokenize/hash pipelines must be
+    spread across cores (locally) / executors (on a cluster) first, and
+    an explicit exchange also stops Catalyst's project-collapse from
+    inlining the tokenization into every downstream hash expression."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, *cols)
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", key: str = "doc_id",
     num_hashes: int = 32, shingle_n: int = 3,
 ) -> DataFrame:
     """(key, sig array<long>): sig[i] = min over shingles of md5(i || shingle).
 
-    One narrow projection — no shuffle, no UDF.  The per-row cost is
-    O(#shingles * num_hashes) JVM hash calls.
+    Shape chosen for scale: explode shingles once, compute the K hashes
+    as flat columns, groupBy(key) with K min() partials.  A nested
+    array<->transform formulation would re-evaluate the tokenization per
+    hash (Catalyst collapses projections) and resists whole-stage
+    codegen; the flat plan is one exchange + hash-aggregate, and the
+    repartition key equals the groupBy key so the agg reuses the
+    exchange instead of shuffling twice.
     """
-    sh = shingles_col(text_col, shingle_n)
-
-    def make_hash(i: int):
-        # closure capture: a default argument would make pyspark treat the
-        # lambda as binary and bind the array index to i
-        return lambda s: _md5_long(s, f"mh{i}:")
-
-    sig = F.array(
-        *[F.array_min(F.transform(sh, make_hash(i))) for i in range(num_hashes)]
+    ex = _spread(df.select(F.col(key), F.col(text_col)), key).select(
+        F.col(key), F.explode(shingles_col(text_col, shingle_n)).alias("_s")
     )
-    return df.select(F.col(key), sig.alias("sig"))
+    mins = ex.groupBy(key).agg(
+        *[
+            F.min(_md5_long(F.col("_s"), f"mh{i}:")).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        F.col(key), F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_candidates(
@@ -162,13 +178,19 @@ def ngram_jaccard_pairs(
     at 100 TB pair this with MinHash-LSH candidates instead of raw
     shingle join (use ``minhash_lsh_candidates`` then verify here).
     """
-    sh = df.select(
-        F.col(key), *( [F.col(block_col)] if block_col else [] ),
-        F.explode(shingles_col(text_col, n)).alias("shingle"),
-        F.size(shingles_col(text_col, n)).alias("n_sh"),
+    blocks = [F.col(block_col)] if block_col else []
+    base = _spread(df.select(F.col(key), *blocks, F.col(text_col)), key).select(
+        F.col(key), *blocks, shingles_col(text_col, n).alias("_sh")
     )
-    # spread the exploded shingles across the cluster: a single-file
-    # input would otherwise keep the whole pair-join in one task
+    sh = base.select(
+        F.col(key),
+        *blocks,
+        F.size("_sh").alias("n_sh"),
+        F.explode("_sh").alias("shingle"),
+    )
+    # spread the exploded shingles across the cluster for the pair join;
+    # both join sides hash-partition identically, so the sort-merge join
+    # reuses one exchange for a and b
     par = sh.sparkSession.sparkContext.defaultParallelism
     sh = sh.repartition(par, "shingle")
     a = sh.alias("a")
@@ -199,37 +221,36 @@ def simhash(df: DataFrame, text_col: str = "text", key: str = "doc_id", bits: in
     """64-bit SimHash over word shingles: bit j of the signature is the
     sign of sum over shingles of (+1 if md5-bit j set else -1).
 
-    Implemented as array algebra (transform/aggregate) — JVM-side, no
-    UDF.  Near-duplicate detection = small Hamming distance between
-    signatures (see ``hamming_pairs``)."""
-    sh = shingles_col(text_col)
+    Shape chosen for scale (same rationale as minhash_signatures):
+    explode shingles once, derive the per-shingle 64-bit md5 value as
+    two flat columns, groupBy(key) with 64 sum() bit-votes — one
+    exchange + codegen'd hash-aggregate instead of 64 re-evaluations of
+    the tokenization inside nested array folds."""
+    ex = _spread(df.select(F.col(key), F.col(text_col)), key).select(
+        F.col(key), F.explode(shingles_col(text_col)).alias("_s")
+    )
     # per-shingle 64-bit value from md5 (two 32-bit halves for exactness)
-    hl = F.transform(
-        sh,
-        lambda s: F.struct(
-            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long").alias("h"),
-            F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long").alias("l"),
-        ),
+    hl = ex.select(
+        F.col(key),
+        F.conv(F.substring(F.md5("_s"), 1, 8), 16, 10).cast("long").alias("_h"),
+        F.conv(F.substring(F.md5("_s"), 9, 8), 16, 10).cast("long").alias("_l"),
     )
 
-    def bit_vote(x, j: int):
-        src = x.getField("h") if j < 32 else x.getField("l")
+    def bit_vote(j: int):
+        src = F.col("_h") if j < 32 else F.col("_l")
         shift = j if j < 32 else j - 32
         return F.when(F.shiftright(src, shift) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
 
-    def make_merge(j: int):
-        # pyspark passes a Column for every named lambda parameter, so j
-        # must be captured by closure, not by default argument
-        return lambda acc, x: acc + bit_vote(x, j)
-
+    votes = hl.groupBy(key).agg(
+        *[F.sum(bit_vote(j)).alias(f"_v{j}") for j in range(bits)]
+    )
     sig = None
     for j in range(bits):
-        vote = F.aggregate(hl, F.lit(0), make_merge(j))
         # bit 63 is the long sign bit in two's complement
         bitval = F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
-        term = F.when(vote > 0, bitval).otherwise(F.lit(0).cast("long"))
+        term = F.when(F.col(f"_v{j}") > 0, bitval).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig.bitwiseOR(term)
-    return df.select(F.col(key), sig.alias("simhash"))
+    return votes.select(F.col(key), sig.alias("simhash"))
 
 
 def hamming_pairs(

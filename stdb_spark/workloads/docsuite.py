@@ -255,3 +255,139 @@ _q(
     "doc_simhash",
     lambda spark, sf: dedup.simhash(model.load_table(spark, sf, "documents")),
 )
+
+
+# ---------------------------------------------------------- quality score
+def _quality(spark, sf):
+    df = text.quality_score(model.load_table(spark, sf, "documents"))
+    return df.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_word_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+_q(
+    "doc_quality_score",
+    _quality,
+    f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+      / greatest(len(toks), 1) AS mean_word_len,
+    len(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+      / greatest(len(text), 1) AS punct_ratio,
+    CAST(len(list_filter(toks, x -> list_contains({_SW_LIST}, lower(x)))) AS BIGINT)
+      / greatest(len(toks), 1) AS stopword_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, mean_word_len, punct_ratio, stopword_ratio,
+  least(n_tokens / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+  + CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10
+         THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+  + CASE WHEN punct_ratio <= CAST(0.1 AS DOUBLE)
+         THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+  + least(stopword_ratio * CAST(2.0 AS DOUBLE), CAST(0.1 AS DOUBLE)) AS quality_score
+FROM m
+""",
+)
+
+
+# ----------------------------------------------------- LSH-bucketed ANN
+# The scale path for ANN: hyperplane signatures bucket the vectors so a
+# query touches ~1/2^planes of the table per hash table instead of
+# brute-forcing all rows.  Hyperplanes are md5-derived literals, so the
+# oracle replicates the exact bucketing + re-rank in SQL.
+_LSH_PLANES = 6
+_LSH_TABLES = 2
+
+
+def _lsh_sig_sql(table: int) -> str:
+    from stdb_spark.functions.similarity import _hyperplane
+
+    bits = []
+    for j in range(_LSH_PLANES):
+        plane = _hyperplane(_DIM, table * 1000 + j)
+        chain = " + ".join(
+            f"embedding[{i + 1}]::DOUBLE * {_dlit(plane[i])}" for i in range(_DIM)
+        )
+        bits.append(f"(CASE WHEN ({chain}) >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _lsh_query_sigs() -> list[int]:
+    import numpy as np
+
+    from stdb_spark.functions.similarity import _hyperplane
+
+    sigs = []
+    qv = np.array(_QVEC, dtype="float64")
+    for t in range(_LSH_TABLES):
+        s = 0
+        for j in range(_LSH_PLANES):
+            if float(np.dot(qv, np.array(_hyperplane(_DIM, t * 1000 + j)))) >= 0:
+                s |= 1 << j
+        sigs.append(s)
+    return sigs
+
+
+def _emb_ann_lsh(spark, sf):
+    return similarity.lsh_top_k(
+        model.load_table(spark, sf, "embeddings"),
+        _QVEC,
+        k=10,
+        n_planes=_LSH_PLANES,
+        n_tables=_LSH_TABLES,
+    )
+
+
+def _emb_ann_lsh_sql() -> str:
+    q0, q1 = _lsh_query_sigs()
+    return f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+    {_lsh_sig_sql(0)} AS sig0,
+    {_lsh_sig_sql(1)} AS sig1
+  FROM embeddings
+)
+SELECT vec_id,
+  ({_qvec_dot('embedding')}) / ({_norm_chain('embedding')} * {_QNORM}) AS cosine
+FROM s WHERE sig0 = {q0} OR sig1 = {q1}
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+_q("emb_ann_lsh", _emb_ann_lsh, _emb_ann_lsh_sql())
+
+
+# ------------------------------------------------------------- multimodal
+# Opaque-binary media plumbing (decode stubbed behind a deterministic
+# fake — no codec libs in this container): Arrow-batched mapInPandas
+# feature extraction and frame-sampling.  Rows-only driver check; exact
+# values pinned by pytest.
+def _mm_features(spark, sf):
+    from stdb_spark.functions import multimodal
+
+    media = multimodal.make_fake_media(spark, n=64, kind="image")
+    return multimodal.extract_image_features(media)
+
+
+_q("mm_image_features", _mm_features)
+
+
+def _mm_frames(spark, sf):
+    from stdb_spark.functions import multimodal
+
+    media = multimodal.make_fake_media(spark, n=16, kind="video")
+    return multimodal.sample_video_frames(media, every_ms=250)
+
+
+_q("mm_video_frame_sample", _mm_frames)

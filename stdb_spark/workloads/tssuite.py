@@ -684,3 +684,73 @@ SELECT user_id,
 FROM pts ORDER BY dist, user_id LIMIT 15
 """,
 )
+
+
+# ----------------------------------------------- apply math / error nodes
+_q(
+    "ts_suggest_tag_names",
+    lambda spark, sf: _engine(spark, sf).suggest(
+        {"select": "tag-names", "metric": "view"}
+    ),
+    BASE + "SELECT DISTINCT 'user' AS name FROM base WHERE metric = 'view'",
+)
+
+# join + apply [scale, sum]: per-row 2*click + 3*view with missing->0
+# (scale.cc:49, math.cc:46 with ignore_missing) through the real engine
+# apply-pipeline compiler.
+_q(
+    "ts_apply_scale_sum",
+    lambda spark, sf: _us(
+        _engine(spark, sf).query(
+            {
+                "join": ["click", "view"],
+                "range": {"from": JAN05, "to": JAN15},
+                "apply": [
+                    {"name": "scale", "weight": [2.0, 3.0]},
+                    {"name": "sum", "ignore_missing": True},
+                ],
+            }
+        )
+    ),
+    BASE
+    + f"""
+SELECT 'click|view user=' || u AS series, tu AS ts,
+  coalesce(CAST(2.0 AS DOUBLE) * max(CASE WHEN metric = 'click' THEN value END), 0)
+  + coalesce(CAST(3.0 AS DOUBLE) * max(CASE WHEN metric = 'view' THEN value END), 0) AS value
+FROM base WHERE metric IN ('click', 'view') AND tu >= {JAN05_US} AND tu < {JAN15_US}
+GROUP BY u, tu
+""",
+)
+
+
+def _ts_sma_err(spark, sf):
+    """sma-error = value - SMA(prev 5) (sliding_window.h:58-88 delta
+    variant); decimal window sum for oracle bit-parity."""
+    n = 5
+    df = _samples(spark, sf, "click", JAN01_US, FEB01_US)
+    w = Window.partitionBy("series").orderBy("ts").rowsBetween(-n, -1)
+    pred = (
+        F.coalesce(
+            F.sum(F.col("value").cast("decimal(28,10)")).over(w),
+            F.lit(0).cast("decimal(28,10)"),
+        ).cast("double")
+        / n
+    )
+    return df.select(
+        "series",
+        F.expr("ts div 1000").alias("ts"),
+        (F.col("value") - pred).alias("value"),
+    )
+
+
+_q(
+    "ts_sma_error",
+    _ts_sma_err,
+    BASE
+    + f"""
+SELECT metric || ' user=' || u AS series, tu AS ts,
+  value - CAST(coalesce(sum({DEC}) OVER (PARTITION BY u ORDER BY tu
+       ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) / 5 AS value
+FROM base WHERE metric = 'click' AND tu >= {JAN01_US} AND tu < {FEB01_US}
+""",
+)
