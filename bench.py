@@ -31,7 +31,10 @@ HEADLINE = [
     "rel_q5_local_supplier_volume",
     "doc_ngram_jaccard_pairs",
     "doc_minhash_lsh_candidates",
+    "doc_simhash",
+    "doc_quality_score",
     "emb_ann_bruteforce",
+    "emb_ann_lsh",
     "sp_knn",
 ]
 

@@ -81,3 +81,47 @@ def streaming_downsample(
         F.count("value").alias("count"),
         F.avg("value").alias("mean"),
     )
+
+
+STATEFUL_OUT_SCHEMA = (
+    "series_id long, metric string, ts long, value double, cusum double, n long"
+)
+STATEFUL_STATE_SCHEMA = "acc double, n long"
+
+
+def streaming_cusum(samples: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-series running sum (the streaming twin of the batch
+    `accumulate`/`cusum` apply node, rate.cc:62-89).
+
+    State is one (acc, n) pair per series — O(#series) cluster-wide, and
+    the grouping key spreads state across executors.  Within a batch
+    rows are folded in ts order; Spark guarantees all rows for a key in
+    a micro-batch reach one invocation.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (series_id, metric) = key
+        acc, n = state.get if state.exists else (0.0, 0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                acc += float(value)
+                n += 1
+                out.append((series_id, metric, int(ts), float(value), acc, n))
+        state.update((acc, n))
+        yield pd.DataFrame(
+            out, columns=["series_id", "metric", "ts", "value", "cusum", "n"]
+        )
+
+    return samples.groupBy("series_id", "metric").applyInPandasWithState(
+        fn,
+        outputStructType=STATEFUL_OUT_SCHEMA,
+        stateStructType=STATEFUL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -754,3 +754,110 @@ SELECT metric || ' user=' || u AS series, tu AS ts,
 FROM base WHERE metric = 'click' AND tu >= {JAN01_US} AND tu < {FEB01_US}
 """,
 )
+
+
+# ------------------------------------------- pivot-by-tag / filter require
+def _cohort_engine(spark, sf):
+    """Engine over two-tag series (user + derived cohort) so tag-merge
+    ops are non-trivial (GroupByTag, seriesparser.h:66-107)."""
+    trunc = F.expr("(ts div 1000) * 1000")
+    samples = (
+        model.events_as_samples(spark, sf)
+        .withColumn("ts", trunc)
+        .withColumn(
+            "tags",
+            F.map_from_arrays(
+                F.array(F.lit("cohort"), F.lit("user")),
+                F.array(
+                    (F.col("tags")["user"].cast("int") % 10).cast("string"),
+                    F.col("tags")["user"],
+                ),
+            ),
+        )
+    )
+    return Engine(spark, samples=samples, exact_sums=True)
+
+
+_q(
+    "ts_pivot_by_tag",
+    lambda spark, sf: _us(
+        _cohort_engine(spark, sf).query(
+            {
+                "select": "click",
+                "range": {"from": JAN05, "to": JAN15},
+                "pivot-by-tag": ["cohort"],
+            }
+        )
+    ),
+    BASE
+    + f"""
+SELECT 'click cohort=' || CAST(CAST(u AS INT) % 10 AS VARCHAR) AS series,
+       tu AS ts, value
+FROM base WHERE metric = 'click' AND tu >= {JAN05_US} AND tu < {JAN15_US}
+""",
+)
+
+# join + per-metric value filters combined with require:any
+# (queryparser.cc:748-858 two-column ANY rule)
+_q(
+    "ts_join_filter_any",
+    lambda spark, sf: _us(
+        _engine(spark, sf).query(
+            {
+                "join": ["click", "view"],
+                "range": {"from": JAN05, "to": JAN15},
+                "filter": {
+                    "click": {"gt": 15.0},
+                    "view": {"lt": 5.0},
+                    "require": "any",
+                },
+            }
+        )
+    ),
+    BASE
+    + f"""
+, j AS (
+  SELECT u, tu,
+    max(CASE WHEN metric = 'click' THEN value END) AS click,
+    max(CASE WHEN metric = 'view' THEN value END) AS "view"
+  FROM base WHERE metric IN ('click', 'view') AND tu >= {JAN05_US} AND tu < {JAN15_US}
+  GROUP BY u, tu
+)
+SELECT 'click|view user=' || u AS series, tu AS ts, click, "view"
+FROM j WHERE click > 15.0 OR "view" < 5.0
+""",
+)
+
+
+def _ts_heavy(spark, sf):
+    """heavy-hitters: series whose value-weighted share exceeds the
+    portion threshold (SpaceSaver<true>, spacesaver.h:11-150) — exact at
+    Spark scale; decimal sums for oracle parity."""
+    df = _samples(spark, sf, "purchase", JAN01_US, FEB01_US)
+    counted = df.groupBy("series").agg(
+        F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("value"),
+        F.expr("min(ts) div 1000").alias("ts"),
+    )
+    total = F.sum("value").over(Window.partitionBy())
+    return (
+        counted.withColumn("_t", total)
+        .filter(F.col("value") > F.col("_t") * 0.012)
+        .select("series", "ts", "value")
+    )
+
+
+_q(
+    "ts_heavy_hitters",
+    _ts_heavy,
+    BASE
+    + f"""
+, c AS (
+  SELECT 'purchase user=' || u AS series, min(tu) AS ts,
+         CAST(CAST(sum({DEC}) AS VARCHAR) AS DOUBLE) AS value
+  FROM base WHERE metric = 'purchase' AND tu >= {JAN01_US} AND tu < {FEB01_US}
+  GROUP BY u
+)
+SELECT series, ts, value FROM c
+WHERE value > (SELECT sum(value) FROM c) * 0.012
+""",
+)

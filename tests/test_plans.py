@@ -1,0 +1,110 @@
+"""Physical-plan regression tests: the optimizations we rely on at
+100 TB must be visible in `.explain` output, not assumed.
+
+Each assertion pins one scale property from README "Scale design":
+filter/partition pushdown reaches the parquet scan, dimension joins
+broadcast, aggregations keep map-side partials, hot paths stay inside
+whole-stage codegen, and the dedup pipelines don't re-shuffle between
+repartition and aggregation.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from stdb_spark import model
+from stdb_spark.workloads import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_select_pushes_filters_to_scan(spark):
+    df = QUERIES["ts_select_range"](spark, SF)
+    plan = _plan(df)
+    # ts range + metric predicates must reach the parquet scan
+    assert "PushedFilters:" in plan
+    assert "IsNotNull(ts)" in plan or "GreaterThanOrEqual(ts" in plan
+
+
+def test_select_prunes_columns(spark):
+    df = QUERIES["ts_select_range"](spark, SF)
+    plan = _plan(df)
+    # narrow projection: the scan must not read the full events schema
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan, plan
+    assert "props" not in scan[0]
+
+
+def test_dim_joins_broadcast(spark):
+    # at sf0.001 every table fits the broadcast threshold; the property
+    # that must hold at any SF is that the dimension joins broadcast
+    plan = _plan(QUERIES["rel_q5_local_supplier_volume"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_aggregate_has_partial_stage(spark):
+    plan = _plan(QUERIES["ts_group_aggregate"](spark, SF))
+    assert "HashAggregate" in plan
+    assert "partial_" in plan  # map-side combine before the exchange
+
+
+def test_group_aggregate_single_shuffle(spark):
+    """group-aggregate = exactly one exchange for the agg (plus at most
+    one for the requested output ordering)."""
+    df = QUERIES["ts_group_aggregate"](spark, SF)
+    plan = _plan(df)
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 3, f"too many shuffles:\n{plan}"
+
+
+def test_join_pivot_is_single_pivot_not_selfjoin(spark):
+    plan = _plan(QUERIES["ts_join_pivot"](spark, SF))
+    # alignment by pivot: no join operator should appear at all
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_minhash_agg_reuses_repartition_exchange(spark):
+    docs = model.load_table(spark, SF, "documents")
+    from stdb_spark.functions import dedup
+
+    plan = _plan(dedup.minhash_signatures(docs))
+    # repartition(key) feeds groupBy(key): exactly one exchange total
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_events_regex_pushed_into_scan_stage(spark):
+    """The body regex must evaluate in the same Filter as the scan-side
+    predicates (BinaryDataFilter parity) — not after a sort/limit."""
+    df = QUERIES["ts_select_events_regex"](spark, SF)
+    plan = _plan(df)
+    filters = [l for l in plan.splitlines() if l.strip().startswith("+- Filter") or l.strip().startswith("Filter")]
+    assert any("props" in l for l in filters), plan
+
+
+def test_whole_stage_codegen_covers_hot_path(spark):
+    # AQE prints `isFinalPlan=false` without codegen stage markers until
+    # execution; disable it for this one plan to see the `*(n)` spans
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(QUERIES["ts_group_aggregate"](spark, SF))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "*(1)" in plan, plan
+
+
+def test_prune_range_partition_filters(spark, tmp_path):
+    from stdb_spark.sources import storage
+
+    samples = model.events_as_samples(spark, SF)
+    path = str(tmp_path / "t")
+    storage.write_samples(samples, path)
+    lo = samples.agg(F.min("ts")).first()[0]
+    pruned = storage.prune_range(spark.read.parquet(path), lo, lo + 86400 * 10**9)
+    plan = _plan(pruned)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "day" in pf[0]

@@ -98,3 +98,36 @@ def test_streaming_downsample(spark, tmp_path):
     agg = streaming_downsample(parse_opentsdb_lines(lines), step="1 minute")
     rows = agg.orderBy("bucket").collect()
     assert [(r["min"], r["max"], r["count"]) for r in rows] == [(1.0, 3.0, 2), (5.0, 5.0, 1)]
+
+
+def test_streaming_stateful_cusum(spark, tmp_path):
+    """applyInPandasWithState running sum carries state across
+    micro-batches (two file drops -> two batches)."""
+    from stdb_spark.sources.opentsdb import parse_opentsdb_lines
+    from stdb_spark.streaming.ingest import streaming_cusum
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b1.txt").write_text(
+        "put cpu 1428000000 1.0 host=a\nput cpu 1428000060 2.0 host=a\n"
+    )
+    lines = spark.readStream.format("text").load(str(src))
+    out = streaming_cusum(parse_opentsdb_lines(lines))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    # second file -> second micro-batch; state must carry over
+    (src / "b2.txt").write_text("put cpu 1428000120 4.0 host=a\n")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM cusum_t ORDER BY ts").collect()
+    assert [(r.value, r.cusum, r.n) for r in rows] == [
+        (1.0, 1.0, 1),
+        (2.0, 3.0, 2),
+        (4.0, 7.0, 3),
+    ]
