@@ -29,6 +29,7 @@ HEADLINE = [
     "rel_q1_pricing_summary",
     "rel_q3_shipping_priority",
     "rel_q5_local_supplier_volume",
+    "rel_q6_forecast_revenue",
     "doc_ngram_jaccard_pairs",
     "doc_minhash_lsh_candidates",
     "doc_simhash",
@@ -36,6 +37,7 @@ HEADLINE = [
     "emb_ann_bruteforce",
     "emb_ann_lsh",
     "sp_knn",
+    "sp_knn_grid",
 ]
 
 
@@ -46,8 +48,10 @@ def main() -> None:
 
     spark = get_spark("stdb-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm up the session (JVM, Arrow, parquet footers)
+    # warm up the session (JVM, Arrow, parquet footers for both fact tables)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

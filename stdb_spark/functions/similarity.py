@@ -163,3 +163,41 @@ def centroid_per_label(
         .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_x"))).alias("_s"))
         .select(label, F.transform("_s", lambda s: s.getField("mean_x")).alias("centroid"))
     )
+
+
+def ivf_top_k(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    cell_col: str = "label",
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: vectors are pre-clustered into cells (here the
+    table's label column stands in for k-means cell ids — at write time
+    a real deployment assigns cells once and clusters storage by them).
+    The query probes the n_probe cells whose centroids are nearest, then
+    exact-reranks inside them — touching ~n_probe/N_cells of the table.
+
+    Exact within probed cells; recall depends on cell quality, the
+    standard IVF trade-off.  Centroids are a tiny per-cell table
+    (collected to the driver; broadcast-size by construction)."""
+    import numpy as np
+
+    cents = centroid_per_label(df, vec_col, cell_col).collect()
+    qv = np.array(query_vec, dtype="float64")
+    scored = []
+    for row in cents:
+        c = np.array(row["centroid"], dtype="float64")
+        denom = float(np.linalg.norm(c)) * float(np.linalg.norm(qv))
+        scored.append((float(np.dot(c, qv)) / denom if denom else -1.0, row[cell_col]))
+    probe = [lbl for _, lbl in sorted(scored, reverse=True)[:n_probe]]
+    cands = df.filter(F.col(cell_col).isin(probe))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = cosine_expr(F.col(vec_col), q)
+    return (
+        cands.select(F.col(key), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(key))
+        .limit(k)
+    )

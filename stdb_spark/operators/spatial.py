@@ -69,3 +69,52 @@ def grid_cell_expr(
     gx = F.floor(F.col(lon) / F.lit(cell_deg)).cast("long")
     gy = F.floor(F.col(lat) / F.lit(cell_deg)).cast("long")
     return gx * F.lit(1 << 21) + gy
+
+
+def knn_grid(
+    df: DataFrame,
+    lon0: float,
+    lat0: float,
+    k: int,
+    cell_deg: float,
+    lon: str = "lon",
+    lat: str = "lat",
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Exact KNN via grid pruning — the scale path (best-first R-tree
+    descent analog, rtree.h:630-677).
+
+    Phase 1 aggregates candidate counts per Chebyshev ring around the
+    query cell (one small job); the driver picks the smallest ring r
+    holding >= k candidates.  Any true neighbor then lies within
+    d_max = (r+1)*cell*sqrt(2), i.e. within ring ceil(sqrt(2)*(r+1))+1.
+    Phase 2 runs the exact KNN on those rings only.  Two jobs, both
+    pruned by the cell predicate — at 100 TB with the table clustered by
+    grid_cell_expr the scan touches only matching row groups.
+    """
+    import math
+
+    gx0 = math.floor(lon0 / cell_deg)
+    gy0 = math.floor(lat0 / cell_deg)
+    ring = F.greatest(
+        F.abs(F.floor(F.col(lon) / F.lit(cell_deg)) - F.lit(gx0)),
+        F.abs(F.floor(F.col(lat) / F.lit(cell_deg)) - F.lit(gy0)),
+    ).cast("int")
+    counts = (
+        df.select(ring.alias("_ring"))
+        .groupBy("_ring")
+        .count()
+        .orderBy("_ring")
+        .collect()
+    )
+    total, r = 0, None
+    for row in counts:
+        total += row["count"]
+        if total >= k:
+            r = row["_ring"]
+            break
+    if r is None:  # fewer than k points overall
+        return knn(df, lon0, lat0, k, lon, lat, tie_break)
+    r_final = math.ceil(math.sqrt(2.0) * (r + 1)) + 1
+    pruned = df.filter(ring <= r_final)
+    return knn(pruned, lon0, lat0, k, lon, lat, tie_break)

@@ -391,3 +391,16 @@ def _mm_frames(spark, sf):
 
 
 _q("mm_video_frame_sample", _mm_frames)
+
+
+# IVF-style ANN: probes the 2 nearest cells (label column = cell id),
+# exact re-rank inside.  Centroids are float averages (engine-order
+# dependent), so rows-only here; the exactness-within-probed-cells
+# property is pinned in pytest.
+def _emb_ann_ivf(spark, sf):
+    return similarity.ivf_top_k(
+        model.load_table(spark, sf, "embeddings"), _QVEC, k=10, n_probe=2
+    )
+
+
+_q("emb_ann_ivf", _emb_ann_ivf)

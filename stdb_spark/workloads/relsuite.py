@@ -217,3 +217,32 @@ SELECT l_orderkey, {sum_duck(QTY)} AS total_qty
 FROM lineitem GROUP BY l_orderkey HAVING {sum_duck(QTY)} > 150.0
 """,
 )
+
+
+# ------------------------------------------------------------------ Q6-like
+def _tpch_q6(spark, sf):
+    """Forecast-revenue: the pushdown showcase — every predicate reaches
+    the parquet scan, the agg is a single partial+final pair."""
+    li = model.load_table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.expr(sum_spark(f"{PRICE} * {DISC}")).alias("revenue"))
+    )
+
+
+_q(
+    "rel_q6_forecast_revenue",
+    _tpch_q6,
+    f"""
+SELECT {sum_duck(f"{PRICE} * {DISC}")} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+)

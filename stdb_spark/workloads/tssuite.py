@@ -861,3 +861,49 @@ SELECT series, ts, value FROM c
 WHERE value > (SELECT sum(value) FROM c) * 0.012
 """,
 )
+
+
+# select + where tag binding (queryparser.cc:683-740: AND across tags,
+# OR within a tag's value list), ordered by series
+_q(
+    "ts_select_where",
+    lambda spark, sf: _us(
+        _engine(spark, sf).query(
+            {
+                "select": "purchase",
+                "range": {"from": JAN05, "to": JAN15},
+                "where": {"user": ["2", "5", "8"]},
+                "order-by": "series",
+            }
+        )
+    ),
+    BASE
+    + f"""
+SELECT metric || ' user=' || u AS series, tu AS ts, value
+FROM base WHERE metric = 'purchase' AND u IN ('2', '5', '8')
+  AND tu >= {JAN05_US} AND tu < {JAN15_US}
+""",
+)
+
+
+def _sp_knn_grid(spark, sf):
+    """Grid-pruned KNN must return EXACTLY the brute-force result — the
+    oracle is the same SQL as sp_knn."""
+    from stdb_spark.operators.spatial import knn_grid
+
+    return knn_grid(
+        _user_points(spark, sf), 116.2, 39.015, 15, cell_deg=0.05, tie_break="user_id"
+    ).select("user_id", F.col("_dist").alias("dist"))
+
+
+_q(
+    "sp_knn_grid",
+    _sp_knn_grid,
+    _SP_BASE
+    + """
+SELECT user_id,
+  sqrt((lon - CAST(116.2 AS DOUBLE)) * (lon - CAST(116.2 AS DOUBLE))
+     + (lat - CAST(39.015 AS DOUBLE)) * (lat - CAST(39.015 AS DOUBLE))) AS dist
+FROM pts ORDER BY dist, user_id LIMIT 15
+""",
+)

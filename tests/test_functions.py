@@ -128,3 +128,39 @@ def test_fingerprint_deterministic(docs):
     assert a == b
     assert a[0] == a[2]  # identical text
     assert a[0] != a[3]
+
+
+def test_ivf_exact_within_probed_cells(spark):
+    """ivf_top_k == brute force restricted to the probed cells, and the
+    probe actually prunes (candidates < table size)."""
+    from stdb_spark import model
+    from stdb_spark.functions import similarity
+    from stdb_spark.workloads.docsuite import _QVEC
+
+    emb = model.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = similarity.ivf_top_k(emb, _QVEC, k=10, n_probe=2)
+    rows = got.collect()
+    assert len(rows) == 10
+    labels = {
+        r.label
+        for r in emb.join(got.select("vec_id"), "vec_id").select("label").collect()
+    }
+    assert len(labels) <= 2  # results come only from probed cells
+    brute = similarity.brute_force_top_k(
+        emb.filter(emb.label.isin(list(labels))), _QVEC, k=10
+    ).collect()
+    assert [r.vec_id for r in rows] == [r.vec_id for r in brute]
+
+
+def test_knn_grid_equals_bruteforce_random(spark):
+    """Grid-pruned KNN is exact for arbitrary query points/cell sizes."""
+    from stdb_spark.operators.spatial import knn, knn_grid
+
+    pts = spark.createDataFrame(
+        [(i, 116.0 + (i % 40) * 0.01, 39.0 + (i // 40) * 0.01) for i in range(400)],
+        "user_id long, lon double, lat double",
+    )
+    for q, cell in [((116.21, 39.033), 0.03), ((115.9, 38.9), 0.1), ((116.5, 39.2), 0.02)]:
+        g = knn_grid(pts, q[0], q[1], 7, cell_deg=cell, tie_break="user_id").collect()
+        b = knn(pts, q[0], q[1], 7, tie_break="user_id").collect()
+        assert [r.user_id for r in g] == [r.user_id for r in b], (q, cell)
