@@ -239,14 +239,45 @@ WHERE ({_dot_chain('a.embedding', 'b.embedding')})
 """,
 )
 
-# MinHash-LSH near-dup candidates: the md5-derived signatures are
-# reproducible in SQL, but the banding join is unwieldy there — register
-# rows-only (library correctness covered by pytest against exact Jaccard).
+# MinHash-LSH near-dup candidates with the full algorithm replicated in
+# SQL: 32 salted-md5 minhashes per doc (cross join with range(32)),
+# banded into 8 buckets of 4, candidate pairs on bucket collision —
+# bit-identical to the Spark pipeline because both sides derive every
+# hash from md5 and agree on slot order.
+_MH_K, _MH_BANDS, _MH_R = 32, 8, 4
+_MH_SHINGLE_N = 3
+
 _q(
     "doc_minhash_lsh_candidates",
     lambda spark, sf: dedup.minhash_lsh_candidates(
         dedup.minhash_signatures(model.load_table(spark, sf, "documents"))
     ),
+    f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= {_MH_SHINGLE_N}
+         THEN list_distinct(list_transform(range(1, len(t) - {_MH_SHINGLE_N} + 2),
+              i -> array_to_string(t[i:i+{_MH_SHINGLE_N}-1], ' ')))
+         ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(g) AS shingle FROM sh
+), hs AS (
+  SELECT doc_id, i,
+    min(('0x' || substr(md5('mh' || i || ':' || shingle), 1, 15))::BIGINT) AS h
+  FROM ex CROSS JOIN range({_MH_K}) r(i)
+  GROUP BY doc_id, i
+), bands AS (
+  SELECT doc_id, i // {_MH_R} AS band,
+    md5(string_agg(h::VARCHAR, ',' ORDER BY i)) AS bucket
+  FROM hs GROUP BY doc_id, i // {_MH_R}
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM bands x JOIN bands y
+  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+""",
 )
 
 # SimHash signatures: rows-only (bit-level SQL replication is possible

@@ -907,3 +907,24 @@ SELECT user_id,
 FROM pts ORDER BY dist, user_id LIMIT 15
 """,
 )
+
+
+# multi-metric aggregate, one func per metric (queryparser.cc:1453-1564
+# allows {"aggregate": {"m1": "f1", "m2": "f2"}})
+_q(
+    "ts_aggregate_multimetric",
+    lambda spark, sf: _engine(spark, sf).query(
+        {"aggregate": {"click": "count", "view": "max", "purchase": "mean"}}
+    ),
+    BASE
+    + f"""
+SELECT 'click:count user=' || u AS series, CAST(count(value) AS DOUBLE) AS value
+FROM base WHERE metric = 'click' GROUP BY u
+UNION ALL
+SELECT 'view:max user=' || u, max(value) FROM base WHERE metric = 'view' GROUP BY u
+UNION ALL
+SELECT 'purchase:mean user=' || u,
+  CAST(CAST(sum({DEC}) AS VARCHAR) AS DOUBLE) / count(value)
+FROM base WHERE metric = 'purchase' GROUP BY u
+""",
+)
