@@ -1,0 +1,161 @@
+"""Hypothesis property tests for the semantics that are easiest to get
+subtly wrong (SURVEY.md §7 "hard parts"): begin-aligned buckets in both
+scan directions, canonical series names, duration literals, and
+limit/offset — each checked against an independent pure-Python model.
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from stdb_spark.common.seriesparser import (
+    SeriesError,
+    make_canonical,
+    parse_series_name,
+    to_canonical_form,
+)
+from stdb_spark.common.timeutil import parse_duration_ns
+from stdb_spark.engine import Engine
+from tests.conftest import make_samples
+
+# ------------------------------------------------- pure-Python properties
+
+_ident = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=127),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(metric=_ident, tags=st.dictionaries(_ident, _ident, min_size=0, max_size=5))
+@settings(max_examples=200)
+def test_canonical_roundtrip(metric, tags):
+    """parse(make_canonical(m, t)) == (m, t); canonicalization is
+    idempotent; tags come out sorted (seriesparser.h:39-53)."""
+    name = make_canonical(metric, tags)
+    m2, t2 = parse_series_name(name)
+    assert (m2, t2) == (metric, tags)
+    assert to_canonical_form(name) == name
+    if tags:
+        keys = name.split(" ", 1)[1].split(" ")
+        assert keys == sorted(keys)
+
+
+@given(
+    metric=_ident,
+    tags=st.dictionaries(_ident, _ident, min_size=1, max_size=5),
+    order=st.randoms(),
+)
+@settings(max_examples=100)
+def test_canonical_order_insensitive(metric, tags, order):
+    """Any tag ordering in the input string canonicalizes identically."""
+    items = list(tags.items())
+    order.shuffle(items)
+    scrambled = metric + " " + " ".join(f"{k}={v}" for k, v in items)
+    assert to_canonical_form(scrambled) == make_canonical(metric, tags)
+
+
+@given(n=st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=100)
+def test_duration_literals(n):
+    """N[n|us|ms|s|m|h|d] ratios (datetime.cc:60-229)."""
+    assert parse_duration_ns(f"{n}n") == n
+    assert parse_duration_ns(f"{n}us") == n * 1_000
+    assert parse_duration_ns(f"{n}ms") == n * 1_000_000
+    assert parse_duration_ns(f"{n}s") == n * 10**9
+    assert parse_duration_ns(f"{n}m") == n * 60 * 10**9
+    assert parse_duration_ns(f"{n}h") == n * 3600 * 10**9
+    assert parse_duration_ns(f"{n}d") == n * 86400 * 10**9
+
+
+def test_canonical_rejects_garbage():
+    for bad in ("", " ", "m k=", "m =v"):
+        with pytest.raises(SeriesError):
+            to_canonical_form(bad)
+    # duplicate keys: last occurrence wins (reference map-insert behavior)
+    assert to_canonical_form("m k=v k=w") == "m k=w"
+
+
+# ------------------------------------------------ Spark-backed properties
+
+_DATA = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # ts offset
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(
+    data=_DATA,
+    begin_off=st.integers(min_value=0, max_value=500),
+    span=st.integers(min_value=100, max_value=10_000),
+    step=st.integers(min_value=7, max_value=4_000),
+    backward=st.booleans(),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_group_aggregate_buckets_match_python_model(
+    spark, data, begin_off, span, step, backward
+):
+    """Begin-aligned tumbling buckets, both directions
+    (aggregate.cc:160-170): bucket_ts and per-bucket count/min/max match
+    a pure-Python fold for arbitrary data/begin/step."""
+    base = 1_700_000_000_000_000_000
+    rows = [("m", {"t": "a"}, base + off, v) for off, v in data]
+    samples = make_samples(spark, rows)
+    eng = Engine(spark, samples=samples)
+    if backward:
+        begin, end = base + begin_off + span, base + begin_off
+        in_range = lambda ts: end < ts <= begin
+        bucket_of = lambda ts: begin - step * ((begin - ts) // step)
+    else:
+        begin, end = base + begin_off, base + begin_off + span
+        in_range = lambda ts: begin <= ts < end
+        bucket_of = lambda ts: begin + step * ((ts - begin) // step)
+
+    expected = {}
+    for off, v in data:
+        ts = base + off
+        if not in_range(ts):
+            continue
+        b = bucket_of(ts)
+        cnt, mn, mx = expected.get(b, (0, float("inf"), float("-inf")))
+        expected[b] = (cnt + 1, min(mn, v), max(mx, v))
+
+    out = eng.query(
+        {
+            "group-aggregate": {"step": f"{step}n", "metric": "m", "func": ["count", "min", "max"]},
+            "range": {"from": begin, "to": end},
+        }
+    ).collect()
+    got = {r["ts"]: (int(r["count"]), r["min"], r["max"]) for r in out}
+    assert got == expected
+
+
+@given(
+    data=_DATA,
+    limit=st.integers(min_value=0, max_value=70),
+    offset=st.integers(min_value=0, max_value=70),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_limit_offset_match_python_slice(spark, data, limit, offset):
+    """limit/offset over the total (ts, series) order == list slicing —
+    the reference's offset-overwrites-limit bug must NOT reproduce."""
+    base = 1_700_000_000_000_000_000
+    rows = [("m", {"t": "a"}, base + off, v) for off, v in data]
+    samples = make_samples(spark, rows)
+    eng = Engine(spark, samples=samples)
+    out = eng.query(
+        {
+            "select": "m",
+            "range": {"from": base, "to": base + 20_000},
+            "limit": limit,
+            "offset": offset,
+        }
+    ).collect()
+    ordered = sorted((base + off, v) for off, v in data)
+    want = ordered[offset : offset + limit]
+    assert [(r["ts"], r["value"]) for r in out] == want
