@@ -188,28 +188,26 @@ def ngram_jaccard_pairs(
         F.size("_sh").alias("n_sh"),
         F.explode("_sh").alias("shingle"),
     )
-    # spread the exploded shingles across the cluster for the pair join;
-    # both join sides hash-partition identically, so the sort-merge join
-    # reuses one exchange for a and b
-    par = sh.sparkSession.sparkContext.defaultParallelism
-    sh = sh.repartition(par, "shingle")
-    a = sh.alias("a")
-    b = sh.alias("b")
-    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
-        F.col(f"a.{key}") < F.col(f"b.{key}")
+    # One shuffle instead of a self-join (which would exchange the
+    # exploded table twice): group the postings per (block, shingle),
+    # then emit the i<j pairs map-side with two chained explodes.  A
+    # shingle shared by c docs yields c^2/2 pair rows — identical to the
+    # join's output; the groupBy keys (hash-like shingles) are uniform,
+    # and the postings list for one shingle is bounded by block size.
+    grouped = sh.groupBy(*blocks, "shingle").agg(
+        F.collect_list(F.struct(F.col(key).alias("k"), F.col("n_sh").alias("n"))).alias("ds")
     )
-    if block_col:
-        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    inter = (
-        a.join(b, cond)
-        .groupBy(
-            F.col(f"a.{key}").alias("a"),
-            F.col(f"b.{key}").alias("b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
-        .agg(F.count("*").alias("inter"))
+    pairs = (
+        grouped.select(F.explode("ds").alias("x"), F.col("ds"))
+        .select("x", F.explode("ds").alias("y"))
+        .filter(F.col("x.k") < F.col("y.k"))
     )
+    inter = pairs.groupBy(
+        F.col("x.k").alias("a"),
+        F.col("y.k").alias("b"),
+        F.col("x.n").alias("na"),
+        F.col("y.n").alias("nb"),
+    ).agg(F.count("*").alias("inter"))
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
         inter.select("a", "b", jac.alias("jaccard"))

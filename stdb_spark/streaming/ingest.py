@@ -125,3 +125,19 @@ def streaming_cusum(samples: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_session_agg(samples: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Session-window aggregation (no reference analog — a Spark-native
+    extension): bursts of per-series activity separated by `gap` of
+    silence collapse into one row.  Works identically on batch frames
+    (session_window is a regular grouping expression)."""
+    ev = with_late_data_policy(samples, gap)
+    return ev.groupBy(
+        F.session_window("event_time", gap).alias("session"), "series_id", "metric"
+    ).agg(
+        F.count("value").alias("n"),
+        F.sum("value").alias("sum"),
+        F.min("event_time").alias("t_first"),
+        F.max("event_time").alias("t_last"),
+    )

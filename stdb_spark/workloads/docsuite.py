@@ -435,3 +435,37 @@ def _emb_ann_ivf(spark, sf):
 
 
 _q("emb_ann_ivf", _emb_ann_ivf)
+
+
+# ------------------------------------------------------------- PII scrub
+# Text-cleaning pass of a training-data pipeline: mask emails and long
+# digit runs.  Patterns are plain ASCII classes, identical under Java
+# regex (Spark) and RE2 (DuckDB).
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_LONGNUM_RE = "[0-9]{6,}"
+
+
+def _pii_scrub(spark, sf):
+    df = model.load_table(spark, sf, "documents")
+    clean = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _LONGNUM_RE, "<NUM>"
+    )
+    return df.select(
+        "doc_id",
+        F.md5(clean).alias("clean_digest"),
+        (F.length("text") - F.length(clean)).alias("removed_chars"),
+    )
+
+
+_q(
+    "doc_pii_scrub",
+    _pii_scrub,
+    f"""
+SELECT doc_id,
+  md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+      '{_LONGNUM_RE}', '<NUM>', 'g')) AS clean_digest,
+  len(text) - len(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+      '{_LONGNUM_RE}', '<NUM>', 'g')) AS removed_chars
+FROM documents
+""",
+)

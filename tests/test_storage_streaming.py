@@ -131,3 +131,19 @@ def test_streaming_stateful_cusum(spark, tmp_path):
         (2.0, 3.0, 2),
         (4.0, 7.0, 3),
     ]
+
+
+def test_session_window_agg_batch_shape(spark):
+    """session_window collapses bursts separated by > gap; verified on a
+    batch frame (same plan shape streams unchanged)."""
+    from stdb_spark.streaming.ingest import streaming_session_agg
+    from tests.conftest import make_samples
+
+    t0 = 1_700_000_000 * 10**9
+    rows = (
+        [("cpu", {"h": "a"}, t0 + i * 10**9, 1.0) for i in range(3)]          # burst 1
+        + [("cpu", {"h": "a"}, t0 + 600 * 10**9 + i * 10**9, 2.0) for i in range(2)]  # burst 2
+    )
+    out = streaming_session_agg(make_samples(spark, rows), gap="1 minute")
+    got = sorted((r.n, r.sum) for r in out.collect())
+    assert got == [(2, 4.0), (3, 3.0)]
