@@ -280,11 +280,48 @@ FROM bands x JOIN bands y
 """,
 )
 
-# SimHash signatures: rows-only (bit-level SQL replication is possible
-# but adds no verification value beyond the md5 fingerprint check).
+# SimHash signatures with the bit votes replicated in SQL: per-shingle
+# 64-bit md5 value (two 32-bit halves), per-bit +1/-1 votes summed per
+# doc, sign -> bit.  The 64 bit-terms are disjoint, so integer addition
+# equals the Spark side's bitwiseOR (bit 63 enters as the two's
+# complement sign term).
+def _simhash_sql() -> str:
+    votes = []
+    terms = []
+    for j in range(64):
+        src, shift = ("h", j) if j < 32 else ("l", j - 32)
+        votes.append(
+            f"sum(CASE WHEN ({src} >> {shift}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        )
+        bitval = (1 << j) if j < 63 else -(1 << 63)
+        terms.append(f"CASE WHEN v{j} > 0 THEN CAST({bitval} AS BIGINT) ELSE 0 END")
+    shingle_n = 3
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= {shingle_n}
+         THEN list_distinct(list_transform(range(1, len(t) - {shingle_n} + 2),
+              i -> array_to_string(t[i:i+{shingle_n}-1], ' ')))
+         ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks
+), ex AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(unnest(g)), 1, 8))::BIGINT AS h,
+    ('0x' || substr(md5(unnest(g)), 9, 8))::BIGINT AS l
+  FROM sh
+), v AS (
+  SELECT doc_id, {", ".join(votes)} FROM ex GROUP BY doc_id
+)
+SELECT doc_id, {" + ".join(terms)} AS simhash FROM v
+"""
+
+
 _q(
     "doc_simhash",
     lambda spark, sf: dedup.simhash(model.load_table(spark, sf, "documents")),
+    _simhash_sql(),
 )
 
 

@@ -537,8 +537,14 @@ WHERE value > (SELECT sum(value) FROM c) * 0.012
 )
 
 
-# EWMA is a recursive filter — not SQL-expressible; registered without an
-# oracle (driver records the weaker rows-only check).
+# EWMA is a recursive filter; the oracle replicates the exact fold
+# (warm-up rule sliding_window.cc:23-34, EWMA_WARMUP=10) as a DuckDB
+# recursive CTE — per-series state (val, warm) advances one row per
+# iteration, and every float op matches the pandas UDF's IEEE order:
+# out = cur while warm<=10, val += cur below warm-up, the warm==10
+# transition averages then blends, then val = cur*d + val*(1-d).
+_EWMA_D = "CAST(0.3 AS DOUBLE)"
+
 _q(
     "ts_ewma",
     lambda spark, sf: _us(
@@ -550,6 +556,29 @@ _q(
             }
         )
     ),
+    f"""
+WITH RECURSIVE b2 AS (
+  SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
+         epoch_us(ts) AS tu, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS rn
+  FROM events
+  WHERE event_type = 'error'
+    AND epoch_us(ts) >= {JAN05_US} AND epoch_us(ts) < {JAN15_US}
+), r AS (
+  SELECT series, tu, value, rn, value AS out, value AS val, 1 AS warm
+  FROM b2 WHERE rn = 1
+  UNION ALL
+  SELECT b.series, b.tu, b.value, b.rn,
+    CASE WHEN r.warm <= 10 THEN b.value ELSE r.val END AS out,
+    CASE WHEN r.warm < 10 THEN r.val + b.value
+         WHEN r.warm = 10
+           THEN b.value * {_EWMA_D} + ((r.val + b.value) / 11) * (1 - {_EWMA_D})
+         ELSE b.value * {_EWMA_D} + r.val * (1 - {_EWMA_D}) END AS val,
+    r.warm + 1 AS warm
+  FROM r JOIN b2 b ON b.series = r.series AND b.rn = r.rn + 1
+)
+SELECT series, tu AS ts, out AS value FROM r
+""",
 )
 
 # -------------------------------------------------------- suggest / search
