@@ -551,7 +551,7 @@ _q(
         _engine(spark, sf).query(
             {
                 "select": "error",
-                "range": {"from": JAN05, "to": JAN15},
+                "range": {"from": JAN01, "to": FEB01},
                 "apply": [{"name": "ewma", "decay": 0.3}],
             }
         )
@@ -563,7 +563,7 @@ WITH RECURSIVE b2 AS (
          row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS rn
   FROM events
   WHERE event_type = 'error'
-    AND epoch_us(ts) >= {JAN05_US} AND epoch_us(ts) < {JAN15_US}
+    AND epoch_us(ts) >= {JAN01_US} AND epoch_us(ts) < {FEB01_US}
 ), r AS (
   SELECT series, tu, value, rn, value AS out, value AS val, 1 AS warm
   FROM b2 WHERE rn = 1
