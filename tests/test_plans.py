@@ -108,3 +108,20 @@ def test_prune_range_partition_filters(spark, tmp_path):
     plan = _plan(pruned)
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "day" in pf[0]
+
+
+def test_engine_ts_range_pushdown_untruncated(spark):
+    """The production engine path (no oracle µs-truncation adapter) must
+    push the ts range into the parquet scan for row-group skipping —
+    the truncated workload adapters knowingly give this up for parity."""
+    from stdb_spark import model
+    from stdb_spark.engine import Engine
+
+    samples = model.events_as_samples(spark, SF)
+    eng = Engine(spark, samples=samples)
+    df = eng.query(
+        {"select": "click", "range": {"from": 1704412800000000000, "to": 1705276800000000000}}
+    )
+    plan = _plan(df)
+    # FileScan metadata strings are width-truncated; match the prefix
+    assert "GreaterThanOrEqual(ts,170441280" in plan, plan
