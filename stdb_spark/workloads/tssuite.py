@@ -957,3 +957,26 @@ SELECT 'purchase:mean user=' || u,
 FROM base WHERE metric = 'purchase' GROUP BY u
 """,
 )
+
+
+# group-aggregate over a metric LIST (queryparser.cc:1642-1752 allows
+# multiple metrics; each keeps its own bucket rows, label {m}:func)
+_q(
+    "ts_group_aggregate_multimetric",
+    lambda spark, sf: _us(
+        _engine(spark, sf).query(
+            {
+                "group-aggregate": {"step": "1d", "metric": ["click", "view"], "func": "max"},
+                "range": {"from": JAN01, "to": FEB01},
+            }
+        )
+    ),
+    BASE
+    + f"""
+SELECT metric || ':max user=' || u AS series,
+  {JAN01_US} + {D1_US} * ((tu - {JAN01_US}) // {D1_US}) AS ts,
+  max(value) AS "max"
+FROM base WHERE metric IN ('click', 'view') AND tu >= {JAN01_US} AND tu < {FEB01_US}
+GROUP BY metric, u, 2
+""",
+)
