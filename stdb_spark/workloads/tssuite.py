@@ -980,3 +980,65 @@ FROM base WHERE metric IN ('click', 'view') AND tu >= {JAN01_US} AND tu < {FEB01
 GROUP BY metric, u, 2
 """,
 )
+
+
+# rate -> abs chained through the engine apply compiler (rate.cc:17-49,
+# absolute.cc:42): per-series derivative in units/sec, then |x|
+_q(
+    "ts_rate_abs",
+    lambda spark, sf: _us(
+        _engine(spark, sf).query(
+            {
+                "select": "purchase",
+                "range": {"from": JAN05, "to": JAN15},
+                "apply": [{"name": "rate"}, {"name": "abs"}],
+            }
+        )
+    ),
+    BASE
+    + f"""
+SELECT metric || ' user=' || u AS series, tu AS ts,
+  abs((value - coalesce(lag(value) OVER w, 0))
+    / ((tu * 1000) - coalesce(lag(tu * 1000) OVER w, 0)) * 1e9) AS value
+FROM base WHERE metric = 'purchase' AND tu >= {JAN05_US} AND tu < {JAN15_US}
+WINDOW w AS (PARTITION BY u ORDER BY tu)
+""",
+)
+
+# ewma-error (delta variant): value minus the warm-up-aware prediction,
+# same recursive fold as ts_ewma
+_q(
+    "ts_ewma_error",
+    lambda spark, sf: _us(
+        _engine(spark, sf).query(
+            {
+                "select": "error",
+                "range": {"from": JAN01, "to": FEB01},
+                "apply": [{"name": "ewma-error", "decay": 0.3}],
+            }
+        )
+    ),
+    f"""
+WITH RECURSIVE b2 AS (
+  SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
+         epoch_us(ts) AS tu, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS rn
+  FROM events
+  WHERE event_type = 'error'
+    AND epoch_us(ts) >= {JAN01_US} AND epoch_us(ts) < {FEB01_US}
+), r AS (
+  SELECT series, tu, value, rn, value - value AS out, value AS val, 1 AS warm
+  FROM b2 WHERE rn = 1
+  UNION ALL
+  SELECT b.series, b.tu, b.value, b.rn,
+    CASE WHEN r.warm <= 10 THEN b.value - b.value ELSE b.value - r.val END AS out,
+    CASE WHEN r.warm < 10 THEN r.val + b.value
+         WHEN r.warm = 10
+           THEN b.value * {_EWMA_D} + ((r.val + b.value) / 11) * (1 - {_EWMA_D})
+         ELSE b.value * {_EWMA_D} + r.val * (1 - {_EWMA_D}) END AS val,
+    r.warm + 1 AS warm
+  FROM r JOIN b2 b ON b.series = r.series AND b.rn = r.rn + 1
+)
+SELECT series, tu AS ts, out AS value FROM r
+""",
+)
