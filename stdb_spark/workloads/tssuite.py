@@ -1042,3 +1042,49 @@ WITH RECURSIVE b2 AS (
 SELECT series, tu AS ts, out AS value FROM r
 """,
 )
+
+
+# plain group-aggregate-join (no eval): one func, N metrics, aligned
+# bucket tuples (queryparser.cc:1793-1907)
+_q(
+    "ts_group_aggregate_join",
+    lambda spark, sf: _us(
+        _engine(spark, sf).query(
+            {
+                "group-aggregate-join": {"step": "1d", "metric": ["purchase", "error"], "func": "max"},
+                "range": {"from": JAN01, "to": FEB01},
+            }
+        )
+    ),
+    BASE
+    + f"""
+SELECT 'purchase:max|error:max user=' || u AS series,
+  {JAN01_US} + {D1_US} * ((tu - {JAN01_US}) // {D1_US}) AS ts,
+  max(CASE WHEN metric = 'purchase' THEN value END) AS "purchase",
+  max(CASE WHEN metric = 'error' THEN value END) AS "error"
+FROM base WHERE metric IN ('purchase', 'error') AND tu >= {JAN01_US} AND tu < {FEB01_US}
+GROUP BY u, 2
+""",
+)
+
+# select-events + where-clause tag binding + backward range + limit
+_q(
+    "ts_select_events_where_backward",
+    lambda spark, sf: _us(
+        _engine(spark, sf).query(
+            {
+                "select-events": "!signup",
+                "range": {"from": FEB01, "to": JAN01},
+                "where": {"user": ["1", "4", "9", "16", "25"]},
+                "limit": 40,
+            }
+        )
+    ),
+    BASE
+    + f"""
+SELECT '!' || metric || ' user=' || u AS series, tu AS ts, props AS body
+FROM base WHERE metric = 'signup' AND u IN ('1', '4', '9', '16', '25')
+  AND tu > {JAN01_US} AND tu <= {FEB01_US}
+ORDER BY tu DESC, series DESC LIMIT 40
+""",
+)

@@ -147,3 +147,19 @@ def test_session_window_agg_batch_shape(spark):
     out = streaming_session_agg(make_samples(spark, rows), gap="1 minute")
     got = sorted((r.n, r.sum) for r in out.collect())
     assert got == [(2, 4.0), (3, 3.0)]
+
+
+def test_overwrite_rewrite_idempotent(spark, facts, tmp_path):
+    """Reopen-consistency analog (SURVEY §3.3): rewriting the same data
+    yields an identical table — overwrite mode is idempotent and stable
+    under repeated writes."""
+    path = str(tmp_path / "idem")
+    storage.write_samples(facts, path)
+    first = sorted(
+        (r.metric, r.ts, r.value) for r in storage.read_samples(spark, path).collect()
+    )
+    storage.write_samples(facts, path)  # rewrite over existing
+    second = sorted(
+        (r.metric, r.ts, r.value) for r in storage.read_samples(spark, path).collect()
+    )
+    assert first == second
