@@ -506,3 +506,61 @@ SELECT doc_id,
 FROM documents
 """,
 )
+
+
+# Dedup applied: the survivor set (keep min doc_id per normalized-text
+# group) — the step a pipeline actually runs after candidate discovery.
+def _dedup_survivors(spark, sf):
+    df = model.load_table(spark, sf, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(dedup.normalized_text()))
+    return (
+        df.withColumn("_keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .select("doc_id", "source")
+    )
+
+
+_q(
+    "doc_dedup_survivors",
+    _dedup_survivors,
+    f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source, min(doc_id) OVER (PARTITION BY md5({_NORM})) AS m
+  FROM documents
+) WHERE doc_id = m
+""",
+)
+
+
+# Group-wise vector search: top-3 most query-similar vectors per label
+# (window rank over cosine) — the "per-shard ANN" building block.
+def _topk_per_label(spark, sf):
+    from pyspark.sql import Window
+
+    df = model.load_table(spark, sf, "embeddings")
+    q = F.array(*[F.lit(float(x)) for x in _QVEC])
+    cos = similarity.cosine_expr(F.col("embedding"), q)
+    w = Window.partitionBy("label").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        df.select("label", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+_q(
+    "emb_topk_per_label",
+    _topk_per_label,
+    f"""
+SELECT label, vec_id, cosine, rank FROM (
+  SELECT label, vec_id,
+    ({_qvec_dot('embedding')}) / ({_norm_chain('embedding')} * {_QNORM}) AS cosine,
+    row_number() OVER (PARTITION BY label
+      ORDER BY ({_qvec_dot('embedding')}) / ({_norm_chain('embedding')} * {_QNORM}) DESC,
+               vec_id) AS rank
+  FROM embeddings
+) WHERE rank <= 3
+""",
+)
