@@ -314,19 +314,33 @@ class Engine:
         gb = df.groupBy("metric", _tags_suffix().alias("_tags_s")).agg(
             *[agg_expr(f, req.backward, exact=self.exact_sums).alias(f"_f_{f}") for f in all_funcs]
         )
-        parts = []
-        for m, fns in by_metric.items():
-            for fn in fns:
-                sname = F.when(
-                    F.length("_tags_s") > 0,
-                    F.concat(F.lit(f"{m}:{fn} "), F.col("_tags_s")),
-                ).otherwise(F.lit(f"{m}:{fn}"))
-                parts.append(
-                    gb.filter(F.col("metric") == m).select(
-                        sname.alias("series"), F.col(f"_f_{fn}").alias("value")
-                    )
-                )
-        out = functools.reduce(DataFrame.unionAll, parts)
+        # one output row per requested (metric, func): a single explode of
+        # per-metric (label, value) structs — NOT a union of one branch per
+        # pair, which would recompute the final aggregate once per branch
+        branches = [
+            (
+                F.col("metric") == m,
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f"{m}:{fn}").alias("label"),
+                            F.col(f"_f_{fn}").alias("value"),
+                        )
+                        for fn in fns
+                    ]
+                ),
+            )
+            for m, fns in by_metric.items()
+        ]
+        pairs = F.when(*branches[0])
+        for cond, arr in branches[1:]:
+            pairs = pairs.when(cond, arr)
+        e = gb.select("_tags_s", F.explode(pairs).alias("_e"))
+        sname = F.when(
+            F.length("_tags_s") > 0,
+            F.concat(F.col("_e.label"), F.lit(" "), F.col("_tags_s")),
+        ).otherwise(F.col("_e.label"))
+        out = e.select(sname.alias("series"), F.col("_e.value").alias("value"))
         # aggregate output is always series-ordered (queryparser.cc:1453+)
         return self._limit(out.orderBy("series"), req)
 
