@@ -226,8 +226,8 @@ def _tpch_q6(spark, sf):
     li = model.load_table(spark, sf, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -242,7 +242,45 @@ _q(
     f"""
 SELECT {sum_duck(f"{PRICE} * {DISC}")} AS revenue
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+)
+
+
+# ----------------------------------------------------------------- Q10-like
+def _tpch_q10(spark, sf):
+    """Returned-item reporting: top-20 customers by lost revenue in a
+    quarter — fact-fact join shuffles, nation broadcasts."""
+    t = {n: model.load_table(spark, sf, n) for n in ("customer", "orders", "lineitem", "nation")}
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.expr(sum_spark(DISC_PRICE)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_q(
+    "rel_q10_returned_items",
+    _tpch_q10,
+    f"""
+SELECT c_custkey, c_name, n_name, {sum_duck(DISC_PRICE)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
 """,
 )

@@ -515,7 +515,7 @@ def _ts_freq(spark, sf):
     total = F.sum("value").over(Window.partitionBy())
     return (
         counted.withColumn("_t", total)
-        .filter(F.col("value") > F.col("_t") * 0.012)
+        .filter(F.col("value") > F.col("_t") * 0.009)
         .select("series", "ts", "value")
     )
 
@@ -532,7 +532,7 @@ _q(
   GROUP BY u
 )
 SELECT series, ts, value FROM c
-WHERE value > (SELECT sum(value) FROM c) * 0.012
+WHERE value > (SELECT sum(value) FROM c) * 0.009
 """,
 )
 
@@ -1086,5 +1086,82 @@ SELECT '!' || metric || ' user=' || u AS series, tu AS ts, props AS body
 FROM base WHERE metric = 'signup' AND u IN ('1', '4', '9', '16', '25')
   AND tu > {JAN01_US} AND tu <= {FEB01_US}
 ORDER BY tu DESC, series DESC LIMIT 40
+""",
+)
+
+
+# OpenTSDB ingest round-trip through the driver gate: format each event
+# as a `put` line, parse with the real protocol parser, emit the narrow
+# schema.  Oracle reads the table directly — so the check verifies the
+# parser (protocolparser.h:287-327 semantics) on every row, including
+# double->string->double round-trips.
+def _ingest_roundtrip(spark, sf):
+    from stdb_spark.sources.opentsdb import parse_opentsdb_lines
+
+    ev = model.load_table(spark, sf, "events")
+    lines = ev.select(
+        F.format_string(
+            "put %s %d %s user=%s",
+            F.col("event_type"),
+            F.expr("ts div 1000000000"),
+            F.col("value").cast("string"),
+            F.col("user_id").cast("string"),
+        ).alias("value")
+    )
+    parsed = parse_opentsdb_lines(lines)
+    return parsed.select(
+        F.concat("metric", F.lit(" user="), F.col("tags")["user"]).alias("series"),
+        F.expr("ts div 1000").alias("ts"),
+        "value",
+    )
+
+
+_q(
+    "ingest_opentsdb_roundtrip",
+    _ingest_roundtrip,
+    """
+SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
+       (epoch_us(ts) // 1000000) * 1000000 AS ts, value
+FROM events
+""",
+)
+
+
+# Moving-object surface (basic.h:48-52,90: per-sample LOCATION_BIT):
+# deterministic per-sample lon/lat from (user, ts), bbox + time range.
+_q(
+    "sp_trajectory_bbox",
+    lambda spark, sf: model.events_as_samples(spark, sf)
+    .select(
+        F.concat("metric", F.lit(" user="), F.col("tags")["user"]).alias("series"),
+        F.expr("ts div 1000").alias("ts"),
+        (
+            F.lit(116.0)
+            + (F.col("tags")["user"].cast("int") % 40) * F.lit(0.01)
+            + (F.expr("(ts div 1000) % 100")) * F.lit(1e-5)
+        ).alias("lon"),
+        (
+            F.lit(39.0)
+            + F.expr("CAST(tags['user'] AS INT) div 40") * F.lit(0.01)
+        ).alias("lat"),
+    )
+    .filter(
+        (F.col("ts") >= JAN05_US)
+        & (F.col("ts") < JAN15_US)
+        & F.col("lon").between(116.1, 116.3)
+        & F.col("lat").between(39.0, 39.01)
+    ),
+    BASE
+    + f"""
+SELECT metric || ' user=' || u AS series, tu AS ts,
+  CAST(116.0 AS DOUBLE) + (CAST(u AS INT) % 40) * CAST(0.01 AS DOUBLE)
+    + (tu % 100) * CAST(1e-5 AS DOUBLE) AS lon,
+  CAST(39.0 AS DOUBLE) + (CAST(u AS INT) // 40) * CAST(0.01 AS DOUBLE) AS lat
+FROM base
+WHERE tu >= {JAN05_US} AND tu < {JAN15_US}
+  AND CAST(116.0 AS DOUBLE) + (CAST(u AS INT) % 40) * CAST(0.01 AS DOUBLE)
+    + (tu % 100) * CAST(1e-5 AS DOUBLE) BETWEEN 116.1 AND 116.3
+  AND CAST(39.0 AS DOUBLE) + (CAST(u AS INT) // 40) * CAST(0.01 AS DOUBLE)
+    BETWEEN 39.0 AND 39.01
 """,
 )
