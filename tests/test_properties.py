@@ -37,8 +37,11 @@ def test_canonical_roundtrip(metric, tags):
     assert (m2, t2) == (metric, tags)
     assert to_canonical_form(name) == name
     if tags:
+        # Reference comparator sorts by KEY, '=' acting as a terminator
+        # (seriesparser.cc:168-195) — '0=x' sorts before '00=x' even though
+        # '=' > '0' as a byte, so sort by the key part, not the full string.
         keys = name.split(" ", 1)[1].split(" ")
-        assert keys == sorted(keys)
+        assert keys == sorted(keys, key=lambda kv: kv.split("=", 1)[0])
 
 
 @given(
