@@ -18,6 +18,8 @@ reproduce them bit-for-bit; xxhash64 would be Spark-private.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -77,26 +79,57 @@ def _spread(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(par, *cols)
 
 
+# Universal-hash family for minhash: sig[i] = min over shingles of
+# (A[i]*h32 + B[i]) % MINHASH_PRIME, where h32 is ONE md5-derived
+# 32-bit value per shingle.  One crypto hash + K multiply-add-mods per
+# shingle instead of K salted md5's — the per-shingle map work drops
+# ~K-fold, which is the dominant cost of dedup at 100 TB.  Constants
+# are md5-derived (odd A, 28-bit) so the DuckDB oracle embeds the same
+# literals; all arithmetic stays below 2^62, so signed-64 engines agree
+# bit-for-bit.
+MINHASH_PRIME = (1 << 61) - 1
+_MAX_HASHES = 64
+MINHASH_A = [
+    int(hashlib.md5(f"mhA{i}".encode()).hexdigest()[:7], 16) * 2 + 1
+    for i in range(_MAX_HASHES)
+]
+MINHASH_B = [
+    int(hashlib.md5(f"mhB{i}".encode()).hexdigest()[:7], 16)
+    for i in range(_MAX_HASHES)
+]
+
+
+def shingle_hash32(c: Column) -> Column:
+    """32-bit hash of a shingle: first 8 hex digits of md5.
+    DuckDB: ('0x' || substr(md5(x), 1, 8))::BIGINT."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", key: str = "doc_id",
     num_hashes: int = 32, shingle_n: int = 3,
 ) -> DataFrame:
-    """(key, sig array<long>): sig[i] = min over shingles of md5(i || shingle).
+    """(key, sig array<long>): universal-hash minhash (see constants above).
 
-    Shape chosen for scale: explode shingles once, compute the K hashes
-    as flat columns, groupBy(key) with K min() partials.  A nested
-    array<->transform formulation would re-evaluate the tokenization per
-    hash (Catalyst collapses projections) and resists whole-stage
-    codegen; the flat plan is one exchange + hash-aggregate, and the
-    repartition key equals the groupBy key so the agg reuses the
-    exchange instead of shuffling twice.
+    Shape chosen for scale: explode shingles once, hash each shingle
+    once, compute the K permutation hashes as flat arithmetic columns,
+    groupBy(key) with K min() partials.  A nested array<->transform
+    formulation would re-evaluate the tokenization per hash (Catalyst
+    collapses projections) and resists whole-stage codegen; the flat
+    plan is one exchange + hash-aggregate, and the repartition key
+    equals the groupBy key so the agg reuses the exchange instead of
+    shuffling twice.
     """
     ex = _spread(df.select(F.col(key), F.col(text_col)), key).select(
         F.col(key), F.explode(shingles_col(text_col, shingle_n)).alias("_s")
     )
-    mins = ex.groupBy(key).agg(
+    hs = ex.select(F.col(key), shingle_hash32(F.col("_s")).alias("_h"))
+    mins = hs.groupBy(key).agg(
         *[
-            F.min(_md5_long(F.col("_s"), f"mh{i}:")).alias(f"_m{i}")
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("_h") + F.lit(MINHASH_B[i]))
+                % F.lit(MINHASH_PRIME)
+            ).alias(f"_m{i}")
             for i in range(num_hashes)
         ]
     )
@@ -239,19 +272,24 @@ def simhash(df: DataFrame, text_col: str = "text", key: str = "doc_id", bits: in
         F.conv(F.substring(F.md5("_s"), 9, 8), 16, 10).cast("long").alias("_l"),
     )
 
-    def bit_vote(j: int):
+    def bit(j: int):
+        # branch-free vote: sum the raw bit, recover the +1/-1 vote sign
+        # from 2*set_count - total at the end (v_j = 2*s_j - cnt)
         src = F.col("_h") if j < 32 else F.col("_l")
         shift = j if j < 32 else j - 32
-        return F.when(F.shiftright(src, shift) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+        return F.shiftright(src, shift).bitwiseAND(F.lit(1))
 
     votes = hl.groupBy(key).agg(
-        *[F.sum(bit_vote(j)).alias(f"_v{j}") for j in range(bits)]
+        F.count("*").alias("_cnt"),
+        *[F.sum(bit(j)).alias(f"_s{j}") for j in range(bits)],
     )
     sig = None
     for j in range(bits):
         # bit 63 is the long sign bit in two's complement
         bitval = F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
-        term = F.when(F.col(f"_v{j}") > 0, bitval).otherwise(F.lit(0).cast("long"))
+        term = F.when(
+            F.lit(2) * F.col(f"_s{j}") > F.col("_cnt"), bitval
+        ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig.bitwiseOR(term)
     return votes.select(F.col(key), sig.alias("simhash"))
 

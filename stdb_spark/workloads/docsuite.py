@@ -240,12 +240,15 @@ WHERE ({_dot_chain('a.embedding', 'b.embedding')})
 )
 
 # MinHash-LSH near-dup candidates with the full algorithm replicated in
-# SQL: 32 salted-md5 minhashes per doc (cross join with range(32)),
-# banded into 8 buckets of 4, candidate pairs on bucket collision —
-# bit-identical to the Spark pipeline because both sides derive every
-# hash from md5 and agree on slot order.
+# SQL: one md5-derived 32-bit hash per shingle, 32 universal-hash
+# minhashes (A[i]*h + B[i] mod 2^61-1, constants shared with
+# dedup.MINHASH_A/B), banded into 8 buckets of 4, candidate pairs on
+# bucket collision — bit-identical to the Spark pipeline because both
+# sides embed the same literals and stay in signed-64 arithmetic.
 _MH_K, _MH_BANDS, _MH_R = 32, 8, 4
 _MH_SHINGLE_N = 3
+_MH_A_LIST = "[" + ", ".join(str(a) for a in dedup.MINHASH_A[:_MH_K]) + "]"
+_MH_B_LIST = "[" + ", ".join(str(b) for b in dedup.MINHASH_B[:_MH_K]) + "]"
 
 _q(
     "doc_minhash_lsh_candidates",
@@ -263,10 +266,13 @@ WITH toks AS (
          ELSE [array_to_string(t, ' ')] END AS g
   FROM toks
 ), ex AS (
-  SELECT doc_id, unnest(g) AS shingle FROM sh
+  SELECT doc_id,
+    ('0x' || substr(md5(unnest(g)), 1, 8))::BIGINT AS h
+  FROM sh
 ), hs AS (
   SELECT doc_id, i,
-    min(('0x' || substr(md5('mh' || i || ':' || shingle), 1, 15))::BIGINT) AS h
+    min(({_MH_A_LIST}[i + 1] * h + {_MH_B_LIST}[i + 1])
+        % {dedup.MINHASH_PRIME}) AS h
   FROM ex CROSS JOIN range({_MH_K}) r(i)
   GROUP BY doc_id, i
 ), bands AS (
