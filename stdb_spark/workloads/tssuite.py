@@ -1165,3 +1165,47 @@ WHERE tu >= {JAN05_US} AND tu < {JAN15_US}
     BETWEEN 39.0 AND 39.01
 """,
 )
+
+
+# As-of join (SURVEY §2.3 "missing joins exposed for free"): each click
+# enriched with the user's most recent purchase value at or before it,
+# within a 3-day tolerance.  Oracle = DuckDB's native ASOF LEFT JOIN
+# with the tolerance applied as a post-filter; the Spark side is the
+# union+window formulation in operators/asof.py (one shuffle, no range
+# join).
+ASOF_TOL_US = 3 * D1_US
+
+
+def _ts_asof(spark, sf):
+    from stdb_spark.operators.asof import asof_join
+
+    samples = model.events_as_samples(spark, sf).select(
+        F.col("metric"),
+        F.col("tags")["user"].alias("u"),
+        F.expr("ts div 1000").alias("ts"),
+        "value",
+    )
+    left = samples.filter(F.col("metric") == "click").select("u", "ts", "value")
+    right = samples.filter(F.col("metric") == "purchase").select("u", "ts", "value")
+    return asof_join(
+        left, right, on="ts", by=["u"], right_cols=["value"], tolerance=ASOF_TOL_US
+    )
+
+
+_q(
+    "ts_asof_join",
+    _ts_asof,
+    BASE
+    + f"""
+, l AS (
+  SELECT u, tu, value FROM base WHERE metric = 'click'
+), r0 AS (
+  SELECT u, tu, max(value) AS value FROM base WHERE metric = 'purchase'
+  GROUP BY u, tu
+)
+SELECT l.u AS u, l.tu AS ts, l.value AS value,
+  CASE WHEN r0.tu >= l.tu - {ASOF_TOL_US} THEN r0.value END AS value_right,
+  CASE WHEN r0.tu >= l.tu - {ASOF_TOL_US} THEN r0.tu END AS ts_right
+FROM l ASOF LEFT JOIN r0 ON l.u = r0.u AND l.tu >= r0.tu
+""",
+)

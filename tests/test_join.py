@@ -98,3 +98,34 @@ def test_join_eval_expression(eng):
     # m2 - 2*m1 == 0 where both present; NaN/null rows dropped (ts%3==0)
     assert [r.ts for r in out] == [t for t in range(100, 106) if t % 3 != 0]
     assert all(abs(r.value) < 1e-9 for r in out)
+
+
+def test_asof_join_semantics(spark):
+    from stdb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 20, 2.0), ("a", 5, 0.5), ("b", 10, 9.0)],
+        "k string, ts long, value double",
+    )
+    right = spark.createDataFrame(
+        # ts=10 duplicated -> max(value)=7.0 wins; b has no rows at all
+        [("a", 10, 6.0), ("a", 10, 7.0), ("a", 12, 8.0)],
+        "k string, ts long, value double",
+    )
+    out = {
+        (r.k, r.ts): (r.value_right, r.ts_right)
+        for r in asof_join(left, right, on="ts", by=["k"], right_cols=["value"]).collect()
+    }
+    assert out[("a", 10)] == (7.0, 10)  # inclusive tie, same-ts dedup by max
+    assert out[("a", 20)] == (8.0, 12)  # most recent <= 20
+    assert out[("a", 5)] == (None, None)  # nothing at or before 5
+    assert out[("b", 10)] == (None, None)  # key with no right rows
+
+    tol = {
+        (r.k, r.ts): (r.value_right, r.ts_right)
+        for r in asof_join(
+            left, right, on="ts", by=["k"], right_cols=["value"], tolerance=3
+        ).collect()
+    }
+    assert tol[("a", 20)] == (None, None)  # 12 < 20-3 -> stale, nulled
+    assert tol[("a", 10)] == (7.0, 10)
