@@ -1209,3 +1209,49 @@ SELECT l.u AS u, l.tu AS ts, l.value AS value,
 FROM l ASOF LEFT JOIN r0 ON l.u = r0.u AND l.tu >= r0.tu
 """,
 )
+
+
+# Interval join (SURVEY §2.3): attribute each click to the 1-day promo
+# window opened by any purchase of the same user.  Spark side is the
+# bucketized equi-join in operators/interval.py (no nested-loop range
+# join); oracle is the plain BETWEEN join.
+def _ts_interval(spark, sf):
+    from stdb_spark.operators.interval import interval_join
+
+    samples = model.events_as_samples(spark, sf).select(
+        F.col("metric"),
+        F.col("tags")["user"].alias("u"),
+        F.expr("ts div 1000").alias("ts"),
+        "value",
+    )
+    points = samples.filter(F.col("metric") == "click").select("u", "ts", "value")
+    intervals = (
+        samples.filter(F.col("metric") == "purchase")
+        .select(
+            "u",
+            F.col("ts").alias("begin"),
+            (F.col("ts") + F.lit(D1_US)).alias("end"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return interval_join(
+        points, intervals, ts="ts", by=["u"], bucket_width=D1_US
+    )
+
+
+_q(
+    "ts_interval_join",
+    _ts_interval,
+    BASE
+    + f"""
+, p AS (
+  SELECT u, tu, value FROM base WHERE metric = 'click'
+), iv AS (
+  SELECT u, tu AS b, tu + {D1_US} AS e, value AS pv
+  FROM base WHERE metric = 'purchase'
+)
+SELECT p.u AS u, p.tu AS ts, p.value AS value,
+       iv.b AS begin, iv.e AS "end", iv.pv AS purchase_value
+FROM p JOIN iv ON p.u = iv.u AND p.tu >= iv.b AND p.tu < iv.e
+""",
+)

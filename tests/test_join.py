@@ -129,3 +129,24 @@ def test_asof_join_semantics(spark):
     }
     assert tol[("a", 20)] == (None, None)  # 12 < 20-3 -> stale, nulled
     assert tol[("a", 10)] == (7.0, 10)
+
+
+def test_interval_join_bucketized(spark):
+    from stdb_spark.operators.interval import interval_join
+
+    points = spark.createDataFrame(
+        [("a", 5, 1.0), ("a", 15, 2.0), ("a", 25, 3.0), ("b", 5, 4.0)],
+        "k string, ts long, value double",
+    )
+    intervals = spark.createDataFrame(
+        # [0,10) and [4,26): ts=5 in both; [4,26) spans 3 buckets at W=10
+        [("a", 0, 10, "x"), ("a", 4, 26, "y")],
+        "k string, begin long, end long, tag string",
+    )
+    out = sorted(
+        (r.k, r.ts, r.tag)
+        for r in interval_join(
+            points, intervals, by=["k"], bucket_width=10
+        ).collect()
+    )
+    assert out == [("a", 5, "x"), ("a", 5, "y"), ("a", 15, "y"), ("a", 25, "y")]
