@@ -26,10 +26,14 @@ HEADLINE = [
     "ts_rate",
     "ts_top_timeweighted",
     "ts_select_events_regex",
+    "ts_asof_join",
+    "ts_interval_join",
     "rel_q1_pricing_summary",
     "rel_q3_shipping_priority",
     "rel_q5_local_supplier_volume",
     "rel_q6_forecast_revenue",
+    "rel_q14_promo_effect",
+    "rel_q18_large_volume_customers",
     "doc_ngram_jaccard_pairs",
     "doc_minhash_lsh_candidates",
     "doc_simhash",

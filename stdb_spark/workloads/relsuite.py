@@ -284,3 +284,91 @@ GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey LIMIT 20
 """,
 )
+
+
+# --------------------------------------------------------------- Q14-like
+# Promotion effect: conditional aggregation over a broadcast part join.
+def _tpch_q14(spark, sf):
+    li = model.load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp_ntz"))
+    )
+    part = model.load_table(spark, sf, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = f"CASE WHEN p_type LIKE 'PROMO%' THEN {DISC_PRICE} ELSE CAST(0 AS DECIMAL(18,6)) END"
+    return joined.agg(
+        F.expr(
+            f"100.0 * {sum_spark(promo)} / {sum_spark(DISC_PRICE)}"
+        ).alias("promo_revenue")
+    )
+
+
+_q(
+    "rel_q14_promo_effect",
+    _tpch_q14,
+    f"""
+SELECT 100.0 * {sum_duck(f"CASE WHEN p_type LIKE 'PROMO%' THEN {DISC_PRICE} ELSE CAST(0 AS DECIMAL(18,6)) END")}
+     / {sum_duck(DISC_PRICE)} AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+""",
+)
+
+
+# --------------------------------------------------------------- Q18-like
+# Large-volume customers: semi-join against a HAVING subquery, then a
+# three-way join with re-aggregation.  The HAVING set is tiny, so the
+# semi-join broadcasts under AQE; the big fact shuffles once on
+# l_orderkey (reused by both the subquery agg and the final agg).
+def _tpch_q18(spark, sf):
+    li = model.load_table(spark, sf, "lineitem")
+    orders = model.load_table(spark, sf, "orders")
+    cust = model.load_table(spark, sf, "customer")
+    qty = "CAST(l_quantity AS DECIMAL(18,2))"
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.expr(f"sum({qty})").alias("_sq"))
+        .filter(F.col("_sq") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.expr(sum_spark(qty)).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+_q(
+    "rel_q18_large_volume_customers",
+    _tpch_q18,
+    """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+""",
+)
