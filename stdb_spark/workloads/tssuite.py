@@ -1255,3 +1255,27 @@ SELECT p.u AS u, p.tu AS ts, p.value AS value,
 FROM p JOIN iv ON p.u = iv.u AND p.tu >= iv.b AND p.tu < iv.e
 """,
 )
+
+
+# SAX words (SURVEY §2.5 dormant payload type, implemented per the
+# public Lin/Keogh algorithm): one 8-symbol, 4-letter word per
+# purchase series.
+def _ts_sax(spark, sf):
+    from stdb_spark.operators.sax import sax_words
+
+    return sax_words(
+        _samples(spark, sf, "purchase"), word_len=8, alphabet=4
+    )
+
+
+def _sax_oracle():
+    from stdb_spark.operators.sax import sax_oracle_sql
+
+    base = (
+        "SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series, "
+        "epoch_us(ts) AS tu, value FROM events WHERE event_type = 'purchase'"
+    )
+    return sax_oracle_sql(base, word_len=8, alphabet=4)
+
+
+_q("ts_sax_words", _ts_sax, _sax_oracle())

@@ -149,3 +149,17 @@ def test_math_fold_over_join(spark, multi_metric):
     for r in out:
         expect = 0.1 * r.ts + (0.2 * r.ts if r.ts % 3 != 0 else 0.0)
         assert r.value == pytest.approx(expect)
+
+
+def test_sax_words_hand_computed(spark):
+    from stdb_spark.operators.sax import sax_words
+
+    rows = [("s1", t, float(v)) for t, v in enumerate([0, 0, 10, 10, 0, 0, 10, 10])]
+    rows += [("flat", t, 5.0) for t in range(4)]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    out = {r.series: (r.n_points, r.sax_word) for r in
+           sax_words(df, word_len=4, alphabet=4).collect()}
+    # s1 segment means: [0, 10, 0, 10] -> z = [-1, 1, -1, 1] -> a d a d
+    assert out["s1"] == (8, "adad")
+    # constant series: std == 0 -> z = 0 -> middle symbol 'c' everywhere
+    assert out["flat"] == (4, "cccc")
