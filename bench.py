@@ -28,6 +28,7 @@ HEADLINE = [
     "ts_select_events_regex",
     "ts_asof_join",
     "ts_interval_join",
+    "ts_sax_words",
     "rel_q1_pricing_summary",
     "rel_q3_shipping_priority",
     "rel_q5_local_supplier_volume",
