@@ -326,25 +326,26 @@ def _tpch_q18(spark, sf):
     orders = model.load_table(spark, sf, "orders")
     cust = model.load_table(spark, sf, "customer")
     qty = "CAST(l_quantity AS DECIMAL(18,2))"
+    # Every output group key is functionally dependent on o_orderkey, so
+    # the classic Q18 re-aggregation after the semi-join is redundant:
+    # aggregate lineitem ONCE per order, filter the HAVING threshold,
+    # and join the (tiny) survivor set to orders + broadcast customer.
+    # One fact scan and one fact shuffle instead of two of each.
     big = (
         li.groupBy("l_orderkey")
         .agg(F.expr(f"sum({qty})").alias("_sq"))
         .filter(F.col("_sq") > 300)
-        .select("l_orderkey")
     )
     return (
-        li.join(big, "l_orderkey")
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.expr(sum_spark(qty)).alias("sum_qty"))
         .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
             "o_totalprice",
-            "sum_qty",
+            F.expr("CAST(_sq AS DOUBLE)").alias("sum_qty"),
         )
         .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
         .limit(100)
