@@ -93,10 +93,21 @@ class Engine:
         events: DataFrame | None = None,
         series: DataFrame | None = None,
         exact_sums: bool = False,
+        ts_slack_ns: int = 0,
     ):
         self.spark = spark
         self.samples = samples
         self.events = events
+        # If the bound DataFrames carry a ``ts_raw`` column (the untouched
+        # storage timestamp, e.g. before µs truncation), range queries also
+        # apply *coarse* bounds on it widened by ts_slack_ns (the max
+        # distance |ts - ts_raw| the transform can introduce).  Filters on
+        # the derived ``ts`` are arithmetic over the parquet column and
+        # never reach PushedFilters; the ts_raw bounds do — at 100 TB with
+        # time-sorted row groups this is the NB+tree time-descent analog
+        # (stdb/storage/nbtree.cc:471-616): read one day, not the full
+        # metric history.
+        self.ts_slack_ns = ts_slack_ns
         if series is None and samples is not None:
             series = model.series_registry(samples)
         self.series = series
@@ -207,15 +218,27 @@ class Engine:
                 df = df.filter(_or_all(combos))
         return df
 
-    @staticmethod
-    def _range(df: DataFrame, req: QueryRequest) -> DataFrame:
+    def _range(self, df: DataFrame, req: QueryRequest) -> DataFrame:
         """Half-open [from, to); reversed bounds scan backward over
-        (to, from] (operator.h:88-94)."""
+        (to, from] (operator.h:88-94).  When a ``ts_raw`` column is bound,
+        coarse bounds on it are added so the Parquet scan prunes row
+        groups (see __init__ on ts_slack_ns)."""
         if req.begin is None:
             return df
+        g = self.ts_slack_ns
         if req.backward:
-            return df.filter((F.col("ts") <= req.begin) & (F.col("ts") > req.end))
-        return df.filter((F.col("ts") >= req.begin) & (F.col("ts") < req.end))
+            cond = (F.col("ts") <= req.begin) & (F.col("ts") > req.end)
+            if "ts_raw" in df.columns:
+                cond = cond & (F.col("ts_raw") <= req.begin + g) & (
+                    F.col("ts_raw") > req.end
+                )
+        else:
+            cond = (F.col("ts") >= req.begin) & (F.col("ts") < req.end)
+            if "ts_raw" in df.columns:
+                cond = cond & (F.col("ts_raw") >= req.begin) & (
+                    F.col("ts_raw") < req.end + g
+                )
+        return df.filter(cond)
 
     @staticmethod
     def _group_remap(df: DataFrame, req: QueryRequest) -> DataFrame:

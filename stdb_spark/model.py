@@ -91,12 +91,47 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Runtime confs every entry point needs regardless of who built the
+# SparkSession.  The driver's correctness harness injects its *own* bare
+# session into ``__spark_entry__.queries()``, so relying on
+# ``session.get_spark`` to have set these at build time is not enough:
+#  - nanosAsLong: the events table is written as TIMESTAMP(NANOS), which
+#    vanilla Spark refuses to read (PARQUET_TYPE_ILLEGAL).  The engine's
+#    canonical unit is int64 ns (reference: stdb/common/basic.h:30-31).
+#  - ansi off: the reference is a C++ engine — float edge cases flow
+#    through as inf/NaN/NULL instead of raising.
+# All of these are runtime-settable SQL confs (verified on pyspark 4.1.2).
+_SESSION_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Idempotently apply the engine's required runtime confs to any
+    injected session (driver harness, bare notebook, tests)."""
+    for k, v in _SESSION_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            spark.conf.set(k, v)
+    return spark
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load only the requested tables.  Loading is lazy per-table (a
+    TPC-H query must not be able to fail on the events table's schema)."""
+    return {t: load_table(spark, sf_dir, t) for t in names}
 
 
 def events_as_samples(spark: SparkSession, sf_dir: str) -> DataFrame:

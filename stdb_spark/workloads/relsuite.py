@@ -127,7 +127,10 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 
 # ------------------------------------------------------------------ Q5-like
 def _tpch_q5(spark, sf):
-    t = model.load_tables(spark, sf)
+    t = model.load_tables(
+        spark, sf,
+        ("region", "nation", "customer", "supplier", "orders", "lineitem"),
+    )
     region = t["region"].filter(F.col("r_name") == "ASIA")
     orders = t["orders"].filter(
         (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
@@ -171,7 +174,7 @@ GROUP BY n_name
 def _top_suppliers(spark, sf):
     from pyspark.sql import Window
 
-    t = model.load_tables(spark, sf)
+    t = model.load_tables(spark, sf, ("supplier", "nation"))
     w = Window.partitionBy("s_nationkey").orderBy(
         F.col("s_acctbal").desc(), F.col("s_suppkey")
     )

@@ -44,11 +44,24 @@ DEC = "CAST(value AS DECIMAL(28,10))"
 
 def _engine(spark: SparkSession, sf_dir: str) -> Engine:
     """Engine over µs-truncated ns timestamps + exact (decimal) sums —
-    both required for bit-parity with the DuckDB oracle."""
+    both required for bit-parity with the DuckDB oracle.  ``ts_raw``
+    keeps the untruncated storage column so Engine._range can push coarse
+    time bounds into the Parquet scan (truncated-ts predicates are
+    arithmetic over the column and never reach PushedFilters)."""
     trunc = F.expr("(ts div 1000) * 1000")
-    samples = model.events_as_samples(spark, sf_dir).withColumn("ts", trunc)
-    events = model.events_as_event_stream(spark, sf_dir).withColumn("ts", trunc)
-    return Engine(spark, samples=samples, events=events, exact_sums=True)
+    samples = (
+        model.events_as_samples(spark, sf_dir)
+        .withColumn("ts_raw", F.col("ts"))
+        .withColumn("ts", trunc)
+    )
+    events = (
+        model.events_as_event_stream(spark, sf_dir)
+        .withColumn("ts_raw", F.col("ts"))
+        .withColumn("ts", trunc)
+    )
+    return Engine(
+        spark, samples=samples, events=events, exact_sums=True, ts_slack_ns=1000
+    )
 
 
 def _us(df: DataFrame) -> DataFrame:
@@ -58,14 +71,16 @@ def _us(df: DataFrame) -> DataFrame:
 def _samples(spark, sf_dir, metric, lo_us=None, hi_us=None):
     """Direct narrow view for the window-function queries: (series, ts
     µs-ns, value)."""
-    df = model.events_as_samples(spark, sf_dir).withColumn(
-        "ts", F.expr("(ts div 1000) * 1000")
-    )
+    df = model.events_as_samples(spark, sf_dir)
     df = df.filter(F.col("metric") == metric)
     if lo_us is not None:
+        # bounds are µs*1000 (multiples of the truncation grain), so the
+        # raw-ts filter is EXACTLY equivalent to filtering the truncated
+        # column — and it reaches the Parquet scan's PushedFilters.
         df = df.filter(
             (F.col("ts") >= lo_us * 1000) & (F.col("ts") < hi_us * 1000)
         )
+    df = df.withColumn("ts", F.expr("(ts div 1000) * 1000"))
     return df.select(
         F.concat(F.col("metric"), F.lit(" user="), F.col("tags")["user"]).alias(
             "series"
@@ -792,6 +807,7 @@ def _cohort_engine(spark, sf):
     trunc = F.expr("(ts div 1000) * 1000")
     samples = (
         model.events_as_samples(spark, sf)
+        .withColumn("ts_raw", F.col("ts"))
         .withColumn("ts", trunc)
         .withColumn(
             "tags",
@@ -804,7 +820,7 @@ def _cohort_engine(spark, sf):
             ),
         )
     )
-    return Engine(spark, samples=samples, exact_sums=True)
+    return Engine(spark, samples=samples, exact_sums=True, ts_slack_ns=1000)
 
 
 _q(
