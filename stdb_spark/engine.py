@@ -94,10 +94,18 @@ class Engine:
         series: DataFrame | None = None,
         exact_sums: bool = False,
         ts_slack_ns: int = 0,
+        summaries: DataFrame | None = None,
+        summary_step_ns: int | None = None,
     ):
         self.spark = spark
         self.samples = samples
         self.events = events
+        # optional pre-aggregated per-(series, coarse-bucket) table
+        # (sources.storage.summary_table): bucket-aligned `aggregate`
+        # queries are answered from it without touching leaf rows — the
+        # SubtreeRef pushdown analog (stdb/storage/nbtree.cc:922-1035)
+        self.summaries = summaries
+        self.summary_step_ns = summary_step_ns
         # If the bound DataFrames carry a ``ts_raw`` column (the untouched
         # storage timestamp, e.g. before µs truncation), range queries also
         # apply *coarse* bounds on it widened by ts_slack_ns (the max
@@ -142,13 +150,27 @@ class Engine:
     # ------------------------------------------------------------------
     def search(self, q) -> DataFrame:
         """Search endpoint: metric + where -> matching series names
-        (parse_search_query, queryparser.cc:1009-1059)."""
+        (parse_search_query, queryparser.cc:1009-1059).
+
+        Matching modes (SeriesRetreiver, queryparser.cc:160-275):
+        - default: exact metric equality (SeriesRetreiver::match);
+        - ``"fuzzy": true``: the metric is a PREFIX — the reference
+          builds ``<metric>\\S*(\\s k=v)*`` over canonical names
+          (fuzzy_match, queryparser.cc:210-260), which on the narrow
+          model is a startswith on the metric column (autocomplete);
+        - ``"regex": <pattern>``: regex over the full canonical series
+          name (PlainSeriesMatcher::regex_match).
+        All run on the (small) series registry — sub-second anywhere."""
         if self.series is None:
             raise QueryParseError("no series registry bound")
         q = dict(q)
         metric = q.get("select")
         df = self.series
-        if metric:
+        if q.get("regex"):
+            df = df.filter(F.col("name").rlike(str(q["regex"])))
+        elif metric and q.get("fuzzy"):
+            df = df.filter(F.col("metric").startswith(metric))
+        elif metric:
             df = df.filter(F.col("metric") == metric)
         req = QueryRequest(kind=QueryKind.SELECT_META)
         from stdb_spark.query.parser import _parse_limit_offset, _parse_where
@@ -326,17 +348,81 @@ class Engine:
         return self._limit(out, req)
 
     # ------------------------------------------------------------------
+    # summary-table aggregate pushdown
+    _SUMMARY_FUNCS = {
+        "min", "max", "sum", "count", "cnt", "mean", "first", "last",
+        "min_timestamp", "max_timestamp", "first_timestamp", "last_timestamp",
+    }
+
+    @staticmethod
+    def _summary_agg_expr(func: str) -> "F.Column":
+        """Combine bucket summaries into the whole-range aggregate —
+        AggregationResult::combine (operator.h:48-73) as one Catalyst
+        expression per function.  Exactness: `sum` is decimal (exact,
+        order-free); min/max/first/last carry their timestamps so struct
+        ordering reproduces the leaf scan's deterministic tiebreaks."""
+        table = {
+            "min": F.min(F.struct("min", "min_ts")).getField("min"),
+            "max": F.max(F.struct("max", "max_ts")).getField("max"),
+            "sum": F.sum("sum").cast("double"),
+            "count": F.sum("cnt").cast("double"),
+            "cnt": F.sum("cnt").cast("double"),
+            "mean": F.sum("sum").cast("double") / F.sum("cnt"),
+            "first": F.min(F.struct("first_ts", "first")).getField("first"),
+            "last": F.max(F.struct("last_ts", "last")).getField("last"),
+            "min_timestamp": F.min(F.struct("min", "min_ts"))
+            .getField("min_ts").cast("double"),
+            "max_timestamp": F.max(F.struct("max", "max_ts"))
+            .getField("max_ts").cast("double"),
+            "first_timestamp": F.min("first_ts").cast("double"),
+            "last_timestamp": F.max("last_ts").cast("double"),
+        }
+        return table[func]
+
+    def _aggregate_from_summaries(self, req: QueryRequest, all_funcs: list[str]):
+        """Planner choice: answer `aggregate` from the summary table when
+        it is provably exact — forward scan, range aligned to the summary
+        step (or absent), no tag regrouping.  Returns None to fall back
+        to the leaf scan."""
+        if self.summaries is None or not self.summary_step_ns:
+            return None
+        if req.group_op or req.backward:
+            return None
+        if not set(all_funcs) <= self._SUMMARY_FUNCS:
+            return None
+        step = self.summary_step_ns
+        s = self.summaries
+        if req.begin is not None:
+            if req.begin % step or req.end % step:
+                return None
+            s = s.filter(
+                (F.col("bucket_ts") >= req.begin) & (F.col("bucket_ts") < req.end)
+            )
+        if req.metrics:
+            s = s.filter(F.col("metric").isin(list(dict.fromkeys(req.metrics))))
+        # tags live in the (small) series registry — bind there, then
+        # broadcast-join the matching series ids onto the summaries
+        reg = self._bind(self.series, req, metrics=req.metrics)
+        reg = reg.select("series_id", _tags_suffix().alias("_tags_s"))
+        s = s.join(F.broadcast(reg), "series_id")
+        return s.groupBy("metric", "_tags_s").agg(
+            *[self._summary_agg_expr(f).alias(f"_f_{f}") for f in all_funcs]
+        )
+
+    # ------------------------------------------------------------------
     def _aggregate(self, req: QueryRequest) -> DataFrame:
-        df = self._bind(self.samples, req)
-        df = self._range(df, req)
-        df = self._group_remap(df, req)
         by_metric: dict[str, list[str]] = {}
         for m, fn in zip(req.metrics, req.agg_funcs):
             by_metric.setdefault(m, []).append(fn)
         all_funcs = sorted({f for fs in by_metric.values() for f in fs})
-        gb = df.groupBy("metric", _tags_suffix().alias("_tags_s")).agg(
-            *[agg_expr(f, req.backward, exact=self.exact_sums).alias(f"_f_{f}") for f in all_funcs]
-        )
+        gb = self._aggregate_from_summaries(req, all_funcs)
+        if gb is None:
+            df = self._bind(self.samples, req)
+            df = self._range(df, req)
+            df = self._group_remap(df, req)
+            gb = df.groupBy("metric", _tags_suffix().alias("_tags_s")).agg(
+                *[agg_expr(f, req.backward, exact=self.exact_sums).alias(f"_f_{f}") for f in all_funcs]
+            )
         # one output row per requested (metric, func): a single explode of
         # per-metric (label, value) structs — NOT a union of one branch per
         # pair, which would recompute the final aggregate once per branch

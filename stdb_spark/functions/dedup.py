@@ -295,28 +295,62 @@ def simhash(df: DataFrame, text_col: str = "text", key: str = "doc_id", bits: in
 
 
 def hamming_pairs(
-    sigs: DataFrame, key: str = "doc_id", sig_col: str = "simhash", max_distance: int = 3
+    sigs: DataFrame,
+    key: str = "doc_id",
+    sig_col: str = "simhash",
+    max_distance: int = 3,
+    blocks: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by Hamming distance over SimHash signatures.
-    Blocked on the high 16 bits (a near-dup with distance<=3 collides in
-    at least one of 4 16-bit blocks; we check block 0 here and callers
-    union over rotations for full recall — documented trade-off)."""
-    blocked = sigs.withColumn("block", F.shiftrightunsigned(F.col(sig_col), 48))
-    a = blocked.alias("a")
-    b = blocked.alias("b")
-    dist = F.bit_count(F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}")))
-    return (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+    """Near-dup pairs by Hamming distance over SimHash signatures —
+    FULL recall via the pigeonhole blocking scheme: split the 64-bit
+    signature into ``blocks`` equal slices; any pair with distance <
+    ``blocks`` must agree on at least one slice, so checking every slice
+    misses nothing (requires max_distance <= blocks - 1, asserted).
+
+    Shape: one postings shuffle, not ``blocks`` self-joins — explode each
+    signature into (block_idx, block_bits) postings, group, emit i<j
+    pairs with chained explodes (same pattern as minhash_lsh_candidates),
+    verify exact bit_count distance, distinct (a pair may collide in
+    several blocks)."""
+    if max_distance > blocks - 1:
+        raise ValueError(
+            f"max_distance={max_distance} needs > {blocks} blocks for full recall"
         )
-        .select(
-            F.col(f"a.{key}").alias("a"),
-            F.col(f"b.{key}").alias("b"),
-            dist.alias("hamming"),
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    posting = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("bi"),
+                    F.shiftrightunsigned(F.col(sig_col), i * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bv"),
+                )
+                for i in range(blocks)
+            ]
+        )
+    )
+    posted = sigs.select(F.col(key), F.col(sig_col), posting.alias("_p")).select(
+        key, sig_col, F.col("_p.bi").alias("bi"), F.col("_p.bv").alias("bv")
+    )
+    grouped = posted.groupBy("bi", "bv").agg(
+        F.collect_list(F.struct(F.col(key).alias("k"), F.col(sig_col).alias("s"))).alias(
+            "ds"
+        )
+    )
+    pairs = (
+        grouped.select(F.explode("ds").alias("x"), F.col("ds"))
+        .select("x", F.explode("ds").alias("y"))
+        .filter(F.col("x.k") < F.col("y.k"))
+    )
+    dist = F.bit_count(F.col("x.s").bitwiseXOR(F.col("y.s")))
+    return (
+        pairs.select(
+            F.col("x.k").alias("a"), F.col("y.k").alias("b"), dist.alias("hamming")
         )
         .filter(F.col("hamming") <= max_distance)
+        .distinct()
     )
 
 

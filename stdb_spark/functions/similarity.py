@@ -150,6 +150,75 @@ def lsh_top_k(
     )
 
 
+def with_lsh_signatures(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    prefix: str = "lsh_sig_",
+) -> DataFrame:
+    """Write-time signature columns: one long per hash table.  Persist
+    the result (ideally partitioned/clustered by a signature) and ANN
+    queries become bucket-equality scans — `lsh_top_k` recomputes all
+    H dot products per row per query, which is scan-bound at 100 TB."""
+    out = df
+    for t in range(n_tables):
+        out = out.withColumn(
+            f"{prefix}{t}", lsh_signature_col(vec_col, dim, n_planes, t)
+        )
+    return out
+
+
+def query_lsh_signatures(
+    query_vec: list[float], n_planes: int = 8, n_tables: int = 4
+) -> list[int]:
+    """Driver-side signatures of one query vector, one per hash table."""
+    import numpy as np
+
+    qv = np.array(query_vec, dtype="float64")
+    sigs = []
+    for t in range(n_tables):
+        s = 0
+        for j in range(n_planes):
+            plane = np.array(_hyperplane(len(query_vec), t * 1000 + j))
+            if float(np.dot(qv, plane)) >= 0:
+                s |= 1 << j
+        sigs.append(s)
+    return sigs
+
+
+def lsh_top_k_presigned(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    prefix: str = "lsh_sig_",
+) -> DataFrame:
+    """ANN top-k over a table that already carries signature columns
+    (see ``with_lsh_signatures``).  The candidate filter is a plain OR
+    of long-equality predicates — it reaches Parquet PushedFilters, so
+    the scan touches ~n_tables/2^n_planes of the row groups instead of
+    computing hyperplane dot products over every row.  Same result set
+    as ``lsh_top_k`` (identical buckets, exact cosine re-rank)."""
+    qsigs = query_lsh_signatures(query_vec, n_planes, n_tables)
+    cond = None
+    for t, qs in enumerate(qsigs):
+        c = F.col(f"{prefix}{t}") == F.lit(qs)
+        cond = c if cond is None else cond | c
+    cands = df.filter(cond)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = cosine_expr(F.col(vec_col), q)
+    return (
+        cands.select(F.col(key), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(key))
+        .limit(k)
+    )
+
+
 def centroid_per_label(
     df: DataFrame, vec_col: str = "embedding", label: str = "label"
 ) -> DataFrame:

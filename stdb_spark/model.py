@@ -170,12 +170,23 @@ def events_as_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def series_registry(samples: DataFrame) -> DataFrame:
     """Derive the series dimension (the SeriesMatcher analog,
     stdb/index/series_matcher.h:40-56) from a fact table.  Small by
-    construction (cardinality = #series), so broadcastable."""
-    return (
-        samples.select("series_id", "metric", "tags")
+    construction (cardinality = #series), so broadcastable.
+
+    Per-series static locations (stdb/index/rtree.h:594-611): when the
+    fact table carries lon/lat columns they ride through the dedup
+    row-atomically (same dropDuplicates row), so §2.9 spatial queries
+    run against the engine's own registry."""
+    cols = ["series_id", "metric", "tags"]
+    has_loc = "lon" in samples.columns and "lat" in samples.columns
+    if has_loc:
+        cols += ["lon", "lat"]
+    reg = (
+        samples.select(*cols)
         .dropDuplicates(["series_id"])
         .withColumn("name", canonical_name_col())
-        .withColumn("lon", F.lit(None).cast("float"))
-        .withColumn("lat", F.lit(None).cast("float"))
-        .select("series_id", "name", "metric", "tags", "lon", "lat")
     )
+    if not has_loc:
+        reg = reg.withColumn("lon", F.lit(None).cast("float")).withColumn(
+            "lat", F.lit(None).cast("float")
+        )
+    return reg.select("series_id", "name", "metric", "tags", "lon", "lat")

@@ -45,8 +45,10 @@ def asof_join(
 
     right_cols: value columns to carry from the right side (default:
     all non-key columns).  The matched right timestamp is exposed as
-    ``{on}{suffix}``.  If multiple right rows share (by, on), the one
-    with the greatest first value column wins (deterministic).
+    ``{on}{suffix}``.  If multiple right rows share (by, on), the whole
+    ROW whose value-struct sorts greatest wins (lexicographic over
+    right_cols; deterministic and row-atomic — never a column mix of
+    two tied rows).
     tolerance: max allowed ``left.on - right.on`` (same unit as the
     column); older matches are nulled out.
     """
@@ -55,10 +57,17 @@ def asof_join(
         right_cols = [c for c in right.columns if c not in (*by, on)]
     right_cols = list(right_cols)
 
-    # one row per (by, on) on the right, deterministic across engines
-    r = right.groupBy(*by, on).agg(
-        *[F.max(c).alias(c) for c in right_cols]
-    )
+    # one row per (by, on) on the right, deterministic across engines.
+    # Row-atomic: max_by over the whole value struct — independent
+    # per-column max() could stitch values from *different* tied rows.
+    if right_cols:
+        vstruct = F.struct(*[F.col(c) for c in right_cols])
+        r = right.groupBy(*by, on).agg(
+            F.max_by(vstruct, vstruct).alias("_r_pick")
+        )
+        r = r.select(*by, on, *[F.col("_r_pick")[c].alias(c) for c in right_cols])
+    else:
+        r = right.select(*by, on).distinct()
 
     lcols = [c for c in left.columns if c not in (*by, on)]
     l_tagged = left.select(

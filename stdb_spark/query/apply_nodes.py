@@ -230,9 +230,12 @@ def apply_pipeline(
                 .groupBy("series")
                 .agg(F.sum("_w").alias("value"), ts_first.alias("ts"))
             )
-            total = F.sum("value").over(Window.partitionBy())
+            # scalar total broadcast-joined back in: a Window.partitionBy()
+            # (no keys) would funnel every per-series row through ONE task —
+            # fine at 10^4 series, a bottleneck at 10^8
+            total = counted.agg(F.sum("value").alias("_tot"))
             df = (
-                counted.withColumn("_tot", total)
+                counted.crossJoin(F.broadcast(total))
                 .filter(F.col("value") > F.col("_tot") * F.lit(portion))
                 .orderBy(F.col("value").desc(), F.col("series"))
                 .select("series", "ts", "value")
@@ -240,11 +243,25 @@ def apply_pipeline(
             value_cols = ["value"]
             preordered = True
         elif name == "eval":
+            import re
+
             expr_text = str(step["expr"])
-            # metric names become column references (longest-first so
-            # `cpu.user` wins over `cpu`) — eval.cc preProcessExpression
-            for col in sorted(value_cols, key=len, reverse=True):
-                expr_text = expr_text.replace(col, f"`{col}`")
+            # metric names become column references — tokenized, not raw
+            # substring replace (a metric named `e` or `sum` must not
+            # corrupt `exp(...)`).  A token that is a known column and is
+            # not called like a function gets backticked; the greedy
+            # identifier regex (dots allowed) makes `cpu.user` win over
+            # `cpu` for free — eval.cc preProcessExpression
+            names = set(value_cols)
+
+            def _quote(m: "re.Match[str]") -> str:
+                tok = m.group(0)
+                rest = m.string[m.end() : m.end() + 1]
+                if tok in names and rest != "(":
+                    return f"`{tok}`"
+                return tok
+
+            expr_text = re.sub(r"[A-Za-z_][A-Za-z0-9_.]*", _quote, expr_text)
             df = df.withColumn("value", F.expr(expr_text))
             df = df.filter(F.col("value").isNotNull() & ~F.isnan("value"))
             df = df.select("series", "ts", "value")

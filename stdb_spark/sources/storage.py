@@ -76,16 +76,23 @@ def summary_table(samples: DataFrame, step_ns: int = NS_PER_DAY) -> DataFrame:
     count/min/max/sum/first/last and whole-range aggregates combine
     them without touching leaves).
 
-    A full-range `aggregate` query can be answered from this table via
-    AggregationResult::combine semantics (sum of sums, min of mins,
-    first by min ts...) at 1/N the scan cost.  Kept as an explicit
-    planner choice, not a Catalyst rule (SURVEY.md §4)."""
+    A bucket-aligned `aggregate` query can be answered from this table
+    via AggregationResult::combine semantics (sum of sums, min of mins,
+    first by min ts...) at 1/N the scan cost — wired into
+    Engine._aggregate as an explicit planner choice, not a Catalyst rule
+    (SURVEY.md §4).
+
+    ``sum`` is stored as decimal(38,10): decimal addition is exact and
+    associative, so combining bucket sums in ANY grouping reproduces the
+    leaf scan's exact-sum answer bit-for-bit.  min/max carry the ts at
+    which they occur (smallest-ts tiebreak via (value, ts) struct order)
+    so min_timestamp/max_timestamp combine exactly too."""
     bucket = (F.expr(f"ts div {step_ns}L") * step_ns).alias("bucket_ts")
     return samples.groupBy("series_id", "metric", bucket).agg(
         F.count("value").alias("cnt"),
-        F.sum("value").alias("sum"),
-        F.min("value").alias("min"),
-        F.max("value").alias("max"),
+        F.sum(F.col("value").cast("decimal(38,10)")).alias("sum"),
+        F.min(F.struct("value", "ts")).alias("_minv"),
+        F.max(F.struct("value", "ts")).alias("_maxv"),
         F.min(F.struct("ts", "value")).alias("_first"),
         F.max(F.struct("ts", "value")).alias("_last"),
     ).select(
@@ -94,8 +101,10 @@ def summary_table(samples: DataFrame, step_ns: int = NS_PER_DAY) -> DataFrame:
         "bucket_ts",
         "cnt",
         "sum",
-        "min",
-        "max",
+        F.col("_minv.value").alias("min"),
+        F.col("_minv.ts").alias("min_ts"),
+        F.col("_maxv.value").alias("max"),
+        F.col("_maxv.ts").alias("max_ts"),
         F.col("_first.ts").alias("first_ts"),
         F.col("_first.value").alias("first"),
         F.col("_last.ts").alias("last_ts"),
@@ -108,10 +117,10 @@ def combine_summaries(summaries: DataFrame) -> DataFrame:
     stdb/storage/operators/operator.h:48-73)."""
     return summaries.groupBy("series_id", "metric").agg(
         F.sum("cnt").alias("cnt"),
-        F.sum("sum").alias("sum"),
-        F.min("min").alias("min"),
-        F.max("max").alias("max"),
-        (F.sum("sum") / F.sum("cnt")).alias("mean"),
+        F.sum("sum").cast("double").alias("sum"),
+        F.min(F.struct("min", "min_ts")).getField("min").alias("min"),
+        F.max(F.struct("max", "max_ts")).getField("max").alias("max"),
+        (F.sum("sum").cast("double") / F.sum("cnt")).alias("mean"),
         F.min(F.struct("first_ts", "first")).getField("first").alias("first"),
         F.max(F.struct("last_ts", "last")).getField("last").alias("last"),
         F.min("first_ts").alias("first_timestamp"),

@@ -330,6 +330,24 @@ _q(
     _simhash_sql(),
 )
 
+# SimHash near-dup pairs with FULL recall (4-block pigeonhole: any pair
+# at distance <= 3 agrees on >= 1 of the 4 16-bit blocks).  The oracle
+# is the unblocked all-pairs scan — identical output because the
+# blocking provably misses nothing at this distance.
+_q(
+    "doc_hamming_near_dups",
+    lambda spark, sf: dedup.hamming_pairs(
+        dedup.simhash(model.load_table(spark, sf, "documents")), max_distance=3
+    ).select("a", "b", F.col("hamming").cast("long").alias("hamming")),
+    f"""
+WITH sims AS ({_simhash_sql()})
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+""",
+)
+
 
 # ---------------------------------------------------------- quality score
 def _quality(spark, sf):
@@ -440,6 +458,40 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 
 
 _q("emb_ann_lsh", _emb_ann_lsh, _emb_ann_lsh_sql())
+
+
+# Write-time-signature variant: the 100 TB path.  Signatures are
+# materialized ONCE per sf into a repo-local parquet cache (standing in
+# for the real deployment's write-time columns); the query is then an
+# OR of long-equality predicates that reaches Parquet PushedFilters —
+# no per-row hyperplane dot products at query time.  Same buckets, same
+# re-rank, so the oracle is identical to emb_ann_lsh.
+def _emb_ann_lsh_presigned(spark, sf):
+    import os
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".cache",
+        f"emb_lsh_{os.path.basename(os.path.normpath(sf))}.parquet",
+    )
+    if not os.path.isdir(cache):
+        signed = similarity.with_lsh_signatures(
+            model.load_table(spark, sf, "embeddings"),
+            dim=_DIM,
+            n_planes=_LSH_PLANES,
+            n_tables=_LSH_TABLES,
+        )
+        signed.write.mode("overwrite").parquet(cache)
+    return similarity.lsh_top_k_presigned(
+        spark.read.parquet(cache),
+        _QVEC,
+        k=10,
+        n_planes=_LSH_PLANES,
+        n_tables=_LSH_TABLES,
+    )
+
+
+_q("emb_ann_lsh_presigned", _emb_ann_lsh_presigned, _emb_ann_lsh_sql())
 
 
 # ------------------------------------------------------------- multimodal

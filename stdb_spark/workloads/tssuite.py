@@ -187,6 +187,70 @@ UNION ALL SELECT 'error:last user=' || u, f_last FROM g
 """,
 )
 
+# Summary-table pushdown: the engine answers a bucket-aligned aggregate
+# from per-(series, day) pre-aggregates (storage.summary_table — the
+# SubtreeRef analog, stdb/storage/nbtree_def.h:47-84) instead of leaf
+# rows.  The oracle is the LEAF-scan answer: passing proves
+# AggregationResult::combine semantics are exact (decimal sums are
+# order-free; min/max/first/last carry timestamps for tiebreaks).
+def _engine_with_summaries(spark: SparkSession, sf_dir: str) -> Engine:
+    from stdb_spark.sources import storage
+
+    trunc = F.expr("(ts div 1000) * 1000")
+    samples = (
+        model.events_as_samples(spark, sf_dir)
+        .withColumn("ts_raw", F.col("ts"))
+        .withColumn("ts", trunc)
+    )
+    return Engine(
+        spark,
+        samples=samples,
+        exact_sums=True,
+        ts_slack_ns=1000,
+        summaries=storage.summary_table(samples, step_ns=D1),
+        summary_step_ns=D1,
+    )
+
+
+_q(
+    "ts_aggregate_summary_pushdown",
+    lambda spark, sf: _engine_with_summaries(spark, sf).query(
+        {
+            "aggregate": {
+                "error": ["min", "max", "count", "sum", "mean", "first", "last",
+                          "min_timestamp", "max_timestamp"]
+            },
+            "range": {"from": JAN05, "to": JAN15},
+        }
+    ),
+    BASE
+    + f"""
+, g AS (
+  SELECT u,
+    min(value) AS f_min, max(value) AS f_max,
+    CAST(count(value) AS DOUBLE) AS f_count,
+    CAST(CAST(sum({DEC}) AS VARCHAR) AS DOUBLE) AS f_sum,
+    CAST(CAST(sum({DEC}) AS VARCHAR) AS DOUBLE) / count(value) AS f_mean,
+    (min(struct_pack(t := tu, v := value))).v AS f_first,
+    (max(struct_pack(t := tu, v := value))).v AS f_last,
+    CAST((min(struct_pack(v := value, t := tu))).t * 1000 AS DOUBLE) AS f_mints,
+    CAST((max(struct_pack(v := value, t := tu))).t * 1000 AS DOUBLE) AS f_maxts
+  FROM base WHERE metric = 'error' AND tu >= {JAN05_US} AND tu < {JAN15_US}
+  GROUP BY u
+)
+SELECT 'error:min user=' || u AS series, f_min AS value FROM g
+UNION ALL SELECT 'error:max user=' || u, f_max FROM g
+UNION ALL SELECT 'error:count user=' || u, f_count FROM g
+UNION ALL SELECT 'error:sum user=' || u, f_sum FROM g
+UNION ALL SELECT 'error:mean user=' || u, f_mean FROM g
+UNION ALL SELECT 'error:first user=' || u, f_first FROM g
+UNION ALL SELECT 'error:last user=' || u, f_last FROM g
+UNION ALL SELECT 'error:min_timestamp user=' || u, f_mints FROM g
+UNION ALL SELECT 'error:max_timestamp user=' || u, f_maxts FROM g
+""",
+)
+
+
 _q(
     "ts_aggregate_timestamps",
     lambda spark, sf: _engine(spark, sf).query(
@@ -627,6 +691,35 @@ WHERE metric = 'purchase' AND u IN ('3', '7', '11')
 """,
 )
 
+# Fuzzy (prefix) search — SeriesRetreiver::fuzzy_match's `<metric>\S*`
+# canonical-name regex (queryparser.cc:210-260) = metric startswith on
+# the narrow model.  The autocomplete path a real user hits first.
+_q(
+    "ts_search_fuzzy",
+    lambda spark, sf: _engine(spark, sf).search(
+        {"select": "p", "fuzzy": True, "where": {"user": ["3", "7", "11"]}}
+    ),
+    BASE
+    + """
+SELECT DISTINCT metric || ' user=' || u AS series FROM base
+WHERE metric LIKE 'p%' AND u IN ('3', '7', '11')
+""",
+)
+
+# Regex search over full canonical names (PlainSeriesMatcher::regex_match,
+# stdb/index/series_matcher.cc).
+_q(
+    "ts_search_regex",
+    lambda spark, sf: _engine(spark, sf).search(
+        {"regex": "^(click|view) user=1[0-9]$"}
+    ),
+    BASE
+    + """
+SELECT DISTINCT metric || ' user=' || u AS series FROM base
+WHERE regexp_matches(metric || ' user=' || u, '^(click|view) user=1[0-9]$')
+""",
+)
+
 
 # ------------------------------------------------------------------- OHLC
 def _ts_ohlc(spark, sf):
@@ -726,6 +819,37 @@ SELECT user_id,
   sqrt((lon - CAST(116.2 AS DOUBLE)) * (lon - CAST(116.2 AS DOUBLE))
      + (lat - CAST(39.015 AS DOUBLE)) * (lat - CAST(39.015 AS DOUBLE))) AS dist
 FROM pts ORDER BY dist, user_id LIMIT 15
+""",
+)
+
+
+# Registry-driven spatial range: per-series static locations ride the
+# fact table into model.series_registry (rtree.h:594-611 surface), so
+# the MBR query runs on the engine's OWN series dimension — not an
+# ad-hoc DataFrame.
+def _sp_range_registry(spark, sf):
+    from stdb_spark.operators.spatial import range_query
+
+    samples = model.events_as_samples(spark, sf).select(
+        "*",
+        (F.lit(116.0) + (F.col("tags")["user"].cast("int") % 40) * 0.01).alias("lon"),
+        (F.lit(39.0) + F.expr("CAST(tags['user'] AS INT) div 40") * 0.01).alias("lat"),
+    )
+    eng = Engine(spark, samples=samples)
+    return range_query(eng.series, 116.05, 116.20, 39.0, 39.02).select(
+        F.col("name").alias("series"), "lon", "lat"
+    )
+
+
+_q(
+    "sp_range_query_registry",
+    _sp_range_registry,
+    _SP_BASE
+    + """
+SELECT DISTINCT e.event_type || ' user=' || CAST(p.user_id AS VARCHAR) AS series,
+       p.lon, p.lat
+FROM pts p JOIN events e ON e.user_id = p.user_id
+WHERE p.lon BETWEEN 116.05 AND 116.20 AND p.lat BETWEEN 39.0 AND 39.02
 """,
 )
 

@@ -136,6 +136,23 @@ def test_heavy_hitters_weighted(spark):
     assert [(r.series, r.value) for r in out] == [("m s=P", 100.0)]
 
 
+def test_eval_identifier_substitution_is_tokenized(spark):
+    """A metric named `e` must not corrupt `exp(...)`; function names that
+    collide with metric names stay callable (eval.cc preProcessExpression
+    done right)."""
+    from stdb_spark.query.apply_nodes import apply_pipeline
+
+    df = spark.createDataFrame(
+        [("s", 1, 1.0, 2.0)], "series string, ts long, e double, exp double"
+    )
+    out, cols, _ = apply_pipeline(
+        df, [{"name": "eval", "expr": "exp(e) + exp"}], ["e", "exp"]
+    )
+    import math
+
+    assert out.collect()[0].value == pytest.approx(math.e + 2.0)
+
+
 def test_math_fold_over_join(spark, multi_metric):
     eng = Engine(spark, samples=multi_metric)
     out = eng.query(

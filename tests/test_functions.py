@@ -54,9 +54,26 @@ def test_simhash_and_hamming(docs):
     sigs = dedup.simhash(docs)
     vals = {r.doc_id: r.simhash for r in sigs.collect()}
     assert vals[0] == vals[2]  # identical text -> identical signature
-    pairs = dedup.hamming_pairs(sigs, max_distance=64).collect()
+    pairs = dedup.hamming_pairs(sigs, max_distance=3).collect()
     d = {(r.a, r.b): r.hamming for r in pairs if (r.a, r.b) == (0, 2)}
     assert d.get((0, 2)) == 0
+
+
+def test_hamming_full_recall_high_bits(spark):
+    """A distance<=3 pair differing ONLY in the high 16 bits must be
+    found (the single-block scheme missed exactly this case)."""
+    rows = [
+        (1, 0x0123_4567_89AB_CDEF),
+        (2, 0x0123_4567_89AB_CDEF ^ (0b11 << 60)),  # 2 flipped bits in block 3
+        (3, 0x7FFF_0000_0000_0001),
+    ]
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {(r.a, r.b): r.hamming for r in dedup.hamming_pairs(sigs).collect()}
+    assert got == {(1, 2): 2}
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.hamming_pairs(sigs, max_distance=8, blocks=4)
 
 
 def test_lang_id(docs):

@@ -131,6 +131,20 @@ def test_asof_join_semantics(spark):
     assert tol[("a", 10)] == (7.0, 10)
 
 
+def test_asof_tie_dedup_is_row_atomic(spark):
+    """Two right rows tied on (k, ts) with two value columns: the winner
+    must be one ROW (greatest by struct), never a per-column max mix."""
+    from stdb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("a", 10, 0.0)], "k string, ts long, lv double")
+    right = spark.createDataFrame(
+        [("a", 10, 6.0, 99.0), ("a", 10, 7.0, 1.0)],
+        "k string, ts long, v1 double, v2 double",
+    )
+    row = asof_join(left, right, on="ts", by=["k"], right_cols=["v1", "v2"]).collect()[0]
+    assert (row.v1_right, row.v2_right) == (7.0, 1.0)  # NOT (7.0, 99.0)
+
+
 def test_interval_join_bucketized(spark):
     from stdb_spark.operators.interval import interval_join
 

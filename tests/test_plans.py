@@ -21,12 +21,24 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _plan_formatted(df) -> str:
+    """Full-width formatted plan — toString() truncates long filter
+    lists with '...', hiding the pushed predicates under test."""
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
 def test_select_pushes_filters_to_scan(spark):
     df = QUERIES["ts_select_range"](spark, SF)
-    plan = _plan(df)
-    # ts range + metric predicates must reach the parquet scan
+    plan = _plan_formatted(df)
+    # ts range + metric predicates must reach the parquet scan — even
+    # under the µs-truncation adapter, via the coarse ts_raw bounds
+    # (NB+tree time-descent parity, stdb/storage/nbtree.cc:471-616)
     assert "PushedFilters:" in plan
-    assert "IsNotNull(ts)" in plan or "GreaterThanOrEqual(ts" in plan
+    assert "GreaterThanOrEqual(ts,170441280" in plan, plan
+    assert "LessThan(ts,170527680" in plan, plan
+    assert "EqualTo(event_type,click)" in plan, plan
 
 
 def test_select_prunes_columns(spark):
@@ -112,8 +124,7 @@ def test_prune_range_partition_filters(spark, tmp_path):
 
 def test_engine_ts_range_pushdown_untruncated(spark):
     """The production engine path (no oracle µs-truncation adapter) must
-    push the ts range into the parquet scan for row-group skipping —
-    the truncated workload adapters knowingly give this up for parity."""
+    push the ts range into the parquet scan for row-group skipping."""
     from stdb_spark import model
     from stdb_spark.engine import Engine
 
