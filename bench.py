@@ -41,6 +41,9 @@ HEADLINE = [
     "doc_quality_score",
     "emb_ann_bruteforce",
     "emb_ann_lsh",
+    "emb_ann_lsh_presigned",
+    "doc_hamming_near_dups",
+    "ts_aggregate_summary_pushdown",
     "sp_knn",
     "sp_knn_grid",
 ]

@@ -194,6 +194,8 @@ UNION ALL SELECT 'error:last user=' || u, f_last FROM g
 # AggregationResult::combine semantics are exact (decimal sums are
 # order-free; min/max/first/last carry timestamps for tiebreaks).
 def _engine_with_summaries(spark: SparkSession, sf_dir: str) -> Engine:
+    import os
+
     from stdb_spark.sources import storage
 
     trunc = F.expr("(ts div 1000) * 1000")
@@ -202,12 +204,34 @@ def _engine_with_summaries(spark: SparkSession, sf_dir: str) -> Engine:
         .withColumn("ts_raw", F.col("ts"))
         .withColumn("ts", trunc)
     )
+    # summaries AND the series registry are WRITE-TIME artifacts (the
+    # reference maintains SubtreeRefs incrementally and persists the
+    # SeriesMatcher); materialize both once per sf into the repo-local
+    # cache so a summary-answered aggregate touches NO leaf rows
+    cache_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".cache",
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    summ_path = os.path.join(cache_root, f"summaries_{sf_tag}.parquet")
+    reg_path = os.path.join(cache_root, f"registry_{sf_tag}.parquet")
+    # coalesce: both artifacts are ~#series(*days) rows — tiny at any sf
+    # here; a real deployment sizes files to row-group targets instead
+    if not os.path.isdir(summ_path):
+        storage.summary_table(samples, step_ns=D1).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(summ_path)
+    if not os.path.isdir(reg_path):
+        model.series_registry(samples).coalesce(1).write.mode("overwrite").parquet(
+            reg_path
+        )
     return Engine(
         spark,
         samples=samples,
+        series=spark.read.parquet(reg_path),
         exact_sums=True,
         ts_slack_ns=1000,
-        summaries=storage.summary_table(samples, step_ns=D1),
+        summaries=spark.read.parquet(summ_path),
         summary_step_ns=D1,
     )
 
@@ -1262,6 +1286,42 @@ _q(
     """
 SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
        (epoch_us(ts) // 1000000) * 1000000 AS ts, value
+FROM events
+""",
+)
+
+
+# RESP ingest round-trip (RESPProtocolParser framing,
+# protocolparser.h:129-264): every event becomes a
+# ``+series / :ts / +value`` PDU, parsed back JVM-side by
+# parse_resp_pdus — including the double->string->double round-trip.
+def _ingest_resp_roundtrip(spark, sf):
+    from stdb_spark.sources.resp import parse_resp_pdus
+
+    ev = model.load_table(spark, sf, "events")
+    pdus = ev.select(
+        F.format_string(
+            "+%s user=%s\n:%d\n+%s",
+            F.col("event_type"),
+            F.col("user_id").cast("string"),
+            F.col("ts").cast("long"),
+            F.col("value").cast("string"),
+        ).alias("value")
+    )
+    parsed = parse_resp_pdus(pdus)
+    return parsed.select(
+        F.concat("metric", F.lit(" user="), F.col("tags")["user"]).alias("series"),
+        F.expr("ts div 1000").alias("ts"),
+        "value",
+    )
+
+
+_q(
+    "ingest_resp_roundtrip",
+    _ingest_resp_roundtrip,
+    """
+SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
+       epoch_us(ts) AS ts, value
 FROM events
 """,
 )
