@@ -46,6 +46,21 @@ def token_count_col(text: str | Column = "text") -> Column:
     return F.size(tokens_col(text))
 
 
+# GPT-2-style segmentation pattern, lookaround-free so it runs
+# identically under Java regex (Spark) and RE2 (DuckDB): an optional
+# leading space glued to a letter run, digit run, or symbol run.
+BPE_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_token_count_col(text: str | Column = "text") -> Column:
+    """Sub-word-ish token count for tokenizer cost accounting — the
+    deterministic proxy for a real BPE vocab (external model).  Unlike
+    :func:`bpe_ish_tokens_col` (lookarounds, Java-only), this pattern is
+    RE2-safe, so the DuckDB oracle reproduces it exactly."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), F.lit(0)))
+
+
 def stopword_ratio_col(text: str | Column = "text", stopwords: list[str] | None = None) -> Column:
     sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
     toks = tokens_col(text)

@@ -72,6 +72,13 @@ def agg_expr(
         "max_timestamp": maxv_s.getField(ts).cast("double"),
         "first_timestamp": first_ts.cast("double"),
         "last_timestamp": last_ts.cast("double"),
+        # --- extensions beyond the reference's 11 (SURVEY §2.4 "free in
+        # Spark if exposed"): exact distinct count and exact linear-
+        # interpolation percentiles (matching DuckDB quantile_cont)
+        "distinct_count": F.count_distinct(v).cast("double"),
+        "median": F.percentile(v, F.lit(0.5)),
+        "p90": F.percentile(v, F.lit(0.90)),
+        "p99": F.percentile(v, F.lit(0.99)),
     }
     if func not in table:
         raise ValueError(f"unknown aggregate function {func!r}")
@@ -111,5 +118,9 @@ def oracle_agg_sql(
         "max_timestamp": f"CAST(({maxv_s}).t AS DOUBLE)",
         "first_timestamp": f"CAST({first_ts} AS DOUBLE)",
         "last_timestamp": f"CAST({last_ts} AS DOUBLE)",
+        "distinct_count": f"CAST(count(DISTINCT {value}) AS DOUBLE)",
+        "median": f"quantile_cont({value}, 0.5)",
+        "p90": f"quantile_cont({value}, 0.90)",
+        "p99": f"quantile_cont({value}, 0.99)",
     }
     return table[func]

@@ -73,6 +73,11 @@ AGG_FUNCS = (
     "max_timestamp",
     "first_timestamp",
     "last_timestamp",
+    # extensions beyond the reference's 11 (SURVEY §2.4): Spark-free
+    "distinct_count",
+    "median",
+    "p90",
+    "p99",
 )
 
 

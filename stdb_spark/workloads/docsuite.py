@@ -150,6 +150,26 @@ SELECT doc_id, {case_sql} AS lang_pred FROM s
 _q("doc_lang_id", _langid, _langid_sql())
 
 
+# BPE-ish token counting (tokenizer cost accounting for a training-data
+# pipeline): whitespace count + sub-word-ish regex count side by side.
+_q(
+    "doc_bpe_token_count",
+    lambda spark, sf: model.load_table(spark, sf, "documents").select(
+        "doc_id",
+        text.token_count_col("text").cast("long").alias("ws_tokens"),
+        text.bpe_token_count_col("text").cast("long").alias("bpe_tokens"),
+    ),
+    f"""
+SELECT doc_id,
+  CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT)
+    AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '{text.BPE_PATTERN}')) AS BIGINT)
+    AS bpe_tokens
+FROM documents
+""",
+)
+
+
 # --------------------------------------------------------- n-gram jaccard
 _JACCARD_N = 2
 _JACCARD_T = 0.12
@@ -250,12 +270,7 @@ _MH_SHINGLE_N = 3
 _MH_A_LIST = "[" + ", ".join(str(a) for a in dedup.MINHASH_A[:_MH_K]) + "]"
 _MH_B_LIST = "[" + ", ".join(str(b) for b in dedup.MINHASH_B[:_MH_K]) + "]"
 
-_q(
-    "doc_minhash_lsh_candidates",
-    lambda spark, sf: dedup.minhash_lsh_candidates(
-        dedup.minhash_signatures(model.load_table(spark, sf, "documents"))
-    ),
-    f"""
+_MH_CTES = f"""
 WITH toks AS (
   SELECT doc_id, {_TOKS} AS t FROM documents
 ), sh AS (
@@ -279,10 +294,78 @@ WITH toks AS (
   SELECT doc_id, i // {_MH_R} AS band,
     md5(string_agg(h::VARCHAR, ',' ORDER BY i)) AS bucket
   FROM hs GROUP BY doc_id, i // {_MH_R}
+), cands AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
 )
-SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-FROM bands x JOIN bands y
-  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+"""
+
+_q(
+    "doc_minhash_lsh_candidates",
+    lambda spark, sf: dedup.minhash_lsh_candidates(
+        dedup.minhash_signatures(model.load_table(spark, sf, "documents"))
+    ),
+    _MH_CTES + "SELECT a, b FROM cands",
+)
+
+
+# Candidate verification: estimated Jaccard = matching signature slots /
+# K over the LSH candidate pairs — the full discover→verify pipeline a
+# dedup pass actually runs (candidates alone over-approximate).
+def _minhash_est(spark, sf):
+    sigs = dedup.minhash_signatures(model.load_table(spark, sf, "documents"))
+    cands = dedup.minhash_lsh_candidates(sigs)
+    return dedup.minhash_jaccard_estimate(sigs, cands)
+
+
+_q(
+    "doc_minhash_est_jaccard",
+    _minhash_est,
+    _MH_CTES
+    + f"""
+SELECT c.a, c.b,
+       CAST(count(*) FILTER (ha.h = hb.h) AS DOUBLE) / {_MH_K} AS est_jaccard
+FROM cands c
+JOIN hs ha ON ha.doc_id = c.a
+JOIN hs hb ON hb.doc_id = c.b AND hb.i = ha.i
+GROUP BY c.a, c.b
+""",
+)
+
+
+# End-to-end near-dup removal — the pass a training pipeline actually
+# ships: LSH candidates -> signature-estimate verify (>= threshold) ->
+# greedy survivor set (drop the higher doc_id of each verified pair).
+_NEARDUP_T = 0.5
+
+
+def _neardup_survivors(spark, sf):
+    docs = model.load_table(spark, sf, "documents")
+    sigs = dedup.minhash_signatures(docs)
+    cands = dedup.minhash_lsh_candidates(sigs)
+    verified = dedup.minhash_jaccard_estimate(sigs, cands).filter(
+        F.col("est_jaccard") >= _NEARDUP_T
+    )
+    drop = verified.select(F.col("b").alias("doc_id")).distinct()
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id", "source")
+
+
+_q(
+    "doc_neardup_survivors",
+    _neardup_survivors,
+    _MH_CTES
+    + f"""
+, est AS (
+  SELECT c.a, c.b,
+         CAST(count(*) FILTER (ha.h = hb.h) AS DOUBLE) / {_MH_K} AS ej
+  FROM cands c
+  JOIN hs ha ON ha.doc_id = c.a
+  JOIN hs hb ON hb.doc_id = c.b AND hb.i = ha.i
+  GROUP BY c.a, c.b
+)
+SELECT doc_id, source FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT b FROM est WHERE ej >= {_NEARDUP_T})
 """,
 )
 

@@ -306,6 +306,38 @@ UNION ALL SELECT 'signup:last_timestamp user=' || u, f_lastts FROM g
 """,
 )
 
+# Extended aggregates beyond the reference's 11 (SURVEY §2.4 "missing:
+# distinct agg / approx — free in Spark"): exact distinct count and
+# exact linear-interpolation percentiles (Spark percentile == DuckDB
+# quantile_cont).
+_q(
+    "ts_aggregate_extended",
+    lambda spark, sf: _engine(spark, sf).query(
+        {
+            "aggregate": {
+                "purchase": ["distinct_count", "median", "p90", "p99"]
+            },
+            "range": {"from": JAN01, "to": FEB01},
+        }
+    ),
+    BASE
+    + f"""
+, g AS (
+  SELECT u,
+    CAST(count(DISTINCT value) AS DOUBLE) AS f_dc,
+    quantile_cont(value, 0.5) AS f_med,
+    quantile_cont(value, 0.90) AS f_p90,
+    quantile_cont(value, 0.99) AS f_p99
+  FROM base WHERE metric = 'purchase' AND tu >= {JAN01_US} AND tu < {FEB01_US}
+  GROUP BY u
+)
+SELECT 'purchase:distinct_count user=' || u AS series, f_dc AS value FROM g
+UNION ALL SELECT 'purchase:median user=' || u, f_med FROM g
+UNION ALL SELECT 'purchase:p90 user=' || u, f_p90 FROM g
+UNION ALL SELECT 'purchase:p99 user=' || u, f_p99 FROM g
+""",
+)
+
 _q(
     "ts_group_by_tag_agg",
     lambda spark, sf: _engine(spark, sf).query(
