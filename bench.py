@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "ts_select_range",
+    "ts_select_partitioned_layout",
     "ts_aggregate_funcs",
     "ts_group_aggregate",
     "ts_join_pivot",

@@ -244,22 +244,34 @@ class Engine:
         """Half-open [from, to); reversed bounds scan backward over
         (to, from] (operator.h:88-94).  When a ``ts_raw`` column is bound,
         coarse bounds on it are added so the Parquet scan prunes row
-        groups (see __init__ on ts_slack_ns)."""
+        groups (see __init__ on ts_slack_ns).  When the table carries the
+        layout's ``day`` partition column (sources.storage.write_samples),
+        explicit day bounds are added so directory-level partition
+        pruning fires — the NB+tree time-descent analog at the file
+        system level."""
         if req.begin is None:
             return df
         g = self.ts_slack_ns
         if req.backward:
+            lo, hi = req.end, req.begin + g
             cond = (F.col("ts") <= req.begin) & (F.col("ts") > req.end)
             if "ts_raw" in df.columns:
                 cond = cond & (F.col("ts_raw") <= req.begin + g) & (
                     F.col("ts_raw") > req.end
                 )
         else:
+            lo, hi = req.begin, req.end + g
             cond = (F.col("ts") >= req.begin) & (F.col("ts") < req.end)
             if "ts_raw" in df.columns:
                 cond = cond & (F.col("ts_raw") >= req.begin) & (
                     F.col("ts_raw") < req.end + g
                 )
+        if "day" in df.columns:
+            from stdb_spark.common.timeutil import NS_PER_DAY
+
+            cond = cond & (F.col("day") >= int(lo // NS_PER_DAY)) & (
+                F.col("day") <= int(hi // NS_PER_DAY)
+            )
         return df.filter(cond)
 
     @staticmethod
@@ -409,6 +421,38 @@ class Engine:
             *[self._summary_agg_expr(f).alias(f"_f_{f}") for f in all_funcs]
         )
 
+    def _group_aggregate_from_summaries(self, req: QueryRequest):
+        """Planner choice: answer `group-aggregate` (downsample) by
+        ROLLING UP the summary table when every summary bucket nests
+        inside one output bucket — requires begin/end and step aligned
+        to the summary step.  The hypertable-rollup shape: a month of
+        2d buckets combines ~60 day-summaries per series instead of
+        re-scanning every leaf row."""
+        if self.summaries is None or not self.summary_step_ns:
+            return None
+        if req.group_op or req.backward or req.begin is None:
+            return None
+        if not set(req.agg_funcs) <= self._SUMMARY_FUNCS:
+            return None
+        sstep = self.summary_step_ns
+        if req.step_ns % sstep or req.begin % sstep or req.end % sstep:
+            return None
+        s = self.summaries.filter(
+            (F.col("bucket_ts") >= req.begin) & (F.col("bucket_ts") < req.end)
+        )
+        if req.metrics:
+            s = s.filter(F.col("metric").isin(list(dict.fromkeys(req.metrics))))
+        reg = self._bind(self.series, req, metrics=req.metrics)
+        reg = reg.select("series_id", _tags_suffix().alias("_tags_s"))
+        s = s.join(F.broadcast(reg), "series_id")
+        b, st = F.lit(req.begin), F.lit(req.step_ns)
+        bucket = (
+            b + st * F.expr(f"(bucket_ts - {req.begin}L) div {req.step_ns}L")
+        ).alias("ts")
+        return s.groupBy("metric", "_tags_s", bucket).agg(
+            *[self._summary_agg_expr(f).alias(f) for f in req.agg_funcs]
+        )
+
     # ------------------------------------------------------------------
     def _aggregate(self, req: QueryRequest) -> DataFrame:
         by_metric: dict[str, list[str]] = {}
@@ -467,13 +511,15 @@ class Engine:
         return (b + s * F.expr(f"(ts - {req.begin}L) div {req.step_ns}L")).alias("ts")
 
     def _group_aggregate(self, req: QueryRequest) -> DataFrame:
-        df = self._bind(self.samples, req)
-        df = self._range(df, req)
-        df = self._group_remap(df, req)
         funcs = req.agg_funcs
-        gb = df.groupBy(
-            "metric", _tags_suffix().alias("_tags_s"), self._bucket_col(req)
-        ).agg(*[agg_expr(f, req.backward, exact=self.exact_sums).alias(f) for f in funcs])
+        gb = self._group_aggregate_from_summaries(req)
+        if gb is None:
+            df = self._bind(self.samples, req)
+            df = self._range(df, req)
+            df = self._group_remap(df, req)
+            gb = df.groupBy(
+                "metric", _tags_suffix().alias("_tags_s"), self._bucket_col(req)
+            ).agg(*[agg_expr(f, req.backward, exact=self.exact_sums).alias(f) for f in funcs])
         # HAVING over bucket components, keyed by function name
         gb = self._value_filters(gb, req, {f: f for f in funcs})
         label = "|".join(f"{{m}}:{f}" for f in funcs)

@@ -149,6 +149,41 @@ FROM base WHERE metric = 'purchase' AND tu >= {JAN01_US} AND tu < {FEB01_US}
 """,
 )
 
+# Engine over the production storage layout (storage.write_samples:
+# parquet partitioned by (day, metric), sorted by (series_id, ts)) —
+# the 100 TB read path.  The range clause becomes directory-level
+# PartitionFilters (NB+tree time descent at the filesystem level);
+# written once per sf into the repo-local cache.
+def _layout_engine(spark: SparkSession, sf_dir: str) -> Engine:
+    import os
+
+    from stdb_spark.sources import storage
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".cache",
+        f"layout_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if not os.path.isdir(cache):
+        storage.write_samples(model.events_as_samples(spark, sf_dir), cache)
+    return Engine(spark, samples=spark.read.parquet(cache))
+
+
+_q(
+    "ts_select_partitioned_layout",
+    lambda spark, sf: _us(
+        _layout_engine(spark, sf).query(
+            {"select": "click", "range": {"from": JAN05, "to": JAN15}}
+        )
+    ),
+    BASE
+    + f"""
+SELECT metric || ' user=' || u AS series, tu AS ts, value
+FROM base WHERE metric = 'click' AND tu >= {JAN05_US} AND tu < {JAN15_US}
+""",
+)
+
+
 # --------------------------------------------------------------- aggregate
 _AGG_G = (
     BASE
@@ -186,6 +221,27 @@ UNION ALL SELECT 'error:first user=' || u, f_first FROM g
 UNION ALL SELECT 'error:last user=' || u, f_last FROM g
 """,
 )
+
+# ISO8601-basic range strings through the full parse path
+# (stdb/common/datetime.cc:60-229 parity in common/timeutil.py) — same
+# result as the integer-range ts_select_range.
+_q(
+    "ts_select_range_iso",
+    lambda spark, sf: _us(
+        _engine(spark, sf).query(
+            {
+                "select": "click",
+                "range": {"from": "20240105T000000", "to": "20240115T000000"},
+            }
+        )
+    ),
+    BASE
+    + f"""
+SELECT metric || ' user=' || u AS series, tu AS ts, value
+FROM base WHERE metric = 'click' AND tu >= {JAN05_US} AND tu < {JAN15_US}
+""",
+)
+
 
 # Summary-table pushdown: the engine answers a bucket-aligned aggregate
 # from per-(series, day) pre-aggregates (storage.summary_table — the
@@ -271,6 +327,39 @@ UNION ALL SELECT 'error:first user=' || u, f_first FROM g
 UNION ALL SELECT 'error:last user=' || u, f_last FROM g
 UNION ALL SELECT 'error:min_timestamp user=' || u, f_mints FROM g
 UNION ALL SELECT 'error:max_timestamp user=' || u, f_maxts FROM g
+""",
+)
+
+
+# Rollup: group-aggregate (2-day buckets) answered by COMBINING the
+# 1-day summaries — the hypertable-rollup path; oracle is the leaf scan.
+_ROLLUP_FUNCS = ["count", "sum", "min", "max", "mean"]
+_ROLLUP_NAME = "|".join(f"error:{f}" for f in _ROLLUP_FUNCS)
+
+_q(
+    "ts_group_aggregate_rollup",
+    lambda spark, sf: _us(
+        _engine_with_summaries(spark, sf).query(
+            {
+                "group-aggregate": {
+                    "step": "2d",
+                    "metric": "error",
+                    "func": _ROLLUP_FUNCS,
+                },
+                "range": {"from": JAN01, "to": FEB01},
+            }
+        )
+    ),
+    BASE
+    + f"""
+SELECT '{_ROLLUP_NAME} user=' || u AS series,
+  {JAN01_US} + {2 * D1_US} * ((tu - {JAN01_US}) // {2 * D1_US}) AS ts,
+  CAST(count(value) AS DOUBLE) AS "count",
+  CAST(CAST(sum({DEC}) AS VARCHAR) AS DOUBLE) AS sum,
+  min(value) AS min, max(value) AS max,
+  CAST(CAST(sum({DEC}) AS VARCHAR) AS DOUBLE) / count(value) AS mean
+FROM base WHERE metric = 'error' AND tu >= {JAN01_US} AND tu < {FEB01_US}
+GROUP BY 1, 2
 """,
 )
 

@@ -191,3 +191,38 @@ def test_aggregate_from_summaries_matches_leaf(spark, dense_ramp):
     got2 = {(r.series, r.value) for r in eng_s.query(q2).collect()}
     want2 = {(r.series, r.value) for r in eng_l.query(q2).collect()}
     assert got2 == want2
+
+
+def test_group_aggregate_rollup_from_summaries(spark, dense_ramp):
+    """Downsample answered by combining finer summary buckets must match
+    the leaf scan exactly; unaligned step falls back."""
+    from stdb_spark.sources import storage
+
+    sstep = 100
+    summ = storage.summary_table(dense_ramp, step_ns=sstep)
+    eng_s = Engine(
+        spark, samples=dense_ramp, summaries=summ, summary_step_ns=sstep,
+        exact_sums=True,
+    )
+    eng_l = Engine(spark, samples=dense_ramp, exact_sums=True)
+    q = {
+        "group-aggregate": {
+            "step": 300,  # 3 summary buckets per output bucket
+            "metric": "test",
+            "func": ["count", "sum", "min", "max", "mean", "first", "last"],
+        },
+        "range": {"from": 100, "to": 1000},
+        "where": {"tag": ["T1", "T4"]},
+    }
+    got = sorted(map(tuple, eng_s.query(q).collect()))
+    want = sorted(map(tuple, eng_l.query(q).collect()))
+    assert got == want
+    plan = eng_s.query(q)._jdf.queryExecution().analyzed().toString()
+    assert "bucket_ts" in plan  # summary path taken
+
+    # step not a multiple of the summary step -> leaf fallback, correct
+    q2 = dict(q)
+    q2["group-aggregate"] = dict(q["group-aggregate"], step=250)
+    got2 = sorted(map(tuple, eng_s.query(q2).collect()))
+    want2 = sorted(map(tuple, eng_l.query(q2).collect()))
+    assert got2 == want2

@@ -136,3 +136,14 @@ def test_engine_ts_range_pushdown_untruncated(spark):
     plan = _plan(df)
     # FileScan metadata strings are width-truncated; match the prefix
     assert "GreaterThanOrEqual(ts,170441280" in plan, plan
+
+
+def test_engine_over_layout_prunes_partitions(spark):
+    """Engine range + metric binding over the production layout must
+    become directory-level PartitionFilters (day + metric) with the ts
+    bounds still pushed to row groups."""
+    plan = _plan_formatted(QUERIES["ts_select_partitioned_layout"](spark, SF))
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf, plan
+    assert "day" in pf[0] and "metric" in pf[0], pf[0]
+    assert "GreaterThanOrEqual(ts," in plan
