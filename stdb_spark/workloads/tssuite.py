@@ -154,7 +154,7 @@ FROM base WHERE metric = 'purchase' AND tu >= {JAN01_US} AND tu < {FEB01_US}
 # the 100 TB read path.  The range clause becomes directory-level
 # PartitionFilters (NB+tree time descent at the filesystem level);
 # written once per sf into the repo-local cache.
-def _layout_engine(spark: SparkSession, sf_dir: str) -> Engine:
+def _layout_path(spark: SparkSession, sf_dir: str) -> str:
     import os
 
     from stdb_spark.sources import storage
@@ -166,7 +166,11 @@ def _layout_engine(spark: SparkSession, sf_dir: str) -> Engine:
     )
     if not os.path.isdir(cache):
         storage.write_samples(model.events_as_samples(spark, sf_dir), cache)
-    return Engine(spark, samples=spark.read.parquet(cache))
+    return cache
+
+
+def _layout_engine(spark: SparkSession, sf_dir: str) -> Engine:
+    return Engine(spark, samples=spark.read.parquet(_layout_path(spark, sf_dir)))
 
 
 _q(
@@ -182,6 +186,47 @@ SELECT metric || ' user=' || u AS series, tu AS ts, value
 FROM base WHERE metric = 'click' AND tu >= {JAN05_US} AND tu < {JAN15_US}
 """,
 )
+
+
+# Structured Streaming end-to-end through the driver gate: replay the
+# partitioned layout as a file stream (availableNow), run the
+# continuous group-aggregate twin (tumbling windows + watermark =
+# FAIL_LATE_WRITE analog), land in a memory sink.  Float sums are
+# batch-order dependent -> rows-only check; exact values are pinned by
+# tests/test_storage_streaming.py.
+def _stream_replay(spark, sf):
+    from stdb_spark.streaming.ingest import streaming_downsample
+
+    path = _layout_path(spark, sf)
+    schema = spark.read.parquet(path).schema
+    sdf = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "8"
+    ).parquet(path)
+    out = streaming_downsample(sdf, step="1 day", max_lateness="1 hour")
+    name = "stream_replay_sink"
+    spark.catalog.dropTempView(name) if name in [
+        t.name for t in spark.catalog.listTables()
+    ] else None
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.table(name)
+    return res.select(
+        F.col("series_id").cast("string").alias("series_id"),
+        "metric",
+        F.unix_micros(F.col("bucket.start")).alias("ts"),
+        "count",
+        "min",
+        "max",
+    )
+
+
+_q("stream_group_aggregate_replay", _stream_replay)
 
 
 # --------------------------------------------------------------- aggregate
