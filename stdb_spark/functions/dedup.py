@@ -360,12 +360,23 @@ def embedding_near_duplicates(
     key: str = "vec_id",
     threshold: float = 0.95,
     block_col: str | None = None,
+    allow_full_cross: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine >= threshold.  Blocked
     self-join (block_col, e.g. an LSH bucket or label) to avoid the full
-    quadratic pair space; exact within blocks."""
+    quadratic pair space; exact within blocks.
+
+    An unblocked call is an O(n^2) cartesian product — refused unless
+    ``allow_full_cross=True`` (tiny/debug inputs only); at scale derive
+    a block from ``similarity.with_lsh_signatures`` instead."""
     from stdb_spark.functions.similarity import cosine_expr
 
+    if block_col is None and not allow_full_cross:
+        raise ValueError(
+            "embedding_near_duplicates without block_col is a full cartesian "
+            "product; pass block_col (e.g. an LSH signature column) or "
+            "allow_full_cross=True for small inputs"
+        )
     a = df.alias("a")
     b = df.alias("b")
     cond = F.col(f"a.{key}") < F.col(f"b.{key}")

@@ -181,3 +181,17 @@ def test_knn_grid_equals_bruteforce_random(spark):
         g = knn_grid(pts, q[0], q[1], 7, cell_deg=cell, tie_break="user_id").collect()
         b = knn(pts, q[0], q[1], 7, tie_break="user_id").collect()
         assert [r.user_id for r in g] == [r.user_id for r in b], (q, cell)
+
+
+def test_embedding_neardup_guard(spark):
+    """Unblocked near-dup = cartesian product; the API must refuse it
+    unless explicitly opted in."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.embedding_near_duplicates(df)
+    out = dedup.embedding_near_duplicates(df, allow_full_cross=True, threshold=0.9)
+    assert out.count() == 1
