@@ -92,6 +92,49 @@ def extract_image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     )
 
 
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """mapInPandas audio features over the fake-PCM decode: RMS level and
+    zero-crossing count — the standard cheap audio-quality signals a
+    training pipeline filters on.  Same Arrow-batch contract as
+    extract_image_features; a real deployment swaps the decode for
+    torchaudio/ffmpeg without touching the plan."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "duration_ms": [], "rms": [],
+                "zero_crossings": [], "n_samples": [],
+            }
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                # fake PCM: payload bytes centered to [-128, 127]
+                pcm = np.frombuffer(payload, dtype=np.uint8).astype(np.int16) - 128
+                out["media_id"].append(int(mid))
+                out["duration_ms"].append(int(dur))
+                out["rms"].append(float(np.sqrt(np.mean(pcm.astype("f8") ** 2))))
+                out["zero_crossings"].append(
+                    int(np.count_nonzero(np.diff(np.signbit(pcm))))
+                )
+                out["n_samples"].append(int(pcm.size))
+            yield pd.DataFrame(out)
+
+    return df.filter(F.col("kind") == "audio").select(
+        "media_id", "payload", "duration_ms"
+    ).mapInPandas(fn, schema=AUDIO_FEATURE_SCHEMA)
+
+
 def resize_plan(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Resize plumbing: emits (media_id, payload, target dims) with the
     decode/resize marked; the actual pixel work is the same mapInPandas

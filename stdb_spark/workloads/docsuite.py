@@ -602,6 +602,16 @@ def _mm_frames(spark, sf):
 _q("mm_video_frame_sample", _mm_frames)
 
 
+def _mm_audio(spark, sf):
+    from stdb_spark.functions import multimodal
+
+    media = multimodal.make_fake_media(spark, n=32, kind="audio")
+    return multimodal.extract_audio_features(media)
+
+
+_q("mm_audio_features", _mm_audio)
+
+
 # IVF-style ANN: probes the 2 nearest cells (label column = cell id),
 # exact re-rank inside.  Centroids are float averages (engine-order
 # dependent), so rows-only here; the exactness-within-probed-cells

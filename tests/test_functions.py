@@ -195,3 +195,16 @@ def test_embedding_neardup_guard(spark):
         dedup.embedding_near_duplicates(df)
     out = dedup.embedding_near_duplicates(df, allow_full_cross=True, threshold=0.9)
     assert out.count() == 1
+
+
+def test_audio_features(spark):
+    from stdb_spark.functions.multimodal import extract_audio_features, make_fake_media
+
+    media = make_fake_media(spark, n=4, kind="audio")
+    out = extract_audio_features(media).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.n_samples == 256 and r.rms > 0 and r.zero_crossings >= 0
+    # deterministic across runs (seeded payloads)
+    again = {r.media_id: r.rms for r in extract_audio_features(media).collect()}
+    assert again == {r.media_id: r.rms for r in out}
