@@ -91,6 +91,23 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def derived_cache_path(sf_dir: str, artifact: str, source_table: str) -> str:
+    """Repo-local path for a write-time artifact derived from one source
+    table (LSH signatures, summaries, layout...).  Keyed by the source
+    file's size+mtime so a regenerated testdata set can never satisfy a
+    stale cache — the artifact is recomputed instead."""
+    import hashlib
+
+    src = os.path.join(sf_dir, f"{source_table}.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{int(st.st_mtime)}".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(root, f"{artifact}_{sf_tag}_{tag}")
+
+
 # Runtime confs every entry point needs regardless of who built the
 # SparkSession.  The driver's correctness harness injects its *own* bare
 # session into ``__spark_entry__.queries()``, so relying on

@@ -552,11 +552,7 @@ _q("emb_ann_lsh", _emb_ann_lsh, _emb_ann_lsh_sql())
 def _emb_ann_lsh_presigned(spark, sf):
     import os
 
-    cache = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".cache",
-        f"emb_lsh_{os.path.basename(os.path.normpath(sf))}.parquet",
-    )
+    cache = model.derived_cache_path(sf, "emb_lsh", "embeddings")
     if not os.path.isdir(cache):
         signed = similarity.with_lsh_signatures(
             model.load_table(spark, sf, "embeddings"),

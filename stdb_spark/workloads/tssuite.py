@@ -159,11 +159,7 @@ def _layout_path(spark: SparkSession, sf_dir: str) -> str:
 
     from stdb_spark.sources import storage
 
-    cache = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".cache",
-        f"layout_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    cache = model.derived_cache_path(sf_dir, "layout", "events")
     if not os.path.isdir(cache):
         storage.write_samples(model.events_as_samples(spark, sf_dir), cache)
     return cache
@@ -308,14 +304,11 @@ def _engine_with_summaries(spark: SparkSession, sf_dir: str) -> Engine:
     # summaries AND the series registry are WRITE-TIME artifacts (the
     # reference maintains SubtreeRefs incrementally and persists the
     # SeriesMatcher); materialize both once per sf into the repo-local
-    # cache so a summary-answered aggregate touches NO leaf rows
-    cache_root = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".cache",
-    )
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    summ_path = os.path.join(cache_root, f"summaries_{sf_tag}.parquet")
-    reg_path = os.path.join(cache_root, f"registry_{sf_tag}.parquet")
+    # cache (fingerprint-keyed to the source file, so regenerated
+    # testdata recomputes) so a summary-answered aggregate touches NO
+    # leaf rows
+    summ_path = model.derived_cache_path(sf_dir, "summaries", "events")
+    reg_path = model.derived_cache_path(sf_dir, "registry", "events")
     # coalesce: both artifacts are ~#series(*days) rows — tiny at any sf
     # here; a real deployment sizes files to row-group targets instead
     if not os.path.isdir(summ_path):

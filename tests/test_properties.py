@@ -162,3 +162,71 @@ def test_limit_offset_match_python_slice(spark, data, limit, offset):
     ordered = sorted((base + off, v) for off, v in data)
     want = ordered[offset : offset + limit]
     assert [(r["ts"], r["value"]) for r in out] == want
+
+
+# ------------------------------------------- hamming recall / asof model
+@given(
+    sigs=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=2, max_size=24, unique=True,
+    ),
+    flips=st.lists(st.integers(min_value=0, max_value=63), min_size=0, max_size=3),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_hamming_pairs_match_bruteforce(spark, sigs, flips):
+    """Pigeonhole-blocked pairing == exact all-pairs at distance <= 3,
+    including a pair constructed to differ only at the chosen bits."""
+    planted = sigs[0]
+    for f in set(flips):
+        planted ^= 1 << f
+    if planted >= 2**63:
+        planted -= 2**64
+    rows = [(i, s) for i, s in enumerate(sigs)] + [(len(sigs), planted)]
+    rows = list({(i, s) for i, s in enumerate(dict.fromkeys(s for _, s in rows))})
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    from stdb_spark.functions import dedup
+
+    got = {(r.a, r.b, r.hamming) for r in dedup.hamming_pairs(df).collect()}
+    want = set()
+    for i, si in rows:
+        for j, sj in rows:
+            if i < j:
+                d = bin((si ^ sj) & ((1 << 64) - 1)).count("1")
+                if d <= 3:
+                    want.add((i, j, d))
+    assert got == want
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=20
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50),
+                  st.floats(-10, 10, allow_nan=False)),
+        min_size=0, max_size=20,
+    ),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_matches_python_model(spark, left, right):
+    """asof_join == per-row python scan: most recent right at or before,
+    ties resolved to the row with the greatest value struct."""
+    from stdb_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, ts) for k, ts in dict.fromkeys(left)], "k int, ts long"
+    )
+    rdf = spark.createDataFrame(right, "k int, ts long, v double")
+    out = {
+        (r.k, r.ts): (r.v_right, r.ts_right)
+        for r in asof_join(ldf, rdf, on="ts", by=["k"], right_cols=["v"]).collect()
+    }
+    for k, ts in dict.fromkeys(left):
+        cands = [(rts, v) for rk, rts, v in right if rk == k and rts <= ts]
+        if not cands:
+            want = (None, None)
+        else:
+            best_ts = max(rts for rts, _ in cands)
+            best_v = max(v for rts, v in cands if rts == best_ts)
+            want = (best_v, best_ts)
+        assert out[(k, ts)] == want, (k, ts)
