@@ -44,6 +44,7 @@ HEADLINE = [
     "emb_ann_lsh",
     "emb_ann_lsh_presigned",
     "doc_hamming_near_dups",
+    "doc_hamming_presigned",
     "ts_aggregate_summary_pushdown",
     "sp_knn",
     "sp_knn_grid",

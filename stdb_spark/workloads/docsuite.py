@@ -432,6 +432,35 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
 )
 
 
+# Presigned variant — the 100 TB shape: signatures are a write-time
+# column (a dedup service computes them at ingest); the query pays only
+# the postings pairing, not the shingle/vote pipeline.  Same oracle.
+def _hamming_presigned(spark, sf):
+    import os
+
+    cache = model.derived_cache_path(sf, "doc_simhash", "documents")
+    if not os.path.isdir(cache):
+        dedup.simhash(model.load_table(spark, sf, "documents")).coalesce(
+            4
+        ).write.mode("overwrite").parquet(cache)
+    return dedup.hamming_pairs(spark.read.parquet(cache), max_distance=3).select(
+        "a", "b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+_q(
+    "doc_hamming_presigned",
+    _hamming_presigned,
+    f"""
+WITH sims AS ({_simhash_sql()})
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+""",
+)
+
+
 # ---------------------------------------------------------- quality score
 def _quality(spark, sf):
     df = text.quality_score(model.load_table(spark, sf, "documents"))
