@@ -774,9 +774,12 @@ def _ts_freq(spark, sf):
         F.count("*").cast("double").alias("value"),
         F.expr("min(ts) div 1000").alias("ts"),
     )
-    total = F.sum("value").over(Window.partitionBy())
+    # scalar total broadcast back in (not Window.partitionBy(): a keyless
+    # window funnels all per-series rows through one task; the reused
+    # exchange makes the second agg near-free)
+    total = counted.agg(F.sum("value").alias("_t"))
     return (
-        counted.withColumn("_t", total)
+        counted.crossJoin(F.broadcast(total))
         .filter(F.col("value") > F.col("_t") * 0.009)
         .select("series", "ts", "value")
     )
@@ -1046,6 +1049,16 @@ _q(
     BASE + "SELECT DISTINCT 'user' AS name FROM base WHERE metric = 'view'",
 )
 
+# suggest with `starts-with` prefix filtering (queryparser.cc:1061-1254
+# passes the prefix into SeriesMatcher::suggest_*).
+_q(
+    "ts_suggest_startswith",
+    lambda spark, sf: _engine(spark, sf).suggest(
+        {"select": "metric-names", "starts-with": "s"}
+    ),
+    BASE + "SELECT DISTINCT metric AS name FROM base WHERE metric LIKE 's%'",
+)
+
 # join + apply [scale, sum]: per-row 2*click + 3*view with missing->0
 # (scale.cc:49, math.cc:46 with ignore_missing) through the real engine
 # apply-pipeline compiler.
@@ -1190,9 +1203,10 @@ def _ts_heavy(spark, sf):
         F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("value"),
         F.expr("min(ts) div 1000").alias("ts"),
     )
-    total = F.sum("value").over(Window.partitionBy())
+    # scalar total broadcast back in — same rationale as _ts_freq
+    total = counted.agg(F.sum("value").alias("_t"))
     return (
-        counted.withColumn("_t", total)
+        counted.crossJoin(F.broadcast(total))
         .filter(F.col("value") > F.col("_t") * 0.012)
         .select("series", "ts", "value")
     )
