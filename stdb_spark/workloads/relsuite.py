@@ -376,3 +376,389 @@ ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
 LIMIT 100
 """,
 )
+
+# ------------------------------------------------------------------ Q4-like
+# Order-priority checking.  The testdata lacks l_commitdate/l_receiptdate,
+# so "late" is adapted to l_shipdate > o_orderdate + 60 days; the shape is
+# the same: EXISTS decorrelated into a LEFT SEMI join on the order key —
+# the fact table shuffles once, no re-aggregation of lineitem.
+def _tpch_q4(spark, sf):
+    orders = model.load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    li = model.load_table(spark, sf, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_q(
+    "rel_q4_order_priority",
+    _tpch_q4,
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+
+
+# ------------------------------------------------------------------ Q7-like
+# Volume shipping between two nations: the same dimension (nation) joins
+# twice under different roles (supplier side / customer side), so it is
+# aliased and broadcast twice; the symmetric pair predicate is a
+# disjunction evaluated after both broadcasts — no fact-fact shuffle
+# beyond the lineitem⋈orders key join.
+def _tpch_q7(spark, sf):
+    t = model.load_tables(
+        spark, sf, ("supplier", "lineitem", "orders", "customer", "nation")
+    )
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.expr(sum_spark(DISC_PRICE)).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_q(
+    "rel_q7_volume_shipping",
+    _tpch_q7,
+    f"""
+SELECT supp_nation, cust_nation, l_year, {sum_duck(DISC_PRICE)} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice, l_discount
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+
+
+# ------------------------------------------------------------------ Q8-like
+# National market share: numerator/denominator conditional aggregation
+# over a fully-broadcast dimension snowflake; only lineitem⋈orders
+# shuffles.  Share division happens after exact decimal sums.
+def _tpch_q8(spark, sf):
+    t = model.load_tables(
+        spark, sf,
+        ("part", "supplier", "lineitem", "orders", "customer", "nation", "region"),
+    )
+    part = t["part"].filter(F.col("p_type") == "ECONOMY")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    region = t["region"].filter(F.col("r_name") == "ASIA")
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = f"CASE WHEN supp_nation = 'NATION_3' THEN {DISC_PRICE} ELSE CAST(0 AS DECIMAL(18,6)) END"
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.expr(f"{sum_spark(vol)} / {sum_spark(DISC_PRICE)}").alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_q(
+    "rel_q8_market_share",
+    _tpch_q8,
+    f"""
+SELECT o_year,
+       {sum_duck("CASE WHEN supp_nation = 'NATION_3' THEN " + DISC_PRICE + " ELSE CAST(0 AS DECIMAL(18,6)) END")}
+     / {sum_duck(DISC_PRICE)} AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         l_extendedprice, l_discount, n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+) all_nations
+GROUP BY o_year ORDER BY o_year
+""",
+)
+
+
+# ----------------------------------------------------------------- Q13-like
+# Customer order distribution: LEFT OUTER join (customers with zero
+# orders must appear), then a second aggregation over the counts.  Both
+# aggs shuffle on their own key; the first reuses the join's exchange.
+def _tpch_q13(spark, sf):
+    cust = model.load_table(spark, sf, "customer")
+    orders = model.load_table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_q(
+    "rel_q13_customer_distribution",
+    _tpch_q13,
+    """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+""",
+)
+
+
+# ----------------------------------------------------------------- Q15-like
+# Top supplier: the revenue view aggregates once per supplier, the scalar
+# max broadcasts back (same no-keyless-window rationale as the
+# heavy-hitter path), and equality on the exact decimal sum picks the
+# winner(s) deterministically.
+def _tpch_q15(spark, sf):
+    li = model.load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    supplier = model.load_table(spark, sf, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        F.expr(f"sum({DISC_PRICE})").alias("_rev")
+    )
+    top = revenue.agg(F.max("_rev").alias("_max"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("_rev") == F.col("_max"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.expr("CAST(_rev AS DOUBLE)").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_q(
+    "rel_q15_top_supplier",
+    _tpch_q15,
+    f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, sum({DISC_PRICE}) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(CAST(total_revenue AS VARCHAR) AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+
+
+# ----------------------------------------------------------------- Q17-like
+# Small-quantity-order revenue: the correlated per-part average is
+# decorrelated into a groupBy on the SAME key as the main join, so
+# Catalyst reuses one exchange of the filtered fact; part is broadcast.
+# The threshold comparison is exact: 0.2*avg as decimal sum/count.
+def _tpch_q17(spark, sf):
+    li = model.load_table(spark, sf, "lineitem")
+    part = model.load_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#1")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_qty = joined.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.expr(f"sum({QTY})").alias("_sq"), F.count("*").alias("_cnt")
+    )
+    return (
+        joined.join(avg_qty, F.col("l_partkey") == F.col("_pk"))
+        .filter(
+            F.expr(f"CAST({QTY} AS DOUBLE) * _cnt < 0.2 * CAST(_sq AS DOUBLE)")
+        )
+        .agg(
+            F.expr(f"{sum_spark(PRICE)} / CAST(7.0 AS DOUBLE)").alias("avg_yearly")
+        )
+    )
+
+
+_q(
+    "rel_q17_small_quantity_revenue",
+    _tpch_q17,
+    f"""
+SELECT {sum_duck(PRICE)} / CAST(7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (
+  SELECT l_partkey AS _pk, sum({QTY}) AS _sq, count(*) AS _cnt
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#1'
+  GROUP BY l_partkey
+) a ON l_partkey = _pk
+WHERE p_brand = 'Brand#1'
+  AND CAST({QTY} AS DOUBLE) * _cnt < 0.2 * CAST(_sq AS DOUBLE)
+""",
+)
+
+
+# ----------------------------------------------------------------- Q19-like
+# Discounted revenue: a three-arm disjunctive predicate (the testdata has
+# no shipmode/shipinstruct, so arms are brand × size × quantity).  The
+# common p_partkey join stays an equi-join; only the residual OR is a
+# post-join filter, and the per-arm ranges can still prune parquet pages.
+def _tpch_q19(spark, sf):
+    li = model.load_table(spark, sf, "lineitem")
+    part = model.load_table(spark, sf, "part")
+    arms = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 5))
+            & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(arms)
+        .agg(F.expr(sum_spark(DISC_PRICE)).alias("revenue"))
+    )
+
+
+_q(
+    "rel_q19_discounted_revenue",
+    _tpch_q19,
+    f"""
+SELECT {sum_duck(DISC_PRICE)} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+
+
+# ----------------------------------------------------------------- Q22-like
+# Dormant high-balance customers (Q22 without c_phone): customers whose
+# account balance exceeds the global positive average and who placed no
+# orders in the window.  Scalar avg broadcasts; the NOT EXISTS is a LEFT
+# ANTI join; nation broadcasts for the group label.
+def _tpch_q22(spark, sf):
+    cust = model.load_table(spark, sf, "customer")
+    nation = model.load_table(spark, sf, "nation")
+    orders = model.load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.expr("sum(CAST(c_acctbal AS DECIMAL(18,2)))").alias("_s"),
+        F.count("*").alias("_n"),
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.expr("CAST(c_acctbal AS DOUBLE) * _n > CAST(_s AS DOUBLE)"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.expr(sum_spark("CAST(c_acctbal AS DECIMAL(18,2))")).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_q(
+    "rel_q22_dormant_customers",
+    _tpch_q22,
+    f"""
+WITH avg_bal AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS _s, count(*) AS _n
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n_name, count(*) AS numcust,
+       {sum_duck("CAST(c_acctbal AS DECIMAL(18,2))")} AS totacctbal
+FROM customer, avg_bal
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(c_acctbal AS DOUBLE) * _n > CAST(_s AS DOUBLE)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY n_name ORDER BY n_name
+""",
+)
