@@ -392,3 +392,60 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Cluster assignment over an undirected near-dup pair graph:
+    (id, cluster_id) for every id that occurs in ``pairs``, where
+    cluster_id is the smallest member id of its connected component —
+    the transitive closure a real dedup pass needs (A~B and B~C must
+    collapse into ONE cluster even if A~C was never a candidate pair).
+
+    Algorithm: hash-min label propagation (the MapReduce-era standard,
+    cf. Kiveris et al., "Connected Components in MapReduce and Beyond").
+    Each round is ONE shuffle (edge⋈label join + min-combine), and the
+    round count is the graph diameter — near-dup graphs are dense
+    clusters with tiny diameters (2-4), so this beats the
+    large-star/small-star variant's extra per-round work at this shape.
+    Convergence is detected with a scalar aggregate, not a driver
+    collect: min-propagation only ever lowers labels, so the label sum
+    strictly decreases until fixpoint (decimal sum — exact, no
+    float/overflow wobble).  Lineage is cut per round with an eager
+    localCheckpoint, otherwise the iterated join plan grows without
+    bound (at cluster scale use a reliable checkpoint dir instead)."""
+    e_fwd = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    edges = e_fwd.union(
+        pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(
+        F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), F.col("lbl")
+        )
+        labels = (
+            labels.select("id", "lbl")
+            .union(prop)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))

@@ -740,3 +740,34 @@ SELECT label, vec_id, cosine, rank FROM (
 ) WHERE rank <= 3
 """,
 )
+
+
+# Transitive dedup clustering: LSH candidate pairs -> connected
+# components -> (doc_id, cluster_id = min member).  The oracle replays
+# the identical banding pipeline in SQL and closes it transitively with
+# a recursive reachability CTE (UNION-distinct, so it terminates at the
+# component closure).
+def _dedup_clusters(spark, sf):
+    sigs = dedup.minhash_signatures(model.load_table(spark, sf, "documents"))
+    cands = dedup.minhash_lsh_candidates(sigs)
+    return dedup.connected_components(cands).select(
+        F.col("id").alias("doc_id"), F.col("cluster_id")
+    )
+
+
+_q(
+    "doc_dedup_clusters",
+    _dedup_clusters,
+    _MH_CTES.replace("WITH toks", "WITH RECURSIVE toks")
+    + """
+, edges AS (
+  SELECT a AS src, b AS dst FROM cands
+  UNION SELECT b, a FROM cands
+), reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+""",
+)

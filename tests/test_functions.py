@@ -208,3 +208,59 @@ def test_audio_features(spark):
     # deterministic across runs (seeded payloads)
     again = {r.media_id: r.rms for r in extract_audio_features(media).collect()}
     assert again == {r.media_id: r.rms for r in out}
+
+
+def test_connected_components_transitive(spark):
+    # chain 1-2-3 (1~3 never paired) + island 10-11 + long path 20..24:
+    # transitivity must collapse chains; disjoint components stay apart
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)],
+        "a long, b long",
+    )
+    got = {
+        (r.id, r.cluster_id)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20), (24, 20),
+    }
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(60))
+    pairs = [
+        (rng.choice(ids), rng.choice(ids))
+        for _ in range(45)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    # union-find ground truth
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = {}
+    for a, b in pairs:
+        for x in (a, b):
+            members.setdefault(find(x), set()).add(x)
+    want = {
+        (x, min(ms)) for root, ms in members.items() for x in ms
+    }
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        (r.id, r.cluster_id)
+        for r in dedup.connected_components(df).collect()
+    }
+    assert got == want
