@@ -1,0 +1,118 @@
+"""Reproducible sampling and decontamination for training-data pipelines.
+
+At 100 TB, `df.sample()` is the wrong tool: its output depends on the
+partitioning and the run (seeded per-task RNG), so a re-run after a
+repartition yields a *different* corpus.  Everything here keys the
+sampling decision on a content hash instead — the same row is kept or
+dropped on every engine, every run, every partitioning, and the filter
+is a map-side JVM expression (no shuffle, whole-stage codegen).
+
+The hash is md5-derived (like functions/dedup.py) so the DuckDB oracle
+reproduces the exact same sample bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 60-bit hash domain (15 hex chars) — fits a signed long, matches
+# dedup._md5_long so oracles share one idiom.
+HASH_BITS = 60
+HASH_DOMAIN = 1 << HASH_BITS
+
+
+def hash_bucket(c: Column, salt: str = "") -> Column:
+    """Uniform deterministic value in [0, 2^60) from a column + salt."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def hash_sample(
+    df: DataFrame,
+    key: str = "doc_id",
+    fraction: float = 0.1,
+    salt: str = "s0",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided only by hash(key, salt).
+
+    Changing ``salt`` draws an independent sample; keeping it fixed makes
+    the sample stable across reruns and engines.  Nested property:
+    hash_sample(p1) ⊇ hash_sample(p2) when p1 >= p2 (same salt), which
+    lets a pipeline carve train/val subsets that never drift."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be within [0, 1]")
+    threshold = int(fraction * HASH_DOMAIN)
+    return df.filter(hash_bucket(F.col(key), salt) < threshold)
+
+
+def stratified_quota(
+    df: DataFrame,
+    group_col: str = "source",
+    key: str = "doc_id",
+    n: int = 10,
+    salt: str = "s0",
+) -> DataFrame:
+    """Exactly-n-per-group deterministic sample (training mixture
+    weighting: "take 1M docs from each source").  Rank rows inside each
+    group by content hash — a uniform draw, but reproducible — and keep
+    the first n.  One shuffle on the group key; groups are processed
+    independently so a skewed giant source costs only its own
+    partition's sort (Spark spills; no driver involvement)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key), salt).asc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    bench_key: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Test-set decontamination: corpus docs sharing at least one
+    n-gram with a benchmark doc.  Returns
+    (doc_id, bench_id, shared_ngrams) — the drop/audit list a training
+    pipeline applies before training.
+
+    Plan shape at 100 TB: both sides explode to (ngram_hash, id) —
+    map-side — and meet in ONE equi-join on the hash.  The benchmark
+    side is small by definition (test sets are thousands of docs), so
+    Spark broadcasts its postings and the corpus side never shuffles;
+    the count-by-pair aggregate only sees colliding rows (tiny).  The
+    8-gram granularity is the public-standard contamination test (e.g.
+    GPT-2/3 appendix-style 8-gram overlap)."""
+    from stdb_spark.functions.dedup import normalized_text
+
+    def postings(df: DataFrame, k: str, out: str) -> DataFrame:
+        toks = F.filter(
+            F.split(normalized_text(text_col), " "), lambda t: F.length(t) > 0
+        )
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+        return df.select(
+            F.col(k).alias(out), F.explode(F.array_distinct(grams)).alias("g")
+        ).select(out, F.md5(F.col("g")).alias("gh"))
+
+    corp = postings(corpus, key, "doc_id")
+    bench = postings(benchmark, bench_key, "bench_id")
+    return (
+        corp.join(F.broadcast(bench), "gh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+    )

@@ -771,3 +771,91 @@ _q(
 SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
 """,
 )
+
+
+# ---------------------------------------------------- reproducible sampling
+# Deterministic hash sampling: the 100 TB-safe replacement for
+# df.sample() — membership depends only on md5(doc_id, salt), so the
+# sample is identical across engines, reruns, and repartitions.
+from stdb_spark.functions import sampling
+
+_SAMPLE_FRACTION = 0.25
+_SAMPLE_THRESHOLD = int(_SAMPLE_FRACTION * sampling.HASH_DOMAIN)
+_SAMPLE_SALT = "s0"
+
+
+_q(
+    "doc_hash_sample",
+    lambda spark, sf: sampling.hash_sample(
+        model.load_table(spark, sf, "documents"),
+        fraction=_SAMPLE_FRACTION,
+        salt=_SAMPLE_SALT,
+    ).select("doc_id", "source"),
+    f"""
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5('{_SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      < {_SAMPLE_THRESHOLD}
+""",
+)
+
+
+# Exactly-n-per-source quota sample (mixture weighting), ranked by the
+# same deterministic hash — one shuffle on the group key.
+_q(
+    "doc_stratified_quota",
+    lambda spark, sf: sampling.stratified_quota(
+        model.load_table(spark, sf, "documents"),
+        group_col="source",
+        n=5,
+        salt=_SAMPLE_SALT,
+    ).select("doc_id", "source"),
+    f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source ORDER BY
+      ('0x' || substr(md5('{_SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+      doc_id) AS _rk
+  FROM documents
+) WHERE _rk <= 5
+""",
+)
+
+
+# ------------------------------------------------------- decontamination
+# Test-set n-gram overlap: docs from every other source that share a
+# 4-gram with the 'src0' "benchmark" slice (the public 8-gram test,
+# shrunk to 4 so the synthetic corpus produces collisions).  Benchmark
+# postings broadcast; the corpus side never shuffles.
+def _contamination(spark, sf):
+    docs = model.load_table(spark, sf, "documents")
+    return sampling.ngram_contamination(
+        corpus=docs.filter(F.col("source") != "src0"),
+        benchmark=docs.filter(F.col("source") == "src0"),
+        key="doc_id",
+        bench_key="doc_id",
+        n=4,
+    )
+
+
+_q(
+    "doc_contamination",
+    _contamination,
+    f"""
+WITH toksall AS (
+  SELECT doc_id, source, {_TOKS} AS t FROM documents
+), g AS (
+  SELECT doc_id, source,
+    CASE WHEN len(t) >= 4
+         THEN list_distinct(list_transform(range(1, len(t) - 4 + 2),
+              i -> array_to_string(t[i:i+3], ' ')))
+         ELSE [array_to_string(t, ' ')] END AS gs
+  FROM toksall
+), ex AS (
+  SELECT doc_id, source, md5(unnest(gs)) AS gh FROM g
+)
+SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS shared_ngrams
+FROM (SELECT doc_id, gh FROM ex WHERE source <> 'src0') c
+JOIN (SELECT doc_id, gh FROM ex WHERE source = 'src0') b USING (gh)
+GROUP BY c.doc_id, b.doc_id
+""",
+)

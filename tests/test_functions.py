@@ -264,3 +264,53 @@ def test_connected_components_matches_union_find(spark):
         for r in dedup.connected_components(df).collect()
     }
     assert got == want
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    from stdb_spark.functions import sampling
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s10 = {r.doc_id for r in sampling.hash_sample(df, fraction=0.1).collect()}
+    s30 = {r.doc_id for r in sampling.hash_sample(df, fraction=0.3).collect()}
+    again = {r.doc_id for r in sampling.hash_sample(df, fraction=0.1).collect()}
+    assert s10 == again  # rerun-stable
+    assert s10 <= s30  # nested: a smaller fraction is a subset
+    assert 0.05 < len(s10) / 2000 < 0.15  # roughly the asked fraction
+    other = {
+        r.doc_id for r in sampling.hash_sample(df, fraction=0.1, salt="s1").collect()
+    }
+    assert other != s10  # independent draw under a new salt
+
+
+def test_stratified_quota_exact_n(spark):
+    from stdb_spark.functions import sampling
+
+    rows = [(i, f"src{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.stratified_quota(df, "source", n=7).collect()
+    per = {}
+    for r in out:
+        per[r.source] = per.get(r.source, 0) + 1
+    assert per == {"src0": 7, "src1": 7, "src2": 7}
+    again = {(r.doc_id, r.source) for r in sampling.stratified_quota(df, "source", n=7).collect()}
+    assert again == {(r.doc_id, r.source) for r in out}
+
+
+def test_ngram_contamination_planted(spark):
+    from stdb_spark.functions import sampling
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains an 8-token window copied from the benchmark
+            (1, "intro words then the quick brown fox jumps over the lazy trailing"),
+            (2, "completely unrelated text with no overlap at all whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sampling.ngram_contamination(corpus, bench, n=8).collect()
+    assert {(r.doc_id, r.bench_id) for r in out} == {(1, 100)}
+    assert out[0].shared_ngrams == 1
