@@ -34,10 +34,16 @@ HEADLINE = [
     "rel_q3_shipping_priority",
     "rel_q5_local_supplier_volume",
     "rel_q6_forecast_revenue",
+    "rel_q7_volume_shipping",
+    "rel_q13_customer_distribution",
     "rel_q14_promo_effect",
+    "rel_q17_small_quantity_revenue",
     "rel_q18_large_volume_customers",
     "doc_ngram_jaccard_pairs",
     "doc_minhash_lsh_candidates",
+    "doc_dedup_clusters",
+    "doc_contamination",
+    "doc_hash_sample",
     "doc_simhash",
     "doc_quality_score",
     "emb_ann_bruteforce",
