@@ -141,3 +141,44 @@ def streaming_session_agg(samples: DataFrame, gap: str = "5 minutes") -> DataFra
         F.min("event_time").alias("t_first"),
         F.max("event_time").alias("t_last"),
     )
+
+
+def streaming_ingest_dedup(
+    samples: DataFrame, max_lateness: str = "1 hour"
+) -> DataFrame:
+    """At-least-once ingest dedup: a retried RESP/OpenTSDB write
+    delivers the same (series, ts) data point twice; the reference
+    rejects the replay at the tree tip (NB+tree refuses out-of-order /
+    duplicate timestamps per column).  The streaming twin drops exact
+    key repeats with dropDuplicatesWithinWatermark — state holds only
+    keys inside the lateness horizon, so memory is bounded by
+    (#series × points-per-horizon), and rows emit immediately (append
+    mode), not at watermark close."""
+    ev = with_late_data_policy(samples, max_lateness)
+    return ev.dropDuplicatesWithinWatermark(["series_id", "ts"])
+
+
+def streaming_ohlc(
+    samples: DataFrame,
+    step: str = "1 day",
+    max_lateness: str = "1 hour",
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Continuous candlesticks: tumbling-window OHLC per series — the
+    streaming twin of the batch `operators/ohlc.py`.  Open/close are
+    struct-min/max over (ts, value), so same-timestamp ties break on
+    value deterministically (row-atomic, same idiom as the batch
+    aggregate's first/last)."""
+    ev = with_late_data_policy(samples, max_lateness)
+    tv = F.struct(F.col("ts").alias("t"), F.col("value").alias("v"))
+    return ev.groupBy(
+        F.window("event_time", step).alias("bucket"),
+        "series_id",
+        "metric",
+        *extra_keys,
+    ).agg(
+        F.min(tv).getField("v").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(tv).getField("v").alias("close"),
+    )

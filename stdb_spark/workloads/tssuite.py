@@ -225,6 +225,104 @@ def _stream_replay(spark, sf):
 _q("stream_group_aggregate_replay", _stream_replay)
 
 
+def _replay_stream(spark, sf, transform, sink_name, mode):
+    """availableNow file-stream replay of the partitioned layout through
+    ``transform`` into a memory sink — the harness the stream_* queries
+    share."""
+    path = _layout_path(spark, sf)
+    schema = spark.read.parquet(path).schema
+    sdf = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "8"
+    ).parquet(path)
+    out = transform(sdf)
+    if sink_name in [t.name for t in spark.catalog.listTables()]:
+        spark.catalog.dropTempView(sink_name)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name)
+
+
+# Streaming at-least-once ingest dedup: replay the layout, drop repeated
+# (series, ts-µs) keys inside the watermark horizon, project to the key
+# columns (which survivor row wins is arrival-order dependent; the keys
+# are not).  Oracle = DISTINCT over the same µs-truncated view.
+def _stream_dedup(spark, sf):
+    from stdb_spark.streaming.ingest import streaming_ingest_dedup
+
+    def tf(sdf):
+        dd = streaming_ingest_dedup(
+            sdf.withColumn("ts", F.expr("(ts div 1000) * 1000")),
+            max_lateness="1 hour",
+        )
+        return dd.select(
+            F.concat(F.col("metric"), F.lit(" user="), F.col("tags")["user"]).alias(
+                "series"
+            ),
+            F.expr("ts div 1000").alias("ts"),
+        )
+
+    return _replay_stream(spark, sf, tf, "stream_dedup_sink", "append")
+
+
+_q(
+    "stream_ingest_dedup",
+    _stream_dedup,
+    BASE + "SELECT DISTINCT metric || ' user=' || u AS series, tu AS ts FROM base",
+)
+
+
+# Streaming candlesticks: tumbling 1-day OHLC per series over the
+# replayed layout — deterministic (struct min/max ties break on value),
+# so it carries a full value-hash oracle unlike the float-sum downsample.
+def _stream_ohlc(spark, sf):
+    from stdb_spark.streaming.ingest import streaming_ohlc
+
+    def tf(sdf):
+        out = streaming_ohlc(
+            sdf.withColumn("ts", F.expr("(ts div 1000) * 1000")).withColumn(
+                "user", F.col("tags")["user"]
+            ),
+            step="1 day",
+            max_lateness="1 hour",
+            extra_keys=("user",),
+        )
+        return out.select(
+            F.concat(F.col("metric"), F.lit(" user="), F.col("user")).alias(
+                "series"
+            ),
+            F.unix_micros(F.col("bucket.start")).alias("ts"),
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+
+    return _replay_stream(spark, sf, tf, "stream_ohlc_sink", "complete")
+
+
+_q(
+    "stream_ohlc",
+    _stream_ohlc,
+    BASE
+    + f"""
+SELECT metric || ' user=' || u AS series,
+       (tu // {D1_US}) * {D1_US} AS ts,
+       (min(struct_pack(t := tu, v := value))).v AS open,
+       max(value) AS high,
+       min(value) AS low,
+       (max(struct_pack(t := tu, v := value))).v AS close
+FROM base
+GROUP BY metric, u, tu // {D1_US}
+""",
+)
+
+
 # --------------------------------------------------------------- aggregate
 _AGG_G = (
     BASE

@@ -163,3 +163,60 @@ def test_overwrite_rewrite_idempotent(spark, facts, tmp_path):
         (r.metric, r.ts, r.value) for r in storage.read_samples(spark, path).collect()
     )
     assert first == second
+
+
+def test_streaming_ingest_dedup_across_batches(spark, tmp_path):
+    """A data point retried in a later micro-batch (same series+ts) must
+    be dropped by dropDuplicatesWithinWatermark state."""
+    from stdb_spark.sources.opentsdb import parse_opentsdb_lines
+    from stdb_spark.streaming.ingest import streaming_ingest_dedup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b1.txt").write_text(
+        "put cpu 1428000000 1.0 host=a\nput cpu 1428000060 2.0 host=a\n"
+    )
+    lines = spark.readStream.format("text").load(str(src))
+    out = streaming_ingest_dedup(parse_opentsdb_lines(lines))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    # retry of ts=1428000000 (new value!) + one genuinely new point
+    (src / "b2.txt").write_text(
+        "put cpu 1428000000 9.0 host=a\nput cpu 1428000120 4.0 host=a\n"
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("dedup_t").collect()
+    got = sorted((r.ts, r.value) for r in rows)
+    assert got == [
+        (1428000000 * 10**9, 1.0),
+        (1428000060 * 10**9, 2.0),
+        (1428000120 * 10**9, 4.0),
+    ]
+
+
+def test_streaming_ohlc_batch_shape(spark):
+    from stdb_spark.sources.opentsdb import parse_opentsdb_lines
+    from stdb_spark.streaming.ingest import streaming_ohlc
+
+    lines = spark.createDataFrame(
+        [
+            ("put px 1428000000 10.0 host=a",),
+            ("put px 1428000030 30.0 host=a",),
+            ("put px 1428000090 5.0 host=a",),
+            ("put px 1428000110 20.0 host=a",),
+        ],
+        "value string",
+    )
+    agg = streaming_ohlc(parse_opentsdb_lines(lines), step="1 minute")
+    rows = sorted(agg.collect(), key=lambda r: r.bucket.start)
+    assert [(r.open, r.high, r.low, r.close) for r in rows] == [
+        (10.0, 30.0, 10.0, 30.0),
+        (5.0, 20.0, 5.0, 20.0),
+    ]
