@@ -270,3 +270,110 @@ def ivf_top_k(
         .orderBy(F.col("cosine").desc(), F.col(key))
         .limit(k)
     )
+
+
+def _assign_cells_expr(vec_col: str, centroids: list[list[float]]) -> Column:
+    """0-based index of the nearest centroid (squared-L2 argmin, first
+    index on ties).  Centroids embed as literals, so the whole argmin is
+    one JVM expression per row — k dot products, no Python, no shuffle."""
+    scores = []
+    for c in centroids:
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        c2 = float(sum(x * x for x in c))
+        # |x - c|^2 = |x|^2 - 2 x.c + |c|^2; |x|^2 is constant per row
+        scores.append(F.lit(c2) - F.lit(2.0) * dot_expr(F.col(vec_col), lit))
+    arr = F.array(*scores)
+    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means over an embedding column — the IVF
+    training step.  Deterministic: seeds are the k rows with the
+    smallest md5(key) (reproducible across runs/engines, like
+    functions/sampling.py), and every iteration is exact DataFrame
+    algebra (assign = JVM argmin expression; recenter = posexplode +
+    groupBy(cell, pos) avg — never collects vectors).  Only the k×dim
+    centroid matrix ever reaches the driver, once per iteration —
+    broadcast-scale by construction.  Empty cells keep their previous
+    centroid (the standard fallback)."""
+    seed_rows = (
+        df.select(
+            vec_col,
+            F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(k)
+        .collect()
+    )
+    cents = [list(map(float, r[vec_col])) for r in seed_rows]
+    for _ in range(iters):
+        assigned = df.select(
+            _assign_cells_expr(vec_col, cents).alias("cell"), vec_col
+        )
+        rows = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_s"))
+            .select("cell", F.transform("_s", lambda s: s.getField("m")).alias("c"))
+            .collect()
+        )
+        new = {r["cell"]: list(map(float, r["c"])) for r in rows}
+        cents = [new.get(i, cents[i]) for i in range(k)]
+    return cents
+
+
+def with_ivf_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Write-time IVF cell assignment: adds a ``cell`` int column.  At
+    100 TB the table is then written partitioned (or clustered) by
+    ``cell`` so a probe reads only n_probe/k of the data —
+    PartitionFilters, not a full scan (same story as the presigned LSH
+    path)."""
+    return df.withColumn("cell", _assign_cells_expr(vec_col, centroids))
+
+
+def ivf_top_k_trained(
+    df: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF probe against trained centroids: rank cells by centroid
+    cosine on the driver (k×dim floats — trivial), filter to the
+    n_probe nearest cells, exact-rerank inside.  With cell-partitioned
+    storage the filter prunes partitions; otherwise it is still a
+    scan-cheap single predicate."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    scored = []
+    for i, c in enumerate(centroids):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        scored.append((sum(a * b for a, b in zip(c, query_vec)) / (cn * qn), i))
+    probe = [i for _, i in sorted(scored, reverse=True)[:n_probe]]
+    cands = with_ivf_cells(df, centroids, vec_col).filter(
+        F.col("cell").isin(probe)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = cosine_expr(F.col(vec_col), q)
+    return (
+        cands.select(F.col(key), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(key))
+        .limit(k)
+    )

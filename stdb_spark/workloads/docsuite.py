@@ -859,3 +859,29 @@ JOIN (SELECT doc_id, gh FROM ex WHERE source = 'src0') b USING (gh)
 GROUP BY c.doc_id, b.doc_id
 """,
 )
+
+
+# Trained IVF: k-means centroids fitted once (deterministic hash-seeded
+# Lloyd's) and cached as a write-time artifact; the probe filters to the
+# 2 nearest of 8 cells and exact-reranks inside.  Float centroids are
+# engine-order dependent -> rows-only; recall-vs-bruteforce and the
+# n_probe=k == exact property are pinned in pytest.
+def _emb_ann_ivf_trained(spark, sf):
+    import json
+    import os
+
+    docs = model.load_table(spark, sf, "embeddings")
+    cache = model.derived_cache_path(sf, "ivf_centroids", "embeddings")
+    cfile = os.path.join(cache, "centroids.json")
+    if os.path.exists(cfile):
+        with open(cfile) as f:
+            cents = json.load(f)
+    else:
+        cents = similarity.kmeans_fit(docs, k=8, iters=4)
+        os.makedirs(cache, exist_ok=True)
+        with open(cfile, "w") as f:
+            json.dump(cents, f)
+    return similarity.ivf_top_k_trained(docs, cents, _QVEC, k=10, n_probe=2)
+
+
+_q("emb_ann_ivf_trained", _emb_ann_ivf_trained)

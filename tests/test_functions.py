@@ -314,3 +314,29 @@ def test_ngram_contamination_planted(spark):
     out = sampling.ngram_contamination(corpus, bench, n=8).collect()
     assert {(r.doc_id, r.bench_id) for r in out} == {(1, 100)}
     assert out[0].shared_ngrams == 1
+
+
+def test_kmeans_deterministic_and_ivf_full_probe_exact(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c1 = similarity.kmeans_fit(df, k=4, iters=3)
+    c2 = similarity.kmeans_fit(df, k=4, iters=3)
+    assert c1 == c2  # hash-seeded init + exact algebra -> reproducible
+    q = [1.0] * 8
+    exact = [r.vec_id for r in similarity.brute_force_top_k(df, q, k=5).collect()]
+    # probing every cell must equal brute force
+    full = [
+        r.vec_id
+        for r in similarity.ivf_top_k_trained(df, c1, q, k=5, n_probe=4).collect()
+    ]
+    assert full == exact
+    # probing 2/4 cells: results are a subset of the table, ranked by cosine
+    part = similarity.ivf_top_k_trained(df, c1, q, k=5, n_probe=2).collect()
+    assert len(part) == 5
+    cos = [r.cosine for r in part]
+    assert cos == sorted(cos, reverse=True)
