@@ -1750,3 +1750,133 @@ def _sax_oracle():
 
 
 _q("ts_sax_words", _ts_sax, _sax_oracle())
+
+
+# ------------------------------------------------- multi-dim aggregates
+# CUBE over (metric, user): every subtotal combination in one pass —
+# the SURVEY §2.4 "grouping sets free in Spark" surface, exposed.  Spark
+# expands the cube map-side (one exchange); null group keys are labeled
+# with coalesce so the oracle's CUBE output aligns.
+def _ts_cube(spark, sf):
+    df = model.events_as_samples(spark, sf).filter(
+        (F.col("ts") >= JAN01) & (F.col("ts") < FEB01)
+    )
+    return (
+        df.withColumn("u", F.col("tags")["user"])
+        .cube("metric", "u")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(f"CAST(sum({DEC}) AS DOUBLE)").alias("total"),
+        )
+        .select(
+            F.coalesce("metric", F.lit("<all>")).alias("metric"),
+            F.coalesce("u", F.lit("<all>")).alias("u"),
+            "n",
+            "total",
+        )
+    )
+
+
+_q(
+    "ts_cube_metric_user",
+    _ts_cube,
+    BASE
+    + f"""
+SELECT coalesce(metric, '<all>') AS metric, coalesce(u, '<all>') AS u,
+       count(*) AS n,
+       CAST(CAST(sum({DEC}) AS VARCHAR) AS DOUBLE) AS total
+FROM base WHERE tu >= {JAN01_US} AND tu < {FEB01_US}
+GROUP BY CUBE (metric, u)
+""",
+)
+
+
+# ROLLUP over (metric, day): time-hierarchy subtotals (per metric-day,
+# per metric, grand total).
+def _ts_rollup(spark, sf):
+    df = model.events_as_samples(spark, sf).filter(
+        (F.col("ts") >= JAN01) & (F.col("ts") < FEB01)
+    )
+    return (
+        df.withColumn("day", F.expr(f"(ts div 1000 div {D1_US}) * {D1_US}"))
+        .rollup("metric", "day")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(f"CAST(sum({DEC}) AS DOUBLE)").alias("total"),
+        )
+        .select(
+            F.coalesce("metric", F.lit("<all>")).alias("metric"),
+            F.coalesce("day", F.lit(-1)).alias("day"),
+            "n",
+            "total",
+        )
+    )
+
+
+_q(
+    "ts_rollup_metric_day",
+    _ts_rollup,
+    BASE
+    + f"""
+SELECT coalesce(metric, '<all>') AS metric,
+       coalesce((tu // {D1_US}) * {D1_US}, -1) AS day,
+       count(*) AS n,
+       CAST(CAST(sum({DEC}) AS VARCHAR) AS DOUBLE) AS total
+FROM base WHERE tu >= {JAN01_US} AND tu < {FEB01_US}
+GROUP BY ROLLUP (metric, (tu // {D1_US}) * {D1_US})
+""",
+)
+
+
+# ------------------------------------------------------------- set ops
+# EXCEPT / INTERSECT over series-member sets ("users who clicked but
+# never purchased" / "did both") — SURVEY §2.6's absent-in-reference
+# set operators, exposed through the same narrow view.
+def _ts_except(spark, sf):
+    df = model.events_as_samples(spark, sf).filter(
+        (F.col("ts") >= JAN01) & (F.col("ts") < FEB01)
+    )
+    u = lambda m: (
+        df.filter(F.col("metric") == m)
+        .select(F.col("tags")["user"].alias("u"))
+        .distinct()
+    )
+    return u("click").exceptAll(u("purchase")).orderBy("u")
+
+
+_q(
+    "ts_set_except",
+    _ts_except,
+    BASE
+    + f"""
+SELECT u FROM base WHERE metric = 'click' AND tu >= {JAN01_US} AND tu < {FEB01_US}
+EXCEPT
+SELECT u FROM base WHERE metric = 'purchase' AND tu >= {JAN01_US} AND tu < {FEB01_US}
+ORDER BY u
+""",
+)
+
+
+def _ts_intersect(spark, sf):
+    df = model.events_as_samples(spark, sf).filter(
+        (F.col("ts") >= JAN01) & (F.col("ts") < FEB01)
+    )
+    u = lambda m: (
+        df.filter(F.col("metric") == m)
+        .select(F.col("tags")["user"].alias("u"))
+        .distinct()
+    )
+    return u("click").intersect(u("purchase")).orderBy("u")
+
+
+_q(
+    "ts_set_intersect",
+    _ts_intersect,
+    BASE
+    + f"""
+SELECT u FROM base WHERE metric = 'click' AND tu >= {JAN01_US} AND tu < {FEB01_US}
+INTERSECT
+SELECT u FROM base WHERE metric = 'purchase' AND tu >= {JAN01_US} AND tu < {FEB01_US}
+ORDER BY u
+""",
+)
