@@ -1880,3 +1880,77 @@ SELECT u FROM base WHERE metric = 'purchase' AND tu >= {JAN01_US} AND tu < {FEB0
 ORDER BY u
 """,
 )
+
+
+# ------------------------------------------------------------- gap fill
+# Regularized resample with locf / linear interpolation — absent in the
+# reference (group-aggregate omits empty buckets) but table stakes for
+# TS users; implemented in operators/gapfill.py over the same
+# begin-aligned bucket math.
+def _gapfill(spark, sf, how):
+    from stdb_spark.operators import gapfill
+
+    df = _samples(spark, sf, "click", JAN01_US, FEB01_US)
+    fn = gapfill.resample_locf if how == "locf" else gapfill.resample_interpolate
+    out = fn(df, begin=JAN01, end=FEB01, step=H6)
+    return out.select("series", F.expr("ts div 1000").alias("ts"), "value")
+
+
+_GAPFILL_PRE = (
+    BASE
+    + f"""
+, s AS (
+  SELECT 'click user=' || u AS series, tu, value
+  FROM base WHERE metric = 'click' AND tu >= {JAN01_US} AND tu < {FEB01_US}
+), b AS (
+  SELECT series, (tu - {JAN01_US}) // {H6_US} AS bk,
+         min(struct_pack(t := tu, v := value)) AS firstv,
+         max(struct_pack(t := tu, v := value)) AS lastv
+  FROM s GROUP BY series, (tu - {JAN01_US}) // {H6_US}
+), grid AS (
+  SELECT series, g.bk
+  FROM (SELECT DISTINCT series FROM s)
+  CROSS JOIN (SELECT unnest(range(0, {(FEB01_US - JAN01_US) // H6_US})) AS bk) g
+), j AS (
+  SELECT grid.series, grid.bk, b.firstv, b.lastv
+  FROM grid LEFT JOIN b ON grid.series = b.series AND grid.bk = b.bk
+)
+"""
+)
+
+_q(
+    "ts_gapfill_locf",
+    lambda spark, sf: _gapfill(spark, sf, "locf"),
+    _GAPFILL_PRE
+    + f"""
+SELECT series, {JAN01_US} + bk * {H6_US} AS ts,
+  (last_value(lastv IGNORE NULLS) OVER (
+     PARTITION BY series ORDER BY bk
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).v AS value
+FROM j
+""",
+)
+
+_q(
+    "ts_gapfill_interpolate",
+    lambda spark, sf: _gapfill(spark, sf, "interp"),
+    _GAPFILL_PRE
+    + f"""
+SELECT series, ts,
+  CASE WHEN lastv IS NOT NULL THEN lastv.v
+       WHEN prev IS NOT NULL AND nxt IS NOT NULL
+       THEN prev.v + (nxt.v - prev.v)
+            * (CAST(ts - prev.t AS DOUBLE) / CAST(nxt.t - prev.t AS DOUBLE))
+  END AS value
+FROM (
+  SELECT series, {JAN01_US} + bk * {H6_US} AS ts, lastv,
+    last_value(lastv IGNORE NULLS) OVER (
+      PARTITION BY series ORDER BY bk
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev,
+    first_value(firstv IGNORE NULLS) OVER (
+      PARTITION BY series ORDER BY bk
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+  FROM j
+)
+""",
+)

@@ -180,3 +180,37 @@ def test_sax_words_hand_computed(spark):
     assert out["s1"] == (8, "adad")
     # constant series: std == 0 -> z = 0 -> middle symbol 'c' everywhere
     assert out["flat"] == (4, "cccc")
+
+
+def test_gapfill_locf_and_interpolate(spark):
+    from stdb_spark.operators import gapfill
+
+    # step=10: buckets [0,10) [10,20) [20,30) [30,40); samples at ts 2,
+    # 12 and 38 -> buckets 1..2 empty-or-filled
+    rows = [("a", 2, 1.0), ("a", 12, 5.0), ("a", 38, 10.0)]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    locf = {
+        (r.ts): r.value
+        for r in gapfill.resample_locf(df, begin=0, end=40, step=10).collect()
+    }
+    assert locf == {0: 1.0, 10: 5.0, 20: 5.0, 30: 10.0}
+    interp = {
+        (r.ts): r.value
+        for r in gapfill.resample_interpolate(df, begin=0, end=40, step=10).collect()
+    }
+    # bucket 20 is empty: linear between (12, 5.0) and (38, 10.0) at t=20
+    assert interp[0] == 1.0 and interp[10] == 5.0 and interp[30] == 10.0
+    assert abs(interp[20] - (5.0 + 5.0 * (20 - 12) / (38 - 12))) < 1e-12
+
+
+def test_gapfill_leading_buckets_null(spark):
+    from stdb_spark.operators import gapfill
+
+    df = spark.createDataFrame(
+        [("a", 25, 2.0)], "series string, ts long, value double"
+    )
+    out = {
+        r.ts: r.value
+        for r in gapfill.resample_locf(df, begin=0, end=40, step=10).collect()
+    }
+    assert out == {0: None, 10: None, 20: 2.0, 30: 2.0}
