@@ -422,10 +422,12 @@ def connected_components(
     edges = e_fwd.union(
         pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
     )
+    # init folds the first propagation round in: label(v) = min(v, N(v))
+    # (one groupBy instead of a distinct + a full join round)
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("lbl", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_m"))
+        .select(F.col("src").alias("id"), F.least("src", "_m").alias("lbl"))
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(
