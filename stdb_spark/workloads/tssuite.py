@@ -1954,3 +1954,112 @@ FROM (
 )
 """,
 )
+
+
+# ------------------------------------------------------ value histogram
+# Fixed-width value histogram per metric (monitoring staple; "free in
+# Spark", absent in the reference).  Bin = floor((value-lo)/width),
+# clamped; integer arithmetic -> engine-exact.
+_HIST_LO, _HIST_W, _HIST_N = 0.0, 10.0, 12
+
+
+def _ts_histogram(spark, sf):
+    df = model.events_as_samples(spark, sf).filter(
+        (F.col("ts") >= JAN01) & (F.col("ts") < FEB01)
+    )
+    bin_ = F.least(
+        F.greatest(
+            F.floor((F.col("value") - _HIST_LO) / _HIST_W).cast("long"), F.lit(0)
+        ),
+        F.lit(_HIST_N - 1),
+    )
+    return (
+        df.withColumn("bin", bin_)
+        .groupBy("metric", "bin")
+        .agg(F.count("*").alias("n"))
+        .orderBy("metric", "bin")
+    )
+
+
+_q(
+    "ts_histogram",
+    _ts_histogram,
+    BASE
+    + f"""
+SELECT metric,
+       least(greatest(CAST(floor((value - {_HIST_LO}) / {_HIST_W}) AS BIGINT), 0),
+             {_HIST_N - 1}) AS bin,
+       count(*) AS n
+FROM base WHERE tu >= {JAN01_US} AND tu < {FEB01_US}
+GROUP BY metric, bin ORDER BY metric, bin
+""",
+)
+
+
+# ------------------------------------------------- cross-metric correlation
+# Pearson correlation between two metrics aligned on (user, ts) — the
+# "free in Spark" cross-series statistic.  Not F.corr (float accumulation
+# is partition-order dependent): the five moment sums accumulate as exact
+# decimals and the final formula is fixed-order double arithmetic, so
+# both engines produce the identical bit pattern.
+def _ts_corr(spark, sf):
+    df = model.events_as_samples(spark, sf).filter(
+        (F.col("ts") >= JAN01) & (F.col("ts") < FEB01)
+    )
+    pivoted = (
+        df.filter(F.col("metric").isin("click", "view"))
+        .withColumn("u", F.col("tags")["user"])
+        .groupBy("u", "ts")
+        .pivot("metric", ["click", "view"])
+        .agg(F.max("value"))
+        .filter(F.col("click").isNotNull() & F.col("view").isNotNull())
+    )
+    d = "DECIMAL(28,10)"
+    d2 = "DECIMAL(38,8)"
+    sums = pivoted.agg(
+        F.expr("count(*)").alias("n"),
+        F.expr(f"CAST(sum(CAST(click AS {d})) AS DOUBLE)").alias("sx"),
+        F.expr(f"CAST(sum(CAST(view AS {d})) AS DOUBLE)").alias("sy"),
+        F.expr(
+            f"CAST(sum(CAST(CAST(click AS {d}) * CAST(view AS {d}) AS {d2})) AS DOUBLE)"
+        ).alias("sxy"),
+        F.expr(
+            f"CAST(sum(CAST(CAST(click AS {d}) * CAST(click AS {d}) AS {d2})) AS DOUBLE)"
+        ).alias("sxx"),
+        F.expr(
+            f"CAST(sum(CAST(CAST(view AS {d}) * CAST(view AS {d}) AS {d2})) AS DOUBLE)"
+        ).alias("syy"),
+    )
+    return sums.select(
+        "n",
+        F.expr(
+            "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+        ).alias("corr"),
+    )
+
+
+_q(
+    "ts_corr_metrics",
+    _ts_corr,
+    BASE
+    + f"""
+, p AS (
+  SELECT u, tu,
+         max(CASE WHEN metric = 'click' THEN value END) AS click,
+         max(CASE WHEN metric = 'view'  THEN value END) AS view
+  FROM base WHERE metric IN ('click', 'view') AND tu >= {JAN01_US} AND tu < {FEB01_US}
+  GROUP BY u, tu
+), s AS (
+  SELECT count(*) AS n,
+    CAST(CAST(sum(CAST(click AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sum(CAST(view  AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(sum(CAST(CAST(click AS DECIMAL(28,10)) * CAST(view AS DECIMAL(28,10)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxy,
+    CAST(CAST(sum(CAST(CAST(click AS DECIMAL(28,10)) * CAST(click AS DECIMAL(28,10)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxx,
+    CAST(CAST(sum(CAST(CAST(view AS DECIMAL(28,10)) * CAST(view AS DECIMAL(28,10)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS syy
+  FROM p WHERE click IS NOT NULL AND view IS NOT NULL
+)
+SELECT n, (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+FROM s
+""",
+)
