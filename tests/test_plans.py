@@ -147,3 +147,43 @@ def test_engine_over_layout_prunes_partitions(spark):
     assert pf, plan
     assert "day" in pf[0] and "metric" in pf[0], pf[0]
     assert "GreaterThanOrEqual(ts," in plan
+
+
+def test_hash_sample_no_shuffle(spark):
+    df = QUERIES["doc_hash_sample"](spark, SF)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+
+
+def test_contamination_benchmark_broadcasts(spark):
+    df = QUERIES["doc_contamination"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # only the final (doc, bench) pair-count aggregation shuffles; the
+    # corpus postings side must never hash-exchange before the join
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_frequent_items_no_keyless_window(spark):
+    # the share threshold must come from a broadcast scalar, not a
+    # Window.partitionBy() that funnels all rows through one task
+    for name in ("ts_frequent_items", "ts_heavy_hitters"):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "Window" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+            name,
+            plan,
+        )
+
+
+def test_q7_all_dims_broadcast(spark):
+    plan = _plan(QUERIES["rel_q7_volume_shipping"](spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_gapfill_grid_no_collect_shape(spark):
+    # grid join + two window passes; no cartesian, no single-partition
+    # exchange beyond the windows' per-series partitioning
+    plan = _plan(QUERIES["ts_gapfill_interpolate"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
