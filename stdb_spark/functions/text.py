@@ -125,3 +125,91 @@ def fingerprint(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> D
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     fp = F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
     return df.select(key, fp.alias("fingerprint"))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher-rule family:
+    repetitive docs are low-quality training data): duplicate-line
+    ratio, duplicate-token ratio, and the frequency share of the most
+    common token.  Pure array expressions — no shuffle, no Python."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    n_lines = F.size(lines)
+    dup_line_ratio = (
+        n_lines - F.size(F.array_distinct(lines))
+    ) / F.greatest(n_lines, F.lit(1))
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    dup_tok_ratio = (n_tok - F.size(F.array_distinct(toks))) / F.greatest(
+        n_tok, F.lit(1)
+    )
+    # share of the most frequent token: sort, then one linear fold that
+    # tracks (prev, current run, best run) — O(d log d) per doc,
+    # map-side, no shuffle (a naive per-distinct filter would be
+    # quadratic in document length)
+    sorted_toks = F.array_sort(toks)
+    run = F.aggregate(
+        sorted_toks,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("cur"), F.lit(0).alias("best")
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc.getField("prev"), acc.getField("cur") + 1)
+            .otherwise(F.lit(1))
+            .alias("cur"),
+            F.greatest(
+                acc.getField("best"),
+                F.when(t == acc.getField("prev"), acc.getField("cur") + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("best"),
+        ),
+    )
+    top_tok_share = F.when(n_tok > 0, run.getField("best") / n_tok).otherwise(0.0)
+    return df.select(
+        "*",
+        dup_line_ratio.alias("dup_line_ratio"),
+        dup_tok_ratio.alias("dup_token_ratio"),
+        top_tok_share.alias("top_token_share"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    corpus: DataFrame | None = None,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Mean per-token unigram log-probability under the corpus' own
+    token distribution — the cheap stand-in for model perplexity
+    filtering (a doc of globally-rare tokens scores low).  Two shuffles:
+    one to build the unigram table (vocabulary-sized, broadcast back),
+    one per-doc re-aggregation; token explode stays map-side.
+    Log/divide are fixed-order double ops, so any engine reproduces the
+    score bit-for-bit."""
+    corpus = corpus if corpus is not None else df
+    corpus_toks = corpus.select(F.explode(tokens_col(text_col)).alias("tok"))
+    total = corpus_toks.count()  # scalar; embedded as a literal
+    uni = corpus_toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    doc_toks = df.select(F.col(key), F.explode(tokens_col(text_col)).alias("tok"))
+    return (
+        doc_toks.join(F.broadcast(uni), "tok")
+        .groupBy(key)
+        .agg(
+            # each log term rounds into a fixed-scale decimal before the
+            # sum, so accumulation order (partitioning) can't wobble the
+            # result; the final divide is one double op
+            (
+                F.sum(
+                    F.log(F.col("cnt").cast("double") / F.lit(float(total))).cast(
+                        "decimal(28,16)"
+                    )
+                ).cast("double")
+                / F.count("*")
+            ).alias("mean_logprob"),
+            F.count("*").alias("n_tokens"),
+        )
+    )

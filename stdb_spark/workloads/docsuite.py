@@ -885,3 +885,68 @@ def _emb_ann_ivf_trained(spark, sf):
 
 
 _q("emb_ann_ivf_trained", _emb_ann_ivf_trained)
+
+
+# ------------------------------------------- Gopher-style quality signals
+# Within-doc repetition ratios (duplicate lines / duplicate tokens / top
+# token share) — the classic repetitive-document filters.  All map-side
+# array algebra; the oracle recomputes each ratio relationally.
+def _repetition(spark, sf):
+    return text.repetition_stats(model.load_table(spark, sf, "documents")).select(
+        "doc_id", "dup_line_ratio", "dup_token_ratio", "top_token_share"
+    )
+
+
+_q(
+    "doc_repetition_stats",
+    _repetition,
+    f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> len(l) > 0) AS lines
+  FROM documents
+), tok_counts AS (
+  SELECT doc_id, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+  GROUP BY doc_id, tok
+)
+SELECT t.doc_id,
+  CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+    / greatest(len(lines), 1) AS dup_line_ratio,
+  CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+    / greatest(len(toks), 1) AS dup_token_ratio,
+  CASE WHEN len(toks) > 0
+       THEN CAST((SELECT max(c) FROM tok_counts k WHERE k.doc_id = t.doc_id)
+                 AS DOUBLE) / len(toks)
+       ELSE 0.0 END AS top_token_share
+FROM t
+""",
+)
+
+
+# Mean unigram log-probability under the corpus' own distribution — the
+# cheap perplexity-filter stand-in.  Decimal-summed log terms make the
+# score partitioning-independent and engine-exact.
+def _unigram_lp(spark, sf):
+    docs = model.load_table(spark, sf, "documents")
+    return text.unigram_logprob(docs).select("doc_id", "mean_logprob", "n_tokens")
+
+
+_q(
+    "doc_unigram_logprob",
+    _unigram_lp,
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), uni AS (
+  SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+), total AS (SELECT count(*) AS n FROM tok)
+SELECT doc_id,
+  CAST(sum(CAST(ln(CAST(cnt AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM total))
+                AS DECIMAL(28,16))) AS VARCHAR)::DOUBLE / count(*) AS mean_logprob,
+  count(*) AS n_tokens
+FROM tok JOIN uni USING (tok)
+GROUP BY doc_id
+""",
+)

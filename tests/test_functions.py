@@ -340,3 +340,40 @@ def test_kmeans_deterministic_and_ivf_full_probe_exact(spark):
     assert len(part) == 5
     cos = [r.cosine for r in part]
     assert cos == sorted(cos, reverse=True)
+
+
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a\nline two\nline two"),
+            (2, "all tokens unique here\nsolo line"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.repetition_stats(df).collect()}
+    # doc 1: 3 lines, "line two" duplicated once -> 1/3; tokens span
+    # lines: [a b a b a line two line two] -> 9 tokens, 4 distinct ->
+    # 5/9 dup; top token 'a' appears 3/9
+    assert abs(out[1].dup_line_ratio - 1 / 3) < 1e-12
+    assert abs(out[1].dup_token_ratio - 5 / 9) < 1e-12
+    assert abs(out[1].top_token_share - 3 / 9) < 1e-12
+    assert out[2].dup_line_ratio == 0.0
+    assert out[2].dup_token_ratio == 0.0
+    assert abs(out[2].top_token_share - 1 / 6) < 1e-12
+
+
+def test_unigram_logprob_ranks_rare_docs_lower(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "rare1 rare2 rare3 rare4"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.mean_logprob for r in text.unigram_logprob(df).collect()}
+    # 'common' has corpus probability 4/8; each rare token 1/8
+    import math
+
+    assert abs(out[1] - math.log(0.5)) < 1e-9
+    assert abs(out[2] - math.log(1 / 8)) < 1e-9
+    assert out[2] < out[1]
