@@ -155,3 +155,46 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     return df.filter(F.col("kind") == "video").select(
         "media_id", F.explode(ticks).alias("frame_ms"), "payload"
     )
+
+
+PHASH_SCHEMA = "media_id long, phash long"
+
+
+def image_phash(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """64-bit perceptual hash per image (classic DCT pHash: decode →
+    grayscale 32×32 → 2D DCT-II → top-left 8×8 low-frequency block →
+    bit = coefficient > median).  Near-duplicate images differ in a few
+    bits, so the output column feeds ``dedup.hamming_pairs`` unchanged —
+    the multimodal twin of SimHash text dedup, same full-recall
+    pigeonhole pairing, same one-shuffle plan.
+
+    Arrow-batched mapInPandas; the DCT is a fixed 32×32 matrix multiply
+    per image (numpy, vectorized).  Decode is the deterministic stub
+    (_fake_decode) in this container — swapping in a real codec changes
+    no Spark plumbing."""
+    N = 32
+
+    # DCT-II basis (orthonormal), fixed small matrix shared per batch
+    k = np.arange(N)
+    basis = np.sqrt(2.0 / N) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * N))
+    basis[0, :] = np.sqrt(1.0 / N)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = _fake_decode(bytes(payload), N, N).astype(np.float64)
+                coeffs = basis @ img @ basis.T
+                block = coeffs[:8, :8].flatten()
+                med = float(np.median(block[1:]))  # skip DC term
+                bits = 0
+                for i, c in enumerate(block):
+                    if i and c > med:
+                        bits |= 1 << (i - 1)
+                # two's-complement into signed 64-bit (bit 63 = sign)
+                if bits >= 1 << 63:
+                    bits -= 1 << 64
+                out.append((int(mid), bits))
+            yield pd.DataFrame(out, columns=["media_id", "phash"])
+
+    return df.select("media_id", "payload").mapInPandas(fn, schema=PHASH_SCHEMA)

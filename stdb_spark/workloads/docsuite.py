@@ -950,3 +950,25 @@ FROM tok JOIN uni USING (tok)
 GROUP BY doc_id
 """,
 )
+
+
+# Multimodal dedup: perceptual hash over the (stubbed) decode, then the
+# SAME full-recall Hamming pairing used for text SimHash — one pipeline
+# for text and image near-dup discovery.  The fixture plants exact
+# payload duplicates (ids 100+i), so pairs are guaranteed; rows-only
+# (DCT floats aren't portable SQL), semantics pinned in pytest.
+def _mm_phash_near_dups(spark, sf):
+    from stdb_spark.functions import multimodal
+
+    media = multimodal.make_fake_media(spark, n=48, kind="image")
+    dup = media.select(
+        (F.col("media_id") + 100).alias("media_id"),
+        "kind", "mime", "width", "height", "duration_ms", "payload",
+    ).limit(8)
+    hashes = multimodal.image_phash(media.unionByName(dup))
+    return dedup.hamming_pairs(
+        hashes, sig_col="phash", key="media_id", max_distance=3
+    )
+
+
+_q("mm_phash_near_dups", _mm_phash_near_dups)

@@ -377,3 +377,23 @@ def test_unigram_logprob_ranks_rare_docs_lower(spark):
     assert abs(out[1] - math.log(0.5)) < 1e-9
     assert abs(out[2] - math.log(1 / 8)) < 1e-9
     assert out[2] < out[1]
+
+
+def test_image_phash_dedup_finds_planted_duplicates(spark):
+    from stdb_spark.functions import multimodal
+
+    media = multimodal.make_fake_media(spark, n=12, kind="image")
+    dup = media.selectExpr(
+        "media_id + 100 AS media_id", "kind", "mime", "width", "height",
+        "duration_ms", "payload",
+    ).limit(3)
+    hashes = multimodal.image_phash(media.unionByName(dup))
+    h = {r.media_id: r.phash for r in hashes.collect()}
+    assert h[100] == h[0] and h[101] == h[1] and h[102] == h[2]
+    pairs = {
+        (r.a, r.b)
+        for r in dedup.hamming_pairs(
+            hashes, sig_col="phash", key="media_id", max_distance=3
+        ).collect()
+    }
+    assert {(0, 100), (1, 101), (2, 102)} <= pairs
