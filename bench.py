@@ -30,6 +30,9 @@ HEADLINE = [
     "ts_asof_join",
     "ts_interval_join",
     "ts_sax_words",
+    "ts_gapfill_interpolate",
+    "ts_corr_metrics",
+    "ts_cube_metric_user",
     "rel_q1_pricing_summary",
     "rel_q3_shipping_priority",
     "rel_q5_local_supplier_volume",
@@ -44,6 +47,8 @@ HEADLINE = [
     "doc_dedup_clusters",
     "doc_contamination",
     "doc_hash_sample",
+    "doc_repetition_stats",
+    "doc_unigram_logprob",
     "doc_simhash",
     "doc_quality_score",
     "emb_ann_bruteforce",

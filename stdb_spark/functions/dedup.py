@@ -437,6 +437,7 @@ def connected_components(
         prop = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), F.col("lbl")
         )
+        prev = labels
         labels = (
             labels.select("id", "lbl")
             .union(prop)
@@ -444,6 +445,10 @@ def connected_components(
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
+        # the new checkpoint is materialized, so the previous round's
+        # blocks can be dropped — otherwise every round leaks executor
+        # storage memory for the life of the session
+        prev.unpersist()
         cur_sum = labels.agg(
             F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
