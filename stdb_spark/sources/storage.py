@@ -126,3 +126,26 @@ def combine_summaries(summaries: DataFrame) -> DataFrame:
         F.min("first_ts").alias("first_timestamp"),
         F.max("last_ts").alias("last_timestamp"),
     )
+
+
+def write_samples_bucketed(
+    samples: DataFrame,
+    table: str,
+    buckets: int = 32,
+) -> None:
+    """Bucketed layout: the co-location strategy for per-series work at
+    100 TB.  `bucketBy(series_id)` + sort within buckets means every
+    downstream `groupBy("series_id")`, per-series window, or
+    series-keyed join starts from data already hash-distributed and
+    sorted on the key — Catalyst elides the Exchange entirely (assert:
+    test_plans).  Parquet `partitionBy` cannot do this (series
+    cardinality is unbounded); bucketing caps the directory fan-out at
+    `buckets` while keeping the co-location guarantee.  Requires a
+    metastore table (saveAsTable), not a bare path."""
+    (
+        samples.write.bucketBy(buckets, "series_id")
+        .sortBy("series_id", "ts")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )

@@ -220,3 +220,32 @@ def test_streaming_ohlc_batch_shape(spark):
         (10.0, 30.0, 10.0, 30.0),
         (5.0, 20.0, 5.0, 20.0),
     ]
+
+
+def test_bucketed_layout_elides_groupby_exchange(spark, facts):
+    """bucketBy(series_id)+sortBy: per-series aggregation over the
+    bucketed table must need NO Exchange (the co-location story at
+    100 TB; partitionBy can't do this for unbounded series
+    cardinality)."""
+    from stdb_spark.sources import storage
+
+    storage.write_samples_bucketed(facts, "t_bucketed_test", buckets=4)
+    try:
+        df = (
+            spark.table("t_bucketed_test")
+            .groupBy("series_id")
+            .agg(F.sum("value").alias("s"), F.count("*").alias("n"))
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        # and it still computes the right thing
+        direct = {
+            r.series_id: (r.s, r.n)
+            for r in facts.groupBy("series_id")
+            .agg(F.sum("value").alias("s"), F.count("*").alias("n"))
+            .collect()
+        }
+        got = {r.series_id: (r.s, r.n) for r in df.collect()}
+        assert got == direct
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_test")
