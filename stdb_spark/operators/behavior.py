@@ -1,0 +1,229 @@
+"""Event-behavior analytics: sessionization, funnels, retention cohorts,
+per-series anomaly flagging.
+
+The reference is a pure metrics engine — its event rows (string payloads,
+stdb/query/queryparser.cc:317-329) can be scanned and regex-filtered but
+not sessionized or sequenced; every product-analytics user of an events
+table wants these four.  All are expressed as single-exchange window /
+aggregate plans (no UDFs, no collects).
+
+Plan shapes at 100 TB:
+- sessionize: ONE hash exchange on the user key; the gap flag, the
+  running session index, and any per-session aggregate all reuse that
+  partitioning (lag + running sum + groupBy(user, session) share the
+  sort order, so Catalyst plans one Exchange + one Sort).
+- funnel: ONE exchange on user; each step's earliest-qualifying
+  timestamp is a whole-partition window min over the same partitioning
+  (Window nodes stack without re-shuffling), then a tiny stage-count
+  aggregate.
+- retention: first-touch per user and the activity set shuffle on the
+  same user key (exchange reuse), then one small (cohort, offset)
+  aggregate.
+- anomaly_zscore: ONE exchange on series; moment sums accumulate as
+  exact decimals over the series window so the flagged set is
+  partitioning-independent (bit-parity with any other engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_D = "DECIMAL(28,10)"
+_D2 = "DECIMAL(38,8)"
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user",
+    ts_col: str = "ts",
+    gap: int = 1_800_000_000_000,
+) -> DataFrame:
+    """Assign gap-based session indexes per user: a new session starts
+    when the time since the user's previous event exceeds ``gap`` (same
+    unit as ``ts_col``).  Adds ``session_idx`` (0-based per user).
+
+    Determinism note: rows WITHIN a tie group get gap 0 against each
+    other, but if a tie group itself opens a session, which tie row
+    carries the boundary flag is order-dependent — for a fully
+    deterministic result feed distinct (user, ts) instants (the
+    registered query does).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    new_sess = F.when(
+        (F.col(ts_col) - F.lag(ts_col).over(w)) > gap, F.lit(1)
+    ).otherwise(F.lit(0))
+    return events.withColumn(
+        "session_idx",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    user_col: str = "user",
+    ts_col: str = "ts",
+    gap: int = 1_800_000_000_000,
+) -> DataFrame:
+    """Per-session rollup: start/end timestamps, duration, event count.
+    Same single exchange as :func:`sessionize` — the groupBy keys are a
+    prefix of the window partitioning."""
+    return (
+        sessionize(events, user_col, ts_col, gap)
+        .groupBy(user_col, "session_idx")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            (F.max(ts_col) - F.min(ts_col)).alias("duration"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: list,
+    user_col: str = "user",
+    ts_col: str = "ts",
+    type_col: str = "metric",
+) -> DataFrame:
+    """Per-user ordered funnel: step k counts only if an event of
+    ``steps[k]`` occurs STRICTLY after the user's earliest qualifying
+    step k-1 event.  Returns one row per user with ``stage`` = number of
+    consecutive steps completed and ``step_ts`` array of the qualifying
+    timestamps.
+
+    Each step is a whole-partition window min over the same user
+    partitioning, so the chain adds Window nodes, not exchanges.
+    """
+    w = Window.partitionBy(user_col)
+    df = events
+    prev: Column | None = None
+    ts_cols = []
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > prev)
+        col_name = f"_s{i}"
+        df = df.withColumn(
+            col_name,
+            F.min(F.when(cond, F.col(ts_col))).over(w),
+        )
+        prev = F.col(col_name)
+        ts_cols.append(col_name)
+    per_user = df.groupBy(user_col).agg(
+        *[F.first(c).alias(c) for c in ts_cols]
+    )
+    # consecutive completion: stage k requires _s0 .. _s{k-1} non-null;
+    # by construction _sk is null whenever _s{k-1} is, so a plain
+    # non-null count IS the consecutive prefix length.
+    stage = sum(
+        (F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in ts_cols),
+        F.lit(0),
+    )
+    return per_user.select(
+        F.col(user_col),
+        stage.alias("stage"),
+        F.array(*[F.col(c) for c in ts_cols]).alias("step_ts"),
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list,
+    user_col: str = "user",
+    ts_col: str = "ts",
+    type_col: str = "metric",
+) -> DataFrame:
+    """Funnel summary: for each stage 1..len(steps), how many users
+    completed at least that many consecutive steps."""
+    stages = funnel_stages(events, steps, user_col, ts_col, type_col)
+    n = len(steps)
+    return (
+        stages.select(
+            F.explode(F.sequence(F.lit(1), F.lit(n))).alias("stage_at_least"),
+            F.col("stage"),
+        )
+        .filter(F.col("stage") >= F.col("stage_at_least"))
+        .groupBy("stage_at_least")
+        .agg(F.count("*").alias("users"))
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user",
+    ts_col: str = "ts",
+    period: int = 86_400_000_000_000,
+) -> DataFrame:
+    """Cohort retention grid: users bucketed by first-activity period,
+    counted per (cohort, period offset) of later activity.  ``period``
+    is in ``ts_col`` units (default: 1 day in ns).
+
+    Both the first-touch aggregate and the activity-set distinct shuffle
+    on the user key, so the join between them reuses one exchange; the
+    final (cohort, offset) aggregate is tiny.
+
+    ``ts_col`` must be a plain column name: the period bucket uses
+    integer ``div`` (double division would corrupt ns-scale epochs —
+    1.7e18 exceeds a double's 2^53 integer range).  Epochs are assumed
+    non-negative (div truncates toward zero).
+    """
+    pd_col = F.expr(f"CAST({ts_col} AS BIGINT) div {int(period)}")
+    act = events.select(
+        F.col(user_col).alias("u"), pd_col.alias("pd")
+    ).distinct()
+    first = act.groupBy("u").agg(F.min("pd").alias("cohort"))
+    return (
+        act.join(first, "u")
+        .select(
+            "u", "cohort", (F.col("pd") - F.col("cohort")).alias("period_offset")
+        )
+        .groupBy("cohort", "period_offset")
+        .agg(F.count("*").alias("users"))
+    )
+
+
+def anomaly_zscore(
+    samples: DataFrame,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Flag samples whose per-series z-score exceeds ``threshold``.
+
+    Moment sums (n, Σv, Σv²) accumulate as exact decimals over a
+    whole-partition window, then mean/std/z are fixed-order double
+    arithmetic — the flagged set is identical under any partitioning
+    and bit-comparable across engines.  One exchange on the series key.
+    """
+    w = Window.partitionBy(series_col)
+    v = F.col(value_col)
+    n = F.count(v).over(w)
+    # .over must wrap the aggregate itself — wrapping a CAST(sum(...))
+    # expression makes Catalyst hoist the sum into a (keyless) Aggregate
+    # instead of windowing it (MISSING_GROUP_BY).
+    sx = F.expr(f"sum(CAST({value_col} AS {_D}))").over(w).cast("double")
+    sxx = (
+        F.expr(
+            f"sum(CAST(CAST({value_col} AS {_D}) * CAST({value_col} AS {_D})"
+            f" AS {_D2}))"
+        )
+        .over(w)
+        .cast("double")
+    )
+    mean = sx / n
+    var = (sxx - sx * sx / n) / n
+    z = (v - mean) / F.sqrt(var)
+    # var > 0 guard: a constant series yields z = 0/0 = NaN, and NaN
+    # compares greater-than in both Spark and DuckDB — without the guard
+    # every sample of a flat series would be "anomalous".
+    return (
+        samples.withColumn("_var", var)
+        .withColumn("z", z)
+        .filter((F.col("_var") > 0) & (F.abs(F.col("z")) > threshold))
+        .select(series_col, ts_col, value_col, "z")
+    )

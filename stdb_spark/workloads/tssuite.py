@@ -2063,3 +2063,146 @@ SELECT n, (n * sxy - sx * sy)
 FROM s
 """,
 )
+
+
+# ------------------------------------------------- behavior analytics
+# Sessionization / funnel / retention / anomaly flagging over the
+# events-as-samples view (absent in the reference — its event rows can
+# only be scanned/regex-filtered, stdb/query/queryparser.cc:317-329).
+# All single-exchange window/aggregate plans; see operators/behavior.py.
+_GAP_US = 3_600_000_000  # 1 h session gap
+_DAY_US = 86_400_000_000
+
+
+def _ts_sessionize(spark, sf):
+    from stdb_spark.operators import behavior
+
+    ev = model.events_as_samples(spark, sf).select(
+        F.col("tags")["user"].alias("u"), F.expr("ts div 1000").alias("tu")
+    ).distinct()  # distinct instants -> tie-free session boundaries
+    return behavior.session_stats(
+        ev, user_col="u", ts_col="tu", gap=_GAP_US
+    ).orderBy("u", "session_idx")
+
+
+_q(
+    "ts_sessionize",
+    _ts_sessionize,
+    BASE
+    + f"""
+, inst AS (SELECT DISTINCT u, tu FROM base)
+, flg AS (
+  SELECT u, tu,
+    CASE WHEN tu - lag(tu) OVER (PARTITION BY u ORDER BY tu) > {_GAP_US}
+         THEN 1 ELSE 0 END AS f
+  FROM inst
+), sess AS (
+  SELECT u, tu,
+    CAST(sum(f) OVER (PARTITION BY u ORDER BY tu
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS session_idx
+  FROM flg
+)
+SELECT u, session_idx, min(tu) AS session_start, max(tu) AS session_end,
+       max(tu) - min(tu) AS duration, count(*) AS n_events
+FROM sess GROUP BY u, session_idx ORDER BY u, session_idx
+""",
+)
+
+
+def _ts_funnel(spark, sf):
+    from stdb_spark.operators import behavior
+
+    ev = model.events_as_samples(spark, sf).select(
+        F.col("tags")["user"].alias("u"),
+        F.col("metric"),
+        F.expr("ts div 1000").alias("tu"),
+    )
+    return behavior.funnel_counts(
+        ev, ["view", "click", "purchase"], user_col="u", ts_col="tu"
+    ).orderBy("stage_at_least")
+
+
+_q(
+    "ts_funnel",
+    _ts_funnel,
+    BASE
+    + """
+, s1 AS (SELECT u, min(CASE WHEN metric = 'view' THEN tu END) AS t1
+         FROM base GROUP BY u)
+, s2 AS (SELECT b.u,
+           min(CASE WHEN b.metric = 'click' AND b.tu > s1.t1 THEN b.tu END) AS t2
+         FROM base b JOIN s1 ON b.u = s1.u GROUP BY b.u)
+, s3 AS (SELECT b.u,
+           min(CASE WHEN b.metric = 'purchase' AND b.tu > s2.t2 THEN b.tu END) AS t3
+         FROM base b JOIN s2 ON b.u = s2.u GROUP BY b.u)
+, st AS (
+  SELECT s1.u,
+         (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS stage
+  FROM s1 JOIN s2 ON s1.u = s2.u JOIN s3 ON s1.u = s3.u)
+SELECT g.stage_at_least, count(*) AS users
+FROM st, (SELECT unnest([1, 2, 3]) AS stage_at_least) g
+WHERE st.stage >= g.stage_at_least
+GROUP BY g.stage_at_least ORDER BY g.stage_at_least
+""",
+)
+
+
+def _ts_retention(spark, sf):
+    from stdb_spark.operators import behavior
+
+    ev = model.events_as_samples(spark, sf).select(
+        F.col("tags")["user"].alias("u"), F.expr("ts div 1000").alias("tu")
+    )
+    return behavior.retention_cohorts(
+        ev, user_col="u", ts_col="tu", period=_DAY_US
+    ).orderBy("cohort", "period_offset")
+
+
+_q(
+    "ts_retention",
+    _ts_retention,
+    BASE
+    + f"""
+, act AS (SELECT DISTINCT u, tu // {_DAY_US} AS pd FROM base)
+, f AS (SELECT u, min(pd) AS cohort FROM act GROUP BY u)
+SELECT cohort, act.pd - cohort AS period_offset, count(*) AS users
+FROM act JOIN f ON act.u = f.u
+GROUP BY cohort, period_offset ORDER BY cohort, period_offset
+""",
+)
+
+
+def _ts_anomaly(spark, sf):
+    from stdb_spark.operators import behavior
+
+    df = _samples(spark, sf, "error").withColumn("ts", F.expr("ts div 1000"))
+    return behavior.anomaly_zscore(
+        df, series_col="series", ts_col="ts", value_col="value", threshold=2.0
+    ).orderBy("series", "ts")
+
+
+_q(
+    "ts_anomaly_zscore",
+    _ts_anomaly,
+    BASE
+    + """
+, s AS (
+  SELECT 'error user=' || u AS series, tu AS ts, value,
+    count(value) OVER (PARTITION BY u) AS n,
+    CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) OVER (PARTITION BY u)
+         AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sum(CAST(CAST(value AS DECIMAL(28,10)) * CAST(value AS DECIMAL(28,10))
+         AS DECIMAL(38,8))) OVER (PARTITION BY u) AS VARCHAR) AS DOUBLE) AS sxx
+  FROM base WHERE metric = 'error'
+)
+SELECT series, ts, value,
+       (value - sx / n) / sqrt((sxx - sx * sx / n) / n) AS z
+FROM s
+WHERE (sxx - sx * sx / n) / n > 0
+  AND abs((value - sx / n) / sqrt((sxx - sx * sx / n) / n)) > 2.0
+ORDER BY series, ts
+""",
+)

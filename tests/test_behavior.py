@@ -1,0 +1,156 @@
+"""Behavior analytics: sessionize / funnel / retention / anomaly.
+
+Semantics pinned on hand-computed inputs; plan shape pinned to ONE hash
+exchange per operator (the whole point of the window formulation —
+the reference has no analog, its events are scan-only,
+stdb/query/queryparser.cc:317-329).
+"""
+
+from pyspark.sql import functions as F
+
+from stdb_spark.operators import behavior
+
+
+def _events(spark, rows):
+    """rows: (user, metric, ts)"""
+    return spark.createDataFrame(
+        [(u, m, int(ts)) for u, m, ts in rows],
+        "u string, metric string, tu long",
+    )
+
+
+def _n_exchanges(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange hashpartitioning")
+
+
+def test_sessionize_gap_boundaries(spark):
+    ev = _events(
+        spark,
+        [
+            ("a", "x", 0),
+            ("a", "x", 50),
+            ("a", "x", 200),  # gap 150 > 100 -> new session
+            ("a", "x", 260),
+            ("b", "x", 10),  # other user independent
+        ],
+    )
+    got = {
+        (r.u, r.session_idx): (r.session_start, r.session_end, r.n_events)
+        for r in behavior.session_stats(
+            ev, user_col="u", ts_col="tu", gap=100
+        ).collect()
+    }
+    assert got == {
+        ("a", 0): (0, 50, 2),
+        ("a", 1): (200, 260, 2),
+        ("b", 0): (10, 10, 1),
+    }
+
+
+def test_sessionize_single_exchange(spark):
+    ev = _events(spark, [("a", "x", 0), ("a", "x", 50)])
+    stats = behavior.session_stats(ev, user_col="u", ts_col="tu", gap=100)
+    assert _n_exchanges(stats) == 1
+
+
+def test_funnel_strict_ordering(spark):
+    # user a: full v->c->p; user b: click BEFORE view never counts;
+    # user c: view only; user d: simultaneous click (ts equal) rejected
+    # by the strict > rule.
+    ev = _events(
+        spark,
+        [
+            ("a", "view", 1),
+            ("a", "click", 2),
+            ("a", "purchase", 3),
+            ("b", "click", 1),
+            ("b", "view", 2),
+            ("b", "purchase", 3),
+            ("c", "view", 5),
+            ("d", "view", 7),
+            ("d", "click", 7),
+        ],
+    )
+    stages = {
+        r.u: r.stage
+        for r in behavior.funnel_stages(
+            ev, ["view", "click", "purchase"], user_col="u", ts_col="tu"
+        ).collect()
+    }
+    # b never re-views after the early click, so the click can't count:
+    # stage stays 1 (consecutive-from-step-1 semantics).
+    assert stages == {"a": 3, "b": 1, "c": 1, "d": 1}
+    counts = {
+        r.stage_at_least: r.users
+        for r in behavior.funnel_counts(
+            ev, ["view", "click", "purchase"], user_col="u", ts_col="tu"
+        ).collect()
+    }
+    assert counts == {1: 4, 2: 1, 3: 1}
+
+
+def test_funnel_single_exchange(spark):
+    ev = _events(spark, [("a", "view", 1), ("a", "click", 2)])
+    stages = behavior.funnel_stages(
+        ev, ["view", "click"], user_col="u", ts_col="tu"
+    )
+    assert _n_exchanges(stages) == 1
+
+
+def test_retention_cohorts(spark):
+    day = 10
+    ev = _events(
+        spark,
+        [
+            ("a", "x", 0),  # cohort 0
+            ("a", "x", 12),  # day 1 -> offset 1
+            ("a", "x", 15),  # same day, distinct'd away
+            ("a", "x", 31),  # day 3
+            ("b", "x", 12),  # cohort 1
+            ("b", "x", 22),  # offset 1
+        ],
+    )
+    got = {
+        (r.cohort, r.period_offset): r.users
+        for r in behavior.retention_cohorts(
+            ev, user_col="u", ts_col="tu", period=day
+        ).collect()
+    }
+    assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_anomaly_zscore_flags_outlier_and_guards_flat(spark):
+    rows = [("s1", "x", t) for t in range(10)]
+    df = spark.createDataFrame(
+        [
+            ("s1", 0, 1.0),
+            ("s1", 1, 1.0),
+            ("s1", 2, 1.0),
+            ("s1", 3, 1.0),
+            ("s1", 4, 1.0),
+            ("s1", 5, 1.0),
+            ("s1", 6, 1.0),
+            ("s1", 7, 1.0),
+            ("s1", 8, 1.0),
+            ("s1", 9, 100.0),  # the outlier
+            ("flat", 0, 5.0),  # constant series: zero variance, no flags
+            ("flat", 1, 5.0),
+        ],
+        "series string, tu long, value double",
+    )
+    got = behavior.anomaly_zscore(
+        df, series_col="series", ts_col="tu", value_col="value", threshold=2.0
+    ).collect()
+    assert [(r.series, r.tu, r.value) for r in got] == [("s1", 9, 100.0)]
+    assert got[0].z > 2.0
+
+
+def test_anomaly_single_exchange(spark):
+    df = spark.createDataFrame(
+        [("s1", 0, 1.0), ("s1", 1, 2.0)], "series string, tu long, value double"
+    )
+    out = behavior.anomaly_zscore(
+        df, series_col="series", ts_col="tu", value_col="value"
+    )
+    assert _n_exchanges(out) == 1
