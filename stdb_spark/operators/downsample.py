@@ -1,0 +1,62 @@
+"""Visualization-preserving downsampling.
+
+M4 (Jugel et al., VLDB 2014 — public algorithm): per (series, pixel
+bucket) keep the first, last, min and max samples; rendering those 4
+anchors per pixel column reproduces the exact line rasterization of the
+full-resolution series.  The reference can only bucket-aggregate one
+function at a time (stdb/storage/nbtree.cc:1067-1422); M4 is the
+operator a grafana-style frontend actually wants.
+
+Plan shape at 100 TB: ONE hash exchange on (series, bucket) with
+map-side partial aggregation — the anchors are struct min/max, so
+Tungsten keeps the whole reduction JVM-side and each anchor is
+row-atomic (ts and value come from the SAME sample; ties on equal
+values break deterministically by the struct's second field).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def m4(
+    samples: DataFrame,
+    begin: int,
+    end: int,
+    step: int,
+    series_col: str = "series",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """One row per (series, bucket) carrying the four M4 anchors:
+    (first_ts, first_v), (min_v, min_ts), (max_v, max_ts),
+    (last_ts, last_v).  Buckets are begin-aligned, [begin, end) half-open
+    like the engine's group-aggregate."""
+    ts, v = F.col(ts_col), F.col(value_col)
+    s = samples.filter((ts >= begin) & (ts < end))
+    bk = ((ts - begin) / F.lit(step)).cast("long")
+    tv = F.struct(ts.alias("t"), v.alias("v"))
+    vt = F.struct(v.alias("v"), ts.alias("t"))
+    agg = (
+        s.withColumn("bk", bk)
+        .groupBy(series_col, "bk")
+        .agg(
+            F.min(tv).alias("_f"),
+            F.max(tv).alias("_l"),
+            F.min(vt).alias("_mn"),
+            F.max(vt).alias("_mx"),
+        )
+    )
+    return agg.select(
+        series_col,
+        "bk",
+        F.col("_f.t").alias("first_ts"),
+        F.col("_f.v").alias("first_v"),
+        F.col("_mn.v").alias("min_v"),
+        F.col("_mn.t").alias("min_ts"),
+        F.col("_mx.v").alias("max_v"),
+        F.col("_mx.t").alias("max_ts"),
+        F.col("_l.t").alias("last_ts"),
+        F.col("_l.v").alias("last_v"),
+    )

@@ -2206,3 +2206,74 @@ WHERE (sxx - sx * sx / n) / n > 0
 ORDER BY series, ts
 """,
 )
+
+
+# ----------------------------------------------- M4 downsample + JSON props
+def _ts_m4(spark, sf):
+    from stdb_spark.operators import downsample
+
+    df = _samples(spark, sf, "click", JAN01_US, FEB01_US).withColumn(
+        "ts", F.expr("ts div 1000")
+    )
+    return downsample.m4(
+        df, JAN01_US, FEB01_US, H6_US, series_col="series"
+    ).orderBy("series", "bk")
+
+
+_q(
+    "ts_m4_downsample",
+    _ts_m4,
+    BASE
+    + f"""
+, s AS (
+  SELECT 'click user=' || u AS series, tu, value
+  FROM base WHERE metric = 'click' AND tu >= {JAN01_US} AND tu < {FEB01_US}
+), b AS (
+  SELECT series, (tu - {JAN01_US}) // {H6_US} AS bk,
+         min(struct_pack(t := tu, v := value)) AS f,
+         max(struct_pack(t := tu, v := value)) AS l,
+         min(struct_pack(v := value, t := tu)) AS mn,
+         max(struct_pack(v := value, t := tu)) AS mx
+  FROM s GROUP BY series, bk
+)
+SELECT series, bk, f.t AS first_ts, f.v AS first_v,
+       mn.v AS min_v, mn.t AS min_ts, mx.v AS max_v, mx.t AS max_ts,
+       l.t AS last_ts, l.v AS last_v
+FROM b ORDER BY series, bk
+""",
+)
+
+
+def _ts_events_json(spark, sf):
+    """Typed extraction from the event body (props JSON): per event
+    stream, integer-exact stats of the ``k`` field.  get_json_object is
+    JVM-side (Jackson) — no Python in the hot path; at 100 TB this is
+    one partial-aggregated exchange over the parsed column."""
+    ev = model.events_as_event_stream(spark, sf)
+    k = F.get_json_object(F.col("body"), "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("metric")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("metric")
+    )
+
+
+_q(
+    "ts_events_json_stats",
+    _ts_events_json,
+    """
+SELECT '!' || event_type AS metric,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type ORDER BY metric
+""",
+)

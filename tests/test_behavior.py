@@ -6,8 +6,6 @@ the reference has no analog, its events are scan-only,
 stdb/query/queryparser.cc:317-329).
 """
 
-from pyspark.sql import functions as F
-
 from stdb_spark.operators import behavior
 
 
@@ -121,7 +119,6 @@ def test_retention_cohorts(spark):
 
 
 def test_anomaly_zscore_flags_outlier_and_guards_flat(spark):
-    rows = [("s1", "x", t) for t in range(10)]
     df = spark.createDataFrame(
         [
             ("s1", 0, 1.0),
@@ -154,3 +151,43 @@ def test_anomaly_single_exchange(spark):
         df, series_col="series", ts_col="tu", value_col="value"
     )
     assert _n_exchanges(out) == 1
+
+
+# ------------------------------------------------------- M4 downsample
+def test_m4_anchors_hand_computed(spark):
+    from stdb_spark.operators import downsample
+
+    df = spark.createDataFrame(
+        [
+            ("s", 0, 5.0),
+            ("s", 3, 1.0),   # min of bucket 0
+            ("s", 7, 9.0),   # max of bucket 0
+            ("s", 9, 4.0),   # last of bucket 0
+            ("s", 12, 2.0),  # bucket 1 single sample = all four anchors
+        ],
+        "series string, ts long, value double",
+    )
+    rows = {
+        r.bk: r
+        for r in downsample.m4(df, 0, 20, 10, series_col="series").collect()
+    }
+    b0 = rows[0]
+    assert (b0.first_ts, b0.first_v) == (0, 5.0)
+    assert (b0.min_v, b0.min_ts) == (1.0, 3)
+    assert (b0.max_v, b0.max_ts) == (9.0, 7)
+    assert (b0.last_ts, b0.last_v) == (9, 4.0)
+    b1 = rows[1]
+    assert (b1.first_ts, b1.first_v) == (12, 2.0)
+    assert (b1.min_v, b1.max_v, b1.last_v) == (2.0, 2.0, 2.0)
+
+
+def test_m4_single_exchange_with_partial_agg(spark):
+    from stdb_spark.operators import downsample
+
+    df = spark.createDataFrame(
+        [("s", 0, 5.0), ("s", 3, 1.0)], "series string, ts long, value double"
+    )
+    out = downsample.m4(df, 0, 20, 10, series_col="series")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan or "HashAggregate" in plan
