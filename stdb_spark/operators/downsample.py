@@ -60,3 +60,55 @@ def m4(
         F.col("_l.t").alias("last_ts"),
         F.col("_l.v").alias("last_v"),
     )
+
+
+def lttb(
+    samples: DataFrame,
+    n_out: int,
+    series_col: str = "series",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets (Steinarsson 2013 — public
+    algorithm): per series, pick the ``n_out`` samples that best
+    preserve the line's visual shape (first + last always kept; each
+    interior bucket keeps the point maximizing the triangle area with
+    the previously kept point and the next bucket's centroid).
+
+    The selection is inherently sequential per series (each choice
+    depends on the previous), so this is the documented Pandas-UDF slow
+    path: one ``applyInPandas`` per series group, numpy inside, Arrow
+    batches in/out.  A series' samples must fit in one group — at
+    100 TB pre-reduce with :func:`m4` (e.g. step = span/(4*n_out))
+    before LTTB; the anchors preserve exactly the extremes LTTB needs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = f"{series_col} string, {ts_col} long, {value_col} double"
+
+    def _pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        n = len(pdf)
+        if n <= n_out:
+            return pdf[[series_col, ts_col, value_col]]
+        t = pdf[ts_col].to_numpy(dtype=np.float64)
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        # bucket edges over the interior points (first/last pinned)
+        edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+        keep = np.empty(n_out, dtype=np.int64)
+        keep[0] = 0
+        for i in range(n_out - 2):
+            lo, hi = edges[i], edges[i + 1]
+            nlo, nhi = edges[i + 1], (n if i == n_out - 3 else edges[i + 2])
+            cx, cy = t[nlo:nhi].mean(), v[nlo:nhi].mean()
+            ax, ay = t[keep[i]], v[keep[i]]
+            area = np.abs(
+                (ax - cx) * (v[lo:hi] - ay) - (ax - t[lo:hi]) * (cy - ay)
+            )
+            keep[i + 1] = lo + int(np.argmax(area))
+        keep[-1] = n - 1
+        out = pdf.iloc[keep]
+        return out[[series_col, ts_col, value_col]]
+
+    return samples.groupBy(series_col).applyInPandas(_pick, schema=out_schema)

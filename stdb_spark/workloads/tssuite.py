@@ -2277,3 +2277,18 @@ FROM events
 GROUP BY event_type ORDER BY metric
 """,
 )
+
+
+def _ts_lttb(spark, sf):
+    """LTTB shape-preserving downsample to 16 points per click series.
+    Rows-only check: the selection is sequential per series (each pick
+    depends on the previous), genuinely non-SQL-expressible."""
+    from stdb_spark.operators import downsample
+
+    df = _samples(spark, sf, "click", JAN01_US, FEB01_US).withColumn(
+        "ts", F.expr("ts div 1000")
+    )
+    return downsample.lttb(df, 16, series_col="series").orderBy("series", "ts")
+
+
+_q("ts_lttb", _ts_lttb)  # rows-only: sequential selection, no SQL analog

@@ -191,3 +191,23 @@ def test_m4_single_exchange_with_partial_agg(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_lttb_pins_endpoints_and_picks_spike(spark):
+    from stdb_spark.operators import downsample
+
+    # 20-point ramp with one spike at ts=13; n_out=5 must keep both
+    # endpoints and the spike (it dominates any triangle in its bucket).
+    pts = [("s", t, float(t)) for t in range(20)]
+    pts[13] = ("s", 13, 500.0)
+    df = spark.createDataFrame(pts, "series string, ts long, value double")
+    got = downsample.lttb(df, 5, series_col="series").collect()
+    ts = sorted(r.ts for r in got)
+    assert len(got) == 5
+    assert ts[0] == 0 and ts[-1] == 19
+    assert 13 in ts
+    # short series pass through untouched
+    small = spark.createDataFrame(
+        [("s", 0, 1.0), ("s", 1, 2.0)], "series string, ts long, value double"
+    )
+    assert downsample.lttb(small, 5, series_col="series").count() == 2

@@ -29,12 +29,22 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def _values_equal(a, b) -> bool:
+# Queries whose floats involve transcendental functions evaluated by
+# each engine's own libm (ln in unigram_logprob): the JVM and DuckDB can
+# disagree in the final ulp, which no amount of decimal-sum discipline
+# fixes.  For these, compare exactly the way the driver's hash does —
+# round(x, 6) — instead of bitwise.  Everything else stays bit-exact.
+LIBM_TOLERANT = {"doc_unigram_logprob"}
+
+
+def _values_equal(a, b, tolerant=False) -> bool:
     if a is None and b is None:
         return True
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
+        if tolerant:
+            return round(a, 6) == round(b, 6)  # the driver-gate comparison
         return a == b  # exact: the suite is designed for bit parity
     return a == b
 
@@ -53,7 +63,7 @@ def con():
     return _duck(SF_DIR)
 
 
-def _run_one(spark, con, qfn, sql):
+def _run_one(spark, con, qfn, sql, tolerant=False):
     got = qfn(spark, SF_DIR).toPandas()
     want = con.sql(sql).df()
     assert sorted(got.columns) == sorted(want.columns), (
@@ -68,7 +78,9 @@ def _run_one(spark, con, qfn, sql):
             if isinstance(xx, float) or isinstance(yy, float):
                 xx = float(xx) if xx is not None else None
                 yy = float(yy) if yy is not None else None
-            assert _values_equal(xx, yy), f"col {col} row {i}: {x!r} != {y!r}"
+            assert _values_equal(xx, yy, tolerant), (
+                f"col {col} row {i}: {x!r} != {y!r}"
+            )
 
 
 def test_entry_smoke(spark, entry_mod):
@@ -90,7 +102,7 @@ def _param_ids():
 def test_oracle_parity(spark, con, entry_mod, name):
     qs = entry_mod.queries()
     sqls = entry_mod.oracle_sql()
-    _run_one(spark, con, qs[name], sqls[name])
+    _run_one(spark, con, qs[name], sqls[name], tolerant=name in LIBM_TOLERANT)
 
 
 def test_rows_only_queries_run(spark, entry_mod):
