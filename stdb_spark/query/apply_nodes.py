@@ -194,6 +194,24 @@ def apply_pipeline(
             for c in value_cols:
                 run = F.avg(c).over(w.rowsBetween(Window.unboundedPreceding, 0))
                 df = df.withColumn(c, F.when(F.col(c).isNotNull(), run))
+        elif name == "median":
+            # rolling median filter (robust smoothing; absent in the
+            # reference's sliding_window.h family).  Odd window widths
+            # only, and warm-up rows (< n samples) emit NULL: the 0.5
+            # percentile then always lands ON a sample — exact element
+            # selection, no interpolation, bit-parity across engines.
+            n = int(step.get("window-width", 0))
+            if n <= 0 or n % 2 == 0:
+                raise ApplyError("`median` requires positive odd `window-width`")
+            rn = F.row_number().over(w)
+            for c in value_cols:
+                med = F.expr(f"percentile(`{c}`, 0.5)").over(
+                    w.rowsBetween(-(n - 1), 0)
+                )
+                df = df.withColumn(
+                    c,
+                    F.when(F.col(c).isNotNull() & (rn >= n), med),
+                )
         elif name == "top":
             n = int(step["N"])
             c = value_cols[0]

@@ -2292,3 +2292,35 @@ def _ts_lttb(spark, sf):
 
 
 _q("ts_lttb", _ts_lttb)  # rows-only: sequential selection, no SQL analog
+
+
+def _ts_median_filter(spark, sf):
+    """Rolling 5-sample median (robust smoothing).  Full windows only:
+    the 0.5 percentile lands ON a sample (odd n, no interpolation), so
+    the output is engine-exact; warm-up rows emit NULL like the apply
+    node (query/apply_nodes.py `median`)."""
+    n = 5
+    df = _samples(spark, sf, "view", JAN01_US, FEB01_US)
+    wo = Window.partitionBy("series").orderBy("ts")
+    rn = F.row_number().over(wo)
+    med = F.expr("percentile(value, 0.5)").over(wo.rowsBetween(-(n - 1), 0))
+    return df.select(
+        "series",
+        F.expr("ts div 1000").alias("ts"),
+        F.when(rn >= n, med).alias("value"),
+    )
+
+
+_q(
+    "ts_median_filter",
+    _ts_median_filter,
+    BASE
+    + f"""
+SELECT metric || ' user=' || u AS series, tu AS ts,
+  CASE WHEN row_number() OVER (PARTITION BY u ORDER BY tu) >= 5
+       THEN quantile_disc(value, 0.5) OVER (PARTITION BY u ORDER BY tu
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+  END AS value
+FROM base WHERE metric = 'view' AND tu >= {JAN01_US} AND tu < {FEB01_US}
+""",
+)

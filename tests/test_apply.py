@@ -214,3 +214,24 @@ def test_gapfill_leading_buckets_null(spark):
         for r in gapfill.resample_locf(df, begin=0, end=40, step=10).collect()
     }
     assert out == {0: None, 10: None, 20: 2.0, 30: 2.0}
+
+
+def test_median_filter_sawtooth(eng):
+    # series C = i%10; 5-wide rolling median: warm-up (first 4) NULL,
+    # then the middle element of the last 5 samples, exactly.
+    out = eng.query(q("sig", {"s": "C"}, [{"name": "median", "window-width": 5}])).collect()
+    vals = [r.value for r in out]
+    assert vals[:4] == [None] * 4
+    import statistics
+
+    for i in range(4, 50):
+        window = [(j % 10) for j in range(i - 4, i + 1)]
+        assert vals[i] == statistics.median(window), i
+
+
+def test_median_filter_rejects_even_width(eng):
+    import pytest as _pytest
+    from stdb_spark.query.apply_nodes import ApplyError
+
+    with _pytest.raises(ApplyError):
+        eng.query(q("sig", {"s": "C"}, [{"name": "median", "window-width": 4}]))
