@@ -33,6 +33,12 @@ HEADLINE = [
     "ts_gapfill_interpolate",
     "ts_corr_metrics",
     "ts_cube_metric_user",
+    "ts_sessionize",
+    "ts_funnel",
+    "ts_retention",
+    "ts_anomaly_zscore",
+    "ts_m4_downsample",
+    "ts_median_filter",
     "rel_q1_pricing_summary",
     "rel_q3_shipping_priority",
     "rel_q5_local_supplier_volume",

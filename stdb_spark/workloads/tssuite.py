@@ -2077,9 +2077,17 @@ _DAY_US = 86_400_000_000
 def _ts_sessionize(spark, sf):
     from stdb_spark.operators import behavior
 
-    ev = model.events_as_samples(spark, sf).select(
-        F.col("tags")["user"].alias("u"), F.expr("ts div 1000").alias("tu")
-    ).distinct()  # distinct instants -> tie-free session boundaries
+    # distinct instants -> tie-free session boundaries.  Repartition on
+    # the user key FIRST: HashPartitioning(u) satisfies the (u, tu)
+    # dedup's clustering requirement AND the session windows', so the
+    # whole pipeline runs on ONE exchange of the events table (the
+    # bare .distinct() plan had two).
+    ev = (
+        model.events_as_samples(spark, sf)
+        .select(F.col("tags")["user"].alias("u"), F.expr("ts div 1000").alias("tu"))
+        .repartition("u")
+        .distinct()
+    )
     return behavior.session_stats(
         ev, user_col="u", ts_col="tu", gap=_GAP_US
     ).orderBy("u", "session_idx")
