@@ -78,6 +78,7 @@ def agg_expr(
         "distinct_count": F.count_distinct(v).cast("double"),
         "median": F.percentile(v, F.lit(0.5)),
         "p90": F.percentile(v, F.lit(0.90)),
+        "p95": F.percentile(v, F.lit(0.95)),
         "p99": F.percentile(v, F.lit(0.99)),
     }
     if func not in table:
@@ -121,6 +122,7 @@ def oracle_agg_sql(
         "distinct_count": f"CAST(count(DISTINCT {value}) AS DOUBLE)",
         "median": f"quantile_cont({value}, 0.5)",
         "p90": f"quantile_cont({value}, 0.90)",
+        "p95": f"quantile_cont({value}, 0.95)",
         "p99": f"quantile_cont({value}, 0.99)",
     }
     return table[func]

@@ -77,6 +77,7 @@ AGG_FUNCS = (
     "distinct_count",
     "median",
     "p90",
+    "p95",
     "p99",
 )
 

@@ -2332,3 +2332,56 @@ SELECT metric || ' user=' || u AS series, tu AS ts,
 FROM base WHERE metric = 'view' AND tu >= {JAN01_US} AND tu < {FEB01_US}
 """,
 )
+
+
+# Per-bucket latency-style percentiles (the SLO query every monitoring
+# user runs; reference group-aggregate has no percentile).  Exact
+# linear-interpolation percentile per (series, 6h bucket) — Spark
+# percentile == DuckDB quantile_cont bit-for-bit (same as
+# ts_aggregate_extended, here per-bucket).
+_q(
+    "ts_group_aggregate_p95",
+    lambda spark, sf: _us(
+        _engine(spark, sf).query(
+            {
+                "group-aggregate": {
+                    "step": "6h",
+                    "metric": "error",
+                    "func": ["p95", "count"],
+                },
+                "range": {"from": JAN01, "to": FEB01},
+            }
+        )
+    ),
+    BASE
+    + f"""
+SELECT 'error:p95|error:count user=' || u AS series,
+  {JAN01_US} + {H6_US} * ((tu - {JAN01_US}) // {H6_US}) AS ts,
+  quantile_cont(value, 0.95) AS "p95",
+  CAST(count(value) AS DOUBLE) AS "count"
+FROM base WHERE metric = 'error' AND tu >= {JAN01_US} AND tu < {FEB01_US}
+GROUP BY u, 2
+""",
+)
+
+
+def _ts_approx_distinct(spark, sf):
+    """HLL++ approximate distinct users per metric — the mergeable-
+    sketch path for 100 TB cardinality (exact count_distinct shuffles
+    every distinct value; HLL ships a 1.5 kB sketch per partition).
+    Rows-only: DuckDB's approx_distinct is a different sketch, so the
+    estimates legitimately differ; the exact variant is oracle-checked
+    in ts_aggregate_extended."""
+    df = model.events_as_samples(spark, sf)
+    return (
+        df.groupBy("metric")
+        .agg(
+            F.approx_count_distinct(F.col("tags")["user"], rsd=0.01).alias(
+                "approx_users"
+            )
+        )
+        .orderBy("metric")
+    )
+
+
+_q("ts_approx_distinct", _ts_approx_distinct)  # rows-only: sketch-specific

@@ -230,3 +230,58 @@ def test_asof_matches_python_model(spark, left, right):
             best_v = max(v for rts, v in cands if rts == best_ts)
             want = (best_v, best_ts)
         assert out[(k, ts)] == want, (k, ts)
+
+
+# ------------------------------------------------- sessionize invariants
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    tss=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=5_000),  # ts
+        ),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    gap=st.integers(min_value=1, max_value=1_000),
+)
+def test_sessionize_matches_pure_python_model(spark, tss, gap):
+    """Sessions partition each user's distinct instants; consecutive
+    instants share a session iff their gap <= `gap` — checked against a
+    trivial sequential model."""
+    from stdb_spark.operators import behavior
+
+    df = spark.createDataFrame(
+        [(f"u{u}", t) for u, t in tss], "u string, tu long"
+    ).distinct()
+    got = {
+        (r.u, r.session_idx): (r.session_start, r.session_end, r.n_events)
+        for r in behavior.session_stats(
+            df, user_col="u", ts_col="tu", gap=gap
+        ).collect()
+    }
+    # pure-python model
+    want = {}
+    by_user = {}
+    for u, t in sorted(set(tss)):
+        by_user.setdefault(f"u{u}", []).append(t)
+    for u, times in by_user.items():
+        times.sort()
+        idx = 0
+        start = times[0]
+        cur = [times[0]]
+        for prev, t in zip(times, times[1:]):
+            if t - prev > gap:
+                want[(u, idx)] = (start, cur[-1], len(cur))
+                idx += 1
+                start = t
+                cur = [t]
+            else:
+                cur.append(t)
+        want[(u, idx)] = (start, cur[-1], len(cur))
+    assert got == want
