@@ -2385,3 +2385,53 @@ def _ts_approx_distinct(spark, sf):
 
 
 _q("ts_approx_distinct", _ts_approx_distinct)  # rows-only: sketch-specific
+
+
+# Streaming sessionization: session_window grouping over the replayed
+# layout (complete mode — every session emitted at stream end).  Spark's
+# session_window starts a NEW session when the gap is >= gapDuration
+# (the window extends to last_ts + gap, exclusive), so the oracle's
+# boundary rule is `>=`, unlike batch ts_sessionize's strict `>`.
+def _stream_sessionize(spark, sf):
+    def tf(sdf):
+        ev = (
+            sdf.withColumn("u", F.col("tags")["user"])
+            .withColumn("ets", F.timestamp_micros(F.expr("ts div 1000")))
+            .withWatermark("ets", "1 hour")
+        )
+        return (
+            ev.groupBy("u", F.session_window("ets", "1 hour").alias("sw"))
+            .agg(
+                F.unix_micros(F.min("ets")).alias("session_start"),
+                F.unix_micros(F.max("ets")).alias("session_end"),
+                F.count("*").alias("n_events"),
+            )
+            .select("u", "session_start", "session_end", "n_events")
+        )
+
+    return _replay_stream(
+        spark, sf, tf, "stream_sessionize_sink", "complete"
+    ).orderBy("u", "session_start")
+
+
+_q(
+    "stream_sessionize",
+    _stream_sessionize,
+    BASE
+    + """
+, flg AS (
+  SELECT u, tu,
+    CASE WHEN tu - lag(tu) OVER (PARTITION BY u ORDER BY tu) >= 3600000000
+         THEN 1 ELSE 0 END AS f
+  FROM base
+), sess AS (
+  SELECT u, tu,
+    CAST(sum(f) OVER (PARTITION BY u ORDER BY tu
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM flg
+)
+SELECT u, min(tu) AS session_start, max(tu) AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY u, sid ORDER BY u, session_start
+""",
+)
