@@ -116,3 +116,23 @@ def ngram_contamination(
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("shared_ngrams"))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key: str = "doc_id",
+    salt: str = "w0",
+) -> DataFrame:
+    """Per-row inclusion with probability = ``weight_col`` (clamped by
+    the caller to [0, 1]) — importance sampling for training mixtures
+    ("keep long documents more often"), as reproducible as
+    :func:`hash_sample`: the decision is hash(key, salt) vs the row's
+    own weight, so reruns/repartitions/engines agree bit-for-bit.
+
+    The uniform draw is the hash scaled to [0, 1) by DOUBLE division
+    (comparing the raw long against weight * 2^60 would round through
+    a double above 2^53 and disagree across engines at the boundary).
+    Map-side filter; no shuffle."""
+    u = hash_bucket(F.col(key), salt).cast("double") / F.lit(float(HASH_DOMAIN))
+    return df.filter(u < F.col(weight_col))

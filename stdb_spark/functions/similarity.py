@@ -377,3 +377,38 @@ def ivf_top_k_trained(
         .orderBy(F.col("cosine").desc(), F.col(key))
         .limit(k)
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean embedding, one row per (label, dimension) — the
+    class-prototype table semantic-dedup and IVF seeding start from.
+
+    Flat output (label, pos, centroid) instead of an array column: the
+    element sums accumulate as exact decimals per (label, pos), so the
+    result is partitioning-independent and value-comparable across
+    engines (array columns would compare by repr, decimal rows by
+    value).  Plan: posexplode is map-side; ONE exchange on
+    (label, pos) with partial aggregation — at 100 TB the shuffle
+    volume is #labels × dims, not the corpus."""
+    d = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    return (
+        d.groupBy("label", "pos")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)"
+            ).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            (F.col("s") / F.col("n")).alias("centroid"),
+        )
+    )

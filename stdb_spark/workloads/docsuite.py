@@ -972,3 +972,54 @@ def _mm_phash_near_dups(spark, sf):
 
 
 _q("mm_phash_near_dups", _mm_phash_near_dups)
+
+
+# Weighted (importance) sampling: inclusion probability = per-row
+# weight, decision = content hash — reproducible across engines and
+# repartitions like doc_hash_sample.  Weight here: favor longer docs,
+# least(n_chars/2000, 1).
+_q(
+    "doc_weighted_sample",
+    lambda spark, sf: sampling.weighted_sample(
+        model.load_table(spark, sf, "documents").withColumn(
+            "w",
+            F.least(F.col("n_chars") / F.lit(2000.0), F.lit(1.0)),
+        ),
+        weight_col="w",
+        salt="w0",
+    ).select("doc_id", "source"),
+    f"""
+SELECT doc_id, source FROM documents
+WHERE CAST(('0x' || substr(md5('w0' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           AS DOUBLE) / {float(sampling.HASH_DOMAIN)!r}
+      < least(n_chars / CAST(2000.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+""",
+)
+
+
+# Per-label embedding centroids: flat (label, pos, centroid) rows with
+# decimal element sums — the class-prototype table for semantic dedup /
+# IVF seeding; partitioning-independent and engine-exact.
+def _emb_label_centroids(spark, sf):
+    from stdb_spark.functions import similarity
+
+    emb = model.load_table(spark, sf, "embeddings")
+    return similarity.label_centroids(emb).orderBy("label", "pos")
+
+
+_q(
+    "emb_label_centroids",
+    _emb_label_centroids,
+    """
+WITH d AS (
+  SELECT label, u.pos AS pos, u.x AS x FROM (
+    SELECT label, unnest(list_transform(range(len(embedding)),
+                  i -> struct_pack(pos := i, x := embedding[i+1]))) AS u
+    FROM embeddings)
+)
+SELECT label, pos,
+  CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+    / count(*) AS centroid
+FROM d GROUP BY label, pos ORDER BY label, pos
+""",
+)

@@ -397,3 +397,54 @@ def test_image_phash_dedup_finds_planted_duplicates(spark):
         ).collect()
     }
     assert {(0, 100), (1, 101), (2, 102)} <= pairs
+
+
+def test_weighted_sample_bounds_and_monotonicity(spark):
+    from stdb_spark.functions import sampling
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id long"
+    )
+    zero = sampling.weighted_sample(
+        df.withColumn("w", F.lit(0.0)), "w"
+    ).count()
+    allr = sampling.weighted_sample(
+        df.withColumn("w", F.lit(1.0)), "w"
+    ).count()
+    assert zero == 0 and allr == 500
+    # monotone: a row kept at weight p stays kept at weight q > p
+    lo = {
+        r.doc_id
+        for r in sampling.weighted_sample(
+            df.withColumn("w", F.lit(0.3)), "w"
+        ).collect()
+    }
+    hi = {
+        r.doc_id
+        for r in sampling.weighted_sample(
+            df.withColumn("w", F.lit(0.7)), "w"
+        ).collect()
+    }
+    assert lo <= hi
+    assert 0 < len(lo) < len(hi) < 500
+
+
+def test_label_centroids_match_numpy(spark):
+    import numpy as np
+
+    from stdb_spark.functions import similarity
+
+    vecs = {
+        0: [[1.0, 2.0, 3.0], [3.0, 2.0, 1.0]],
+        1: [[0.5, 0.5, 0.5]],
+    }
+    rows = [(lbl, v) for lbl, vs in vecs.items() for v in vs]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    got = {
+        (r.label, r.pos): r.centroid
+        for r in similarity.label_centroids(df).collect()
+    }
+    for lbl, vs in vecs.items():
+        mean = np.mean(np.array(vs), axis=0)
+        for pos in range(3):
+            assert abs(got[(lbl, pos)] - mean[pos]) < 1e-9, (lbl, pos)
