@@ -88,12 +88,18 @@ def funnel_stages(
     user_col: str = "user",
     ts_col: str = "ts",
     type_col: str = "metric",
+    within: int | None = None,
 ) -> DataFrame:
     """Per-user ordered funnel: step k counts only if an event of
     ``steps[k]`` occurs STRICTLY after the user's earliest qualifying
-    step k-1 event.  Returns one row per user with ``stage`` = number of
-    consecutive steps completed and ``step_ts`` array of the qualifying
-    timestamps.
+    step k-1 event — and, when ``within`` is given, no later than
+    ``within`` after the step-1 time (the conversion window:
+    "purchased within 7 days of first view").  Returns one row per user
+    with ``stage`` = number of consecutive steps completed and
+    ``step_ts`` array of the qualifying timestamps.
+
+    Greedy earliest-qualifying is optimal: taking the soonest valid
+    event for step k can only widen step k+1's remaining window.
 
     Each step is a whole-partition window min over the same user
     partitioning, so the chain adds Window nodes, not exchanges.
@@ -101,17 +107,22 @@ def funnel_stages(
     w = Window.partitionBy(user_col)
     df = events
     prev: Column | None = None
+    first: Column | None = None
     ts_cols = []
     for i, step in enumerate(steps):
         cond = F.col(type_col) == step
         if prev is not None:
             cond = cond & (F.col(ts_col) > prev)
+            if within is not None:
+                cond = cond & (F.col(ts_col) <= first + int(within))
         col_name = f"_s{i}"
         df = df.withColumn(
             col_name,
             F.min(F.when(cond, F.col(ts_col))).over(w),
         )
         prev = F.col(col_name)
+        if first is None:
+            first = F.col(col_name)
         ts_cols.append(col_name)
     per_user = df.groupBy(user_col).agg(
         *[F.first(c).alias(c) for c in ts_cols]
@@ -136,10 +147,11 @@ def funnel_counts(
     user_col: str = "user",
     ts_col: str = "ts",
     type_col: str = "metric",
+    within: int | None = None,
 ) -> DataFrame:
     """Funnel summary: for each stage 1..len(steps), how many users
     completed at least that many consecutive steps."""
-    stages = funnel_stages(events, steps, user_col, ts_col, type_col)
+    stages = funnel_stages(events, steps, user_col, ts_col, type_col, within)
     n = len(steps)
     return (
         stages.select(

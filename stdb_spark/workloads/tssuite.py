@@ -2435,3 +2435,55 @@ SELECT u, min(tu) AS session_start, max(tu) AS session_end,
 FROM sess GROUP BY u, sid ORDER BY u, session_start
 """,
 )
+
+
+# Conversion-window funnel: every later step must land within 3 days of
+# the user's first view (the "converted within N days" product metric).
+_WITHIN_US = 3 * 86_400_000_000
+
+
+def _ts_funnel_within(spark, sf):
+    from stdb_spark.operators import behavior
+
+    ev = model.events_as_samples(spark, sf).select(
+        F.col("tags")["user"].alias("u"),
+        F.col("metric"),
+        F.expr("ts div 1000").alias("tu"),
+    )
+    return behavior.funnel_counts(
+        ev,
+        ["view", "click", "purchase"],
+        user_col="u",
+        ts_col="tu",
+        within=_WITHIN_US,
+    ).orderBy("stage_at_least")
+
+
+_q(
+    "ts_funnel_within",
+    _ts_funnel_within,
+    BASE
+    + f"""
+, s1 AS (SELECT u, min(CASE WHEN metric = 'view' THEN tu END) AS t1
+         FROM base GROUP BY u)
+, s2 AS (SELECT b.u,
+           min(CASE WHEN b.metric = 'click' AND b.tu > s1.t1
+                     AND b.tu <= s1.t1 + {_WITHIN_US} THEN b.tu END) AS t2
+         FROM base b JOIN s1 ON b.u = s1.u GROUP BY b.u)
+, s3 AS (SELECT b.u,
+           min(CASE WHEN b.metric = 'purchase' AND b.tu > s2.t2
+                     AND b.tu <= s1.t1 + {_WITHIN_US} THEN b.tu END) AS t3
+         FROM base b JOIN s2 ON b.u = s2.u JOIN s1 ON b.u = s1.u
+         GROUP BY b.u)
+, st AS (
+  SELECT s1.u,
+         (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS stage
+  FROM s1 JOIN s2 ON s1.u = s2.u JOIN s3 ON s1.u = s3.u)
+SELECT g.stage_at_least, count(*) AS users
+FROM st, (SELECT unnest([1, 2, 3]) AS stage_at_least) g
+WHERE st.stage >= g.stage_at_least
+GROUP BY g.stage_at_least ORDER BY g.stage_at_least
+""",
+)

@@ -211,3 +211,30 @@ def test_lttb_pins_endpoints_and_picks_spike(spark):
         [("s", 0, 1.0), ("s", 1, 2.0)], "series string, ts long, value double"
     )
     assert downsample.lttb(small, 5, series_col="series").count() == 2
+
+
+def test_funnel_conversion_window(spark):
+    # user a converts fully within the window; user b's purchase falls
+    # outside `within` of the first view -> stage 2.
+    ev = _events(
+        spark,
+        [
+            ("a", "view", 0),
+            ("a", "click", 5),
+            ("a", "purchase", 9),
+            ("b", "view", 0),
+            ("b", "click", 5),
+            ("b", "purchase", 30),
+        ],
+    )
+    stages = {
+        r.u: r.stage
+        for r in behavior.funnel_stages(
+            ev,
+            ["view", "click", "purchase"],
+            user_col="u",
+            ts_col="tu",
+            within=10,
+        ).collect()
+    }
+    assert stages == {"a": 3, "b": 2}
