@@ -456,3 +456,47 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level paragraph deduplication (the C4/Dolma-style pass):
+    a non-empty paragraph appearing in multiple places survives only at
+    its first occurrence (min (doc, position) — deterministic under any
+    partitioning); every other copy is dropped and each document is
+    reassembled in original paragraph order.  Blank paragraphs are
+    structural and never deduplicated.
+
+    Plan shape at 100 TB: the paragraph explode is map-side; ONE
+    exchange on the paragraph text computes (count, first-occurrence)
+    with partial aggregation — boilerplate paragraphs are exactly the
+    high-count keys, and the pre-aggregated keeper table is tiny, so
+    the join back is skew-free; one final exchange on the doc key
+    reassembles.  Returns (key, text) with duplicates removed.
+    """
+    paras = docs.select(
+        F.col(key),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"),
+    )
+    nonblank = F.trim(F.col("para")) != ""
+    keepers = (
+        paras.filter(nonblank)
+        .groupBy("para")
+        .agg(F.min(F.struct(F.col(key).alias("d"), F.col("idx").alias("i"))).alias("keeper"))
+    )
+    kept = paras.join(keepers, "para", "left").filter(
+        (~nonblank)
+        | ((F.col("keeper.d") == F.col(key)) & (F.col("keeper.i") == F.col("idx")))
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("idx", "para"))),
+        lambda s: s.getField("para"),
+    )
+    return (
+        kept.groupBy(key)
+        .agg(F.array_join(ordered, sep).alias(text_col))
+    )

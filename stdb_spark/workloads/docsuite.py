@@ -1023,3 +1023,39 @@ SELECT label, pos,
 FROM d GROUP BY label, pos ORDER BY label, pos
 """,
 )
+
+
+# Corpus-level paragraph dedup (C4/Dolma pass): repeated non-blank
+# paragraphs survive only at their first (doc, position) occurrence;
+# docs reassembled in order.  Keeper choice is a struct min ->
+# deterministic under any partitioning, so the full text carries a
+# value-hash oracle.
+def _doc_paragraph_dedup(spark, sf):
+    from stdb_spark.functions import dedup
+
+    docs = model.load_table(spark, sf, "documents")
+    return dedup.paragraph_dedup(docs).orderBy("doc_id")
+
+
+_q(
+    "doc_paragraph_dedup",
+    _doc_paragraph_dedup,
+    """
+WITH p AS (
+  SELECT doc_id, u.idx AS idx, u.para AS para FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(sp)),
+                  i -> struct_pack(idx := i, para := sp[i+1]))) AS u
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS sp FROM documents))
+), k AS (
+  SELECT para,
+         min(struct_pack(d := doc_id, i := idx)) AS keeper
+  FROM p WHERE trim(para) <> '' GROUP BY para
+)
+SELECT p.doc_id,
+       string_agg(p.para, chr(10) ORDER BY p.idx) AS text
+FROM p LEFT JOIN k ON p.para = k.para
+WHERE trim(p.para) = '' OR (k.keeper.d = p.doc_id AND k.keeper.i = p.idx)
+GROUP BY p.doc_id ORDER BY p.doc_id
+""",
+)

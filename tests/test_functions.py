@@ -448,3 +448,22 @@ def test_label_centroids_match_numpy(spark):
         mean = np.mean(np.array(vs), axis=0)
         for pos in range(3):
             assert abs(got[(lbl, pos)] - mean[pos]) < 1e-9, (lbl, pos)
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    from stdb_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nboiler\nbeta"),
+            (2, "boiler\ngamma"),   # 'boiler' already seen in doc 1
+            (3, "delta\n\nboiler"),  # blank para survives; boiler dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in dedup.paragraph_dedup(docs).collect()}
+    assert got == {
+        1: "alpha\nboiler\nbeta",
+        2: "gamma",
+        3: "delta\n",
+    }
