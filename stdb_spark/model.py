@@ -123,6 +123,12 @@ _SESSION_CONFS = {
     "spark.sql.ansi.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # Right-size shuffles for the local[32] box: an injected bare
+    # session defaults to 200 partitions — pure task overhead at test
+    # scale (AQE coalesces batch plans, but streaming state shuffles
+    # run all 200).  Runtime-settable; a real cluster deployment would
+    # size this to executors × cores.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 

@@ -184,9 +184,15 @@ def retention_cohorts(
     non-negative (div truncates toward zero).
     """
     pd_col = F.expr(f"CAST({ts_col} AS BIGINT) div {int(period)}")
-    act = events.select(
-        F.col(user_col).alias("u"), pd_col.alias("pd")
-    ).distinct()
+    # repartition on the user key FIRST: HashPartitioning(u) satisfies
+    # both the (u, pd) distinct's clustering AND the first-touch
+    # groupBy(u)'s, so the events table shuffles ONCE (a bare
+    # .distinct() plan shuffled on (u, pd) and then again on u).
+    act = (
+        events.select(F.col(user_col).alias("u"), pd_col.alias("pd"))
+        .repartition("u")
+        .distinct()
+    )
     first = act.groupBy("u").agg(F.min("pd").alias("cohort"))
     return (
         act.join(first, "u")
