@@ -285,3 +285,62 @@ def test_sessionize_matches_pure_python_model(spark, tss, gap):
                 cur.append(t)
         want[(u, idx)] = (start, cur[-1], len(cur))
     assert got == want
+
+
+# ------------------------------------------------- funnel invariants
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # user
+            st.sampled_from(["a", "b", "c", "x"]),  # event type
+            st.integers(min_value=0, max_value=50),  # ts
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    within=st.one_of(st.none(), st.integers(min_value=1, max_value=30)),
+)
+def test_funnel_matches_greedy_model(spark, evs, within):
+    from stdb_spark.operators import behavior
+
+    steps = ["a", "b", "c"]
+    df = spark.createDataFrame(
+        [(f"u{u}", m, t) for u, m, t in evs], "u string, metric string, tu long"
+    )
+    got = {
+        r.u: r.stage
+        for r in behavior.funnel_stages(
+            df, steps, user_col="u", ts_col="tu", within=within
+        ).collect()
+    }
+    # greedy model: earliest qualifying event per step
+    by_user = {}
+    for u, m, t in evs:
+        by_user.setdefault(f"u{u}", []).append((m, t))
+    want = {}
+    for u, events in by_user.items():
+        prev = None
+        first = None
+        stage = 0
+        for step in steps:
+            cands = [
+                t
+                for m, t in events
+                if m == step
+                and (prev is None or t > prev)
+                and (within is None or first is None or t <= first + within)
+            ]
+            if not cands:
+                break
+            prev = min(cands)
+            if first is None:
+                first = prev
+            stage += 1
+        want[u] = stage
+    assert got == want
