@@ -23,10 +23,29 @@ operators/aggregates.py):
 
 from __future__ import annotations
 
+import functools
+
+from stdb_spark import model
 from stdb_spark.workloads import docsuite, relsuite, tssuite
+
+
+def _with_confs(fn):
+    """Every registered query applies the engine's runtime confs to the
+    injected session FIRST — not just the ones that route through
+    model.load_table.  (A streaming replay over an already-cached layout
+    reads parquet directly; without this it would run on the bare
+    session's 200 shuffle partitions.)"""
+
+    @functools.wraps(fn)
+    def inner(spark, sf_dir):
+        model.ensure_session_confs(spark)
+        return fn(spark, sf_dir)
+
+    return inner
+
 
 QUERIES = {}
 ORACLES = {}
 for _m in (tssuite, relsuite, docsuite):
-    QUERIES.update(_m.QUERIES)
+    QUERIES.update({k: _with_confs(v) for k, v in _m.QUERIES.items()})
     ORACLES.update(_m.ORACLES)

@@ -1059,3 +1059,45 @@ WHERE trim(p.para) = '' OR (k.keeper.d = p.doc_id AND k.keeper.i = p.idx)
 GROUP BY p.doc_id ORDER BY p.doc_id
 """,
 )
+
+
+# Corpus-wide top-K bigrams (vocabulary / BPE-prep staple).  Map-side
+# explode + partial-aggregated count, TakeOrdered finish (no global
+# sort); deterministic total order via (count desc, bigram asc).
+_TOP_NGRAMS_K = 50
+
+
+def _doc_top_bigrams(spark, sf):
+    from stdb_spark.functions.text import tokens_col
+
+    docs = model.load_table(spark, sf, "documents")
+    toks = tokens_col("text")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(_TOP_NGRAMS_K)
+    )
+
+
+_q(
+    "doc_top_bigrams",
+    _doc_top_bigrams,
+    f"""
+WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+b AS (
+  SELECT unnest(list_transform(range(len(toks) - 1),
+                i -> toks[i+1] || ' ' || toks[i+2])) AS bigram
+  FROM t WHERE len(toks) > 1
+)
+SELECT bigram, count(*) AS n
+FROM b GROUP BY bigram
+ORDER BY n DESC, bigram ASC LIMIT {_TOP_NGRAMS_K}
+""",
+)
