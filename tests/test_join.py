@@ -164,3 +164,31 @@ def test_interval_join_bucketized(spark):
         ).collect()
     )
     assert out == [("a", 5, "x"), ("a", 5, "y"), ("a", 15, "y"), ("a", 25, "y")]
+
+
+def test_salted_join_equals_plain_join(spark):
+    from stdb_spark.functions.skew import salted_join
+
+    # skewed left: 900 of 1000 rows share key 7
+    left = spark.createDataFrame(
+        [(7 if i < 900 else i % 50, i) for i in range(1000)], "k int, v long"
+    )
+    right = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(50)], "k int, tag string"
+    )
+    plain = {
+        (r.k, r.v, r.tag)
+        for r in left.join(right, ["k"], "inner").collect()
+    }
+    salted = {
+        (r.k, r.v, r.tag)
+        for r in salted_join(left, right, ["k"], buckets=8).collect()
+    }
+    assert salted == plain and len(salted) == 1000
+    # left join keeps unmatched rows exactly once
+    l2 = spark.createDataFrame([(7, 1), (999, 2)], "k int, v long")
+    lo = {
+        (r.k, r.v, r.tag)
+        for r in salted_join(l2, right, ["k"], buckets=4, how="left").collect()
+    }
+    assert lo == {(7, 1, "r7"), (999, 2, None)}
