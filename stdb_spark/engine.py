@@ -129,8 +129,8 @@ class Engine:
         """Bind to the driver's events table (TESTDATA.md adapter)."""
         return cls(
             spark,
-            samples=model.events_as_samples(spark, sf_dir),
-            events=model.events_as_event_stream(spark, sf_dir),
+            samples=model.events_as_samples(spark, sf_dir, keep_src=True),
+            events=model.events_as_event_stream(spark, sf_dir, keep_src=True),
         )
 
     # ------------------------------------------------------------------
@@ -266,6 +266,14 @@ class Engine:
                 cond = cond & (F.col("ts_raw") >= req.begin) & (
                     F.col("ts_raw") < req.end + g
                 )
+        # Physical-column bounds: ts/ts_raw are *derived* (timestamp
+        # arithmetic), so their predicates never reach PushedFilters.
+        # When the adapter kept the raw parquet column, add coarse
+        # attribute-vs-literal bounds on it so the scan prunes row
+        # groups (the NB+tree time-descent analog at the storage level).
+        src_cond = model.ts_src_bounds(df, int(lo), int(hi))
+        if src_cond is not None:
+            cond = cond & src_cond
         if "day" in df.columns:
             from stdb_spark.common.timeutil import NS_PER_DAY
 

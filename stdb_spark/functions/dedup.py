@@ -206,15 +206,28 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     n: int = 3,
     threshold: float = 0.5,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs formed by exploding
     shingles and joining on them (optionally also blocked by
     ``block_col``).  inter/union are exact small-int ratios, so results
     are bit-identical across engines.
 
+    ``df_cap``: drop shingles whose document frequency (postings-list
+    length, per block) exceeds the cap BEFORE pair emission.  A
+    stop-shingle ("of the"-class trigram) shared by 10^6 docs would emit
+    ~5*10^11 pair rows — quadratic in df — so at scale a cap is not
+    optional.  Dropped shingles no longer contribute to ``inter``
+    (standard stop-shingle practice; pairs whose only overlap is
+    stop-shingles disappear), mirroring the reference's
+    sketch-over-exact philosophy (spacesaver.h:11-150).  Callers that
+    need an oracle-exact result must mirror the same df filter on the
+    oracle side.
+
     Scale path: the shingle join produces one row per shared shingle —
     at 100 TB pair this with MinHash-LSH candidates instead of raw
-    shingle join (use ``minhash_lsh_candidates`` then verify here).
+    shingle join (use ``minhash_lsh_candidates`` then verify here), and
+    set ``df_cap`` (e.g. 1000).
     """
     blocks = [F.col(block_col)] if block_col else []
     base = _spread(df.select(F.col(key), *blocks, F.col(text_col)), key).select(
@@ -235,6 +248,8 @@ def ngram_jaccard_pairs(
     grouped = sh.groupBy(*blocks, "shingle").agg(
         F.collect_list(F.struct(F.col(key).alias("k"), F.col("n_sh").alias("n"))).alias("ds")
     )
+    if df_cap is not None:
+        grouped = grouped.filter(F.size("ds") <= df_cap)
     pairs = (
         grouped.select(F.explode("ds").alias("x"), F.col("ds"))
         .select("x", F.explode("ds").alias("y"))
@@ -300,6 +315,7 @@ def hamming_pairs(
     sig_col: str = "simhash",
     max_distance: int = 3,
     blocks: int = 4,
+    group_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance over SimHash signatures —
     FULL recall via the pigeonhole blocking scheme: split the 64-bit
@@ -311,7 +327,16 @@ def hamming_pairs(
     signature into (block_idx, block_bits) postings, group, emit i<j
     pairs with chained explodes (same pattern as minhash_lsh_candidates),
     verify exact bit_count distance, distinct (a pair may collide in
-    several blocks)."""
+    several blocks).
+
+    ``group_cap``: skip (block_idx, block_bits) postings groups larger
+    than the cap before pair emission.  Degenerate block values — e.g.
+    the all-zeros 16-bit slice that every near-empty document shares —
+    form quadratic groups (c^2/2 pair rows for c members).  Capping
+    trades the full-recall guarantee for bounded work: a pair whose
+    *only* agreeing slice was capped is missed; pairs agreeing on any
+    surviving slice are still found.  Default None keeps exact recall
+    (and oracle parity); set at scale (e.g. 10_000)."""
     if max_distance > blocks - 1:
         raise ValueError(
             f"max_distance={max_distance} needs > {blocks} blocks for full recall"
@@ -339,6 +364,8 @@ def hamming_pairs(
             "ds"
         )
     )
+    if group_cap is not None:
+        grouped = grouped.filter(F.size("ds") <= group_cap)
     pairs = (
         grouped.select(F.explode("ds").alias("x"), F.col("ds"))
         .select("x", F.explode("ds").alias("y"))

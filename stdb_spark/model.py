@@ -112,15 +112,24 @@ def derived_cache_path(sf_dir: str, artifact: str, source_table: str) -> str:
 # SparkSession.  The driver's correctness harness injects its *own* bare
 # session into ``__spark_entry__.queries()``, so relying on
 # ``session.get_spark`` to have set these at build time is not enough:
-#  - nanosAsLong: the events table is written as TIMESTAMP(NANOS), which
-#    vanilla Spark refuses to read (PARQUET_TYPE_ILLEGAL).  The engine's
-#    canonical unit is int64 ns (reference: stdb/common/basic.h:30-31).
+#  - nanosAsLong: defensive only.  The *current* testdata generation
+#    writes events.ts as TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ and
+#    handled by the dtype dispatch in _ts_ns_expr), but an earlier
+#    generation was TIMESTAMP(NANOS), which vanilla Spark refuses to
+#    read outright (PARQUET_TYPE_ILLEGAL) *before* dtypes are even
+#    visible.  Keeping the conf makes both generations readable.
 #  - ansi off: the reference is a C++ engine — float edge cases flow
 #    through as inf/NaN/NULL instead of raising.
 # All of these are runtime-settable SQL confs (verified on pyspark 4.1.2).
 _SESSION_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.ansi.enabled": "false",
+    # The engine's time unit is int64 ns; every timestamp<->long bridge
+    # (events TIMESTAMP_NTZ adapter, streaming event_time) must be
+    # timezone-invariant.  Catalyst rewrites NTZ timestampdiff through a
+    # session-timezone cast, which under a DST-shifting zone could skew
+    # the epoch literal and the data by different offsets — pin UTC.
+    "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     # Right-size shuffles for the local[32] box: an injected bare
@@ -157,37 +166,108 @@ def load_tables(
     return {t: load_table(spark, sf_dir, t) for t in names}
 
 
-def events_as_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map the driver's ``events`` table into the narrow samples schema:
-    metric = event_type, one tag ``user=<user_id>``, ts already int64 ns
-    (read via nanosAsLong), value = value."""
+def _ts_ns_expr(ev: DataFrame):
+    """int64-ns expression for the events ``ts`` column, dispatched on
+    the dtype the parquet footer actually produced.  The engine's
+    canonical unit is int64 ns since epoch (reference:
+    stdb/common/basic.h:30-31); the driver's testdata has shipped ts as
+    TIMESTAMP(NANOS) (round 1, read as long via nanosAsLong) and as
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 3, read as
+    TIMESTAMP_NTZ), so the adapter must handle every generation:
+
+    - timestamp_ntz: ``timestampdiff(MICROSECOND, NTZ-epoch, ts)`` is
+      timezone-independent and lands exactly on the epoch-µs grid the
+      DuckDB oracles (``epoch_us(ts)``) produce; ×1000 → ns.
+      (``cast(ts as long)`` is an AnalysisException on Spark 4.x, and
+      ``cast("timestamp_ltz")`` detours through the session timezone.)
+    - timestamp (LTZ): ``unix_micros`` is the exact µs-since-epoch.
+    - long (incl. NANOS-via-nanosAsLong): already ns."""
+    dtype = dict(ev.dtypes).get("ts", "bigint")
+    if dtype == "timestamp_ntz":
+        return (
+            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+            * F.lit(1000)
+        ).cast("long")
+    if dtype.startswith("timestamp"):
+        return (F.unix_micros(F.col("ts")) * F.lit(1000)).cast("long")
+    return F.col("ts").cast("long")
+
+
+def events_raw_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's ``events`` table with ``ts`` normalized to int64 ns
+    and the *physical* parquet column preserved as ``ts_src`` — filters
+    against ``ts_src`` are plain attribute-vs-literal comparisons, so
+    they reach the Parquet scan's PushedFilters, which derived-``ts``
+    predicates (arithmetic over a timestamp column) never do."""
     ev = load_table(spark, sf_dir, "events")
-    df = ev.select(
+    return ev.withColumn("ts_src", F.col("ts")).withColumn("ts", _ts_ns_expr(ev))
+
+
+def ts_src_bounds(df: DataFrame, lo_ns: int, hi_ns: int):
+    """Conservative [lo_ns, hi_ns] bounds as a pushable predicate on the
+    ``ts_src`` physical column (None when the column is absent).  Bounds
+    are widened to the enclosing µs grid — the exact cut on the derived
+    ns column stays in the plan, this predicate only exists to prune
+    row groups / pages at the scan."""
+    if "ts_src" not in df.columns:
+        return None
+    dtype = dict(df.dtypes)["ts_src"]
+    lo_us, hi_us = lo_ns // 1000, -((-hi_ns) // 1000)
+    if dtype.startswith("timestamp"):
+        import datetime
+
+        def _lit(us):
+            s = (
+                datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=us)
+            ).strftime("%Y-%m-%d %H:%M:%S.%f")
+            if dtype == "timestamp_ntz":
+                return F.expr(f"TIMESTAMP_NTZ '{s}'")
+            return F.expr(f"TIMESTAMP '{s}+00:00'")
+
+        return (F.col("ts_src") >= _lit(lo_us)) & (F.col("ts_src") <= _lit(hi_us))
+    return (F.col("ts_src") >= lo_us * 1000) & (F.col("ts_src") <= hi_us * 1000)
+
+
+def events_as_samples(
+    spark: SparkSession, sf_dir: str, keep_src: bool = False
+) -> DataFrame:
+    """Map the driver's ``events`` table into the narrow samples schema:
+    metric = event_type, one tag ``user=<user_id>``, ts int64 ns (see
+    _ts_ns_expr), value = value.  ``keep_src=True`` appends the physical
+    ``ts_src`` column for scan-pushdown range predicates."""
+    ev = events_raw_ns(spark, sf_dir)
+    cols = [
         F.col("event_type").alias("metric"),
         F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("tags"),
-        F.col("ts").cast("long").alias("ts"),
+        F.col("ts"),
         F.col("value").cast("double").alias("value"),
-    )
-    return df.withColumn("series_id", series_id_col()).select(
-        "series_id", "metric", "tags", "ts", "value"
-    )
+    ]
+    out_cols = ["series_id", "metric", "tags", "ts", "value"]
+    if keep_src:
+        cols.append(F.col("ts_src"))
+        out_cols.append("ts_src")
+    return ev.select(*cols).withColumn("series_id", series_id_col()).select(*out_cols)
 
 
-def events_as_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_as_event_stream(
+    spark: SparkSession, sf_dir: str, keep_src: bool = False
+) -> DataFrame:
     """Map the driver's ``events`` table into the engine's *event* shape
     (string body instead of double value): metric = '!' + event_type,
     body = props JSON (reference event convention,
     stdb/query/queryparser.cc:317-329)."""
-    ev = load_table(spark, sf_dir, "events")
-    df = ev.select(
+    ev = events_raw_ns(spark, sf_dir)
+    cols = [
         F.concat(F.lit("!"), F.col("event_type")).alias("metric"),
         F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("tags"),
-        F.col("ts").cast("long").alias("ts"),
+        F.col("ts"),
         F.col("props").alias("body"),
-    )
-    return df.withColumn("series_id", series_id_col()).select(
-        "series_id", "metric", "tags", "ts", "body"
-    )
+    ]
+    out_cols = ["series_id", "metric", "tags", "ts", "body"]
+    if keep_src:
+        cols.append(F.col("ts_src"))
+        out_cols.append("ts_src")
+    return ev.select(*cols).withColumn("series_id", series_id_col()).select(*out_cols)
 
 
 def series_registry(samples: DataFrame) -> DataFrame:

@@ -101,37 +101,108 @@ def _rowwise_fold(df: DataFrame, cols: list[str], op: str, ignore_missing: bool)
     return out.select("series", "ts", "value"), ["value"]
 
 
+def _ewma_seq(x, decay: float, delta: bool):
+    """Reference-exact sequential EWMA fold over a dense float array
+    (EWMA::add, sliding_window.cc:23-34).  Kept as the semantic ground
+    truth and the fallback when the vectorized kernel is not bit-exact
+    for this decay."""
+    import numpy as np
+
+    out = np.empty_like(x)
+    warm, val = 0, 0.0
+    for i in range(len(x)):
+        cur = float(x[i])
+        exp = cur if warm <= EWMA_WARMUP else val
+        out[i] = (cur - exp) if delta else exp
+        if warm < EWMA_WARMUP:
+            val += cur
+            warm += 1
+        elif warm == EWMA_WARMUP:
+            warm += 1
+            val = (val + cur) / float(warm)
+            val = cur * decay + val * (1.0 - decay)
+        else:
+            val = cur * decay + val * (1.0 - decay)
+    return out
+
+
+_EWM_BITEXACT: dict[float, bool] = {}
+
+
+def _pd_ewm_bitexact(decay: float) -> bool:
+    """One-time probe: does ``pandas.ewm(alpha=decay, adjust=False)``
+    reproduce the C++-loop recurrence ``val = cur*d + val*(1-d)``
+    bit-for-bit?  pandas' cython kernel normalizes by (old_wt+new_wt),
+    which for some decays costs the last ulp — for those we fall back to
+    the sequential fold.  The probe includes repeated-value runs
+    (pandas short-circuits ``weighted_avg != cur``)."""
+    if decay not in _EWM_BITEXACT:
+        import numpy as np
+
+        rng = np.random.default_rng(12345)
+        x = rng.normal(100.0, 25.0, 4096)
+        x[100:120] = x[99]  # equal-run edge case
+        x[1000] = 0.0
+        val = x[0]
+        direct = np.empty_like(x)
+        direct[0] = val
+        for i in range(1, len(x)):
+            val = x[i] * decay + val * (1.0 - decay)
+            direct[i] = val
+        got = pd.Series(x).ewm(alpha=decay, adjust=False).mean().to_numpy()
+        _EWM_BITEXACT[decay] = bool(np.array_equal(direct, got))
+    return _EWM_BITEXACT[decay]
+
+
 def _ewma_udf(df: DataFrame, cols: list[str], decay: float, delta: bool, backward: bool) -> DataFrame:
     """Arrow-batched per-series EWMA with the reference's warm-up rule.
 
     applyInPandas groups by series — each group fits executor memory for
     any realistic per-series cardinality; at 100 TB the series key spreads
     groups across the cluster.
+
+    The post-warm-up tail is computed with pandas' C kernel
+    (``ewm(alpha, adjust=False)``) seeded so position k equals the
+    reference fold's state: out[i] for i > W is the EWMA of x[..i-1]
+    seeded at e_W = x[W]*d + mean(x[0..W])*(1-d).  The vectorized path
+    is used only when the one-time bit-parity probe passes for this
+    decay (it does for the suite's d=0.3); otherwise the sequential
+    reference fold runs — same values either way, ~100× apart in speed.
     """
+    import numpy as np
+
     out_schema = df.schema
+    W = EWMA_WARMUP
+    use_vec = _pd_ewm_bitexact(decay)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("ts", ascending=not backward).reset_index(drop=True)
         for c in cols:
-            x = pdf[c].to_numpy()
-            out = x.copy()
-            warm, val = 0, 0.0
-            for i in range(len(x)):
-                if pd.isna(x[i]):
-                    continue
-                cur = float(x[i])
-                exp = cur if warm <= EWMA_WARMUP else val
-                out[i] = (cur - exp) if delta else exp
-                # EWMA::add (sliding_window.cc:23-34)
-                if warm < EWMA_WARMUP:
-                    val += cur
-                    warm += 1
-                elif warm == EWMA_WARMUP:
-                    warm += 1
-                    val = (val + cur) / float(warm)
-                    val = cur * decay + val * (1.0 - decay)
+            x = pdf[c].to_numpy(dtype="float64", copy=True)
+            mask = ~np.isnan(x)
+            xs = x[mask]
+            n = len(xs)
+            outs = xs.copy() if not delta else np.zeros_like(xs)
+            if n > W + 1:
+                if use_vec:
+                    # warm-up seed, exactly as the sequential fold: sum
+                    # of the first W values in order, blended at x[W]
+                    val = 0.0
+                    for v in xs[:W]:
+                        val += float(v)
+                    val = (val + float(xs[W])) / float(W + 1)
+                    seed = float(xs[W]) * decay + val * (1.0 - decay)
+                    z = np.concatenate(([seed], xs[W + 1 :]))
+                    e = pd.Series(z).ewm(alpha=decay, adjust=False).mean().to_numpy()
+                    exp = e[: n - (W + 1)]
+                    if delta:
+                        outs[W + 1 :] = xs[W + 1 :] - exp
+                    else:
+                        outs[W + 1 :] = exp
                 else:
-                    val = cur * decay + val * (1.0 - decay)
+                    outs = _ewma_seq(xs, decay, delta)
+            out = x  # NaN rows keep NaN, state skips them (reference rule)
+            out[mask] = outs
             pdf[c] = out
         return pdf
 

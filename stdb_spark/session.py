@@ -7,10 +7,14 @@ same knobs one would set on a 1000-executor cluster:
 - auto broadcast threshold raised (dimension tables in TESTDATA are tiny;
   at 100 TB the dims - series registry, nation/region - are still small)
 - Arrow execution for the few pandas-UDF operators (ewma, multimodal)
-- parquet nanos-as-long: the engine's canonical time unit is int64
-  nanoseconds since epoch (reference: stdb/common/basic.h:30-31), and the
-  driver's events table is written as TIMESTAMP(NANOS) which vanilla
-  Spark refuses to read.
+- parquet nanos-as-long, defensively: the engine's canonical time unit
+  is int64 nanoseconds since epoch (reference: stdb/common/basic.h:30-31).
+  The current testdata generation ships events.ts as TIMESTAMP(MICROS)
+  (handled by dtype dispatch in model._ts_ns_expr); an earlier generation
+  was TIMESTAMP(NANOS), which vanilla Spark refuses to read at all —
+  the conf keeps both generations readable.
+- session timezone pinned UTC: the NTZ-timestamp -> int64-ns bridge must
+  be timezone-invariant (see model._SESSION_CONFS).
 """
 
 from __future__ import annotations
@@ -44,6 +48,7 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
         # the reference is a C++ engine: float division by zero flows
         # through as inf/NaN rather than raising; non-ANSI Spark (NULL)
         # is the closest declarative match

@@ -50,12 +50,12 @@ def _engine(spark: SparkSession, sf_dir: str) -> Engine:
     arithmetic over the column and never reach PushedFilters)."""
     trunc = F.expr("(ts div 1000) * 1000")
     samples = (
-        model.events_as_samples(spark, sf_dir)
+        model.events_as_samples(spark, sf_dir, keep_src=True)
         .withColumn("ts_raw", F.col("ts"))
         .withColumn("ts", trunc)
     )
     events = (
-        model.events_as_event_stream(spark, sf_dir)
+        model.events_as_event_stream(spark, sf_dir, keep_src=True)
         .withColumn("ts_raw", F.col("ts"))
         .withColumn("ts", trunc)
     )
@@ -71,15 +71,19 @@ def _us(df: DataFrame) -> DataFrame:
 def _samples(spark, sf_dir, metric, lo_us=None, hi_us=None):
     """Direct narrow view for the window-function queries: (series, ts
     µs-ns, value)."""
-    df = model.events_as_samples(spark, sf_dir)
+    df = model.events_as_samples(spark, sf_dir, keep_src=True)
     df = df.filter(F.col("metric") == metric)
     if lo_us is not None:
         # bounds are µs*1000 (multiples of the truncation grain), so the
         # raw-ts filter is EXACTLY equivalent to filtering the truncated
-        # column — and it reaches the Parquet scan's PushedFilters.
+        # column; the ts_src twin is the attribute-vs-literal form that
+        # reaches the Parquet scan's PushedFilters.
         df = df.filter(
             (F.col("ts") >= lo_us * 1000) & (F.col("ts") < hi_us * 1000)
         )
+        src = model.ts_src_bounds(df, lo_us * 1000, hi_us * 1000)
+        if src is not None:
+            df = df.filter(src)
     df = df.withColumn("ts", F.expr("(ts div 1000) * 1000"))
     return df.select(
         F.concat(F.col("metric"), F.lit(" user="), F.col("tags")["user"]).alias(
@@ -1533,7 +1537,7 @@ ORDER BY tu DESC, series DESC LIMIT 40
 def _ingest_roundtrip(spark, sf):
     from stdb_spark.sources.opentsdb import parse_opentsdb_lines
 
-    ev = model.load_table(spark, sf, "events")
+    ev = model.events_raw_ns(spark, sf)
     lines = ev.select(
         F.format_string(
             "put %s %d %s user=%s",
@@ -1569,7 +1573,7 @@ FROM events
 def _ingest_resp_roundtrip(spark, sf):
     from stdb_spark.sources.resp import parse_resp_pdus
 
-    ev = model.load_table(spark, sf, "events")
+    ev = model.events_raw_ns(spark, sf)
     pdus = ev.select(
         F.format_string(
             "+%s user=%s\n:%d\n+%s",

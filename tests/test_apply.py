@@ -91,6 +91,34 @@ def test_ewma_warmup_emits_input(eng):
     assert out[12].value == pytest.approx(nxt)
 
 
+def test_ewma_vectorized_matches_sequential_fold(spark):
+    """The pandas-ewm fast path must be bit-identical to the reference
+    fold (sliding_window.cc:23-34) — for a decay where the probe passes
+    it runs vectorized; for one where it fails it must fall back."""
+    import numpy as np
+
+    from stdb_spark.query.apply_nodes import (
+        _ewma_seq,
+        _pd_ewm_bitexact,
+    )
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(50.0, 9.0, 500)
+    for decay in (0.3, 0.5, 0.05, 0.41101515364177804):
+        rows = [("m", {"s": "V"}, 1_000_000 * i, float(v)) for i, v in enumerate(x)]
+        e = Engine(spark, samples=make_samples(spark, rows))
+        out = e.query(
+            {
+                "select": "m",
+                "range": {"from": 0, "to": 10**12},
+                "apply": [{"name": "ewma", "decay": decay}],
+            }
+        ).collect()
+        got = np.array([r.value for r in out])
+        want = _ewma_seq(x, decay, delta=False)
+        assert np.array_equal(got, want), (decay, _pd_ewm_bitexact(decay))
+
+
 def test_top_time_weighted(eng):
     out = eng.query(
         {"select": "sig", "range": RANGE, "apply": [{"name": "top", "N": 2}]}

@@ -76,6 +76,47 @@ def test_hamming_full_recall_high_bits(spark):
         dedup.hamming_pairs(sigs, max_distance=8, blocks=4)
 
 
+def test_jaccard_df_cap_bounds_stop_shingle_blowup(spark):
+    """A planted stop-shingle shared by every doc must not contribute
+    pairs when df_cap is below its document frequency — and must when
+    the cap is lifted."""
+    common = "of the and"  # one trigram shared by all docs
+    rows = [(i, f"{common} unique{i} word{i} tail{i}", "s") for i in range(20)]
+    # plus one genuine near-dup pair sharing distinctive trigrams
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta", "s"),
+        (101, "alpha beta gamma delta epsilon eta", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    capped = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.05, df_cap=10)
+    got = {(r.a, r.b) for r in capped.collect()}
+    # the 20 stop-shingle-only docs produced no pairs (df=20 > cap=10)
+    assert all(a >= 100 for a, b in got), got
+    assert (100, 101) in got
+    uncapped = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.05)
+    n_un = uncapped.count()
+    assert n_un >= 20 * 19 // 2  # quadratic blowup without the cap
+
+
+def test_hamming_group_cap_bounds_degenerate_block(spark):
+    """Signatures all sharing a degenerate all-zeros low block form a
+    quadratic postings group; group_cap bounds it while pairs that
+    agree on a surviving block are still found."""
+    # 30 docs: distinct high halves, all-zero low 32 bits (blocks 0+1)
+    rows = [(i, (i + 1) << 40) for i in range(30)]
+    # one real near-dup pair agreeing on blocks 2..3 (distance 1 in block 0)
+    rows += [(100, 0x0123_4567_89AB_CDEF), (101, 0x0123_4567_89AB_CDEE)]
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    capped = dedup.hamming_pairs(sigs, max_distance=3, group_cap=10)
+    got = {(r.a, r.b) for r in capped.collect()}
+    # only the pair that agrees on a small (uncapped) group survives
+    assert got == {(100, 101)}
+    uncapped = {
+        (r.a, r.b) for r in dedup.hamming_pairs(sigs, max_distance=3).collect()
+    }
+    assert (100, 101) in uncapped and len(uncapped) > 1
+
+
 def test_lang_id(docs):
     out = {r.doc_id: r.lang_pred for r in text.lang_id(docs).collect()}
     assert out[0] == "en"

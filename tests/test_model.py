@@ -1,0 +1,73 @@
+"""Adapter smoke tests pinned to the driver's CURRENT testdata.
+
+The driver has regenerated /root/testdata between rounds (events.ts
+shipped as TIMESTAMP(NANOS) in round 1, TIMESTAMP(MICROS)-NTZ in round
+3).  These tests open every real parquet file at sf0.001 and assert the
+adapters still produce the canonical narrow schema — so a future
+regeneration fails HERE, loudly, instead of inside 47 driver queries.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from stdb_spark import model
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not present"
+)
+
+
+def test_every_table_opens(spark):
+    for t in model.TESTDATA_TABLES:
+        df = model.load_table(spark, SF, t)
+        assert df.limit(1).count() == 1, t
+
+
+def test_events_as_samples_schema_and_grid(spark):
+    df = model.events_as_samples(spark, SF)
+    assert [f.name for f in df.schema.fields] == [
+        "series_id", "metric", "tags", "ts", "value",
+    ]
+    assert dict(df.dtypes)["ts"] == "bigint"
+    row = df.agg(
+        F.min("ts").alias("lo"),
+        F.max("ts").alias("hi"),
+        F.max(F.col("ts") % 1000).alias("sub_us"),
+    ).first()
+    # 2024 epoch-ns range, exactly on the µs grid (oracle uses epoch_us)
+    assert 1_700_000_000 * 10**9 < row.lo < row.hi < 1_720_000_000 * 10**9
+    assert row.sub_us == 0
+
+
+def test_events_as_event_stream_schema(spark):
+    df = model.events_as_event_stream(spark, SF)
+    assert [f.name for f in df.schema.fields] == [
+        "series_id", "metric", "tags", "ts", "body",
+    ]
+    assert dict(df.dtypes)["ts"] == "bigint"
+    assert df.limit(1).first().metric.startswith("!")
+
+
+def test_keep_src_appends_physical_column(spark):
+    df = model.events_as_samples(spark, SF, keep_src=True)
+    assert df.columns[-1] == "ts_src"
+    # the ts_src bounds expression must exist whenever the column does
+    cond = model.ts_src_bounds(df, 1_704_412_800_000_000_000, 1_705_276_800_000_000_000)
+    assert cond is not None
+    n_all = df.count()
+    n_in = df.filter(cond).count()
+    assert 0 < n_in < n_all
+
+
+def test_ts_src_bounds_conservative(spark):
+    """ts_src pruning must never drop a row the exact ns predicate
+    keeps (bounds are widened to the enclosing µs grid)."""
+    df = model.events_as_samples(spark, SF, keep_src=True)
+    lo, hi = 1_704_412_800_000_000_000, 1_705_276_800_000_000_000
+    exact = df.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+    both = exact.filter(model.ts_src_bounds(df, lo, hi))
+    assert exact.count() == both.count()

