@@ -113,7 +113,7 @@ _PRIORITY = [
     "doc_exact_dedup",
     "doc_paragraph_dedup",
     "doc_minhash_lsh_candidates",
-    "doc_ngram_jaccard_pairs",
+    "doc_ngram_jaccard_capped",
     "doc_simhash",
     "doc_dedup_clusters",
     # text analysis + sampling

@@ -206,6 +206,52 @@ SELECT a, b, jaccard FROM (
 )
 
 
+# The 100 TB-shaped variant: stop-shingles (document frequency above
+# the cap, per block) are dropped BEFORE pair emission, bounding the
+# otherwise-quadratic postings blowup (a shingle shared by c docs emits
+# c^2/2 pair rows).  The oracle mirrors the df filter exactly, so the
+# driver gate proves the capped semantics — not just the primitive.
+_JACCARD_DF_CAP = 8
+
+_q(
+    "doc_ngram_jaccard_capped",
+    lambda spark, sf: dedup.ngram_jaccard_pairs(
+        model.load_table(spark, sf, "documents"),
+        block_col="source",
+        n=_JACCARD_N,
+        threshold=_JACCARD_T,
+        df_cap=_JACCARD_DF_CAP,
+    ),
+    f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, source,
+    CASE WHEN len(t) >= {_JACCARD_N}
+         THEN list_distinct(list_transform(range(1, len(t) - {_JACCARD_N} + 2),
+              i -> array_to_string(t[i:i+{_JACCARD_N}-1], ' ')))
+         ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks
+), ex AS (
+  SELECT doc_id, source, len(g) AS n_sh, unnest(g) AS shingle FROM sh
+), keep AS (
+  SELECT source, shingle FROM ex
+  GROUP BY source, shingle HAVING count(*) <= {_JACCARD_DF_CAP}
+), exk AS (
+  SELECT e.* FROM ex e JOIN keep k
+    ON e.shingle = k.shingle AND e.source = k.source
+)
+SELECT a, b, jaccard FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         count(*) / (any_value(x.n_sh) + any_value(y.n_sh) - count(*)) AS jaccard
+  FROM exk x JOIN exk y
+    ON x.shingle = y.shingle AND x.source = y.source AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+) WHERE jaccard >= {_JACCARD_T}
+""",
+)
+
+
 # ------------------------------------------------------------- embeddings
 _DIM = 64
 _QVEC = [((i * 37) % 19 - 9) / 10.0 for i in range(_DIM)]
