@@ -94,6 +94,20 @@ def _samples(spark, sf_dir, metric, lo_us=None, hi_us=None):
     )
 
 
+def _samples_range(spark, sf, lo_ns, hi_ns):
+    """Narrow samples restricted to [lo_ns, hi_ns) with the bounds ALSO
+    applied to the physical parquet column (ts_src), so the time cut
+    reaches the scan's PushedFilters — derived-ts predicates alone are
+    arithmetic over the timestamp column and prune nothing."""
+    df = model.events_as_samples(spark, sf, keep_src=True).filter(
+        (F.col("ts") >= lo_ns) & (F.col("ts") < hi_ns)
+    )
+    src = model.ts_src_bounds(df, lo_ns, hi_ns)
+    if src is not None:
+        df = df.filter(src)
+    return df.drop("ts_src")
+
+
 QUERIES = {}
 ORACLES = {}
 
@@ -1762,9 +1776,7 @@ _q("ts_sax_words", _ts_sax, _sax_oracle())
 # expands the cube map-side (one exchange); null group keys are labeled
 # with coalesce so the oracle's CUBE output aligns.
 def _ts_cube(spark, sf):
-    df = model.events_as_samples(spark, sf).filter(
-        (F.col("ts") >= JAN01) & (F.col("ts") < FEB01)
-    )
+    df = _samples_range(spark, sf, JAN01, FEB01)
     return (
         df.withColumn("u", F.col("tags")["user"])
         .cube("metric", "u")
@@ -1798,9 +1810,7 @@ GROUP BY CUBE (metric, u)
 # ROLLUP over (metric, day): time-hierarchy subtotals (per metric-day,
 # per metric, grand total).
 def _ts_rollup(spark, sf):
-    df = model.events_as_samples(spark, sf).filter(
-        (F.col("ts") >= JAN01) & (F.col("ts") < FEB01)
-    )
+    df = _samples_range(spark, sf, JAN01, FEB01)
     return (
         df.withColumn("day", F.expr(f"(ts div 1000 div {D1_US}) * {D1_US}"))
         .rollup("metric", "day")
@@ -1837,9 +1847,7 @@ GROUP BY ROLLUP (metric, (tu // {D1_US}) * {D1_US})
 # never purchased" / "did both") — SURVEY §2.6's absent-in-reference
 # set operators, exposed through the same narrow view.
 def _ts_except(spark, sf):
-    df = model.events_as_samples(spark, sf).filter(
-        (F.col("ts") >= JAN01) & (F.col("ts") < FEB01)
-    )
+    df = _samples_range(spark, sf, JAN01, FEB01)
     u = lambda m: (
         df.filter(F.col("metric") == m)
         .select(F.col("tags")["user"].alias("u"))
@@ -1862,9 +1870,7 @@ ORDER BY u
 
 
 def _ts_intersect(spark, sf):
-    df = model.events_as_samples(spark, sf).filter(
-        (F.col("ts") >= JAN01) & (F.col("ts") < FEB01)
-    )
+    df = _samples_range(spark, sf, JAN01, FEB01)
     u = lambda m: (
         df.filter(F.col("metric") == m)
         .select(F.col("tags")["user"].alias("u"))
@@ -1968,9 +1974,7 @@ _HIST_LO, _HIST_W, _HIST_N = 0.0, 10.0, 12
 
 
 def _ts_histogram(spark, sf):
-    df = model.events_as_samples(spark, sf).filter(
-        (F.col("ts") >= JAN01) & (F.col("ts") < FEB01)
-    )
+    df = _samples_range(spark, sf, JAN01, FEB01)
     bin_ = F.least(
         F.greatest(
             F.floor((F.col("value") - _HIST_LO) / _HIST_W).cast("long"), F.lit(0)
@@ -2007,9 +2011,7 @@ GROUP BY metric, bin ORDER BY metric, bin
 # decimals and the final formula is fixed-order double arithmetic, so
 # both engines produce the identical bit pattern.
 def _ts_corr(spark, sf):
-    df = model.events_as_samples(spark, sf).filter(
-        (F.col("ts") >= JAN01) & (F.col("ts") < FEB01)
-    )
+    df = _samples_range(spark, sf, JAN01, FEB01)
     pivoted = (
         df.filter(F.col("metric").isin("click", "view"))
         .withColumn("u", F.col("tags")["user"])
