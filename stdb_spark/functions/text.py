@@ -118,6 +118,54 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k terms by tf·idf (keyword extraction / vocab
+    pruning for a training pipeline).  Returns (key, term, rk, score).
+
+    Determinism discipline: idf = ln(N/df) is transcendental, so the
+    raw double is rounded to 6 dp and ranking runs on DECIMAL
+    tf × idf — exact integer-scaled comparisons, identical across
+    engines; the double cast happens only at the output edge.
+
+    Plan shape at 100 TB: one (doc, term) count shuffle, a vocab-sized
+    document-frequency aggregate joined back broadcast (vocabularies are
+    millions of rows — broadcastable; flip to a shuffle join via
+    spark.sql.autoBroadcastJoinThreshold if a tokenizer explodes the
+    vocab), and one per-doc window on the already-(doc,term)-grouped
+    rows.  No driver collection."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(key), F.explode(tokens_col(text_col)).alias("term"))
+    tf = toks.groupBy(key, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = df.agg(F.count("*").alias("_n"))
+    idf = dfreq.crossJoin(F.broadcast(ndocs)).select(
+        "term",
+        F.round(F.log(F.col("_n") / F.col("df")), 6)
+        .cast("decimal(18,6)")
+        .alias("idf"),
+    )
+    scored = tf.join(F.broadcast(idf), "term").withColumn(
+        "score", F.col("tf").cast("decimal(10,0)") * F.col("idf")
+    )
+    w = Window.partitionBy(key).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col(key),
+            "term",
+            "rk",
+            F.col("score").cast("double").alias("score"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
     """Document fingerprint: 64-bit rolling-hash analog built from md5 of
     the normalized text (lowercase, collapsed whitespace).  md5 is used

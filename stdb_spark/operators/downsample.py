@@ -77,17 +77,21 @@ def lttb(
 
     The selection is inherently sequential per series (each choice
     depends on the previous), so this is the documented Pandas-UDF slow
-    path: one ``applyInPandas`` per series group, numpy inside, Arrow
-    batches in/out.  A series' samples must fit in one group — at
-    100 TB pre-reduce with :func:`m4` (e.g. step = span/(4*n_out))
-    before LTTB; the anchors preserve exactly the extremes LTTB needs.
+    path — but the shuffle is ONE ``applyInPandas`` call per hash
+    partition of series (``_pg``), not one per series: per-group Arrow
+    overhead dominates with many short series, so series are hashed
+    onto ``shuffle.partitions`` groups (each series intact in one
+    frame) and the sequential kernel runs per series inside.  A series'
+    samples must fit in one partition — at 100 TB pre-reduce with
+    :func:`m4` (e.g. step = span/(4*n_out)) before LTTB; the anchors
+    preserve exactly the extremes LTTB needs.
     """
     import numpy as np
     import pandas as pd
 
     out_schema = f"{series_col} string, {ts_col} long, {value_col} double"
 
-    def _pick(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _pick_one(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col)
         n = len(pdf)
         if n <= n_out:
@@ -111,4 +115,14 @@ def lttb(
         out = pdf.iloc[keep]
         return out[[series_col, ts_col, value_col]]
 
-    return samples.groupBy(series_col).applyInPandas(_pick, schema=out_schema)
+    def _pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = [
+            _pick_one(g) for _, g in pdf.groupby(series_col, sort=False)
+        ]
+        return pd.concat(parts, ignore_index=True)
+
+    n_pg = int(samples.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    tagged = samples.select(series_col, ts_col, value_col).withColumn(
+        "_pg", F.pmod(F.xxhash64(series_col), F.lit(n_pg))
+    )
+    return tagged.groupBy("_pg").applyInPandas(_pick, schema=out_schema)

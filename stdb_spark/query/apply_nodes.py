@@ -157,9 +157,15 @@ def _pd_ewm_bitexact(decay: float) -> bool:
 def _ewma_udf(df: DataFrame, cols: list[str], decay: float, delta: bool, backward: bool) -> DataFrame:
     """Arrow-batched per-series EWMA with the reference's warm-up rule.
 
-    applyInPandas groups by series — each group fits executor memory for
-    any realistic per-series cardinality; at 100 TB the series key spreads
-    groups across the cluster.
+    Shuffle shape: ONE applyInPandas call per hash partition of series
+    (``_pg = xxhash64(series) % shuffle.partitions``), NOT one per
+    series.  ``groupBy(series).applyInPandas`` pays per-group Arrow +
+    pandas overhead (~ms); with millions of short series at 100 TB that
+    overhead dominates the actual math by orders of magnitude.  Hashing
+    series onto a bounded number of groups keeps every series intact in
+    one pandas frame (same co-location guarantee), sizes each frame at
+    rows/partitions (the same memory bound as any shuffle partition),
+    and runs the per-series kernels inside one Python call.
 
     The post-warm-up tail is computed with pandas' C kernel
     (``ewm(alpha, adjust=False)``) seeded so position k equals the
@@ -167,46 +173,57 @@ def _ewma_udf(df: DataFrame, cols: list[str], decay: float, delta: bool, backwar
     seeded at e_W = x[W]*d + mean(x[0..W])*(1-d).  The vectorized path
     is used only when the one-time bit-parity probe passes for this
     decay (it does for the suite's d=0.3); otherwise the sequential
-    reference fold runs — same values either way, ~100× apart in speed.
+    reference fold runs — same values either way.
     """
     import numpy as np
 
-    out_schema = df.schema
     W = EWMA_WARMUP
     use_vec = _pd_ewm_bitexact(decay)
 
+    def one(xs: "np.ndarray") -> "np.ndarray":
+        """Dense (NaN-free) series values -> outputs, reference-exact."""
+        n = len(xs)
+        outs = xs.copy() if not delta else np.zeros_like(xs)
+        if n > W + 1:
+            if use_vec:
+                # warm-up seed, exactly as the sequential fold: sum of
+                # the first W values in order, blended at x[W]
+                val = 0.0
+                for v in xs[:W]:
+                    val += float(v)
+                val = (val + float(xs[W])) / float(W + 1)
+                seed = float(xs[W]) * decay + val * (1.0 - decay)
+                z = np.concatenate(([seed], xs[W + 1 :]))
+                e = pd.Series(z).ewm(alpha=decay, adjust=False).mean().to_numpy()
+                exp = e[: n - (W + 1)]
+                if delta:
+                    outs[W + 1 :] = xs[W + 1 :] - exp
+                else:
+                    outs[W + 1 :] = exp
+            else:
+                outs = _ewma_seq(xs, decay, delta)
+        return outs
+
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts", ascending=not backward).reset_index(drop=True)
+        pdf = pdf.sort_values(
+            ["series", "ts"], ascending=[True, not backward]
+        ).reset_index(drop=True)
         for c in cols:
             x = pdf[c].to_numpy(dtype="float64", copy=True)
-            mask = ~np.isnan(x)
-            xs = x[mask]
-            n = len(xs)
-            outs = xs.copy() if not delta else np.zeros_like(xs)
-            if n > W + 1:
-                if use_vec:
-                    # warm-up seed, exactly as the sequential fold: sum
-                    # of the first W values in order, blended at x[W]
-                    val = 0.0
-                    for v in xs[:W]:
-                        val += float(v)
-                    val = (val + float(xs[W])) / float(W + 1)
-                    seed = float(xs[W]) * decay + val * (1.0 - decay)
-                    z = np.concatenate(([seed], xs[W + 1 :]))
-                    e = pd.Series(z).ewm(alpha=decay, adjust=False).mean().to_numpy()
-                    exp = e[: n - (W + 1)]
-                    if delta:
-                        outs[W + 1 :] = xs[W + 1 :] - exp
-                    else:
-                        outs[W + 1 :] = exp
-                else:
-                    outs = _ewma_seq(xs, decay, delta)
-            out = x  # NaN rows keep NaN, state skips them (reference rule)
-            out[mask] = outs
-            pdf[c] = out
+            for _, idx in pdf.groupby("series", sort=False).indices.items():
+                xi = x[idx]
+                mask = ~np.isnan(xi)
+                # NaN rows keep NaN, state skips them (reference rule)
+                xi[mask] = one(xi[mask])
+                x[idx] = xi
+            pdf[c] = x
         return pdf
 
-    return df.groupBy("series").applyInPandas(fn, schema=out_schema)
+    n_pg = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    tagged = df.withColumn("_pg", F.pmod(F.xxhash64("series"), F.lit(n_pg)))
+    return (
+        tagged.groupBy("_pg").applyInPandas(fn, schema=tagged.schema).drop("_pg")
+    )
 
 
 def apply_pipeline(

@@ -1113,6 +1113,42 @@ GROUP BY p.doc_id ORDER BY p.doc_id
 _TOP_NGRAMS_K = 50
 
 
+# Per-doc top-3 tf·idf terms.  idf is rounded to 6 dp then ranking is
+# DECIMAL-exact on both engines (see text.tfidf_top_terms); ties break
+# on term asc.
+_q(
+    "doc_tfidf_top_terms",
+    lambda spark, sf: text.tfidf_top_terms(
+        model.load_table(spark, sf, "documents"), k=3
+    ),
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n FROM documents
+), idf AS (
+  SELECT term,
+         CAST(round(ln(CAST(n.n AS DOUBLE) / df), 6) AS DECIMAL(18,6)) AS idf
+  FROM dfq, n
+), s AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS DECIMAL(10,0)) * idf.idf AS score
+  FROM tf JOIN idf USING (term)
+), r AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rk
+  FROM s
+)
+SELECT doc_id, term, rk, CAST(score AS DOUBLE) AS score
+FROM r WHERE rk <= 3
+""",
+)
+
+
 def _doc_top_bigrams(spark, sf):
     from stdb_spark.functions.text import tokens_col
 

@@ -117,6 +117,31 @@ def test_hamming_group_cap_bounds_degenerate_block(spark):
     assert (100, 101) in uncapped and len(uncapped) > 1
 
 
+def test_tfidf_top_terms(spark):
+    rows = [
+        (0, "apple banana banana cherry", "s"),
+        (1, "apple cherry cherry cherry", "s"),
+        (2, "apple durian", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = text.tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rk, r.term, r.score))
+    # 'apple' appears in all 3 docs -> idf = ln(1) = 0, never ranks first
+    import math
+
+    for d, terms in by_doc.items():
+        terms.sort()
+        assert terms[0][1] != "apple", terms
+        assert len(terms) <= 2
+    # doc 0's top term: banana (tf=2, df=1 -> 2*ln(3))
+    assert by_doc[0][0][1] == "banana"
+    assert by_doc[0][0][2] == pytest.approx(2 * round(math.log(3), 6), abs=1e-9)
+    # doc 2: durian (tf=1, df=1) beats apple (idf 0)
+    assert by_doc[2][0][1] == "durian"
+
+
 def test_lang_id(docs):
     out = {r.doc_id: r.lang_pred for r in text.lang_id(docs).collect()}
     assert out[0] == "en"
