@@ -63,6 +63,44 @@ def test_keep_src_appends_physical_column(spark):
     assert 0 < n_in < n_all
 
 
+def test_ts_ns_dispatch_identical_across_generations(spark, tmp_path):
+    """The same logical instants written as int64-ns and as
+    TIMESTAMP(MICROS) must produce IDENTICAL adapter output — the
+    driver has already switched the physical type once between
+    rounds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ns = [1_704_067_200_000_000_000, 1_704_070_800_123_456_000]
+    base = {
+        "event_id": [1, 2],
+        "user_id": [7, 8],
+        "event_type": ["click", "view"],
+        "value": [1.5, 2.5],
+        "props": ["{}", "{}"],
+    }
+    d_long = str(tmp_path / "gen_long")
+    d_us = str(tmp_path / "gen_us")
+    for d in (d_long, d_us):
+        import os
+
+        os.makedirs(d)
+    pq.write_table(
+        pa.table({**base, "ts": pa.array(ns, pa.int64())}),
+        f"{d_long}/events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {**base, "ts": pa.array([v // 1000 for v in ns], pa.timestamp("us"))}
+        ),
+        f"{d_us}/events.parquet",
+    )
+    a = sorted(model.events_as_samples(spark, d_long).collect())
+    b = sorted(model.events_as_samples(spark, d_us).collect())
+    assert a == b
+    assert [r.ts for r in a] == [(v // 1000) * 1000 for v in ns]
+
+
 def test_ts_src_bounds_conservative(spark):
     """ts_src pruning must never drop a row the exact ns predicate
     keeps (bounds are widened to the enclosing µs grid)."""
