@@ -60,71 +60,62 @@ for _m in (tssuite, relsuite, docsuite):
 # check still proves every component class; everything else follows in
 # suite order and is picked up as the window allows.
 _PRIORITY = [
-    # §2.1/2.2 scans, ranges, filters, meta
-    "ts_select_range",
+    # Interleaved family-first: if the driver's window is SMALLER than
+    # 50, the earliest prefix still proves one query per family.  Tier
+    # 1 (positions 0-26): one flagship per §2 family group and per
+    # LLM-pipeline family.
+    "ts_select_range",              # §2.1/2.2 scan + range + pushdown
+    "ts_aggregate_funcs",           # §2.4 aggregate (11 funcs)
+    "ts_group_aggregate",           # §2.4 begin-aligned buckets
+    "ts_join_pivot",                # §2.3 ts-aligned join
+    "ts_group_aggregate_join",      # §2.3 group-aggregate-join
+    "ts_apply_scale_sum",           # §2.5 arithmetic apply nodes
+    "ts_ewma",                      # §2.5 stateful apply (pandas kernel)
+    "ts_search_series",             # §2.8 search
+    "ts_ohlc_daily",                # §2.4 candlesticks
+    "sp_range_query_registry",      # §2.9 registry + spatial
+    "ts_asof_join",                 # extras: as-of join
+    "ts_sax_words",                 # §2.5 SAX
+    "ingest_opentsdb_roundtrip",    # §2.1 protocol ingest
+    "stream_ingest_dedup",          # streaming
+    "ts_sessionize",                # behavior
+    "ts_m4_downsample",             # downsample
+    "rel_q1_pricing_summary",       # relational agg
+    "rel_q3_shipping_priority",     # relational join
+    "doc_exact_dedup",              # dedup: exact
+    "doc_minhash_lsh_candidates",   # dedup: MinHash+LSH
+    "doc_simhash",                  # dedup: SimHash
+    "doc_ngram_jaccard_capped",     # dedup: n-gram Jaccard (df-capped)
+    "doc_dedup_clusters",           # dedup: connected components
+    "doc_lang_id",                  # text analysis
+    "doc_hash_sample",              # reproducible sampling
+    "emb_ann_bruteforce",           # similarity: ANN baseline
+    "mm_image_features",            # multimodal plumbing (rows-only)
+    # Tier 2 (27-49): second query per family — variants, backward
+    # semantics, scale paths.
     "ts_select_backward_limit",
     "ts_select_where",
     "ts_select_range_iso",
     "ts_select_partitioned_layout",
     "ts_select_events_regex",
     "ts_meta_names",
-    # §2.4 aggregation
-    "ts_aggregate_funcs",
     "ts_aggregate_summary_pushdown",
-    "ts_group_aggregate",
     "ts_group_aggregate_having",
     "ts_group_by_tag_agg",
-    # §2.3 joins
-    "ts_join_pivot",
     "ts_join_filter_any",
-    "ts_group_aggregate_join",
     "ts_gaj_eval",
-    # §2.5 apply pipeline
-    "ts_apply_scale_sum",
     "ts_rate",
     "ts_cusum",
     "ts_sma",
-    "ts_ewma",
     "ts_heavy_hitters",
-    # §2.8 search/suggest
-    "ts_search_series",
     "ts_suggest_tag_values",
-    # §2.4 OHLC, §2.9 spatial
-    "ts_ohlc_daily",
-    "sp_range_query_registry",
     "sp_trajectory_bbox",
-    # extras: as-of, SAX, set ops, gapfill
-    "ts_asof_join",
-    "ts_sax_words",
     "ts_set_except",
     "ts_gapfill_locf",
-    # §2.1 ingest protocols
-    "ingest_opentsdb_roundtrip",
     "ingest_resp_roundtrip",
-    # streaming
-    "stream_ingest_dedup",
-    # behavior/downsample
-    "ts_sessionize",
-    "ts_m4_downsample",
-    # relational
-    "rel_q1_pricing_summary",
-    "rel_q3_shipping_priority",
-    # LLM pipeline: dedup
-    "doc_exact_dedup",
     "doc_paragraph_dedup",
-    "doc_minhash_lsh_candidates",
-    "doc_ngram_jaccard_capped",
-    "doc_simhash",
-    "doc_dedup_clusters",
-    # text analysis + sampling
-    "doc_lang_id",
-    "doc_hash_sample",
-    # similarity search
-    "emb_ann_bruteforce",
     "emb_ann_lsh",
     "emb_near_dup_pairs",
-    # multimodal (rows-only by design: codecs stubbed)
-    "mm_image_features",
 ]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
 QUERIES = {
