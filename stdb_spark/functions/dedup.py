@@ -139,11 +139,23 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    sigs: DataFrame, key: str = "doc_id", bands: int = 8, rows_per_band: int = 4
+    sigs: DataFrame,
+    key: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """LSH banding: equal band-slices -> candidate pair.  Returns distinct
     (a, b) with a < b.  The self-join is on (band_idx, band_hash) — a
-    uniform key, broadcast-free, skew-free."""
+    uniform key, broadcast-free, skew-free for *near*-duplicate data.
+
+    ``bucket_cap``: skip (band, bucket) groups larger than the cap.
+    EXACT-duplicate classes collide in every band, so a boilerplate page
+    copied c times emits bands*c^2/2 candidate rows — at web scale
+    (c ~ 10^6) that is the quadratic blowup again.  The standard
+    pipeline order is exact-dedup first (``exact_duplicates``), then
+    LSH over survivors; the cap is the backstop when that invariant is
+    violated.  Default None keeps exact recall (and oracle parity)."""
     nb = bands
     r = rows_per_band
     banded = sigs.select(
@@ -172,6 +184,8 @@ def minhash_lsh_candidates(
     grouped = banded.groupBy("band", "bucket").agg(
         F.collect_list(F.col(key)).alias("ds")
     )
+    if bucket_cap is not None:
+        grouped = grouped.filter(F.size("ds") <= bucket_cap)
     return (
         grouped.select(F.explode("ds").alias("a"), F.col("ds"))
         .select("a", F.explode("ds").alias("b"))

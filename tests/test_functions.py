@@ -98,6 +98,28 @@ def test_jaccard_df_cap_bounds_stop_shingle_blowup(spark):
     assert n_un >= 20 * 19 // 2  # quadratic blowup without the cap
 
 
+def test_minhash_bucket_cap_bounds_exact_dup_class(spark):
+    """An exact-dup class collides in EVERY band; bucket_cap drops those
+    quadratic groups while distinct near-dups still pair."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog", "s") for i in range(15)]
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta", "s"),
+        (101, "alpha beta gamma delta epsilon zeta eta iota", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    sigs = dedup.minhash_signatures(docs)
+    capped = {
+        (r.a, r.b)
+        for r in dedup.minhash_lsh_candidates(sigs, bucket_cap=10).collect()
+    }
+    # the 15-copy class produced nothing (every band bucket has 15 > 10)
+    assert all(a >= 100 for a, b in capped), capped
+    uncapped = {
+        (r.a, r.b) for r in dedup.minhash_lsh_candidates(sigs).collect()
+    }
+    assert len({p for p in uncapped if p[0] < 100}) == 15 * 14 // 2
+
+
 def test_hamming_group_cap_bounds_degenerate_block(spark):
     """Signatures all sharing a degenerate all-zeros low block form a
     quadratic postings group; group_cap bounds it while pairs that
