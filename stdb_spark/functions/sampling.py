@@ -95,18 +95,29 @@ def ngram_contamination(
     from stdb_spark.functions.dedup import normalized_text
 
     def postings(df: DataFrame, k: str, out: str) -> DataFrame:
+        # Tokens are materialized through an intermediate projection and
+        # the grams built as a zip_with fold over n shifted slices —
+        # NOT transform(sequence, slice(i, n)), whose per-index slice
+        # re-derives the token array per gram (O(tokens²) splitting;
+        # benched ~6x slower at sf0.1).  Same construction as
+        # dedup.shingles_col.
         toks = F.filter(
             F.split(normalized_text(text_col), " "), lambda t: F.length(t) > 0
         )
-        grams = F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-            ),
-        ).otherwise(F.array(F.array_join(toks, " ")))
-        return df.select(
-            F.col(k).alias(out), F.explode(F.array_distinct(grams)).alias("g")
+        base = df.select(F.col(k).alias(out), toks.alias("_toks"))
+        width = F.greatest(F.size("_toks") - (n - 1), F.lit(1))
+        grams = F.slice("_toks", 1, width)
+        for i in range(1, n):
+            grams = F.zip_with(
+                grams,
+                F.slice("_toks", i + 1, width),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        grams = F.when(F.size("_toks") >= n, grams).otherwise(
+            F.array(F.array_join("_toks", " "))
+        )
+        return base.select(
+            out, F.explode(F.array_distinct(grams)).alias("g")
         ).select(out, F.md5(F.col("g")).alias("gh"))
 
     corp = postings(corpus, key, "doc_id")
