@@ -198,6 +198,35 @@ def test_hamming_pairs_match_bruteforce(spark, sigs, flips):
 
 
 @given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["the", "cat", "dog", "runs", "fast", "slow", "a"]),
+            min_size=1, max_size=8,
+        ).map(" ".join),
+        min_size=2, max_size=10,
+    ),
+    cap=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_jaccard_df_cap_is_monotone_subset(spark, texts, cap):
+    """Dropping hot shingles can only remove pairs or lower scores:
+    capped pairs ⊆ uncapped pairs, and every capped score <= its
+    uncapped twin (never above)."""
+    from stdb_spark.functions import dedup
+
+    rows = [(i, t, "s") for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    un = {(r.a, r.b): r.jaccard
+          for r in dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.0).collect()}
+    cp = {(r.a, r.b): r.jaccard
+          for r in dedup.ngram_jaccard_pairs(
+              docs, n=2, threshold=0.0, df_cap=cap).collect()}
+    assert set(cp) <= set(un)
+    for k, v in cp.items():
+        assert v <= un[k] + 1e-12, k
+
+
+@given(
     left=st.lists(
         st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=20
     ),
