@@ -27,6 +27,28 @@ def test_every_table_opens(spark):
         assert df.limit(1).count() == 1, t
 
 
+def test_expected_columns_present(spark):
+    """Column-name contract for every table the workloads read.  A
+    regenerated testdata set that renames or drops a column should fail
+    here, not deep inside 50 driver queries."""
+    need = {
+        "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+        "documents": {"doc_id", "text", "lang", "source"},
+        "embeddings": {"vec_id", "embedding", "label"},
+        "lineitem": {"l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+                     "l_returnflag", "l_linestatus", "l_shipdate"},
+        "orders": {"o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"},
+        "customer": {"c_custkey", "c_nationkey", "c_name"},
+        "supplier": {"s_suppkey", "s_nationkey"},
+        "part": {"p_partkey", "p_type"},
+        "nation": {"n_nationkey", "n_regionkey", "n_name"},
+        "region": {"r_regionkey", "r_name"},
+    }
+    for t, cols in need.items():
+        have = set(model.load_table(spark, SF, t).columns)
+        assert cols <= have, (t, cols - have)
+
+
 def test_events_as_samples_schema_and_grid(spark):
     df = model.events_as_samples(spark, SF)
     assert [f.name for f in df.schema.fields] == [
