@@ -88,6 +88,47 @@ def brute_force_top_k_many(
     )
 
 
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    qkey: str = "query_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Majority-vote k-NN classification: for each query vector, the
+    most frequent label among its k cosine-nearest corpus vectors
+    (ties: higher votes first, then smallest label — deterministic).
+    Returns (qkey, pred_label, votes).
+
+    Plan shape: the query side is broadcast (queries are small by
+    definition — a labeling batch), the corpus is scanned ONCE with the
+    label carried through, so no second join to recover labels; the
+    per-query top-k and the vote both run on one (qkey) exchange.  At
+    100 TB swap the cross join for :func:`lsh_top_k_presigned` buckets
+    and reuse the same vote tail."""
+    from pyspark.sql import Window
+
+    joined = corpus.crossJoin(
+        F.broadcast(queries.select(F.col(qkey), F.col(vec_col).alias("_qv")))
+    )
+    cos = cosine_expr(F.col(vec_col), F.col("_qv"))
+    w = Window.partitionBy(qkey).orderBy(F.col("cosine").desc(), F.col(key))
+    knn = (
+        joined.select(F.col(qkey), F.col(key), F.col(label_col), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    votes = knn.groupBy(qkey, label_col).agg(F.count("*").alias("votes"))
+    w2 = Window.partitionBy(qkey).orderBy(F.col("votes").desc(), F.col(label_col).asc())
+    return (
+        votes.withColumn("_rk", F.row_number().over(w2))
+        .filter(F.col("_rk") == 1)
+        .select(F.col(qkey), F.col(label_col).alias("pred_label"), "votes")
+    )
+
+
 def _hyperplane(dim: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from md5(seed,i):
     reproducible everywhere, no RNG state."""

@@ -289,6 +289,47 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 """,
 )
 
+# k-NN classification: label the first 32 vectors by majority vote of
+# their 5 cosine-nearest neighbors among the rest (leave-out split so a
+# query never matches itself).  Tie-break: votes desc, label asc.
+def _emb_knn_classify(spark, sf):
+    emb = model.load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 32)
+    return similarity.knn_classify(corpus, queries, k=5)
+
+
+_q(
+    "emb_knn_classify",
+    _emb_knn_classify,
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 32
+), c AS (
+  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id >= 32
+), knn AS (
+  SELECT q.query_id, c.vec_id, c.label,
+    row_number() OVER (PARTITION BY q.query_id
+      ORDER BY ({_dot_chain('c.embedding', 'q.qe')})
+                 / ({_norm_chain('c.embedding')} * {_norm_chain('q.qe')}) DESC,
+               c.vec_id) AS rank
+  FROM c, q
+), v AS (
+  SELECT query_id, label, count(*) AS votes
+  FROM knn WHERE rank <= 5 GROUP BY query_id, label
+)
+SELECT query_id, label AS pred_label, votes FROM (
+  SELECT query_id, label, votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label) AS rk
+  FROM v
+) WHERE rk = 1
+""",
+)
+
+
 _q(
     "emb_near_dup_pairs",
     lambda spark, sf: dedup.embedding_near_duplicates(

@@ -139,6 +139,28 @@ def test_hamming_group_cap_bounds_degenerate_block(spark):
     assert (100, 101) in uncapped and len(uncapped) > 1
 
 
+def test_knn_classify_majority_vote(spark):
+    import math
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)] + [0.0] * 2
+
+    # corpus: 3 vectors near 0 rad labeled 1, 2 vectors near pi/2 labeled 2
+    rows = [(10, vec(0.00), 1), (11, vec(0.05), 1), (12, vec(-0.05), 1),
+            (13, vec(1.55), 2), (14, vec(1.60), 2)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    queries = spark.createDataFrame(
+        [(0, vec(0.02)), (1, vec(1.57))], "query_id long, embedding array<float>"
+    )
+    out = {r.query_id: (r.pred_label, r.votes)
+           for r in similarity.knn_classify(corpus, queries, k=3).collect()}
+    assert out[0] == (1, 3)   # all three label-1 vectors are nearest
+    assert out[1] == (2, 2)   # both label-2 vectors in top-3, beats 1 vote...
+    # tie impossible here: k=3 -> votes are (2,1); label 2 wins on count
+
+
 def test_tfidf_top_terms(spark):
     rows = [
         (0, "apple banana banana cherry", "s"),
