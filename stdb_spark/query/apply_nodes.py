@@ -24,6 +24,10 @@ Node semantics replicated exactly (file:line cites against /root/reference):
                 11th add the accumulated mean seeds the filter; after
                 warm-up emits the one-step-ahead prediction.
 - ``ewma-error`` value minus prediction.
+- ``holt`` / ``holt-error``: Holt linear-trend (double exponential)
+                smoothing — trend-aware extension of the ewma family
+                (absent in the reference; exposed extra).  Two samples
+                warm-up, then emits the one-step-ahead forecast l+b.
 - ``cma``       (sliding_window.cc:196-225): cumulative moving average.
                 The reference stores ``(sum + 2x, cnt + 2)`` per step —
                 an obvious double-add bug; we implement the intended
@@ -204,6 +208,16 @@ def _ewma_udf(df: DataFrame, cols: list[str], decay: float, delta: bool, backwar
                 outs = _ewma_seq(xs, decay, delta)
         return outs
 
+    return _batched_series_apply(df, cols, backward, one)
+
+
+def _batched_series_apply(df: DataFrame, cols: list[str], backward: bool, one):
+    """Run a dense-array kernel ``one(xs) -> outs`` per (series, column)
+    with ONE applyInPandas call per hash partition of series (see the
+    shuffle-shape rationale on _ewma_udf).  NaN rows pass through
+    untouched and are invisible to the kernel (reference rule)."""
+    import numpy as np
+
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
             ["series", "ts"], ascending=[True, not backward]
@@ -213,7 +227,6 @@ def _ewma_udf(df: DataFrame, cols: list[str], decay: float, delta: bool, backwar
             for _, idx in pdf.groupby("series", sort=False).indices.items():
                 xi = x[idx]
                 mask = ~np.isnan(xi)
-                # NaN rows keep NaN, state skips them (reference rule)
                 xi[mask] = one(xi[mask])
                 x[idx] = xi
             pdf[c] = x
@@ -224,6 +237,43 @@ def _ewma_udf(df: DataFrame, cols: list[str], decay: float, delta: bool, backwar
     return (
         tagged.groupBy("_pg").applyInPandas(fn, schema=tagged.schema).drop("_pg")
     )
+
+
+def _holt_udf(
+    df: DataFrame, cols: list[str], alpha: float, beta: float, delta: bool, backward: bool
+) -> DataFrame:
+    """Holt linear-trend (double exponential) smoothing — the
+    trend-aware extension of the reference's EWMA family
+    (sliding_window.cc), exposed as apply node ``holt``/``holt-error``.
+
+    Per series (state skips NaN rows):
+      out[0] = x0, out[1] = x1 (no forecast until two samples);
+      init l = x1, b = x1 - x0;
+      for i >= 2: out[i] = l + b (the one-step-ahead forecast), then
+        l' = alpha*x[i] + (1-alpha)*(l + b);
+        b  = beta*(l' - l) + (1-beta)*b;  l = l'.
+    ``holt-error`` emits x[i] - forecast (0 during warm-up).  The fold
+    is replicated op-for-op by the DuckDB recursive-CTE oracle, so the
+    Python loop order IS the spec."""
+    import numpy as np
+
+    def one(xs):
+        n = len(xs)
+        outs = xs.copy() if not delta else np.zeros_like(xs)
+        if n < 2:
+            return outs
+        l = float(xs[1])
+        b = float(xs[1]) - float(xs[0])
+        for i in range(2, n):
+            cur = float(xs[i])
+            f = l + b
+            outs[i] = (cur - f) if delta else f
+            prev_l = l
+            l = alpha * cur + (1.0 - alpha) * (l + b)
+            b = beta * (l - prev_l) + (1.0 - beta) * b
+        return outs
+
+    return _batched_series_apply(df, cols, backward, one)
 
 
 def apply_pipeline(
@@ -278,6 +328,10 @@ def apply_pipeline(
         elif name in ("ewma", "ewma-error"):
             decay = float(step["decay"])
             df = _ewma_udf(df, value_cols, decay, name == "ewma-error", backward)
+        elif name in ("holt", "holt-error"):
+            alpha = float(step.get("alpha", 0.5))
+            beta = float(step.get("beta", 0.3))
+            df = _holt_udf(df, value_cols, alpha, beta, name == "holt-error", backward)
         elif name == "cma":
             for c in value_cols:
                 run = F.avg(c).over(w.rowsBetween(Window.unboundedPreceding, 0))

@@ -962,6 +962,50 @@ SELECT series, tu AS ts, out AS value FROM r
 """,
 )
 
+# Holt linear-trend smoothing (apply node `holt`): the oracle replicates
+# the exact fold — two-sample warm-up emitting the input, then the
+# one-step-ahead forecast l+b with level/trend updates in the same IEEE
+# op order as the pandas kernel (apply_nodes._holt_udf).
+_HOLT_A = "CAST(0.5 AS DOUBLE)"
+_HOLT_B = "CAST(0.3 AS DOUBLE)"
+
+_q(
+    "ts_holt",
+    lambda spark, sf: _us(
+        _engine(spark, sf).query(
+            {
+                "select": "purchase",
+                "range": {"from": JAN01, "to": FEB01},
+                "apply": [{"name": "holt", "alpha": 0.5, "beta": 0.3}],
+            }
+        )
+    ),
+    f"""
+WITH RECURSIVE b2 AS (
+  SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
+         epoch_us(ts) AS tu, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS rn
+  FROM events
+  WHERE event_type = 'purchase'
+    AND epoch_us(ts) >= {JAN01_US} AND epoch_us(ts) < {FEB01_US}
+), r AS (
+  SELECT series, tu, value, rn, value AS out,
+         CAST(NULL AS DOUBLE) AS l, CAST(NULL AS DOUBLE) AS b
+  FROM b2 WHERE rn = 1
+  UNION ALL
+  SELECT n.series, n.tu, n.value, n.rn,
+    CASE WHEN n.rn = 2 THEN n.value ELSE r.l + r.b END AS out,
+    CASE WHEN n.rn = 2 THEN n.value
+         ELSE {_HOLT_A} * n.value + (1 - {_HOLT_A}) * (r.l + r.b) END AS l,
+    CASE WHEN n.rn = 2 THEN n.value - r.value
+         ELSE {_HOLT_B} * (({_HOLT_A} * n.value + (1 - {_HOLT_A}) * (r.l + r.b)) - r.l)
+              + (1 - {_HOLT_B}) * r.b END AS b
+  FROM r JOIN b2 n ON n.series = r.series AND n.rn = r.rn + 1
+)
+SELECT series, tu AS ts, out AS value FROM r
+""",
+)
+
 # -------------------------------------------------------- suggest / search
 _q(
     "ts_suggest_metric_names",

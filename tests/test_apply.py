@@ -119,6 +119,47 @@ def test_ewma_vectorized_matches_sequential_fold(spark):
         assert np.array_equal(got, want), (decay, _pd_ewm_bitexact(decay))
 
 
+def test_holt_matches_python_model(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(10.0, 2.0, 60)
+    a, be = 0.5, 0.3
+    rows = [("m", {"s": "H"}, 1_000_000 * i, float(v)) for i, v in enumerate(x)]
+    e = Engine(spark, samples=make_samples(spark, rows))
+    out = e.query(
+        {
+            "select": "m",
+            "range": {"from": 0, "to": 10**12},
+            "apply": [{"name": "holt", "alpha": a, "beta": be}],
+        }
+    ).collect()
+    got = [r.value for r in out]
+    # pure-Python reference fold
+    want = [float(x[0]), float(x[1])]
+    l, b = float(x[1]), float(x[1]) - float(x[0])
+    for i in range(2, len(x)):
+        cur = float(x[i])
+        want.append(l + b)
+        prev_l = l
+        l = a * cur + (1.0 - a) * (l + b)
+        b = be * (l - prev_l) + (1.0 - be) * b
+    assert got == want
+    # holt-error = input minus forecast, 0 during warm-up
+    err = [
+        r.value
+        for r in e.query(
+            {
+                "select": "m",
+                "range": {"from": 0, "to": 10**12},
+                "apply": [{"name": "holt-error", "alpha": a, "beta": be}],
+            }
+        ).collect()
+    ]
+    assert err[0] == 0.0 and err[1] == 0.0
+    assert err[2:] == [float(x[i]) - want[i] for i in range(2, len(x))]
+
+
 def test_top_time_weighted(eng):
     out = eng.query(
         {"select": "sig", "range": RANGE, "apply": [{"name": "top", "N": 2}]}
