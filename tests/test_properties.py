@@ -179,6 +179,9 @@ def test_hamming_pairs_match_bruteforce(spark, sigs, flips):
     planted = sigs[0]
     for f in set(flips):
         planted ^= 1 << f
+    # normalize back into signed int64 (Python XOR on negatives yields
+    # arbitrary-precision values outside the range in both directions)
+    planted &= (1 << 64) - 1
     if planted >= 2**63:
         planted -= 2**64
     rows = [(i, s) for i, s in enumerate(sigs)] + [(len(sigs), planted)]
