@@ -66,6 +66,31 @@ def brute_force_top_k(
     )
 
 
+def _local_then_global_top_k(scored: DataFrame, qkey: str, key: str, k: int) -> DataFrame:
+    """Exact per-query top-k in two phases.  A single-phase window
+    partitioned by qkey funnels |corpus|×|queries| rows onto only
+    |queries| reducer partitions — a skew wall when queries are few and
+    the corpus is 100 TB.  Phase 1 windows over (qkey,
+    spark_partition_id()): same total exchange volume but spread
+    uniformly over queries×partitions cells, each reduced to k rows;
+    phase 2 re-windows the k×partitions survivors per query — a
+    negligible second exchange."""
+    from pyspark.sql import Window
+
+    wl = Window.partitionBy(qkey, F.spark_partition_id()).orderBy(
+        F.col("cosine").desc(), F.col(key)
+    )
+    local = scored.withColumn("_lr", F.row_number().over(wl)).filter(
+        F.col("_lr") <= k
+    )
+    w = Window.partitionBy(qkey).orderBy(F.col("cosine").desc(), F.col(key))
+    return (
+        local.drop("_lr")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def brute_force_top_k_many(
     df: DataFrame,
     queries: DataFrame,
@@ -74,18 +99,14 @@ def brute_force_top_k_many(
     key: str = "vec_id",
     qkey: str = "query_id",
 ) -> DataFrame:
-    """Top-k per query via broadcast cross join + window rank.  The query
-    side is broadcast (small); the corpus is scanned once."""
-    from pyspark.sql import Window
-
+    """Top-k per query via broadcast cross join + two-phase window rank.
+    The query side is broadcast (small); the corpus is scanned once,
+    and the rank runs skew-free via the (query, partition)-cell local
+    phase (see _local_then_global_top_k)."""
     joined = df.crossJoin(F.broadcast(queries.select(qkey, F.col(vec_col).alias("_qv"))))
     cos = cosine_expr(F.col(vec_col), F.col("_qv"))
-    w = Window.partitionBy(qkey).orderBy(F.col("cosine").desc(), F.col(key))
-    return (
-        joined.select(qkey, key, cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    scored = joined.select(qkey, key, cos.alias("cosine"))
+    return _local_then_global_top_k(scored, qkey, key, k)
 
 
 def knn_classify(
@@ -114,9 +135,20 @@ def knn_classify(
         F.broadcast(queries.select(F.col(qkey), F.col(vec_col).alias("_qv")))
     )
     cos = cosine_expr(F.col(vec_col), F.col("_qv"))
+    wl = Window.partitionBy(qkey, F.spark_partition_id()).orderBy(
+        F.col("cosine").desc(), F.col(key)
+    )
+    scored = joined.select(
+        F.col(qkey), F.col(key), F.col(label_col), cos.alias("cosine")
+    )
+    # local top-k per input partition before the per-query exchange
+    # (see _local_then_global_top_k — labels ride along)
+    local = scored.withColumn("_lr", F.row_number().over(wl)).filter(
+        F.col("_lr") <= k
+    )
     w = Window.partitionBy(qkey).orderBy(F.col("cosine").desc(), F.col(key))
     knn = (
-        joined.select(F.col(qkey), F.col(key), F.col(label_col), cos.alias("cosine"))
+        local.drop("_lr")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
