@@ -797,20 +797,17 @@ SELECT doc_id, source FROM (
 )
 
 
-# Group-wise vector search: top-3 most query-similar vectors per label
-# (window rank over cosine) — the "per-shard ANN" building block.
+# Group-wise vector search: top-3 most query-similar vectors per label —
+# the "per-shard ANN" building block.  Label cardinality is tiny, so a
+# label-partitioned window would funnel the whole table onto a handful
+# of reducers; the shared two-phase rank spreads the exchange over
+# (label, input-partition) cells first.
 def _topk_per_label(spark, sf):
-    from pyspark.sql import Window
-
     df = model.load_table(spark, sf, "embeddings")
     q = F.array(*[F.lit(float(x)) for x in _QVEC])
     cos = similarity.cosine_expr(F.col("embedding"), q)
-    w = Window.partitionBy("label").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        df.select("label", "vec_id", cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-    )
+    scored = df.select("label", "vec_id", cos.alias("cosine"))
+    return similarity._local_then_global_top_k(scored, "label", "vec_id", 3)
 
 
 _q(
