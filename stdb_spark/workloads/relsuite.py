@@ -175,11 +175,21 @@ def _top_suppliers(spark, sf):
     from pyspark.sql import Window
 
     t = model.load_tables(spark, sf, ("supplier", "nation"))
+    # nation cardinality is 25: a single nation-partitioned window
+    # funnels every supplier row onto 25 reducers.  Two-phase rank:
+    # local top-3 per (nation, input-partition) cell — exchange spread
+    # uniformly — then the global rank over the tiny survivor set.
+    wl = Window.partitionBy("s_nationkey", F.spark_partition_id()).orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
     w = Window.partitionBy("s_nationkey").orderBy(
         F.col("s_acctbal").desc(), F.col("s_suppkey")
     )
     return (
         t["supplier"]
+        .withColumn("_lr", F.row_number().over(wl))
+        .filter(F.col("_lr") <= 3)
+        .drop("_lr")
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
