@@ -120,6 +120,26 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
+    # Ingest throughput: time a full write of the events table into the
+    # production layout (partitioned (day, metric), sorted by
+    # (series_id, ts)) — the reference's headline metric is write rate,
+    # so the bench records the Spark-side equivalent.  Repo-local target
+    # dir, removed afterwards.
+    import shutil
+
+    ingest_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".cache", "_bench_ingest"
+    )
+    shutil.rmtree(ingest_dir, ignore_errors=True)
+    from stdb_spark import model as _model
+    from stdb_spark.sources import storage as _storage
+
+    t0 = time.perf_counter()
+    _storage.write_samples(_model.events_as_samples(spark, sf_dir), ingest_dir)
+    timings["ingest_layout_write"] = round(time.perf_counter() - t0, 3)
+    print(f"  ingest_layout_write: {timings['ingest_layout_write']}s", file=sys.stderr, flush=True)
+    shutil.rmtree(ingest_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
