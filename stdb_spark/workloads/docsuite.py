@@ -704,6 +704,55 @@ def _mm_features(spark, sf):
 _q("mm_image_features", _mm_features)
 
 
+# Media-manifest statistics with a FULL value-hash oracle: documents'
+# text bytes stand in as opaque binary payloads (encode utf-8), typed
+# by a deterministic kind split.  This proves the binary-column
+# plumbing a media lake needs — byte sizes, content digests, per-kind
+# rollups — end to end through the driver gate; only the codec decode
+# itself stays stubbed (DecodeUnavailable boundary).
+def _mm_manifest(spark, sf):
+    docs = model.load_table(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    man = media.select(
+        "media_id",
+        "kind",
+        F.octet_length("payload").cast("long").alias("bytes"),
+        F.md5("payload").alias("digest"),
+    )
+    return man.groupBy("kind").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+        F.count_distinct("digest").cast("long").alias("distinct_payloads"),
+        F.min("bytes").cast("long").alias("min_bytes"),
+        F.max("bytes").cast("long").alias("max_bytes"),
+    )
+
+
+_q(
+    "mm_manifest_stats",
+    _mm_manifest,
+    """
+SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       count(*) AS n,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+       count(DISTINCT md5(text)) AS distinct_payloads,
+       min(strlen(text)) AS min_bytes,
+       max(strlen(text)) AS max_bytes
+FROM documents
+GROUP BY 1
+""",
+)
+
+
 def _mm_frames(spark, sf):
     from stdb_spark.functions import multimodal
 
