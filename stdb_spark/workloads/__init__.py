@@ -90,7 +90,7 @@ _PRIORITY = [
     "doc_lang_id",                  # text analysis
     "doc_hash_sample",              # reproducible sampling
     "emb_ann_bruteforce",           # similarity: ANN baseline
-    "mm_image_features",            # multimodal plumbing (rows-only)
+    "mm_manifest_stats",            # multimodal binary plumbing (full oracle)
     # Tier 2 (27-49): second query per family — variants, backward
     # semantics, scale paths.
     "ts_select_backward_limit",
