@@ -31,6 +31,7 @@ HEADLINE = [
     "ts_interval_join",
     "ts_sax_words",
     "ts_ewma",
+    "ts_holt",
     "ts_cusum",
     "ts_gapfill_interpolate",
     "ts_corr_metrics",
@@ -60,6 +61,7 @@ HEADLINE = [
     "doc_hash_sample",
     "doc_repetition_stats",
     "doc_unigram_logprob",
+    "doc_tfidf_top_terms",
     "doc_simhash",
     "doc_quality_score",
     "emb_ann_bruteforce",
@@ -67,6 +69,8 @@ HEADLINE = [
     "emb_ann_lsh_presigned",
     "emb_topk_per_label",
     "emb_label_centroids",
+    "emb_knn_classify",
+    "mm_manifest_stats",
     "doc_hamming_near_dups",
     "doc_hamming_presigned",
     "ts_aggregate_summary_pushdown",
