@@ -71,12 +71,15 @@ def main() -> int:
     qs = entry.queries()
     sqls = entry.oracle_sql()
 
+    import time
+
     results: dict[str, dict] = {}
     npass = nfail = nerr = 0
     for name in sorted(qs):
         if only and name not in only:
             continue
         rec: dict = {}
+        t0 = time.perf_counter()
         try:
             got = qs[name](spark, sf_dir).toPandas()
             if name in sqls:
@@ -106,8 +109,9 @@ def main() -> int:
             rec["err"] = traceback.format_exc()[-1500:]
             nerr += 1
             status = "ERR " + rec["err"].strip().splitlines()[-1][:140]
+        rec["sec"] = round(time.perf_counter() - t0, 2)
         results[name] = rec
-        print(f"{name:42s} {status}", flush=True)
+        print(f"{name:42s} {status}  [{rec['sec']}s]", flush=True)
 
     print(
         json.dumps(
