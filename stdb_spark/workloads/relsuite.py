@@ -772,3 +772,128 @@ WHERE CAST(c_acctbal AS DOUBLE) * _n > CAST(_s AS DOUBLE)
 GROUP BY n_name ORDER BY n_name
 """,
 )
+
+
+# ----------------------------------------------------------------- Q12-like
+# Shipping-mode/priority cross-tab (TPC-H Q12 shape).  The testdata lacks
+# l_shipmode/l_commitdate/l_receiptdate, so the grouping key is
+# l_linestatus and "late" reuses the q4 adaptation
+# (l_shipdate > o_orderdate + 60 days).  The interesting part of Q12 —
+# one fact-fact key join feeding a conditional (CASE WHEN) aggregate, no
+# second pass over either table — is preserved exactly.
+def _tpch_q12(spark, sf):
+    orders = model.load_table(spark, sf, "orders")
+    li = model.load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_q(
+    "rel_q12_shipmode_priority",
+    _tpch_q12,
+    """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus ORDER BY l_linestatus
+""",
+)
+
+
+# ----------------------------------------------------------------- Q21-like
+# Suppliers who kept orders waiting (TPC-H Q21 shape): for finished
+# multi-supplier orders, find the supplier whose line was late while
+# every OTHER supplier's lines were on time.  "Late" reuses the q4
+# adaptation (l_shipdate > o_orderdate + 60 days; the testdata has no
+# l_commitdate/l_receiptdate).
+#
+# Plan shape at scale: the EXISTS ("some other supplier in the order")
+# and NOT EXISTS ("no other LATE supplier") both decorrelate into
+# self-joins of lineitem on l_orderkey.  All three branches share the
+# same join key, so Spark shuffles lineitem once per branch on the same
+# partitioning (AQE coalesces), never by supplier — the skew lives on
+# orderkey, which is near-uniform.  supplier and nation broadcast.
+def _tpch_q21(spark, sf):
+    t = model.load_tables(spark, sf, ("supplier", "lineitem", "orders", "nation"))
+    orders = t["orders"].filter(F.col("o_orderstatus") == "F")
+    li = t["lineitem"].join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS")
+    l1 = li.filter(late).select("l_orderkey", "l_suppkey")
+    # some other supplier contributed to the same order
+    l2 = t["lineitem"].select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    # ... but no OTHER supplier was late on it
+    l3 = li.filter(late).select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_1")
+    )
+    return (
+        waiting.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
+    )
+
+
+_q(
+    "rel_q21_suppliers_waiting",
+    _tpch_q21,
+    """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND n_name = 'NATION_1'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+)
