@@ -116,9 +116,14 @@ def ngram_contamination(
         grams = F.when(F.size("_toks") >= n, grams).otherwise(
             F.array(F.array_join("_toks", " "))
         )
+        # The gram hash is ONLY a join key (it never reaches the output),
+        # so it uses xxhash64 — JVM codegen, no 32-char hex string to
+        # materialize and shuffle — rather than the md5 idiom the
+        # oracle-visible hashes use.  The oracle joins on its own md5;
+        # equal grams collide identically on both sides either way.
         return base.select(
             out, F.explode(F.array_distinct(grams)).alias("g")
-        ).select(out, F.md5(F.col("g")).alias("gh"))
+        ).select(out, F.xxhash64(F.col("g")).alias("gh"))
 
     corp = postings(corpus, key, "doc_id")
     bench = postings(benchmark, bench_key, "bench_id")
