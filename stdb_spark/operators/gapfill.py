@@ -7,10 +7,16 @@ buckets, stdb/storage/nbtree.cc:1067-1422); every TSDB user asks for it
 (TimescaleDB time_bucket_gapfill / InfluxDB fill()).  Buckets are
 begin-aligned like the engine's group-aggregate.
 
-Plan shape at 100 TB: one shuffle to bucket-aggregate the samples, one
-tiny exchange to build the (series × bucket) grid from the distinct
-series set, then window functions over series — the grid is
-#series × #buckets rows, dwarfed by the input; nothing collects.
+Plan shape at 100 TB: one shuffle to bucket-aggregate the samples, then
+ONE window pass per series (lead of the next anchor) after which every
+grid row — observed bucket, gap bucket, leading/trailing empty bucket —
+is generated MAP-SIDE by exploding each anchor's bucket range.  The
+(series x bucket) grid is never materialized as a join input, so there
+is no grid shuffle and no distinct-series pass; output rows stream out
+of the explode.  (An earlier design built the grid with
+distinct -> sequence-explode -> left join: 4 exchanges vs 2, and the
+grid join's shuffle grows with #series x #buckets — this one's state is
+only the anchors.)
 """
 
 from __future__ import annotations
@@ -19,7 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _anchored(
+def _anchors_with_next(
     samples: DataFrame,
     begin: int,
     end: int,
@@ -27,9 +33,10 @@ def _anchored(
     series_col: str,
     ts_col: str,
     value_col: str,
-) -> DataFrame:
-    """(series, bucket) grid left-joined with per-bucket first/last
-    anchors (row-atomic struct min/max over (ts, value))."""
+):
+    """Per-(series, bucket) first/last anchors (row-atomic struct
+    min/max over (ts, value)) plus the NEXT observed bucket's index and
+    first-anchor via one lead() window; n_buckets."""
     n_buckets = (end - begin + step - 1) // step
     s = samples.filter((F.col(ts_col) >= begin) & (F.col(ts_col) < end))
     tv = F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("v"))
@@ -38,16 +45,33 @@ def _anchored(
         .groupBy(series_col, "_bk")
         .agg(F.min(tv).alias("_first"), F.max(tv).alias("_last"))
     )
-    grid = (
-        s.select(series_col)
-        .distinct()
-        .select(
-            series_col,
-            F.explode(F.sequence(F.lit(0), F.lit(int(n_buckets - 1)))).alias("_bk"),
-        )
-    )
-    return grid.join(bucketed, [series_col, "_bk"], "left_outer").withColumn(
-        "_ts", (F.lit(begin) + F.col("_bk") * step).cast("long")
+    w = Window.partitionBy(series_col).orderBy("_bk")
+    return (
+        bucketed.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_nbk", F.lead("_bk").over(w))
+        .withColumn("_nfirst", F.lead("_first").over(w))
+    ), n_buckets
+
+
+def _expand(anchored: DataFrame, n_buckets: int, series_col: str):
+    """Explode each anchor row into its grid span: the leading empty
+    buckets [0, _bk) for the first anchor of a series, the anchor's own
+    bucket, and the empty buckets up to (exclusive) the next anchor —
+    or to the end of the grid for the last anchor.  Map-side; one
+    output row per grid cell."""
+    span_end = F.coalesce(F.col("_nbk"), F.lit(int(n_buckets)))
+    # _bk > 0 guard: sequence(0, -1) would generate a DESCENDING pair
+    lead_in = F.when(
+        (F.col("_rn") == 1) & (F.col("_bk") > 0),
+        F.sequence(F.lit(0).cast("long"), F.col("_bk") - 1),
+    ).otherwise(F.array().cast("array<long>"))
+    span = F.sequence(F.col("_bk"), span_end - 1)
+    return anchored.select(
+        F.col(series_col),
+        F.col("_bk"),
+        F.col("_last"),
+        F.col("_nfirst"),
+        F.explode(F.concat(lead_in, span)).alias("_k"),
     )
 
 
@@ -63,17 +87,17 @@ def resample_locf(
     """Empty buckets carry the most recent earlier value forward;
     buckets before a series' first sample stay null.  Non-empty buckets
     report their own last value."""
-    g = _anchored(samples, begin, end, step, series_col, ts_col, value_col)
-    w = (
-        Window.partitionBy(series_col)
-        .orderBy("_bk")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    anchored, n_buckets = _anchors_with_next(
+        samples, begin, end, step, series_col, ts_col, value_col
     )
-    carried = F.last(F.col("_last"), ignorenulls=True).over(w)
+    g = _expand(anchored, n_buckets, series_col)
+    # _k < _bk only on leading empty buckets (null); otherwise the
+    # anchor's last value carries through its span.
+    value = F.when(F.col("_k") >= F.col("_bk"), F.col("_last").getField("v"))
     return g.select(
         F.col(series_col),
-        F.col("_ts").alias(ts_col),
-        carried.getField("v").alias(value_col),
+        (F.lit(begin) + F.col("_k") * step).cast("long").alias(ts_col),
+        value.alias(value_col),
     )
 
 
@@ -92,30 +116,25 @@ def resample_interpolate(
     series' observed span stay null.  Non-empty buckets report their own
     last value.  Pure double arithmetic in a fixed expression order, so
     any engine reproduces it bit-for-bit."""
-    g = _anchored(samples, begin, end, step, series_col, ts_col, value_col)
-    wb = (
-        Window.partitionBy(series_col)
-        .orderBy("_bk")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    anchored, n_buckets = _anchors_with_next(
+        samples, begin, end, step, series_col, ts_col, value_col
     )
-    wf = (
-        Window.partitionBy(series_col)
-        .orderBy("_bk")
-        .rowsBetween(1, Window.unboundedFollowing)
-    )
-    prev = F.last(F.col("_last"), ignorenulls=True).over(wb)
-    nxt = F.first(F.col("_first"), ignorenulls=True).over(wf)
+    g = _expand(anchored, n_buckets, series_col)
+    ts = (F.lit(begin) + F.col("_k") * step).cast("long")
+    prev, nxt = F.col("_last"), F.col("_nfirst")
     interp = prev.getField("v") + (
         nxt.getField("v") - prev.getField("v")
     ) * (
-        (F.col("_ts") - prev.getField("t")).cast("double")
+        (ts - prev.getField("t")).cast("double")
         / (nxt.getField("t") - prev.getField("t")).cast("double")
     )
-    filled = F.when(F.col("_last").isNotNull(), F.col("_last").getField("v")).otherwise(
-        F.when(prev.isNotNull() & nxt.isNotNull(), interp)
+    value = F.when(F.col("_k") == F.col("_bk"), prev.getField("v")).otherwise(
+        # gap bucket inside the span: interpolate iff a later anchor
+        # exists; leading (_k < _bk) and trailing (_nfirst null) stay null
+        F.when((F.col("_k") > F.col("_bk")) & nxt.isNotNull(), interp)
     )
     return g.select(
         F.col(series_col),
-        F.col("_ts").alias(ts_col),
-        filled.alias(value_col),
+        ts.alias(ts_col),
+        value.alias(value_col),
     )
