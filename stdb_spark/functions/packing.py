@@ -1,0 +1,91 @@
+"""Training-batch preparation: reproducible global shuffle and sample
+packing.
+
+The last mile of a pretraining data pipeline is not a query — it is
+"write the corpus out as shuffled shard files, with documents packed
+into fixed token-budget rows".  Both steps are deterministic functions
+of content hashes here (same philosophy as functions/sampling.py): a
+re-run on different partitioning, a different cluster, or a different
+engine produces the identical shard layout, so a training run is
+byte-reproducible from the raw corpus.
+
+Scale shape: everything is ONE hash-shuffle on the shard key followed by
+a per-shard window — no global sort, no driver state.  Shards are the
+parallelism unit (a real pipeline writes one output file per shard), so
+skew is bounded by corpus_size / n_shards regardless of document order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from stdb_spark.functions.sampling import hash_bucket
+
+
+def _shard_and_rank(key: str, n_shards: int, salt: str):
+    """Deterministic (shard, intra-shard order) for a document key.
+
+    The shard draw and the order draw use different salts — with one
+    hash, ordering within a shard would follow the same residues that
+    chose the shard and the "shuffle" would be subtly non-uniform."""
+    h_shard = hash_bucket(F.col(key), f"{salt}/shard")
+    h_order = hash_bucket(F.col(key), f"{salt}/order")
+    return F.pmod(h_shard, F.lit(n_shards)).cast("int"), h_order
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "shuf0",
+) -> DataFrame:
+    """Assign every row a (shard, pos) — the reproducible global
+    shuffle.  Reading shards 0..n-1 each ordered by pos replays one
+    uniform permutation of the corpus; re-runs agree bit-for-bit.
+    row_number breaks hash ties by key, so the permutation is total."""
+    shard, order = _shard_and_rank(key, n_shards, salt)
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(key).asc())
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("_h", order)
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .drop("_h")
+    )
+
+
+def pack_concat_chunks(
+    df: DataFrame,
+    budget: int,
+    key: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_shards: int = 8,
+    salt: str = "pack0",
+) -> DataFrame:
+    """Concat-and-chunk sample packing (the GPT-pretraining scheme):
+    within each shard, documents are laid out in shuffled order as one
+    virtual token stream which is then cut into ``budget``-token bins;
+    a document starts in bin ``floor(cum_before / budget)`` at offset
+    ``cum_before % budget`` (documents may span bin boundaries — the
+    training loader handles the split, this op owns the layout).
+
+    Returns (key, n_tokens, shard, bin_id, offset).  The layout is a
+    pure function of (corpus content, budget, n_shards, salt): the
+    cumulative sum is over exact BIGINTs in a total deterministic
+    order, so any engine reproduces it bit-for-bit."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    shard, order = _shard_and_rank(key, n_shards, salt)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_h").asc(), F.col(key).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long")
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("_h", order)
+        .withColumn("bin_id", F.floor(cum_before / budget))
+        .withColumn("offset", F.pmod(cum_before, F.lit(budget)).cast("long"))
+        .select(key, tokens_col, "shard", "bin_id", "offset")
+    )

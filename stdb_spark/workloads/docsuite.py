@@ -1270,3 +1270,77 @@ FROM b GROUP BY bigram
 ORDER BY n DESC, bigram ASC LIMIT {_TOP_NGRAMS_K}
 """,
 )
+
+
+# ------------------------------------------------- training-batch prep
+# Reproducible global shuffle: (shard, pos) layout for shard-file
+# writing.  One hash shuffle + per-shard window; the permutation is a
+# pure function of (doc_id, salt) so re-runs and engines agree.
+def _shuffle_shards(spark, sf):
+    from stdb_spark.functions import packing
+
+    return packing.shuffle_shards(
+        model.load_table(spark, sf, "documents").select("doc_id", "source"),
+        n_shards=8,
+        salt="shuf0",
+    ).select("doc_id", "source", "shard", F.col("pos").cast("long").alias("pos"))
+
+
+def _pack_hash(salt: str) -> str:
+    return f"('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+
+
+_q(
+    "doc_shuffle_shards",
+    _shuffle_shards,
+    f"""
+WITH h AS (
+  SELECT doc_id, source,
+         CAST({_pack_hash("shuf0/shard")} % 8 AS INTEGER) AS shard,
+         {_pack_hash("shuf0/order")} AS _h
+  FROM documents
+)
+SELECT doc_id, source, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY _h, doc_id) - 1 AS BIGINT) AS pos
+FROM h
+""",
+)
+
+
+# Concat-and-chunk sample packing (GPT-style): shuffled per-shard token
+# stream cut into 1024-token bins; documents may span bins.  The whole
+# layout is one window cumsum over exact BIGINTs — no UDF, no state.
+def _pack_sequences(spark, sf):
+    from stdb_spark.functions import packing
+
+    docs = model.load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.size(text.tokens_col(dedup.normalized_text())).cast("long").alias("n_tokens"),
+    )
+    return packing.pack_concat_chunks(
+        docs, budget=1024, n_shards=8, salt="pack0"
+    )
+
+
+_q(
+    "doc_pack_sequences",
+    _pack_sequences,
+    f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CAST({_pack_hash("pack0/shard")} % 8 AS INTEGER) AS shard,
+         {_pack_hash("pack0/order")} AS _h
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens, shard,
+         COALESCE(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY _h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT doc_id, n_tokens, shard,
+       CAST(floor(CAST(cum_before AS DOUBLE) / 1024) AS BIGINT) AS bin_id,
+       CAST(cum_before % 1024 AS BIGINT) AS offset
+FROM c
+""",
+)

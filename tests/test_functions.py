@@ -577,3 +577,52 @@ def test_paragraph_dedup_keeps_first_occurrence(spark):
         2: "gamma",
         3: "delta\n",
     }
+
+
+def test_shuffle_shards_is_total_permutation(spark):
+    from stdb_spark.functions import packing
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    out = packing.shuffle_shards(df, n_shards=4, salt="t0").collect()
+    assert len(out) == 200
+    # every (shard, pos) cell is unique and pos is dense per shard
+    cells = {(r.shard, r.pos) for r in out}
+    assert len(cells) == 200
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))
+    # deterministic across recomputation
+    again = {(r.doc_id, r.shard, r.pos) for r in
+             packing.shuffle_shards(df, n_shards=4, salt="t0").collect()}
+    assert again == {(r.doc_id, r.shard, r.pos) for r in out}
+    # a different salt draws a different permutation
+    other = {(r.doc_id, r.shard, r.pos) for r in
+             packing.shuffle_shards(df, n_shards=4, salt="t1").collect()}
+    assert other != again
+
+
+def test_pack_concat_chunks_layout(spark):
+    from stdb_spark.functions import packing
+
+    budget = 10
+    df = spark.range(60).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("n_tokens")
+    )
+    rows = packing.pack_concat_chunks(
+        df, budget=budget, n_shards=3, salt="t0"
+    ).collect()
+    assert len(rows) == 60
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        # within a shard the layout is a gapless token stream: sorting
+        # docs by (bin_id, offset) replays exact cumulative positions
+        rs = sorted(rs, key=lambda r: (r.bin_id, r.offset))
+        cum = 0
+        for r in rs:
+            assert r.bin_id == cum // budget
+            assert r.offset == cum % budget
+            cum += r.n_tokens
