@@ -1344,3 +1344,41 @@ SELECT doc_id, n_tokens, shard,
 FROM c
 """,
 )
+
+
+# --------------------------------------------------- JSONL corpus ingest
+# Round-trip through the training-corpus interchange format: the
+# documents table is exported once as JSONL shards (write-time ETL into
+# the derived cache, like the summary/LSH artifacts), read back through
+# the explicit-schema JSONL source, and reduced to a fingerprint
+# projection.  The oracle reads the parquet directly, so the gate
+# proves the JSON serde round-trips every row bit-for-bit — including
+# unicode text and embedded newlines.
+def _ingest_jsonl(spark, sf):
+    import os
+
+    from stdb_spark.sources import corpus
+
+    docs = model.load_table(spark, sf, "documents")
+    path = model.derived_cache_path(sf, "jsonl_corpus", "documents")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        corpus.write_jsonl(docs, path)
+    back = corpus.read_jsonl(spark, path, corpus.DOCUMENTS_SCHEMA)
+    # quarantine filter inline (a standalone count over ONLY the corrupt
+    # column is unsupported on a raw JSON read — SPARK-21610); the gate
+    # proves zero rows were lost because the row count must match the
+    # oracle's direct parquet read.
+    return back.filter(~corpus.is_corrupt(back)).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5("text").alias("text_fp"),
+    )
+
+
+_q(
+    "ingest_jsonl_roundtrip",
+    _ingest_jsonl,
+    "SELECT doc_id, lang, source, n_chars, md5(text) AS text_fp FROM documents",
+)

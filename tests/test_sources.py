@@ -77,3 +77,31 @@ def test_parse_opentsdb_lines(spark):
     assert cpu.ts == 1428000000 * 10**9
     assert cpu.tags == {"host": "web01", "dc": "lga"}
     assert mem.ts == 1428000000123 * 10**6
+
+
+def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from stdb_spark.sources import corpus
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello\\nworld"}\n'
+        "this line is not json\n"
+        '{"doc_id": 2, "text": "café über"}\n'
+    )
+    df = corpus.read_jsonl(spark, str(p), schema)
+    good = df.filter(~corpus.is_corrupt(df))
+    bad = df.filter(corpus.is_corrupt(df))
+    rows = {r.doc_id: r.text for r in good.collect()}
+    assert rows == {1: "hello\nworld", 2: "café über"}
+    assert [r[corpus.CORRUPT_COL] for r in bad.collect()] == ["this line is not json"]
+    # write side: round-trips through files including the embedded newline
+    out = tmp_path / "out"
+    corpus.write_jsonl(good.select("doc_id", "text"), str(out))
+    back = corpus.read_jsonl(spark, str(out), schema, keep_corrupt=False)
+    assert {r.doc_id: r.text for r in back.collect()} == rows
