@@ -182,3 +182,30 @@ def streaming_ohlc(
         F.min("value").alias("low"),
         F.max(tv).getField("v").alias("close"),
     )
+
+
+def streaming_hopping_aggregate(
+    samples: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    max_lateness: str = "1 minute",
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Hopping (sliding) window aggregate: every sample contributes to
+    window/slide overlapping epoch-aligned windows — the monitoring
+    staple ("2 h moving count/min/max refreshed hourly") that tumbling
+    downsample can't express.  Spark expands the windows map-side
+    before one keyed shuffle; state is #windows x #series, bounded by
+    the watermark in append mode.  Aggregates here are count/min/max —
+    order-insensitive and exact, so replay output is deterministic."""
+    ev = with_late_data_policy(samples, max_lateness)
+    return ev.groupBy(
+        F.window("event_time", window, slide).alias("bucket"),
+        "series_id",
+        "metric",
+        *extra_keys,
+    ).agg(
+        F.count("value").alias("n"),
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+    )

@@ -2537,3 +2537,55 @@ WHERE st.stage >= g.stage_at_least
 GROUP BY g.stage_at_least ORDER BY g.stage_at_least
 """,
 )
+
+
+# Streaming hopping-window aggregate: 2 h windows sliding 1 h, so every
+# event lands in exactly two epoch-aligned windows; count/min/max are
+# exact and order-insensitive, so the replay carries a full value-hash
+# oracle (the unnest of both window starts mirrors Spark's map-side
+# window expansion).  Lateness is set above the replay's total skew —
+# in complete output mode the watermark exists for the streaming twin's
+# API shape, not for eviction.
+_H1_US = 3_600_000_000
+
+
+def _stream_hopping(spark, sf):
+    from stdb_spark.streaming.ingest import streaming_hopping_aggregate
+
+    def tf(sdf):
+        out = streaming_hopping_aggregate(
+            sdf.withColumn("ts", F.expr("(ts div 1000) * 1000")).withColumn(
+                "user", F.col("tags")["user"]
+            ),
+            window="2 hours",
+            slide="1 hour",
+            max_lateness="30 days",
+            extra_keys=("user",),
+        )
+        return out.select(
+            F.concat(F.col("metric"), F.lit(" user="), F.col("user")).alias("series"),
+            F.unix_micros(F.col("bucket.start")).alias("ts"),
+            "n",
+            "min",
+            "max",
+        )
+
+    return _replay_stream(spark, sf, tf, "stream_hopping_sink", "complete")
+
+
+_q(
+    "stream_hopping_aggregate",
+    _stream_hopping,
+    BASE
+    + f"""
+SELECT metric || ' user=' || u AS series, ws AS ts,
+       CAST(count(*) AS BIGINT) AS n, min(value) AS min, max(value) AS max
+FROM (
+  SELECT metric, u, value,
+         unnest([(tu // {_H1_US}) * {_H1_US},
+                 (tu // {_H1_US}) * {_H1_US} - {_H1_US}]) AS ws
+  FROM base
+)
+GROUP BY metric, u, ws
+""",
+)
