@@ -1382,3 +1382,34 @@ _q(
     _ingest_jsonl,
     "SELECT doc_id, lang, source, n_chars, md5(text) AS text_fp FROM documents",
 )
+
+
+# --------------------------------------------- quantile quality filter
+# The two-phase corpus curation pass: an exact percentile threshold is
+# computed over the whole corpus (one scalar), broadcast, and applied
+# as a filter — "keep the top quartile by quality".  Spark's exact
+# F.percentile and DuckDB's quantile_cont share the same linear
+# interpolation, so the threshold double matches bit-for-bit and the
+# boundary comparison is engine-exact.  The oracle reuses the
+# doc_quality_score SQL verbatim as a CTE.
+def _quality_filter(spark, sf):
+    scored = text.quality_score(model.load_table(spark, sf, "documents")).select(
+        "doc_id", "quality_score"
+    )
+    thr = scored.agg(F.percentile("quality_score", F.lit(0.75)).alias("_thr"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality_score") >= F.col("_thr"))
+        .select("doc_id", "quality_score")
+    )
+
+
+_q(
+    "doc_quality_quantile_filter",
+    _quality_filter,
+    f"""
+WITH scored AS ({ORACLES["doc_quality_score"]})
+SELECT doc_id, quality_score FROM scored
+WHERE quality_score >= (SELECT quantile_cont(quality_score, 0.75) FROM scored)
+""",
+)
