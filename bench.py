@@ -49,8 +49,10 @@ HEADLINE = [
     "rel_q7_volume_shipping",
     "rel_q13_customer_distribution",
     "rel_q14_promo_effect",
+    "rel_q12_shipmode_priority",
     "rel_q17_small_quantity_revenue",
     "rel_q18_large_volume_customers",
+    "rel_q21_suppliers_waiting",
     "doc_ngram_jaccard_pairs",
     "doc_ngram_jaccard_capped",
     "doc_minhash_lsh_candidates",
@@ -59,6 +61,11 @@ HEADLINE = [
     "doc_dedup_clusters",
     "doc_contamination",
     "doc_hash_sample",
+    "doc_shuffle_shards",
+    "doc_pack_sequences",
+    "doc_quality_quantile_filter",
+    "ingest_jsonl_roundtrip",
+    "ts_gapfill_locf",
     "doc_repetition_stats",
     "doc_unigram_logprob",
     "doc_tfidf_top_terms",
