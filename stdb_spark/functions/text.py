@@ -261,3 +261,28 @@ def unigram_logprob(
             F.count("*").alias("n_tokens"),
         )
     )
+
+
+def nfc_normalize_col(text: str | Column = "text") -> Column:
+    """Unicode NFC normalization — the first cleanup pass of a crawl
+    corpus (composed vs decomposed accents, compatibility forms from
+    different encoders all hash as distinct docs until normalized).
+
+    Spark has no JVM-side Unicode normalizer expression, so this is the
+    one text op that rides a pandas UDF: Arrow-batched, pure CPython
+    ``unicodedata.normalize`` per batch — no JVM<->Python per-row churn.
+    (DuckDB's nfc_normalize implements the same Unicode NFC spec, which
+    is what makes the oracle bit-exact.)"""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    # no pd.Series annotations: PEP-563 lazy strings (future-annotations
+    # is in force module-wide) break pandas_udf's signature inspection
+    @pandas_udf("string")
+    def _nfc(s):
+        return s.map(
+            lambda v: unicodedata.normalize("NFC", v) if v is not None else None
+        )
+
+    return _nfc(F.col(text) if isinstance(text, str) else text)

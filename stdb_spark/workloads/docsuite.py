@@ -1413,3 +1413,23 @@ SELECT doc_id, quality_score FROM scored
 WHERE quality_score >= (SELECT quantile_cont(quality_score, 0.75) FROM scored)
 """,
 )
+
+
+# ------------------------------------------------ unicode normalization
+# NFC cleanup pass: per doc, the normalized-text fingerprint and
+# whether normalization changed the bytes (decomposed accents etc.).
+# The one pandas-UDF text op — Spark has no JVM Unicode normalizer;
+# DuckDB's nfc_normalize implements the same spec.
+_q(
+    "doc_unicode_nfc",
+    lambda spark, sf: model.load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.md5(text.nfc_normalize_col("text")).alias("nfc_fp"),
+        (text.nfc_normalize_col("text") != F.col("text")).alias("changed"),
+    ),
+    """
+SELECT doc_id, md5(nfc_normalize(text)) AS nfc_fp,
+       nfc_normalize(text) <> text AS changed
+FROM documents
+""",
+)

@@ -2589,3 +2589,47 @@ FROM (
 GROUP BY metric, u, ws
 """,
 )
+
+
+# Ranking window surface (SURVEY §2.5 "Ranking / lead / ntile — absent
+# in the reference, free via Spark Window"): per-series dense value
+# rank + quartile bucket over the January range.  Ties are broken by
+# ts in the ORDER BY, so rank and ntile are total-order deterministic
+# in both engines.  One window per series — the partition key is the
+# series, so the sort never goes global.
+def _ts_rank_ntile(spark, sf):
+    from pyspark.sql import Window
+
+    s = model.events_as_samples(spark, sf).filter(
+        (F.col("ts") >= JAN01) & (F.col("ts") < FEB01) & (F.col("metric") == "purchase")
+    )
+    series = F.concat(F.col("metric"), F.lit(" user="), F.col("tags")["user"])
+    w = Window.partitionBy("series").orderBy(
+        F.col("value").desc(), F.col("ts").asc()
+    )
+    return (
+        s.select(series.alias("series"), F.expr("ts div 1000").alias("ts"), "value")
+        .withColumn("rnk", F.rank().over(w).cast("long"))
+        .withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .filter(F.col("rnk") <= 20)
+    )
+
+
+_q(
+    "ts_rank_ntile",
+    _ts_rank_ntile,
+    BASE
+    + f"""
+, s AS (
+  SELECT metric || ' user=' || u AS series, tu AS ts, value
+  FROM base
+  WHERE metric = 'purchase' AND tu >= {JAN01_US} AND tu < {FEB01_US}
+), r AS (
+  SELECT series, ts, value,
+         CAST(rank() OVER (PARTITION BY series ORDER BY value DESC, ts ASC) AS BIGINT) AS rnk,
+         CAST(ntile(4) OVER (PARTITION BY series ORDER BY value DESC, ts ASC) AS BIGINT) AS quartile
+  FROM s
+)
+SELECT series, ts, value, rnk, quartile FROM r WHERE rnk <= 20
+""",
+)
