@@ -485,3 +485,39 @@ def label_centroids(
             (F.col("s") / F.col("n")).alias("centroid"),
         )
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.97,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate discovery (Abbas et al.
+    2023): embeddings are bucketed by their nearest k-means centroid and
+    cosine pairs are emitted only WITHIN a cell — the cluster structure
+    prunes the O(n²) comparison down to sum(cell²), and at 100 TB the
+    cell column is a write-time partition key (same pruning story as
+    the IVF/presigned-LSH paths) so each cell's pairing is an intra-
+    partition join with no global shuffle.
+
+    Returns (a, b, cosine) with a < b and cosine >= threshold.  Recall
+    is bounded by the clustering (near-identical vectors land in the
+    same cell because argmin is determined by the shared vector);
+    cross-cell borderline pairs are the accepted miss, exactly as in
+    the published method."""
+    cells = with_ivf_cells(df, centroids, vec_col)
+    left = cells.select(
+        F.col("cell"), F.col(key).alias("a"), F.col(vec_col).alias("_va")
+    )
+    right = cells.select(
+        F.col("cell"), F.col(key).alias("b"), F.col(vec_col).alias("_vb")
+    )
+    cos = cosine_expr(F.col("_va"), F.col("_vb"))
+    return (
+        left.join(right, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1433,3 +1433,33 @@ SELECT doc_id, md5(nfc_normalize(text)) AS nfc_fp,
 FROM documents
 """,
 )
+
+
+# ----------------------------------------------- semantic dedup (SemDeDup)
+# Cluster-pruned embedding near-dup: k-means cells bound the quadratic
+# pairing (Abbas et al. 2023).  Centroids come from the same cached
+# deterministic training as emb_ann_ivf_trained; float k-means means
+# rows-only at the gate — recall on planted duplicates is pinned in
+# pytest instead.
+def _emb_semantic_dedup(spark, sf):
+    import json
+    import os
+
+    emb = model.load_table(spark, sf, "embeddings")
+    cache = model.derived_cache_path(sf, "ivf_centroids", "embeddings")
+    cfile = os.path.join(cache, "centroids.json")
+    if os.path.exists(cfile):
+        with open(cfile) as f:
+            cents = json.load(f)
+    else:
+        cents = similarity.kmeans_fit(emb, k=8, iters=4)
+        os.makedirs(cache, exist_ok=True)
+        with open(cfile, "w") as f:
+            json.dump(cents, f)
+    # synthetic embeddings are near-orthogonal (intra-cell cosine tops
+    # out ~0.47 at sf0.01); 0.35 sits at the ~99th percentile so the
+    # query emits a real (but pruned) pair set
+    return similarity.semantic_dedup_pairs(emb, cents, threshold=0.35)
+
+
+_q("emb_semantic_dedup", _emb_semantic_dedup)

@@ -626,3 +626,28 @@ def test_pack_concat_chunks_layout(spark):
             assert r.bin_id == cum // budget
             assert r.offset == cum % budget
             cum += r.n_tokens
+
+
+def test_semantic_dedup_finds_planted_duplicates(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(40):
+        v = [rnd.gauss(0, 1) for _ in range(8)]
+        rows.append((i, v))
+    # plant two exact duplicates and one scaled copy (cosine == 1.0)
+    rows.append((100, list(rows[3][1])))
+    rows.append((101, [2.0 * x for x in rows[7][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.kmeans_fit(df, k=4, iters=3)
+    pairs = {
+        (r.a, r.b)
+        for r in similarity.semantic_dedup_pairs(
+            df, cents, threshold=0.999
+        ).collect()
+    }
+    # identical/scaled vectors share an argmin cell, so both planted
+    # pairs must be discovered despite the cluster pruning
+    assert (3, 100) in pairs
+    assert (7, 101) in pairs
