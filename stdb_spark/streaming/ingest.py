@@ -209,3 +209,58 @@ def streaming_hopping_aggregate(
         F.min("value").alias("min"),
         F.max("value").alias("max"),
     )
+
+
+def streaming_enrich(stream: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against
+    the (broadcast) dimension snapshot — the standard "attach user/
+    device/tenant attributes at ingest" pattern.  Stream-static joins
+    are stateless in Structured Streaming (the static side is re-read
+    per batch, no watermark needed), so this scales as a map-side
+    broadcast hash join on every executor."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def streaming_interval_self_join(
+    samples: DataFrame,
+    left_metric: str,
+    right_metric: str,
+    horizon: str = "1 hour",
+    max_lateness: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream event-time join: pair every ``left_metric`` sample
+    with the same user's ``right_metric`` samples in the following
+    ``horizon`` — attribution ("purchase within an hour of the click")
+    as a continuous query.  Both sides carry watermarks and the join
+    condition bounds event time on BOTH ends, which is what lets
+    Structured Streaming evict join state (state per side is
+    watermark+horizon wide, not unbounded).  Output is every
+    qualifying pair (append mode) — deterministic, so it oracles as a
+    plain range self-join."""
+    ev = samples.withColumn("user", F.col("tags")["user"])
+    left = (
+        ev.filter(F.col("metric") == left_metric)
+        .select(
+            F.col("user").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+            F.col("value").alias("l_value"),
+            F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("l_time"),
+        )
+        .withWatermark("l_time", max_lateness)
+    )
+    right = (
+        ev.filter(F.col("metric") == right_metric)
+        .select(
+            F.col("user").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            F.col("value").alias("r_value"),
+            F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("r_time"),
+        )
+        .withWatermark("r_time", max_lateness)
+    )
+    return left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_time") >= F.col("l_time"))
+        & (F.col("r_time") <= F.col("l_time") + F.expr(f"INTERVAL {horizon}")),
+    )

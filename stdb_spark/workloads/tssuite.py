@@ -243,14 +243,18 @@ def _stream_replay(spark, sf):
 _q("stream_group_aggregate_replay", _stream_replay)
 
 
-def _replay_stream(spark, sf, transform, sink_name, mode):
+def _replay_stream(spark, sf, transform, sink_name, mode, files_per_trigger=8):
     """availableNow file-stream replay of the partitioned layout through
     ``transform`` into a memory sink — the harness the stream_* queries
-    share."""
+    share.  ``files_per_trigger`` sets the micro-batch granularity:
+    stateful single-input queries replay at 8 (many batches exercise
+    state handoff), while the stream-stream join coarsens it (join
+    state is re-scanned per batch, and dozens of replay batches turn a
+    second-long query into minutes without testing anything extra)."""
     path = _layout_path(spark, sf)
     schema = spark.read.parquet(path).schema
     sdf = spark.readStream.schema(schema).option(
-        "maxFilesPerTrigger", "8"
+        "maxFilesPerTrigger", str(files_per_trigger)
     ).parquet(path)
     out = transform(sdf)
     if sink_name in [t.name for t in spark.catalog.listTables()]:
@@ -2631,5 +2635,84 @@ _q(
   FROM s
 )
 SELECT series, ts, value, rnk, quartile FROM r WHERE rnk <= 20
+""",
+)
+
+
+# Stream-static enrichment: the replayed sample stream joins the
+# customer dimension (broadcast, stateless per micro-batch) to attach
+# the market segment at ingest.  Row-level append output — no agg, so
+# the full row set carries a value-hash oracle (plain JOIN in SQL).
+def _stream_enrich(spark, sf):
+    from stdb_spark.streaming.ingest import streaming_enrich
+
+    cust = model.load_table(spark, sf, "customer").select(
+        F.col("c_custkey").cast("long").alias("_ck"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+    def tf(sdf):
+        s = sdf.withColumn("_uid", F.col("tags")["user"].cast("long"))
+        out = streaming_enrich(s, cust, F.col("_uid") == F.col("_ck"))
+        return out.select(
+            F.concat(F.col("metric"), F.lit(" user="), F.col("tags")["user"]).alias(
+                "series"
+            ),
+            F.expr("ts div 1000").alias("ts"),
+            "value",
+            "segment",
+        )
+
+    return _replay_stream(spark, sf, tf, "stream_enrich_sink", "append")
+
+
+_q(
+    "stream_enrich_join",
+    _stream_enrich,
+    BASE
+    + """
+SELECT metric || ' user=' || u AS series, tu AS ts, value, c_mktsegment AS segment
+FROM base JOIN customer ON CAST(u AS BIGINT) = c_custkey
+""",
+)
+
+
+# Stream-stream attribution join: purchases within 1 h of the same
+# user's click, replayed as a continuous query.  Both sides are
+# watermarked and the join condition bounds event time on both ends
+# (bounded state); every qualifying pair appends, so the oracle is the
+# equivalent range self-join over the batch table.
+def _stream_stream_join(spark, sf):
+    from stdb_spark.streaming.ingest import streaming_interval_self_join
+
+    def tf(sdf):
+        out = streaming_interval_self_join(
+            sdf.withColumn("ts", F.expr("(ts div 1000) * 1000")),
+            left_metric="click",
+            right_metric="purchase",
+            horizon="1 hour",
+            max_lateness="30 days",
+        )
+        return out.select(
+            F.col("l_user").alias("user"),
+            F.expr("l_ts div 1000").alias("click_ts"),
+            F.expr("r_ts div 1000").alias("purchase_ts"),
+            F.col("r_value").alias("purchase_value"),
+        )
+
+    return _replay_stream(
+        spark, sf, tf, "stream_stream_sink", "append", files_per_trigger=96
+    )
+
+
+_q(
+    "stream_stream_attribution",
+    _stream_stream_join,
+    BASE
+    + f"""
+SELECT c.u AS user, c.tu AS click_ts, p.tu AS purchase_ts, p.value AS purchase_value
+FROM (SELECT u, tu FROM base WHERE metric = 'click') c
+JOIN (SELECT u, tu, value FROM base WHERE metric = 'purchase') p
+  ON c.u = p.u AND p.tu >= c.tu AND p.tu <= c.tu + {_H1_US}
 """,
 )
