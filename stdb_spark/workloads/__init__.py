@@ -105,8 +105,9 @@ _PRIORITY = [
     "ts_join_filter_any",
     "ts_gaj_eval",
     "ts_rate",
-    "ts_cusum",
-    "ts_sma",
+    "doc_pack_sequences",       # training-batch prep family (r4)
+    "ingest_jsonl_roundtrip",   # corpus source family (r4)
+    "stream_enrich_join",       # stream-join class (r4)
     "ts_heavy_hitters",
     "ts_suggest_tag_values",
     "sp_trajectory_bbox",
