@@ -66,6 +66,9 @@ HEADLINE = [
     "doc_quality_quantile_filter",
     "ingest_jsonl_roundtrip",
     "ts_gapfill_locf",
+    "ts_rank_ntile",
+    "doc_unicode_nfc",
+    "emb_semantic_dedup",
     "doc_repetition_stats",
     "doc_unigram_logprob",
     "doc_tfidf_top_terms",
