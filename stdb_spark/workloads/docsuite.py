@@ -1463,3 +1463,48 @@ def _emb_semantic_dedup(spark, sf):
 
 
 _q("emb_semantic_dedup", _emb_semantic_dedup)
+
+
+# Decontamination end-to-end: the corpus that SURVIVES the 4-gram
+# overlap test against the src0 benchmark slice — the left-anti join a
+# pipeline actually ships (doc_contamination is the audit list, this is
+# the clean corpus).  The droplist side is tiny, so the anti join
+# broadcasts it; the corpus side never shuffles.
+def _decontaminated(spark, sf):
+    docs = model.load_table(spark, sf, "documents")
+    dropped = sampling.ngram_contamination(
+        corpus=docs.filter(F.col("source") != "src0"),
+        benchmark=docs.filter(F.col("source") == "src0"),
+        n=4,
+    ).select("doc_id").distinct()
+    return (
+        docs.filter(F.col("source") != "src0")
+        .join(F.broadcast(dropped), "doc_id", "left_anti")
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+_q(
+    "doc_decontaminated_corpus",
+    _decontaminated,
+    f"""
+WITH toksall AS (
+  SELECT doc_id, source, {_TOKS} AS t FROM documents
+), g AS (
+  SELECT doc_id, source,
+    CASE WHEN len(t) >= 4
+         THEN list_distinct(list_transform(range(1, len(t) - 4 + 2),
+              i -> array_to_string(t[i:i+3], ' ')))
+         ELSE [array_to_string(t, ' ')] END AS gs
+  FROM toksall
+), ex AS (
+  SELECT doc_id, source, unnest(gs) AS gh FROM g
+)
+SELECT doc_id, source, n_chars FROM documents d
+WHERE source <> 'src0'
+  AND NOT EXISTS (
+    SELECT 1 FROM ex c JOIN ex b ON c.gh = b.gh
+    WHERE b.source = 'src0' AND c.source <> 'src0' AND c.doc_id = d.doc_id
+  )
+""",
+)
