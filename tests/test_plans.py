@@ -199,3 +199,41 @@ def test_gapfill_grid_no_collect_shape(spark):
     # exchange beyond the windows' per-series partitioning
     plan = _plan(QUERIES["ts_gapfill_interpolate"](spark, SF))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_gapfill_two_exchanges_no_grid_join(spark):
+    # the lead()-anchor rewrite: bucket agg + one series window, grid
+    # generated map-side — any Join node or third exchange is a
+    # regression back to the materialized-grid design
+    plan = _plan(QUERIES["ts_gapfill_interpolate"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+    assert "Generate explode" in plan
+
+
+def test_pack_sequences_single_exchange_no_join(spark):
+    plan = _plan(QUERIES["doc_pack_sequences"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_contamination_join_key_is_long_not_string(spark):
+    # the gram join key must stay xxhash64 (8-byte long) — md5 hex
+    # strings quadruple the broadcast and shuffle width
+    plan = _plan(QUERIES["doc_contamination"](spark, SF))
+    assert "xxhash64" in plan
+
+
+def test_stream_enrich_static_side_broadcasts(spark):
+    # stream-static enrich compiles to a broadcast hash join per
+    # micro-batch; assert on the batch twin of the same transform
+    from stdb_spark.streaming.ingest import streaming_enrich
+
+    s = model.events_as_samples(spark, SF).withColumn(
+        "_uid", F.col("tags")["user"].cast("long")
+    )
+    cust = model.load_table(spark, SF, "customer").select(
+        F.col("c_custkey").cast("long").alias("_ck"), "c_mktsegment"
+    )
+    plan = _plan(streaming_enrich(s, cust, F.col("_uid") == F.col("_ck")))
+    assert "BroadcastHashJoin" in plan
