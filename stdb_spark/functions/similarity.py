@@ -507,14 +507,20 @@ def semantic_dedup_pairs(
     same cell because argmin is determined by the shared vector);
     cross-cell borderline pairs are the accepted miss, exactly as in
     the published method."""
-    cells = with_ivf_cells(df, centroids, vec_col)
+    # normalize each vector ONCE map-side so the per-pair work inside a
+    # cell is a single dot product — cosine_expr per pair would re-fold
+    # both norms, tripling the dominant sum(cell^2) x dim cost
+    nrm = norm_expr(F.col(vec_col))
+    cells = with_ivf_cells(df, centroids, vec_col).withColumn(
+        "_unit", F.transform(F.col(vec_col), lambda x: x / nrm)
+    )
     left = cells.select(
-        F.col("cell"), F.col(key).alias("a"), F.col(vec_col).alias("_va")
+        F.col("cell"), F.col(key).alias("a"), F.col("_unit").alias("_va")
     )
     right = cells.select(
-        F.col("cell"), F.col(key).alias("b"), F.col(vec_col).alias("_vb")
+        F.col("cell"), F.col(key).alias("b"), F.col("_unit").alias("_vb")
     )
-    cos = cosine_expr(F.col("_va"), F.col("_vb"))
+    cos = dot_expr(F.col("_va"), F.col("_vb"))
     return (
         left.join(right, "cell")
         .filter(F.col("a") < F.col("b"))

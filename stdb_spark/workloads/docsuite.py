@@ -1446,13 +1446,20 @@ def _emb_semantic_dedup(spark, sf):
     import os
 
     emb = model.load_table(spark, sf, "embeddings")
-    cache = model.derived_cache_path(sf, "ivf_centroids", "embeddings")
+    # SemDeDup's cluster count scales with corpus size (the published
+    # method uses k ~ n/expected-cluster-size): pairing cost is
+    # sum(cell^2), so a fixed small k degrades quadratically as the
+    # table grows.  Trained separately from the IVF probe's k=8
+    # centroids — different operator, different k, own artifact.
+    n = emb.count()
+    k = max(8, min(256, n // 200))
+    cache = model.derived_cache_path(sf, f"semdedup_centroids_k{k}", "embeddings")
     cfile = os.path.join(cache, "centroids.json")
     if os.path.exists(cfile):
         with open(cfile) as f:
             cents = json.load(f)
     else:
-        cents = similarity.kmeans_fit(emb, k=8, iters=4)
+        cents = similarity.kmeans_fit(emb, k=k, iters=4)
         os.makedirs(cache, exist_ok=True)
         with open(cfile, "w") as f:
             json.dump(cents, f)
