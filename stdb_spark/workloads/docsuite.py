@@ -1515,3 +1515,43 @@ WHERE source <> 'src0'
   )
 """,
 )
+
+
+# ----------------------------------------- hybrid text+embedding dedup
+# Cross-modal verification: MinHash-LSH textual candidates scored by
+# their documents' embedding cosine (vec_id is doc-aligned in the
+# testdata).  The real-pipeline shape — a cheap lexical discover stage
+# feeding an embedding verify stage — as ONE plan: the candidate list
+# is tiny, so both embedding joins broadcast it; no threshold is baked
+# in (the output IS the audit list with both signals).
+def _hybrid_neardup(spark, sf):
+    docs = model.load_table(spark, sf, "documents")
+    emb = model.load_table(spark, sf, "embeddings")
+    cands = dedup.minhash_lsh_candidates(dedup.minhash_signatures(docs))
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("_ea"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("_eb"))
+    return (
+        F.broadcast(cands)
+        .join(ea, "a")
+        .join(eb, "b")
+        .select(
+            "a",
+            "b",
+            similarity.cosine_expr(F.col("_ea"), F.col("_eb")).alias("cosine"),
+        )
+    )
+
+
+_q(
+    "doc_hybrid_neardup",
+    _hybrid_neardup,
+    _MH_CTES
+    + f"""
+SELECT c.a, c.b,
+  ({_dot_chain('ea.embedding', 'eb.embedding')})
+    / ({_norm_chain('ea.embedding')} * {_norm_chain('eb.embedding')}) AS cosine
+FROM cands c
+JOIN embeddings ea ON ea.vec_id = c.a
+JOIN embeddings eb ON eb.vec_id = c.b
+""",
+)

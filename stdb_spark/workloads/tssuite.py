@@ -2716,3 +2716,39 @@ JOIN (SELECT u, tu, value FROM base WHERE metric = 'purchase') p
   ON c.u = p.u AND p.tu >= c.tu AND p.tu <= c.tu + {_H1_US}
 """,
 )
+
+
+# Calendar-week group-aggregate: ISO-week buckets via date_trunc — the
+# calendar alignment the engine's fixed-step buckets (begin + k*step)
+# cannot express (weeks/months are irregular).  Both engines truncate
+# to Monday 00:00; output ts is the week start in epoch µs.
+def _ts_weekly(spark, sf):
+    s = model.events_as_samples(spark, sf).filter(
+        (F.col("ts") >= JAN01) & (F.col("ts") < FEB01)
+    )
+    series = F.concat(F.col("metric"), F.lit(" user="), F.col("tags")["user"])
+    week = F.date_trunc("week", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        s.select(series.alias("series"), week.alias("_wk"), "value")
+        .groupBy("series", "_wk")
+        .agg(
+            F.count("value").alias("n"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+        )
+        .select("series", F.unix_micros("_wk").alias("ts"), "n", "min", "max")
+    )
+
+
+_q(
+    "ts_group_aggregate_calendar_week",
+    _ts_weekly,
+    BASE
+    + f"""
+SELECT metric || ' user=' || u AS series,
+       epoch_us(date_trunc('week', make_timestamp(tu))) AS ts,
+       CAST(count(value) AS BIGINT) AS n, min(value) AS min, max(value) AS max
+FROM base WHERE tu >= {JAN01_US} AND tu < {FEB01_US}
+GROUP BY 1, 2
+""",
+)
