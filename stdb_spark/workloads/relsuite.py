@@ -897,3 +897,37 @@ ORDER BY numwait DESC, s_name
 LIMIT 100
 """,
 )
+
+
+# ------------------------------------------------------ salted skew join
+# The explicit-salting tool driven through the gate: events (the "fact"
+# with potentially hot user keys) joins customer over salted sub-keys —
+# semantically identical to the plain join, which is exactly what the
+# oracle states.  Deterministic salt (md5 of the left row), so retries
+# and engines agree.
+def _salted_events_join(spark, sf):
+    from stdb_spark.functions.skew import salted_join
+
+    ev = model.load_table(spark, sf, "events").select(
+        F.col("user_id").cast("long").alias("k"), "value"
+    )
+    cust = model.load_table(spark, sf, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"), "c_mktsegment"
+    )
+    return (
+        salted_join(ev, cust, ["k"], buckets=8)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_q(
+    "rel_salted_skew_join",
+    _salted_events_join,
+    """
+SELECT c_mktsegment, count(*) AS n
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+)
