@@ -69,6 +69,10 @@ HEADLINE = [
     "ts_rank_ntile",
     "doc_unicode_nfc",
     "emb_semantic_dedup",
+    "doc_hybrid_neardup",
+    "ts_group_aggregate_calendar_week",
+    "rel_salted_skew_join",
+    "doc_decontaminated_corpus",
     "doc_repetition_stats",
     "doc_unigram_logprob",
     "doc_tfidf_top_terms",
