@@ -651,3 +651,26 @@ def test_semantic_dedup_finds_planted_duplicates(spark):
     # pairs must be discovered despite the cluster pruning
     assert (3, 100) in pairs
     assert (7, 101) in pairs
+
+
+def test_pack_layout_invariant_under_repartition(spark):
+    # the packing layout must be a pure function of content — any
+    # dependence on physical partitioning breaks training-run
+    # reproducibility (the whole point of hash-keyed packing)
+    from stdb_spark.functions import packing
+
+    df = spark.range(120).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 11 + 1).alias("n_tokens")
+    )
+    base = {
+        (r.doc_id, r.shard, r.bin_id, r.offset)
+        for r in packing.pack_concat_chunks(df, budget=16, n_shards=4).collect()
+    }
+    for parts in (1, 7):
+        again = {
+            (r.doc_id, r.shard, r.bin_id, r.offset)
+            for r in packing.pack_concat_chunks(
+                df.repartition(parts), budget=16, n_shards=4
+            ).collect()
+        }
+        assert again == base
