@@ -65,7 +65,10 @@ def write_to_parquet(
 
 
 def streaming_downsample(
-    samples: DataFrame, step: str = "1 minute", max_lateness: str = "1 minute"
+    samples: DataFrame,
+    step: str = "1 minute",
+    max_lateness: str = "1 minute",
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Continuous group-aggregate: tumbling-window min/max/sum/count/avg
     per series — the streaming twin of the batch `group-aggregate`
@@ -73,7 +76,10 @@ def streaming_downsample(
     buckets exist for query parity, streaming standardizes on window())."""
     ev = with_late_data_policy(samples, max_lateness)
     return ev.groupBy(
-        F.window("event_time", step).alias("bucket"), "series_id", "metric"
+        F.window("event_time", step).alias("bucket"),
+        "series_id",
+        "metric",
+        *extra_keys,
     ).agg(
         F.min("value").alias("min"),
         F.max("value").alias("max"),

@@ -205,9 +205,10 @@ FROM base WHERE metric = 'click' AND tu >= {JAN05_US} AND tu < {JAN15_US}
 # Structured Streaming end-to-end through the driver gate: replay the
 # partitioned layout as a file stream (availableNow), run the
 # continuous group-aggregate twin (tumbling windows + watermark =
-# FAIL_LATE_WRITE analog), land in a memory sink.  Float sums are
-# batch-order dependent -> rows-only check; exact values are pinned by
-# tests/test_storage_streaming.py.
+# FAIL_LATE_WRITE analog), land in a memory sink.  The projection
+# keeps the order-insensitive exact aggregates (count/min/max) and the
+# series NAME (the engine's xxhash64 series_id has no md5-family
+# DuckDB twin), so the replay carries a full value-hash oracle.
 def _stream_replay(spark, sf):
     from stdb_spark.streaming.ingest import streaming_downsample
 
@@ -216,7 +217,12 @@ def _stream_replay(spark, sf):
     sdf = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", "8"
     ).parquet(path)
-    out = streaming_downsample(sdf, step="1 day", max_lateness="1 hour")
+    sdf = sdf.withColumn("ts", F.expr("(ts div 1000) * 1000")).withColumn(
+        "user", F.col("tags")["user"]
+    )
+    out = streaming_downsample(
+        sdf, step="1 day", max_lateness="1 hour", extra_keys=("user",)
+    )
     name = "stream_replay_sink"
     spark.catalog.dropTempView(name) if name in [
         t.name for t in spark.catalog.listTables()
@@ -231,8 +237,7 @@ def _stream_replay(spark, sf):
     q.awaitTermination()
     res = spark.table(name)
     return res.select(
-        F.col("series_id").cast("string").alias("series_id"),
-        "metric",
+        F.concat(F.col("metric"), F.lit(" user="), F.col("user")).alias("series"),
         F.unix_micros(F.col("bucket.start")).alias("ts"),
         "count",
         "min",
@@ -240,7 +245,18 @@ def _stream_replay(spark, sf):
     )
 
 
-_q("stream_group_aggregate_replay", _stream_replay)
+_q(
+    "stream_group_aggregate_replay",
+    _stream_replay,
+    BASE
+    + f"""
+SELECT metric || ' user=' || u AS series,
+       (tu // {D1_US}) * {D1_US} AS ts,
+       count(value) AS count, min(value) AS min, max(value) AS max
+FROM base
+GROUP BY metric, u, tu // {D1_US}
+""",
+)
 
 
 def _replay_stream(spark, sf, transform, sink_name, mode, files_per_trigger=8):
