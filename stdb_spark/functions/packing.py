@@ -82,10 +82,14 @@ def pack_concat_chunks(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long")
+    # integer `div`, not floor(double /): a float64 quotient loses exact
+    # integers past 2^53 — a per-shard token stream at full corpus scale
+    # is within reach of that
     return (
         df.withColumn("shard", shard)
         .withColumn("_h", order)
-        .withColumn("bin_id", F.floor(cum_before / budget))
-        .withColumn("offset", F.pmod(cum_before, F.lit(budget)).cast("long"))
+        .withColumn("_cum", cum_before)
+        .withColumn("bin_id", F.expr(f"_cum div {int(budget)}"))
+        .withColumn("offset", F.pmod(F.col("_cum"), F.lit(budget)).cast("long"))
         .select(key, tokens_col, "shard", "bin_id", "offset")
     )

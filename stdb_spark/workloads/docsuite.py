@@ -1339,7 +1339,7 @@ WITH t AS (
   FROM t
 )
 SELECT doc_id, n_tokens, shard,
-       CAST(floor(CAST(cum_before AS DOUBLE) / 1024) AS BIGINT) AS bin_id,
+       CAST(cum_before // 1024 AS BIGINT) AS bin_id,
        CAST(cum_before % 1024 AS BIGINT) AS offset
 FROM c
 """,
