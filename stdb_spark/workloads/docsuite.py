@@ -1522,8 +1522,10 @@ WHERE source <> 'src0'
 # their documents' embedding cosine (vec_id is doc-aligned in the
 # testdata).  The real-pipeline shape — a cheap lexical discover stage
 # feeding an embedding verify stage — as ONE plan: the candidate list
-# is tiny, so both embedding joins broadcast it; no threshold is baked
-# in (the output IS the audit list with both signals).
+# is candidate-sized (not corpus-sized), so the embedding joins stay
+# cheap; join strategy is left to AQE — at this sf it broadcasts, at
+# corpus scale (billions of candidates) it degrades to shuffle joins
+# on the id keys rather than shipping the list to every executor.
 def _hybrid_neardup(spark, sf):
     docs = model.load_table(spark, sf, "documents")
     emb = model.load_table(spark, sf, "embeddings")
@@ -1531,8 +1533,7 @@ def _hybrid_neardup(spark, sf):
     ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("_ea"))
     eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("_eb"))
     return (
-        F.broadcast(cands)
-        .join(ea, "a")
+        cands.join(ea, "a")
         .join(eb, "b")
         .select(
             "a",
