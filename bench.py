@@ -73,6 +73,8 @@ HEADLINE = [
     "ts_group_aggregate_calendar_week",
     "rel_salted_skew_join",
     "doc_decontaminated_corpus",
+    "doc_vocab_coverage",
+    "ts_top_per_bucket",
     "doc_repetition_stats",
     "doc_unigram_logprob",
     "doc_tfidf_top_terms",

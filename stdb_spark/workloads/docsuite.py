@@ -1556,3 +1556,55 @@ JOIN embeddings ea ON ea.vec_id = c.a
 JOIN embeddings eb ON eb.vec_id = c.b
 """,
 )
+
+
+# -------------------------------------------------- vocabulary coverage
+# Tokenizer-budget analysis: what fraction of all corpus token
+# OCCURRENCES the top-50 vocabulary covers — the measurement behind
+# "how big must the vocab be".  Two-phase: exact counts pick the vocab
+# (ties broken by token text), then one conditional sum over the same
+# aggregated counts — no second corpus scan; integer-exact until the
+# single final division.
+def _vocab_coverage(spark, sf):
+    toks = (
+        model.load_table(spark, sf, "documents")
+        .select(F.explode(text.tokens_col(dedup.normalized_text())).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    # top-50 via TakeOrderedAndProject (per-partition top-k, no global
+    # sort — a single-partition row_number window over the vocab would
+    # funnel every distinct token through one task), then a broadcast
+    # membership flag on the same aggregated counts.
+    vocab = toks.orderBy(F.col("c").desc(), F.col("tok")).limit(50).select(
+        F.col("tok").alias("_vtok")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab), toks.tok == F.col("_vtok"), "left_outer"
+    )
+    in_vocab = F.when(F.col("_vtok").isNotNull(), F.col("c")).otherwise(0)
+    return flagged.agg(
+        F.sum("c").alias("total_tokens"),
+        F.sum(in_vocab).alias("vocab_tokens"),
+        (F.sum(in_vocab) / F.sum("c").cast("double")).alias("coverage"),
+    )
+
+
+_q(
+    "doc_vocab_coverage",
+    _vocab_coverage,
+    f"""
+WITH counts AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY tok
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rk FROM counts
+)
+SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN rk <= 50 THEN c ELSE 0 END) AS BIGINT) AS vocab_tokens,
+       CAST(sum(CASE WHEN rk <= 50 THEN c ELSE 0 END) AS DOUBLE)
+         / CAST(sum(c) AS DOUBLE) AS coverage
+FROM ranked
+""",
+)

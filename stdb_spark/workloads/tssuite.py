@@ -2768,3 +2768,50 @@ FROM base WHERE tu >= {JAN01_US} AND tu < {FEB01_US}
 GROUP BY 1, 2
 """,
 )
+
+
+# Per-bucket leaderboard: top-3 series by value sum inside every 6 h
+# bucket — the "which hosts were hottest each window" monitoring
+# staple (per-series rank is ts_rank_ntile; this ranks ACROSS series
+# per bucket).  Decimal sums keep the ranking key exact; the window
+# partitions by bucket, so the sort is per-bucket, never global.
+def _ts_top_per_bucket(spark, sf):
+    from pyspark.sql import Window
+
+    s = model.events_as_samples(spark, sf).filter(
+        (F.col("ts") >= JAN01) & (F.col("ts") < FEB01) & (F.col("metric") == "view")
+    )
+    series = F.concat(F.col("metric"), F.lit(" user="), F.col("tags")["user"])
+    bucket = (F.expr("ts div 1000") - JAN01_US) / H6_US
+    g = (
+        s.select(series.alias("series"), bucket.cast("long").alias("bk"), "value")
+        .groupBy("series", "bk")
+        .agg(F.expr("CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)").alias("total"))
+    )
+    w = Window.partitionBy("bk").orderBy(F.col("total").desc(), F.col("series"))
+    return (
+        g.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("bk", "rk", "series", "total")
+    )
+
+
+_q(
+    "ts_top_per_bucket",
+    _ts_top_per_bucket,
+    BASE
+    + f"""
+, g AS (
+  SELECT metric || ' user=' || u AS series, (tu - {JAN01_US}) // {H6_US} AS bk,
+         CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total
+  FROM base
+  WHERE metric = 'view' AND tu >= {JAN01_US} AND tu < {FEB01_US}
+  GROUP BY 1, 2
+)
+SELECT bk, rk, series, total FROM (
+  SELECT bk, series, total,
+         CAST(row_number() OVER (PARTITION BY bk ORDER BY total DESC, series) AS BIGINT) AS rk
+  FROM g
+) WHERE rk <= 3
+""",
+)
