@@ -92,6 +92,11 @@ HEADLINE = [
     "ts_aggregate_summary_pushdown",
     "sp_knn",
     "sp_knn_grid",
+    "doc_c4_line_filter",
+    "doc_source_mixture",
+    "doc_length_buckets",
+    "emb_ann_int8",
+    "doc_ngram_novelty",
 ]
 
 

@@ -541,3 +541,46 @@ def paragraph_dedup(
         kept.groupBy(key)
         .agg(F.array_join(ordered, sep).alias(text_col))
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct shingles that appear nowhere else in the corpus — the
+    cheap corpus-level "is this document new information" score used to
+    rank crawl snapshots and filter boilerplate-heavy sources.
+
+    Returns (key, n_shingles, novel_shingles, novelty).
+
+    Plan shape at 100 TB: the per-doc shingle count is map-side
+    (array size before the explode), and global uniqueness needs only
+    ONE postings exchange — groupBy(shingle) computes (count, min doc),
+    and a count-1 shingle's sole owner IS that min doc, so the novel
+    counts come from re-grouping just the unique-shingle survivors by
+    owner (output-sized), never from joining the full postings back on
+    the shingle key."""
+    base = docs.select(
+        F.col(key), shingles_col(text_col, n).alias("_g")
+    ).select(F.col(key), F.size("_g").alias("n_shingles"), F.explode("_g").alias("shingle"))
+    per_doc = base.select(key, "n_shingles").distinct()
+    owners = base.groupBy("shingle").agg(
+        F.count("*").alias("_c"), F.min(key).alias("_owner")
+    )
+    novel = (
+        owners.filter(F.col("_c") == 1)
+        .groupBy(F.col("_owner").alias(key))
+        .agg(F.count("*").alias("novel_shingles"))
+    )
+    return (
+        per_doc.join(novel, key, "left")
+        .withColumn("novel_shingles", F.coalesce("novel_shingles", F.lit(0)))
+        .withColumn(
+            "novelty",
+            F.col("novel_shingles").cast("double")
+            / F.greatest(F.col("n_shingles"), F.lit(1)).cast("double"),
+        )
+    )

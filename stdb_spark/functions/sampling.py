@@ -134,6 +134,46 @@ def ngram_contamination(
     )
 
 
+def source_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    key: str = "doc_id",
+    salt: str = "mix0",
+) -> DataFrame:
+    """Epoch-weighted domain mixing (the Pile/Dolma-style mixture step):
+    each source's documents appear ``floor(w)`` times per training epoch
+    plus one extra copy with probability ``frac(w)``, so e.g. w=2.5
+    up-samples a source 2.5× and w=0.3 down-samples to 30%.  Sources
+    absent from ``weights`` are dropped (weight 0).
+
+    The fractional copy is decided by hash(key, salt) — the same
+    reproducibility contract as :func:`hash_sample`: reruns,
+    repartitions, and engines agree bit-for-bit.  The output carries an
+    ``epoch`` column (1..copies) so downstream shuffling/packing can
+    treat repeats as distinct rows deterministically.
+
+    Plan shape at 100 TB: the weight lookup is a literal CASE chain
+    (broadcast-free), the copy count a map-side expression, and the
+    repeat an ``explode(sequence(...))`` — zero shuffles; output volume
+    is exactly sum(n_s * w_s) rows."""
+    chain = None
+    for src, wt in sorted(weights.items()):
+        cond = F.col(group_col) == F.lit(src)
+        chain = F.when(cond, float(wt)) if chain is None else chain.when(cond, float(wt))
+    w = chain.otherwise(F.lit(0.0)) if chain is not None else F.lit(0.0)
+    n_full = F.floor(w).cast("int")
+    frac = w - F.floor(w)
+    u = hash_bucket(F.col(key), salt).cast("double") / F.lit(float(HASH_DOMAIN))
+    copies = n_full + F.when(u < frac, F.lit(1)).otherwise(F.lit(0))
+    return (
+        df.withColumn("_copies", copies)
+        .filter(F.col("_copies") >= 1)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("_copies"))))
+        .drop("_copies")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

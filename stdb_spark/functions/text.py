@@ -263,6 +263,48 @@ def unigram_logprob(
     )
 
 
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+    min_words_per_line: int = 3,
+    require_terminal_punct: bool = True,
+    blacklist: tuple[str, ...] = ("javascript", "lorem ipsum"),
+    min_kept_lines: int = 1,
+) -> DataFrame:
+    """C4-style line-level boilerplate removal (the public Raffel et al.
+    2020 cleaning rules): split the document into lines, keep only lines
+    that (a) have at least ``min_words_per_line`` words, (b) end in
+    terminal punctuation (``. ! ? "``) when ``require_terminal_punct``,
+    and (c) contain no blacklisted phrase (case-insensitive); then drop
+    documents with fewer than ``min_kept_lines`` surviving lines.
+
+    Adds ``clean_text`` (kept lines re-joined in original order) and
+    ``n_kept_lines``.  Everything is a map-side JVM array expression —
+    at 100 TB this pass is a single scan with zero shuffles, and the
+    document-level filter prunes before any downstream exchange.
+    """
+    lines = F.split(F.col(text_col), sep)
+
+    def _keep(line: Column) -> Column:
+        words = F.size(F.filter(F.split(line, r"\s+"), lambda t: F.length(t) > 0))
+        cond = words >= F.lit(min_words_per_line)
+        if require_terminal_punct:
+            cond = cond & line.rlike(r'[.!?"]\s*$')
+        for term in blacklist:
+            cond = cond & ~F.contains(F.lower(line), F.lit(term.lower()))
+        return cond
+
+    kept = F.filter(lines, _keep)
+    return (
+        # ``sep`` doubles as the split regex and the re-join literal, so
+        # it must be a literal separator (e.g. "\n"), not a regex class.
+        df.withColumn("clean_text", F.array_join(kept, sep))
+        .withColumn("n_kept_lines", F.size(kept))
+        .filter(F.col("n_kept_lines") >= F.lit(min_kept_lines))
+    )
+
+
 def nfc_normalize_col(text: str | Column = "text") -> Column:
     """Unicode NFC normalization — the first cleanup pass of a crawl
     corpus (composed vs decomposed accents, compatibility forms from

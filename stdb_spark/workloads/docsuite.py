@@ -1608,3 +1608,184 @@ SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
 FROM ranked
 """,
 )
+
+
+# ---------------------------------------------------- corpus curation v3
+# C4-style line-level boilerplate removal (public Raffel et al. 2020
+# rules).  The synthetic corpus has no newlines or terminal punctuation,
+# so the registered variant exercises the word-count + blacklist rules
+# (terminal punctuation is pinned by
+# tests/test_functions.py::test_c4_line_filter_rules on planted texts).
+_C4_MIN_WORDS = 25
+_C4_BLACKLIST = ("javascript", "dup")
+
+
+def _c4_line_filter(spark, sf):
+    return text.c4_line_filter(
+        model.load_table(spark, sf, "documents"),
+        min_words_per_line=_C4_MIN_WORDS,
+        require_terminal_punct=False,
+        blacklist=_C4_BLACKLIST,
+        min_kept_lines=1,
+    ).select("doc_id", "source", "clean_text", "n_kept_lines")
+
+
+_q(
+    "doc_c4_line_filter",
+    _c4_line_filter,
+    f"""
+WITH kept AS (
+  SELECT doc_id, source,
+    list_filter(string_split(text, chr(10)),
+      x -> len(list_filter(string_split_regex(x, '\\s+'), w -> len(w) > 0)) >= {_C4_MIN_WORDS}
+           AND NOT contains(lower(x), '{_C4_BLACKLIST[0]}')
+           AND NOT contains(lower(x), '{_C4_BLACKLIST[1]}')) AS k
+  FROM documents)
+SELECT doc_id, source, array_to_string(k, chr(10)) AS clean_text,
+       len(k) AS n_kept_lines
+FROM kept WHERE len(k) >= 1
+""",
+)
+
+
+# Epoch-weighted source mixing (Pile/Dolma-style): up-sample some
+# sources (2.5x, 3x), down-sample others (0.3x, 0.5x), drop the rest.
+_MIX_WEIGHTS = {
+    "src0": 2.5,
+    "src1": 0.3,
+    "src2": 1.0,
+    "src3": 0.8,
+    "src4": 3.0,
+    "src5": 0.5,
+}
+_MIX_SALT = "mix0"
+
+
+def _source_mixture(spark, sf):
+    return sampling.source_mixture(
+        model.load_table(spark, sf, "documents"),
+        weights=_MIX_WEIGHTS,
+        salt=_MIX_SALT,
+    ).select("doc_id", "source", "epoch")
+
+
+_MIX_VALUES = ", ".join(
+    f"('{s}', CAST({w!r} AS DOUBLE))" for s, w in sorted(_MIX_WEIGHTS.items())
+)
+
+_q(
+    "doc_source_mixture",
+    _source_mixture,
+    f"""
+WITH w(source, wt) AS (VALUES {_MIX_VALUES}),
+c AS (
+  SELECT doc_id, d.source,
+    CAST(floor(wt) AS INT)
+      + CASE WHEN CAST(('0x' || substr(md5('{_MIX_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  AS DOUBLE) / {float(sampling.HASH_DOMAIN)!r} < wt - floor(wt)
+             THEN 1 ELSE 0 END AS copies
+  FROM documents d JOIN w USING (source))
+SELECT doc_id, source, unnest(generate_series(1, copies)) AS epoch
+FROM c WHERE copies >= 1
+""",
+)
+
+
+# Sequence-length bucketing: padding/truncation accounting per pow-2
+# rung — the planning query behind length-bucketed batching.
+def _length_buckets(spark, sf):
+    from stdb_spark.functions import packing
+
+    docs = model.load_table(spark, sf, "documents").withColumn(
+        "n_tokens", text.token_count_col("text").cast("long")
+    )
+    return packing.length_bucket_stats(docs)
+
+
+def _ladder_case() -> str:
+    from stdb_spark.functions.packing import DEFAULT_LENGTH_LADDER as L
+
+    whens = " ".join(f"WHEN n <= {r} THEN {r}" for r in L)
+    return f"CASE {whens} ELSE {L[-1]} END"
+
+
+_q(
+    "doc_length_buckets",
+    _length_buckets,
+    f"""
+WITH t AS (
+  SELECT len(list_filter(string_split_regex(text, '\\s+'), w -> len(w) > 0)) AS n
+  FROM documents),
+b AS (
+  SELECT CAST({_ladder_case()} AS BIGINT) AS bucket,
+         CAST(least(n, 4096) AS BIGINT) AS kept,
+         CAST(greatest(n - 4096, 0) AS BIGINT) AS trunc
+  FROM t)
+SELECT bucket, count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS kept_tokens,
+       CAST(sum(bucket - kept) AS BIGINT) AS padding_tokens,
+       CAST(sum(trunc) AS BIGINT) AS truncated_tokens
+FROM b GROUP BY bucket
+""",
+)
+
+
+# Int8-quantized ANN: exact int64 dot product over symmetric int8
+# vectors, rescaled by the two per-vector scales — the 4x-smaller scan
+# path for cosine top-k at 100 TB.
+def _emb_ann_int8(spark, sf):
+    return similarity.ann_int8_top_k(
+        model.load_table(spark, sf, "embeddings"), _QVEC, k=10
+    )
+
+
+def _int8_oracle() -> str:
+    qscale, qvec = similarity.quantize_query_int8(_QVEC)
+    dot = " + ".join(f"qv[{i + 1}]::BIGINT * {qvec[i]}" for i in range(_DIM))
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale,
+    list_transform(embedding,
+      x -> CASE WHEN scale = 0.0 THEN 0
+                ELSE CAST(floor(x::DOUBLE / scale + 0.5) AS INT) END) AS qv
+  FROM embeddings)
+SELECT vec_id, CAST(({dot}) AS DOUBLE) * scale * {_dlit(qscale)} AS qdot
+FROM q ORDER BY qdot DESC, vec_id LIMIT 10
+"""
+
+
+_q("emb_ann_int8", _emb_ann_int8, _int8_oracle())
+
+
+# Per-document n-gram novelty: fraction of a doc's distinct shingles
+# unique to it corpus-wide (one postings exchange; see dedup.ngram_novelty).
+def _ngram_novelty(spark, sf):
+    return dedup.ngram_novelty(model.load_table(spark, sf, "documents"), n=3)
+
+
+_q(
+    "doc_ngram_novelty",
+    _ngram_novelty,
+    f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+         THEN list_distinct(list_transform(range(1, len(t) - 1),
+              i -> array_to_string(t[i:i+2], ' ')))
+         ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks
+), ex AS (
+  SELECT doc_id, len(g) AS n_shingles, unnest(g) AS shingle FROM sh
+), own AS (
+  SELECT shingle, count(*) AS c FROM ex GROUP BY 1
+)
+SELECT e.doc_id, e.n_shingles,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_shingles,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / greatest(e.n_shingles, 1) AS novelty
+FROM ex e JOIN own USING (shingle)
+GROUP BY e.doc_id, e.n_shingles
+""",
+)

@@ -674,3 +674,105 @@ def test_pack_layout_invariant_under_repartition(spark):
             ).collect()
         }
         assert again == base
+
+
+# ------------------------------------------------- corpus curation v3
+
+
+def test_c4_line_filter_rules(spark):
+    rows = [
+        (0, "This line is long enough to keep.\nshort\nAnother good line stays here.\n"
+            "no terminal punctuation on this line\n"
+            "Enable javascript to view this page.\nFinal proper sentence ends well."),
+        (1, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.c4_line_filter(
+        df, min_words_per_line=3, require_terminal_punct=True,
+        blacklist=("javascript",), min_kept_lines=1,
+    ).collect()
+    # doc 1 has no qualifying line at all -> dropped entirely
+    assert [r.doc_id for r in out] == [0]
+    kept = out[0].clean_text.split("\n")
+    assert kept == [
+        "This line is long enough to keep.",
+        "Another good line stays here.",
+        "Final proper sentence ends well.",
+    ]
+    assert out[0].n_kept_lines == 3
+
+
+def test_c4_line_filter_min_kept_lines(spark):
+    df = spark.createDataFrame(
+        [(0, "Only one good line here.\njunk")], "doc_id long, text string"
+    )
+    assert (
+        text.c4_line_filter(df, min_kept_lines=2, require_terminal_punct=True).count()
+        == 0
+    )
+
+
+def test_source_mixture_epoch_counts(spark):
+    from stdb_spark.functions import sampling
+
+    rows = [(i, f"s{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = {"s0": 2.0, "s1": 0.5, "s2": 1.0}  # s3 dropped
+    out = sampling.source_mixture(df, weights).groupBy("source").agg(
+        F.count("*").alias("n"), F.countDistinct("doc_id").alias("d")
+    ).collect()
+    by = {r.source: r for r in out}
+    assert set(by) == {"s0", "s1", "s2"}
+    assert by["s0"].n == 200 and by["s0"].d == 100  # exactly 2 epochs each
+    assert by["s2"].n == 100 and by["s2"].d == 100  # exactly 1 epoch
+    assert 20 <= by["s1"].n <= 80 and by["s1"].n == by["s1"].d  # ~50% hash draw
+    # determinism: the fractional draw is content-hashed, not RNG
+    again = sampling.source_mixture(df, weights)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, sampling.source_mixture(df.repartition(7), weights).collect())
+    )
+
+
+def test_length_bucket_stats_hand_computed(spark):
+    from stdb_spark.functions import packing
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 64), (3, 65), (4, 5000)], "doc_id long, n_tokens long"
+    )
+    out = {r.bucket: r for r in packing.length_bucket_stats(df).collect()}
+    assert out[64].n_docs == 2 and out[64].padding_tokens == (64 - 10) + 0
+    assert out[128].n_docs == 1 and out[128].padding_tokens == 63
+    assert out[4096].n_docs == 1
+    assert out[4096].truncated_tokens == 5000 - 4096
+    assert out[4096].padding_tokens == 0  # clamped doc fills its rung
+
+
+def test_int8_quantization_bounds_and_ann_agreement(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)
+    ] + [(200, [0.0] * 16)]  # zero vector must not divide by zero
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [rng.uniform(-1, 1) for _ in range(16)]
+    exact = [r.vec_id for r in similarity.brute_force_top_k(df, q, k=5).collect()]
+    quant = [r.vec_id for r in similarity.ann_int8_top_k(df, q, k=5).collect()]
+    # int8 keeps ~2 decimal digits: top-5 overlap should be near-total
+    assert len(set(exact) & set(quant)) >= 4
+    # per-element quantization error is bounded by scale/2
+    sc, qv = similarity.quantize_query_int8(q)
+    assert all(abs(qi * sc - xi) <= sc / 2 + 1e-12 for qi, xi in zip(qv, q))
+    assert similarity.quantize_query_int8([0.0, 0.0]) == (0.0, [0, 0])
+
+
+def test_ngram_novelty_planted(spark, docs):
+    out = {r.doc_id: r for r in dedup.ngram_novelty(docs, n=3).collect()}
+    # docs 0 and 2 are exact duplicates: no shingle is unique to either
+    assert out[0].novelty == 0.0 and out[2].novelty == 0.0
+    # docs 3 and 4 share no trigram with anything else: fully novel
+    assert out[3].novelty == 1.0 and out[4].novelty == 1.0
+    # doc 1 differs from 0/2 only in the final word: "the lazy cat" is
+    # its only unique trigram
+    assert 0.0 < out[1].novelty < 1.0
+    assert out[1].novel_shingles == 1
