@@ -97,6 +97,7 @@ HEADLINE = [
     "doc_length_buckets",
     "emb_ann_int8",
     "doc_ngram_novelty",
+    "doc_snapshot_diff",
 ]
 
 

@@ -584,3 +584,31 @@ def ngram_novelty(
             / F.greatest(F.col("n_shingles"), F.lit(1)).cast("double"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff — the audit step of an incremental corpus
+    release: classify every document key across two corpus versions as
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` by comparing
+    content digests (md5 of normalized text, same idiom as
+    :func:`exact_duplicates`).
+
+    Plan shape at 100 TB: each side reduces map-side to (key, digest) —
+    16 bytes of payload per doc, not the text — then ONE full-outer
+    equi-join on the key.  If both snapshots are written bucketed by the
+    key (sources/storage.py:write_samples_bucketed pattern) the join is
+    exchange-free.  Returns (key, status)."""
+    o = old.select(F.col(key), F.md5(normalized_text(text_col)).alias("_od"))
+    n = new.select(F.col(key), F.md5(normalized_text(text_col)).alias("_nd"))
+    status = (
+        F.when(F.col("_od").isNull(), F.lit("added"))
+        .when(F.col("_nd").isNull(), F.lit("removed"))
+        .when(F.col("_od") != F.col("_nd"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return o.join(n, key, "full_outer").select(F.col(key), status.alias("status"))

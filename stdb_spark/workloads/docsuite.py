@@ -1789,3 +1789,41 @@ FROM ex e JOIN own USING (shingle)
 GROUP BY e.doc_id, e.n_shingles
 """,
 )
+
+
+# Corpus snapshot diff: v1 = docs except doc_id % 10 == 7 (those appear
+# as "added" in v2); v2 mutates text for doc_id % 10 == 3 ("changed").
+# Both snapshots derive deterministically from the shipped table, so
+# the oracle rebuilds them identically.
+def _snapshot_diff(spark, sf):
+    docs = model.load_table(spark, sf, "documents")
+    v1 = docs.filter(F.col("doc_id") % 10 != 7)
+    v2 = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 3, F.concat(F.col("text"), F.lit(" edited"))
+        ).otherwise(F.col("text")),
+    )
+    return dedup.snapshot_diff(v1, v2)
+
+
+_q(
+    "doc_snapshot_diff",
+    _snapshot_diff,
+    f"""
+WITH v1 AS (
+  SELECT doc_id, md5({_NORM}) AS d FROM documents WHERE doc_id % 10 != 7
+), v2 AS (
+  SELECT doc_id,
+    md5(regexp_replace(lower(CASE WHEN doc_id % 10 = 3 THEN text || ' edited' ELSE text END),
+        '\\s+', ' ', 'g')) AS d
+  FROM documents
+)
+SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.d IS NULL THEN 'added'
+            WHEN v2.d IS NULL THEN 'removed'
+            WHEN v1.d != v2.d THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+""",
+)

@@ -776,3 +776,17 @@ def test_ngram_novelty_planted(spark, docs):
     # its only unique trigram
     assert 0.0 < out[1].novelty < 1.0
     assert out[1].novel_shingles == 1
+
+
+def test_snapshot_diff_classes(spark):
+    v1 = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string",
+    )
+    v2 = spark.createDataFrame(
+        [(1, "same  TEXT"), (2, "has changed"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.status for r in dedup.snapshot_diff(v1, v2).collect()}
+    # doc 1: differs only in case/whitespace -> digest-identical
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
