@@ -237,3 +237,41 @@ def test_stream_enrich_static_side_broadcasts(spark):
     )
     plan = _plan(streaming_enrich(s, cust, F.col("_uid") == F.col("_ck")))
     assert "BroadcastHashJoin" in plan
+
+
+def test_c4_line_filter_zero_shuffles(spark):
+    # line split, per-line predicate, re-join, doc gate: all map-side —
+    # any exchange means the array ops fell out of the scan stage
+    plan = _plan(QUERIES["doc_c4_line_filter"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_source_mixture_zero_shuffles(spark):
+    # weight CASE chain + hash draw + explode(sequence): map-side only
+    plan = _plan(QUERIES["doc_source_mixture"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+
+
+def test_length_buckets_single_exchange_partial_agg(spark):
+    # CASE-ladder bucketing: one exchange, map-side partial aggregation
+    plan = _plan(QUERIES["doc_length_buckets"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_ann_int8_take_ordered_no_shuffle(spark):
+    # quantized scoring is map-side; top-k via TakeOrdered, no global sort
+    plan = _plan(QUERIES["emb_ann_int8"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_ngram_novelty_no_postings_self_join(spark):
+    # novelty must come from the (count, min-doc) aggregate — joining
+    # the exploded postings back on the shingle key would shuffle the
+    # full postings twice.  The only shingle-keyed exchange is the one
+    # feeding the ownership aggregate.
+    plan = _plan(QUERIES["doc_ngram_novelty"](spark, SF))
+    assert plan.count("Exchange hashpartitioning(shingle") == 1
