@@ -376,3 +376,86 @@ def test_funnel_matches_greedy_model(spark, evs, within):
             stage += 1
         want[u] = stage
     assert got == want
+
+
+@given(
+    n_docs=st.integers(min_value=1, max_value=60),
+    weights=st.dictionaries(
+        st.sampled_from(["s0", "s1", "s2", "s3"]),
+        st.floats(min_value=0.0, max_value=4.0, allow_nan=False),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_source_mixture_matches_python_model(spark, n_docs, weights):
+    """Row multiplicity equals the pure-Python floor+hash-frac model,
+    independent of partitioning."""
+    import hashlib
+    import math
+
+    from stdb_spark.functions import sampling
+
+    rows = [(i, f"s{i % 5}") for i in range(n_docs)]  # s4 never weighted
+    df = spark.createDataFrame(rows, "doc_id long, source string").repartition(5)
+    epochs = {}
+    for r in sampling.source_mixture(df, weights, salt="p0").collect():
+        epochs.setdefault(r.doc_id, []).append(r.epoch)
+    got = {i: len(es) for i, es in epochs.items()}
+    for i, es in epochs.items():
+        assert sorted(es) == list(range(1, got[i] + 1))  # epochs are 1..copies
+    want = {}
+    for i, src in rows:
+        w = weights.get(src)
+        if w is None:
+            continue
+        u = (
+            int(hashlib.md5(f"p0{i}".encode()).hexdigest()[:15], 16)
+            / float(sampling.HASH_DOMAIN)
+        )
+        copies = int(math.floor(w)) + (1 if u < w - math.floor(w) else 0)
+        if copies >= 1:
+            want[i] = copies
+    assert got == want
+
+
+@given(
+    vec=st.lists(
+        st.floats(min_value=-100.0, max_value=100.0, allow_nan=False, width=32),
+        min_size=1,
+        max_size=32,
+    )
+)
+@settings(max_examples=100)
+def test_int8_quantize_roundtrip_bound(vec):
+    """Pure-Python twin: |dequant - x| <= scale/2 and |q| <= 127."""
+    from stdb_spark.functions.similarity import quantize_query_int8
+
+    scale, q = quantize_query_int8(vec)
+    assert all(abs(qi) <= 127 for qi in q)
+    if scale == 0.0:
+        assert all(qi == 0 for qi in q)
+    else:
+        for qi, xi in zip(q, vec):
+            assert abs(qi * scale - float(xi)) <= scale / 2 + 1e-9
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=24), min_size=1, max_size=10
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_ngram_novelty_bounds_and_partition_invariance(spark, texts):
+    """novelty in [0,1]; novel <= total; result identical under
+    repartitioning (the determinism invariant every curation op holds)."""
+    from stdb_spark.functions import dedup
+
+    rows = [(i, t, "s") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    a = sorted(map(tuple, dedup.ngram_novelty(df, n=2).collect()))
+    for _, n_sh, novel, nov in a:
+        assert 0 <= novel <= n_sh
+        assert 0.0 <= nov <= 1.0
+    b = sorted(map(tuple, dedup.ngram_novelty(df.repartition(7), n=2).collect()))
+    assert a == b
