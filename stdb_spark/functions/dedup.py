@@ -563,10 +563,15 @@ def ngram_novelty(
     counts come from re-grouping just the unique-shingle survivors by
     owner (output-sized), never from joining the full postings back on
     the shingle key."""
+    # per-doc totals are map-side off the shingle ARRAY (one row per
+    # doc, no exchange) — deriving them from the exploded postings via
+    # distinct() would add a doc-keyed exchange over postings-count rows
+    per_doc = docs.select(
+        F.col(key), F.size(shingles_col(text_col, n)).alias("n_shingles")
+    )
     base = docs.select(
-        F.col(key), shingles_col(text_col, n).alias("_g")
-    ).select(F.col(key), F.size("_g").alias("n_shingles"), F.explode("_g").alias("shingle"))
-    per_doc = base.select(key, "n_shingles").distinct()
+        F.col(key), F.explode(shingles_col(text_col, n)).alias("shingle")
+    )
     owners = base.groupBy("shingle").agg(
         F.count("*").alias("_c"), F.min(key).alias("_owner")
     )
