@@ -98,6 +98,8 @@ HEADLINE = [
     "emb_ann_int8",
     "doc_ngram_novelty",
     "doc_snapshot_diff",
+    "ts_decimate",
+    "ts_concurrency",
 ]
 
 

@@ -245,3 +245,50 @@ def anomaly_zscore(
         .filter((F.col("_var") > 0) & (F.abs(F.col("z")) > threshold))
         .select(series_col, ts_col, value_col, "z")
     )
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    bucket: int = 86_400_000_000,
+) -> DataFrame:
+    """Peak concurrent intervals per time bucket — "max simultaneous
+    sessions per day", the capacity-planning staple.  An interval is
+    active on [start, end] inclusive; its +1/-1 boundary deltas land at
+    start and end+1.
+
+    The textbook solution is one global running sum over all boundaries
+    — a single-reducer sort that dies at 100 TB.  This is the two-phase
+    split of the same prefix sum: phase 1 runs the running sum WITHIN
+    each bucket partition (parallel, one exchange); phase 2 computes
+    each bucket's starting offset from the per-bucket delta totals — a
+    #buckets-sized aggregate (days, not rows) cumulated on the driver
+    scale and broadcast back.  run(t) = bucket_offset + within_bucket
+    running sum, exactly the global prefix.  All arithmetic is BIGINT.
+
+    Returns (bucket_start, peak)."""
+    d = (
+        intervals.select(F.col(start_col).alias("t"), F.lit(1).alias("delta"))
+        .unionAll(
+            intervals.select((F.col(end_col) + 1).alias("t"), F.lit(-1).alias("delta"))
+        )
+        .withColumn("bkt", F.expr(f"t div {int(bucket)}"))
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("t").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_bucket = d.groupBy("bkt").agg(F.sum("delta").alias("_tot"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).cast("long")
+    ).select("bkt", "_off")
+    run = d.withColumn("_run", F.sum("delta").over(w_in).cast("long")).join(
+        F.broadcast(offsets), "bkt"
+    )
+    return (
+        run.groupBy((F.col("bkt") * bucket).alias("bucket_start"))
+        .agg(F.max(F.col("_off") + F.col("_run")).alias("peak"))
+    )

@@ -16,7 +16,7 @@ values break deterministically by the struct's second field).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -126,3 +126,30 @@ def lttb(
         "_pg", F.pmod(F.xxhash64(series_col), F.lit(n_pg))
     )
     return tagged.groupBy("_pg").applyInPandas(_pick, schema=out_schema)
+
+
+def decimate(
+    samples: DataFrame,
+    n: int,
+    series_cols: tuple[str, ...] = ("series",),
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Stride decimation: keep every n-th sample per series in time
+    order (rows 1, n+1, 2n+1, ...) — the cheapest downsample, used when
+    shape preservation (LTTB/M4) is not required, e.g. thinning a debug
+    series before export.
+
+    ``order_cols`` extends the per-series order with tie-break columns
+    so the kept set is a deterministic function of the data when
+    timestamps repeat.  One exchange: the per-series window sort."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    w = Window.partitionBy(*series_cols).orderBy(
+        *[F.col(c) for c in (ts_col, *order_cols)]
+    )
+    return (
+        samples.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") - 1) % n == 0)
+        .drop("_rn")
+    )

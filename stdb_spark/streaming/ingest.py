@@ -270,3 +270,22 @@ def streaming_interval_self_join(
         & (F.col("r_time") >= F.col("l_time"))
         & (F.col("r_time") <= F.col("l_time") + F.expr(f"INTERVAL {horizon}")),
     )
+
+
+def streaming_heavy_hitters(
+    samples: DataFrame,
+    step: str = "1 day",
+    max_lateness: str = "1 minute",
+    key_col: str = "metric",
+) -> DataFrame:
+    """Streaming half of windowed heavy hitters: exact per-(window, key)
+    counts under a watermark — state is O(#keys × #open windows), the
+    same budget as the windowed downsample.  Ranking the finished
+    windows (top-k per window) is a batch window over the aggregate
+    sink: the aggregate is #keys-sized, so the rank costs nothing, and
+    Structured Streaming cannot express a per-window rank inside the
+    stream without complete-mode re-emission anyway."""
+    ev = with_late_data_policy(samples, max_lateness)
+    return ev.groupBy(
+        F.window("event_time", step).alias("bucket"), F.col(key_col)
+    ).agg(F.count("*").alias("n"))

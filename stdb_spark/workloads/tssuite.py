@@ -2815,3 +2815,131 @@ SELECT bk, rk, series, total FROM (
 ) WHERE rk <= 3
 """,
 )
+
+
+# ------------------------------------------------- round-3 extras batch 2
+# Stride decimation: every 8th sample per series in (tu, value) order.
+def _ts_decimate(spark, sf):
+    from stdb_spark.operators import downsample
+
+    ev = model.events_as_samples(spark, sf).select(
+        F.col("metric"),
+        F.col("tags")["user"].alias("u"),
+        F.expr("ts div 1000").alias("tu"),
+        "value",
+    )
+    return downsample.decimate(
+        ev, n=8, series_cols=("metric", "u"), ts_col="tu", order_cols=("value",)
+    )
+
+
+_q(
+    "ts_decimate",
+    _ts_decimate,
+    BASE
+    + """
+, r AS (
+  SELECT metric, u, tu, value,
+         row_number() OVER (PARTITION BY metric, u ORDER BY tu, value) AS rn
+  FROM base
+)
+SELECT metric, u, tu, value FROM r WHERE (rn - 1) % 8 = 0
+""",
+)
+
+
+# Peak concurrent sessions per day: session intervals -> +1/-1 boundary
+# deltas -> two-phase prefix sum (see behavior.peak_concurrency).  The
+# oracle runs the textbook single-pass running sum; the engine's
+# bucket-partitioned split must agree exactly (all-BIGINT arithmetic).
+def _ts_concurrency(spark, sf):
+    from stdb_spark.operators import behavior
+
+    ev = (
+        model.events_as_samples(spark, sf)
+        .select(F.col("tags")["user"].alias("u"), F.expr("ts div 1000").alias("tu"))
+        .repartition("u")
+        .distinct()
+    )
+    sess = behavior.session_stats(ev, user_col="u", ts_col="tu", gap=_GAP_US)
+    return behavior.peak_concurrency(
+        sess, start_col="session_start", end_col="session_end", bucket=D1_US
+    )
+
+
+_q(
+    "ts_concurrency",
+    _ts_concurrency,
+    BASE
+    + f"""
+, inst AS (SELECT DISTINCT u, tu FROM base)
+, flg AS (
+  SELECT u, tu,
+    CASE WHEN tu - lag(tu) OVER (PARTITION BY u ORDER BY tu) > {_GAP_US}
+         THEN 1 ELSE 0 END AS f
+  FROM inst
+), sess AS (
+  SELECT u, tu,
+    CAST(sum(f) OVER (PARTITION BY u ORDER BY tu
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS session_idx
+  FROM flg
+), iv AS (
+  SELECT u, session_idx, min(tu) AS s, max(tu) AS e
+  FROM sess GROUP BY u, session_idx
+), d AS (
+  SELECT s AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT e + 1 AS t, -1 AS delta FROM iv
+), r AS (
+  SELECT t, CAST(sum(delta) OVER (ORDER BY t, delta DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+  FROM d
+)
+SELECT (t // {D1_US}) * {D1_US} AS bucket_start, max(run) AS peak
+FROM r GROUP BY 1
+""",
+)
+
+
+# Streaming windowed heavy hitters: per-day exact counts per metric in
+# the stream (complete-mode emission like stream_ohlc), top-3 ranked in
+# batch over the aggregate sink.
+def _stream_heavy_hitters(spark, sf):
+    from stdb_spark.streaming.ingest import streaming_heavy_hitters
+
+    def tf(sdf):
+        out = streaming_heavy_hitters(
+            sdf.withColumn("ts", F.expr("(ts div 1000) * 1000")),
+            step="1 day",
+            max_lateness="1 hour",
+        )
+        return out.select(
+            "metric", F.unix_micros(F.col("bucket.start")).alias("ts"), "n"
+        )
+
+    t = _replay_stream(spark, sf, tf, "stream_hh_sink", "complete")
+    w = Window.partitionBy("ts").orderBy(F.col("n").desc(), F.col("metric"))
+    return (
+        t.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("ts", "metric", "n", "rk")
+    )
+
+
+_q(
+    "stream_heavy_hitters",
+    _stream_heavy_hitters,
+    BASE
+    + f"""
+, c AS (
+  SELECT metric, (tu // {D1_US}) * {D1_US} AS ts, count(*) AS n
+  FROM base GROUP BY 1, 2
+)
+SELECT ts, metric, n, rk FROM (
+  SELECT ts, metric, n,
+         CAST(row_number() OVER (PARTITION BY ts ORDER BY n DESC, metric) AS BIGINT) AS rk
+  FROM c
+) WHERE rk <= 3
+""",
+)

@@ -238,3 +238,54 @@ def test_funnel_conversion_window(spark):
         ).collect()
     }
     assert stages == {"a": 3, "b": 2}
+
+
+def test_peak_concurrency_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(11)
+    iv = []
+    for i in range(60):
+        s = rng.randrange(0, 300)
+        iv.append((i, s, s + rng.randrange(0, 80)))
+    df = spark.createDataFrame(iv, "id long, session_start long, session_end long")
+    got = {
+        r.bucket_start: r.peak
+        for r in behavior.peak_concurrency(df, bucket=100).collect()
+    }
+    # brute force: running sum over all boundary deltas in global order,
+    # peak per bucket of the boundary instant
+    deltas = sorted(
+        [(s, 1) for _, s, e in iv] + [(e + 1, -1) for _, s, e in iv],
+        key=lambda p: (p[0], -p[1]),
+    )
+    run, want = 0, {}
+    for t, d in deltas:
+        run += d
+        b = (t // 100) * 100
+        want[b] = max(want.get(b, -1), run)
+    assert got == want
+
+
+def test_peak_concurrency_single_interval(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 10)], "id long, session_start long, session_end long"
+    )
+    out = behavior.peak_concurrency(df, bucket=100).collect()
+    # +1 at t=10, -1 at t=11: peak 1 in the only bucket
+    assert {(r.bucket_start, r.peak) for r in out} == {(0, 1)}
+
+
+def test_decimate_stride(spark):
+    from stdb_spark.operators import downsample
+
+    rows = [("s", t, float(t)) for t in range(10)]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    kept = sorted(
+        r.ts for r in downsample.decimate(df, n=3, series_cols=("series",)).collect()
+    )
+    assert kept == [0, 3, 6, 9]
+    import pytest
+
+    with pytest.raises(ValueError):
+        downsample.decimate(df, n=0)
