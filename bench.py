@@ -32,6 +32,7 @@ HEADLINE = [
     "ts_sax_words",
     "ts_ewma",
     "ts_holt",
+    "ts_holt_winters",
     "ts_cusum",
     "ts_gapfill_interpolate",
     "ts_corr_metrics",

@@ -276,6 +276,63 @@ def _holt_udf(
     return _batched_series_apply(df, cols, backward, one)
 
 
+def _holt_winters_udf(
+    df: DataFrame,
+    cols: list[str],
+    alpha: float,
+    beta: float,
+    gamma: float,
+    period: int,
+    delta: bool,
+    backward: bool,
+) -> DataFrame:
+    """Holt-Winters additive triple exponential smoothing — the
+    seasonal extension of ``holt`` (period m >= 2).  Per series (state
+    skips NaN rows; the Python loop order IS the spec, replicated
+    op-for-op by the recursive-CTE oracle):
+
+      warm-up: out[i] = x[i] for i < m;
+      init after the first season:
+        l = ((0 + x0) + x1 + ... + x_{m-1}) / m      (left-assoc fold)
+        b = (x_{m-1} - x_0) / (m - 1)
+        s[j] = x[j] - l                              (j = 0..m-1)
+      for i >= m, with p = i mod m:
+        out[i] = (l + b) + s[p]                      (one-step forecast)
+        l' = alpha*(x[i] - s[p]) + (1-alpha)*(l + b)
+        b' = beta*(l' - l) + (1-beta)*b
+        s[p] = gamma*((x[i] - l) - b) + (1-gamma)*s[p]   (OLD l, b)
+        l, b = l', b'
+
+    ``holt-winters-error`` emits x[i] - forecast (0 during warm-up)."""
+    import numpy as np
+
+    m = int(period)
+
+    def one(xs):
+        n = len(xs)
+        outs = xs.copy() if not delta else np.zeros_like(xs)
+        if n <= m:
+            return outs
+        acc = 0.0
+        for j in range(m):
+            acc = acc + float(xs[j])
+        l = acc / m
+        b = (float(xs[m - 1]) - float(xs[0])) / (m - 1)
+        s = [float(xs[j]) - l for j in range(m)]
+        for i in range(m, n):
+            p = i % m
+            cur = float(xs[i])
+            f = (l + b) + s[p]
+            outs[i] = (cur - f) if delta else f
+            l_new = alpha * (cur - s[p]) + (1.0 - alpha) * (l + b)
+            b_new = beta * (l_new - l) + (1.0 - beta) * b
+            s[p] = gamma * ((cur - l) - b) + (1.0 - gamma) * s[p]
+            l, b = l_new, b_new
+        return outs
+
+    return _batched_series_apply(df, cols, backward, one)
+
+
 def apply_pipeline(
     df: DataFrame,
     steps: Iterable[dict],
@@ -332,6 +389,17 @@ def apply_pipeline(
             alpha = float(step.get("alpha", 0.5))
             beta = float(step.get("beta", 0.3))
             df = _holt_udf(df, value_cols, alpha, beta, name == "holt-error", backward)
+        elif name in ("holt-winters", "holt-winters-error"):
+            alpha = float(step.get("alpha", 0.5))
+            beta = float(step.get("beta", 0.3))
+            gamma = float(step.get("gamma", 0.3))
+            period = int(step.get("period", 0))
+            if period < 2:
+                raise ApplyError("`holt-winters` requires `period` >= 2")
+            df = _holt_winters_udf(
+                df, value_cols, alpha, beta, gamma, period,
+                name == "holt-winters-error", backward,
+            )
         elif name == "cma":
             for c in value_cols:
                 run = F.avg(c).over(w.rowsBetween(Window.unboundedPreceding, 0))

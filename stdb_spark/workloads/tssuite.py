@@ -2943,3 +2943,79 @@ SELECT ts, metric, n, rk FROM (
 ) WHERE rk <= 3
 """,
 )
+
+
+# Holt-Winters additive seasonal smoothing (period 4).  The oracle
+# replicates the kernel's fold op-for-op: warm-up rows pass through
+# while carrying (acc, x0, warm); the rn = m row initializes (l, b, s);
+# every later row forecasts then updates, with the seasonal slot
+# replaced by slicing s around position p = ((rn-1) % m) + 1.
+_HW_A, _HW_B, _HW_G, _HW_M = 0.4, 0.2, 0.3, 4
+
+_q(
+    "ts_holt_winters",
+    lambda spark, sf: _us(
+        _engine(spark, sf).query(
+            {
+                "select": "purchase",
+                "range": {"from": JAN01, "to": FEB01},
+                "apply": [
+                    {
+                        "name": "holt-winters",
+                        "alpha": _HW_A,
+                        "beta": _HW_B,
+                        "gamma": _HW_G,
+                        "period": _HW_M,
+                    }
+                ],
+            }
+        )
+    ),
+    f"""
+WITH RECURSIVE b2 AS (
+  SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
+         epoch_us(ts) AS tu, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS rn
+  FROM events
+  WHERE event_type = 'purchase'
+    AND epoch_us(ts) >= {JAN01_US} AND epoch_us(ts) < {FEB01_US}
+), r AS (
+  SELECT series, tu, value, rn, value AS out,
+         CAST(0.0 AS DOUBLE) + value AS acc,
+         value AS x0,
+         [CAST(value AS DOUBLE)] AS warm,
+         CAST(NULL AS DOUBLE) AS l,
+         CAST(NULL AS DOUBLE) AS b,
+         CAST(NULL AS DOUBLE[]) AS s
+  FROM b2 WHERE rn = 1
+  UNION ALL
+  SELECT n.series, n.tu, n.value, n.rn,
+    CASE WHEN n.rn <= {_HW_M} THEN n.value
+         ELSE (r.l + r.b) + r.s[((n.rn - 1) % {_HW_M}) + 1] END AS out,
+    r.acc + n.value AS acc,
+    r.x0 AS x0,
+    CASE WHEN n.rn < {_HW_M} THEN list_append(r.warm, CAST(n.value AS DOUBLE))
+         ELSE r.warm END AS warm,
+    CASE WHEN n.rn < {_HW_M} THEN CAST(NULL AS DOUBLE)
+         WHEN n.rn = {_HW_M} THEN (r.acc + n.value) / {_HW_M}
+         ELSE {_HW_A} * (n.value - r.s[((n.rn - 1) % {_HW_M}) + 1])
+              + (1 - {_HW_A}) * (r.l + r.b) END AS l,
+    CASE WHEN n.rn < {_HW_M} THEN CAST(NULL AS DOUBLE)
+         WHEN n.rn = {_HW_M} THEN (n.value - r.x0) / {_HW_M - 1}
+         ELSE {_HW_B} * (({_HW_A} * (n.value - r.s[((n.rn - 1) % {_HW_M}) + 1])
+                          + (1 - {_HW_A}) * (r.l + r.b)) - r.l)
+              + (1 - {_HW_B}) * r.b END AS b,
+    CASE WHEN n.rn < {_HW_M} THEN CAST(NULL AS DOUBLE[])
+         WHEN n.rn = {_HW_M} THEN list_transform(
+             list_append(r.warm, CAST(n.value AS DOUBLE)),
+             v -> v - (r.acc + n.value) / {_HW_M})
+         ELSE list_concat(list_concat(
+             r.s[1:((n.rn - 1) % {_HW_M})],
+             [{_HW_G} * ((n.value - r.l) - r.b)
+              + (1 - {_HW_G}) * r.s[((n.rn - 1) % {_HW_M}) + 1]]),
+             r.s[((n.rn - 1) % {_HW_M}) + 2:{_HW_M}]) END AS s
+  FROM r JOIN b2 n ON n.series = r.series AND n.rn = r.rn + 1
+)
+SELECT series, tu AS ts, out AS value FROM r
+""",
+)

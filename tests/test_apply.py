@@ -304,3 +304,63 @@ def test_median_filter_rejects_even_width(eng):
 
     with _pytest.raises(ApplyError):
         eng.query(q("sig", {"s": "C"}, [{"name": "median", "window-width": 4}]))
+
+
+def test_holt_winters_matches_python_model(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    m = 4
+    # trending seasonal signal
+    season = [3.0, -1.0, -2.5, 0.5]
+    x = np.array(
+        [20.0 + 0.3 * i + season[i % m] + rng.normal(0, 0.2) for i in range(40)]
+    )
+    a, be, g = 0.4, 0.2, 0.3
+    rows = [("m", {"s": "W"}, 1_000_000 * i, float(v)) for i, v in enumerate(x)]
+    e = Engine(spark, samples=make_samples(spark, rows))
+    got = [
+        r.value
+        for r in e.query(
+            {
+                "select": "m",
+                "range": {"from": 0, "to": 10**12},
+                "apply": [
+                    {"name": "holt-winters", "alpha": a, "beta": be,
+                     "gamma": g, "period": m}
+                ],
+            }
+        ).collect()
+    ]
+    # independent model
+    want = [float(v) for v in x[:m]]
+    acc = 0.0
+    for j in range(m):
+        acc = acc + float(x[j])
+    l = acc / m
+    b = (float(x[m - 1]) - float(x[0])) / (m - 1)
+    s = [float(x[j]) - l for j in range(m)]
+    for i in range(m, len(x)):
+        p = i % m
+        cur = float(x[i])
+        want.append((l + b) + s[p])
+        l_new = a * (cur - s[p]) + (1.0 - a) * (l + b)
+        b_new = be * (l_new - l) + (1.0 - be) * b
+        s[p] = g * ((cur - l) - b) + (1.0 - g) * s[p]
+        l, b = l_new, b_new
+    assert got == want
+    # the forecast must actually track the seasonal pattern
+    resid = np.array(got[2 * m :]) - x[2 * m :]
+    assert float(np.abs(resid).mean()) < 1.5
+    # period < 2 rejected
+    import pytest
+    from stdb_spark.query.apply_nodes import ApplyError
+
+    with pytest.raises(ApplyError):
+        e.query(
+            {
+                "select": "m",
+                "range": {"from": 0, "to": 10**12},
+                "apply": [{"name": "holt-winters", "period": 1}],
+            }
+        ).collect()
