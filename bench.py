@@ -36,6 +36,7 @@ HEADLINE = [
     "ts_cusum",
     "ts_gapfill_interpolate",
     "ts_corr_metrics",
+    "ts_autocorrelation",
     "ts_cube_metric_user",
     "ts_sessionize",
     "ts_funnel",

@@ -292,3 +292,54 @@ def peak_concurrency(
         run.groupBy((F.col("bkt") * bucket).alias("bucket_start"))
         .agg(F.max(F.col("_off") + F.col("_run")).alias("peak"))
     )
+
+
+def autocorrelation(
+    samples: DataFrame,
+    max_lag: int,
+    series_cols: tuple[str, ...] = ("series",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-series autocorrelation function at lags 1..max_lag — the
+    seasonality/periodicity detector feeding a Holt-Winters period
+    choice.  acf(L) = Pearson corr of (x_t, x_{t-L}) over the series'
+    aligned pairs.
+
+    Plan shape at 100 TB: ONE series-ordered window emits all K lag
+    columns in a single pass, posexplode turns them into (lag, pair)
+    rows map-side, and ONE (series, lag) exchange reduces decimal
+    moment sums (partition-order independent, same idiom as
+    ts_corr_metrics); the correlation finish is a fixed-order float
+    formula over the six exact sums.  Returns (series..., lag, n, acf);
+    ties on equal timestamps are ordered by value so the pairing is a
+    deterministic function of the data."""
+    if max_lag <= 0:
+        raise ValueError("max_lag must be positive")
+    w = Window.partitionBy(*series_cols).orderBy(ts_col, value_col)
+    # window exprs must materialize in a Window operator before they can
+    # feed a generator — hence the two-step select
+    lagged = samples.select(
+        *series_cols,
+        F.col(value_col).alias("_x"),
+        F.array(
+            *[F.lag(value_col, L).over(w) for L in range(1, max_lag + 1)]
+        ).alias("_lags"),
+    )
+    base = lagged.select(
+        *series_cols, "_x", F.posexplode("_lags").alias("_p", "_y")
+    ).filter(F.col("_y").isNotNull())
+    d = "DECIMAL(28,10)"
+    d2 = "DECIMAL(38,8)"
+    sums = base.groupBy(*series_cols, (F.col("_p") + 1).alias("lag")).agg(
+        F.count("*").alias("n"),
+        F.expr(f"CAST(sum(CAST(_x AS {d})) AS DOUBLE)").alias("sx"),
+        F.expr(f"CAST(sum(CAST(_y AS {d})) AS DOUBLE)").alias("sy"),
+        F.expr(f"CAST(sum(CAST(CAST(_x AS {d}) * CAST(_y AS {d}) AS {d2})) AS DOUBLE)").alias("sxy"),
+        F.expr(f"CAST(sum(CAST(CAST(_x AS {d}) * CAST(_x AS {d}) AS {d2})) AS DOUBLE)").alias("sxx"),
+        F.expr(f"CAST(sum(CAST(CAST(_y AS {d}) * CAST(_y AS {d}) AS {d2})) AS DOUBLE)").alias("syy"),
+    )
+    acf = F.expr(
+        "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+    )
+    return sums.select(*series_cols, "lag", "n", acf.alias("acf"))

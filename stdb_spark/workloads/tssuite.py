@@ -3019,3 +3019,58 @@ WITH RECURSIVE b2 AS (
 SELECT series, tu AS ts, out AS value FROM r
 """,
 )
+
+
+# Per-series ACF at lags 1..3 over the view metric — the periodicity
+# probe ahead of a holt-winters period choice.  Oracle: one lag()
+# branch per L (K is a small literal), identical decimal moment sums,
+# same fixed-order correlation finish as ts_corr_metrics.
+def _ts_acf(spark, sf):
+    from stdb_spark.operators import behavior
+
+    ev = model.events_as_samples(spark, sf).filter(F.col("metric") == "view").select(
+        F.concat(F.lit("view user="), F.col("tags")["user"]).alias("series"),
+        F.expr("ts div 1000").alias("tu"),
+        "value",
+    )
+    return behavior.autocorrelation(
+        ev, max_lag=3, series_cols=("series",), ts_col="tu"
+    ).withColumn("lag", F.col("lag").cast("long"))
+
+
+_ACF_SUMS = """
+  SELECT series, lag, count(*) AS n,
+    CAST(CAST(sum(CAST(x AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sum(CAST(y AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(sum(CAST(CAST(x AS DECIMAL(28,10)) * CAST(y AS DECIMAL(28,10)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxy,
+    CAST(CAST(sum(CAST(CAST(x AS DECIMAL(28,10)) * CAST(x AS DECIMAL(28,10)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxx,
+    CAST(CAST(sum(CAST(CAST(y AS DECIMAL(28,10)) * CAST(y AS DECIMAL(28,10)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS syy
+  FROM pairs WHERE y IS NOT NULL GROUP BY series, lag
+"""
+
+_q(
+    "ts_autocorrelation",
+    _ts_acf,
+    BASE
+    + """
+, v AS (SELECT 'view user=' || u AS series, tu, value FROM base WHERE metric = 'view')
+, pairs AS (
+  SELECT series, 1 AS lag, value AS x,
+         lag(value, 1) OVER (PARTITION BY series ORDER BY tu, value) AS y FROM v
+  UNION ALL
+  SELECT series, 2, value,
+         lag(value, 2) OVER (PARTITION BY series ORDER BY tu, value) FROM v
+  UNION ALL
+  SELECT series, 3, value,
+         lag(value, 3) OVER (PARTITION BY series ORDER BY tu, value) FROM v
+), s AS (
+"""
+    + _ACF_SUMS
+    + """
+)
+SELECT series, CAST(lag AS BIGINT) AS lag, n,
+       (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS acf
+FROM s
+""",
+)

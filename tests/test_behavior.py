@@ -289,3 +289,31 @@ def test_decimate_stride(spark):
 
     with pytest.raises(ValueError):
         downsample.decimate(df, n=0)
+
+
+def test_autocorrelation_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    x = np.sin(np.arange(50) * (2 * np.pi / 8)) * 3 + rng.normal(0, 0.1, 50)
+    rows = [("s", t, float(v)) for t, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    out = {
+        r.lag: (r.n, r.acf)
+        for r in behavior.autocorrelation(df, max_lag=8).collect()
+    }
+    for L in range(1, 9):
+        a, b = x[L:], x[:-L]
+        want = float(np.corrcoef(a, b)[0, 1])
+        n, acf = out[L]
+        assert n == 50 - L
+        # the engine quantizes inputs to DECIMAL(28,10) (cross-engine
+        # exactness), so vs float64 numpy expect ~1e-7 agreement
+        assert abs(acf - want) < 1e-6, (L, acf, want)
+    # a period-8 sine autocorrelates strongly at its own period,
+    # anti-correlates at the half period
+    assert out[8][1] > 0.9 and out[4][1] < -0.9
+    import pytest
+
+    with pytest.raises(ValueError):
+        behavior.autocorrelation(df, max_lag=0)
