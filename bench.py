@@ -37,6 +37,7 @@ HEADLINE = [
     "ts_gapfill_interpolate",
     "ts_corr_metrics",
     "ts_autocorrelation",
+    "ts_seasonal_decompose",
     "ts_cube_metric_user",
     "ts_sessionize",
     "ts_funnel",

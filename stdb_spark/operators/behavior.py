@@ -343,3 +343,58 @@ def autocorrelation(
         "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
     )
     return sums.select(*series_cols, "lag", "n", acf.alias("acf"))
+
+
+def seasonal_decompose(
+    samples: DataFrame,
+    period: int,
+    series_cols: tuple[str, ...] = ("series",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method): x = trend + seasonal + residual.
+
+    - trend: centered moving average of width ``period`` (odd periods
+      only — the even case needs the 2×m weighted average and is not
+      cross-engine exact); NULL where the window is not full.
+    - seasonal: per-(series, phase) mean of the detrended values,
+      centered by the per-series mean of ALL detrended observations
+      (count-weighted centering — deterministic and join-free).
+    - residual: detrended - seasonal.
+
+    All means run through DECIMAL sums (partition-order independent);
+    phases come from the per-series row number over (ts, value), so the
+    decomposition is a deterministic function of the data.  Plan shape:
+    one series-ordered window (trend + phase), one (series, phase)
+    window, one series window — three exchanges, no joins, no UDFs."""
+    if period < 3 or period % 2 == 0:
+        raise ValueError("period must be an odd integer >= 3")
+    d = "DECIMAL(28,10)"
+    half = (period - 1) // 2
+    w_ord = Window.partitionBy(*series_cols).orderBy(ts_col, value_col)
+    w_ma = w_ord.rowsBetween(-half, half)
+    v = F.col(value_col)
+    cnt = F.count(v).over(w_ma)
+    msum = F.sum(v.cast(d)).over(w_ma)
+    trend = F.when(cnt == period, msum.cast("double") / F.lit(float(period)))
+    base = samples.select(
+        *series_cols,
+        F.col(ts_col),
+        v.alias("value"),
+        trend.alias("trend"),
+        ((F.row_number().over(w_ord) - 1) % period).alias("_phase"),
+    ).withColumn("detrended", F.col("value") - F.col("trend"))
+    w_ph = Window.partitionBy(*series_cols, "_phase")
+    w_s = Window.partitionBy(*series_cols)
+    ph_mean = F.sum(F.col("detrended").cast(d)).over(w_ph).cast("double") / F.count(
+        "detrended"
+    ).over(w_ph)
+    all_mean = F.sum(F.col("detrended").cast(d)).over(w_s).cast("double") / F.count(
+        "detrended"
+    ).over(w_s)
+    return (
+        base.withColumn("seasonal", ph_mean - all_mean)
+        .withColumn("residual", F.col("detrended") - F.col("seasonal"))
+        .drop("_phase")
+    )

@@ -3074,3 +3074,56 @@ SELECT series, CAST(lag AS BIGINT) AS lag, n,
 FROM s
 """,
 )
+
+
+# Classical additive seasonal decomposition (period 5) of the view
+# metric: centered-MA trend (full windows only), per-phase seasonal
+# means centered by the series' detrended mean, residual.  Mirrored
+# window-for-window in SQL; every mean runs through decimal sums.
+def _ts_decompose(spark, sf):
+    from stdb_spark.operators import behavior
+
+    ev = model.events_as_samples(spark, sf).filter(F.col("metric") == "view").select(
+        F.concat(F.lit("view user="), F.col("tags")["user"]).alias("series"),
+        F.expr("ts div 1000").alias("tu"),
+        "value",
+    )
+    return behavior.seasonal_decompose(
+        ev, period=5, series_cols=("series",), ts_col="tu"
+    )
+
+
+_DD = "DECIMAL(28,10)"
+
+_q(
+    "ts_seasonal_decompose",
+    _ts_decompose,
+    BASE
+    + f"""
+, v AS (SELECT 'view user=' || u AS series, tu, value FROM base WHERE metric = 'view')
+, t AS (
+  SELECT series, tu, value,
+    CASE WHEN count(value) OVER w_ma = 5
+         THEN CAST(CAST(sum(CAST(value AS {_DD})) OVER w_ma AS VARCHAR) AS DOUBLE)
+              / CAST(5.0 AS DOUBLE) END AS trend,
+    (row_number() OVER (PARTITION BY series ORDER BY tu, value) - 1) % 5 AS ph
+  FROM v
+  WINDOW w_ma AS (PARTITION BY series ORDER BY tu, value
+                  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+), dt AS (
+  SELECT series, tu, value, trend, value - trend AS detrended, ph FROM t
+), s AS (
+  SELECT series, tu, value, trend, detrended,
+    CAST(CAST(sum(CAST(detrended AS {_DD})) OVER w_ph AS VARCHAR) AS DOUBLE)
+      / count(detrended) OVER w_ph
+    - CAST(CAST(sum(CAST(detrended AS {_DD})) OVER w_s AS VARCHAR) AS DOUBLE)
+      / count(detrended) OVER w_s AS seasonal
+  FROM dt
+  WINDOW w_ph AS (PARTITION BY series, ph),
+         w_s  AS (PARTITION BY series)
+)
+SELECT series, tu, value, trend, detrended, seasonal,
+       detrended - seasonal AS residual
+FROM s
+""",
+)

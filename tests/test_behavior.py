@@ -317,3 +317,30 @@ def test_autocorrelation_matches_numpy(spark):
 
     with pytest.raises(ValueError):
         behavior.autocorrelation(df, max_lag=0)
+
+
+def test_seasonal_decompose_recovers_components(spark):
+    import numpy as np
+
+    m = 5
+    season = [2.0, -1.0, 0.5, -2.0, 0.5]  # sums to 0
+    x = [10.0 + 0.5 * i + season[i % m] for i in range(40)]
+    rows = [("s", t, v) for t, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    out = sorted(behavior.seasonal_decompose(df, period=m).collect(),
+                 key=lambda r: r.ts)
+    # edges (first/last half-window) have no trend
+    assert out[0].trend is None and out[-1].trend is None
+    mid = [r for r in out if r.trend is not None]
+    # centered MA of a linear+zero-sum-seasonal signal IS the linear part
+    for r in mid:
+        assert abs(r.trend - (10.0 + 0.5 * r.ts)) < 1e-9
+        # additive identity holds exactly where defined
+        assert abs((r.trend + r.seasonal + r.residual) - r.value) < 1e-9
+        # recovered seasonal ~ the planted one (centering offset is 0
+        # here because the planted season sums to zero)
+        assert abs(r.seasonal - season[r.ts % m]) < 0.2
+    import pytest
+
+    with pytest.raises(ValueError):
+        behavior.seasonal_decompose(df, period=4)
