@@ -38,6 +38,8 @@ HEADLINE = [
     "ts_corr_metrics",
     "ts_autocorrelation",
     "ts_seasonal_decompose",
+    "ts_changepoints",
+    "ts_quality_profile",
     "ts_cube_metric_user",
     "ts_sessionize",
     "ts_funnel",

@@ -398,3 +398,84 @@ def seasonal_decompose(
         .withColumn("residual", F.col("detrended") - F.col("seasonal"))
         .drop("_phase")
     )
+
+
+def changepoints_page_hinkley(
+    samples: DataFrame,
+    threshold: float,
+    series_cols: tuple[str, ...] = ("series",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Offline Page-Hinkley changepoint flags: with S_t = cumulative
+    deviation from the series mean, flag rows where
+    S_t - min_{i<=t} S_i > threshold (a sustained upward level shift;
+    run on negated values for downward shifts).
+
+    Exactness: S_t is NOT a float running sum (whose association order
+    is engine-dependent) — it is (exact decimal running sum of x) -
+    rn * mean, two IEEE ops over exact quantities, and the running min
+    is order-free.  So the flag set is bit-deterministic across
+    engines, which is what lets the oracle replicate it.
+
+    One series exchange; the mean and the running stats share it.
+    Returns flagged rows (series..., ts, value, ph_stat)."""
+    d = "DECIMAL(28,10)"
+    w_s = Window.partitionBy(*series_cols)
+    w_ord = w_s.orderBy(ts_col, value_col)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mean = F.sum(F.col(value_col).cast(d)).over(w_s).cast("double") / F.count(
+        value_col
+    ).over(w_s)
+    runsum = F.sum(F.col(value_col).cast(d)).over(w_run).cast("double")
+    rn = F.row_number().over(w_ord)
+    s_t = runsum - rn * mean
+    base = samples.select(
+        *series_cols, F.col(ts_col), F.col(value_col), s_t.alias("_s")
+    )
+    run_min = F.min("_s").over(
+        Window.partitionBy(*series_cols)
+        .orderBy(ts_col, value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("ph_stat", F.col("_s") - run_min)
+        .filter(F.col("ph_stat") > threshold)
+        .drop("_s")
+    )
+
+
+def series_quality_profile(
+    samples: DataFrame,
+    series_cols: tuple[str, ...] = ("series",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-series data-quality report: sample count, null-value count,
+    time span, duplicate-timestamp count, and max/mean inter-sample gap
+    — the first query run against any newly ingested feed.
+
+    One series exchange shared by the lag window and the rollup; gap
+    arithmetic is BIGINT-exact, the mean gap is one float division of
+    exact integers."""
+    w_ord = Window.partitionBy(*series_cols).orderBy(ts_col)
+    gap = F.col(ts_col) - F.lag(ts_col).over(w_ord)
+    dup = F.when(gap == 0, 1).otherwise(0)
+    base = samples.select(
+        *series_cols,
+        F.col(ts_col),
+        F.col(value_col),
+        gap.alias("_gap"),
+        dup.alias("_dup"),
+    )
+    return base.groupBy(*series_cols).agg(
+        F.count("*").alias("n_samples"),
+        F.sum(F.when(F.col(value_col).isNull(), 1).otherwise(0)).alias("n_null_values"),
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+        F.sum("_dup").cast("long").alias("n_duplicate_ts"),
+        F.max("_gap").alias("max_gap"),
+        (
+            F.sum("_gap").cast("double") / F.greatest(F.count("_gap"), F.lit(1))
+        ).alias("mean_gap"),
+    )

@@ -3127,3 +3127,85 @@ SELECT series, tu, value, trend, detrended, seasonal,
 FROM s
 """,
 )
+
+
+# Page-Hinkley changepoint flags over the error metric (sustained level
+# shifts).  S_t is exact-by-construction (decimal running sum minus
+# rn*mean), so the flag set is bit-deterministic and the oracle can
+# replicate it with the same two IEEE ops.
+def _ts_changepoints(spark, sf):
+    from stdb_spark.operators import behavior
+
+    ev = model.events_as_samples(spark, sf).filter(F.col("metric") == "error").select(
+        F.concat(F.lit("error user="), F.col("tags")["user"]).alias("series"),
+        F.expr("ts div 1000").alias("tu"),
+        "value",
+    )
+    return behavior.changepoints_page_hinkley(
+        ev, threshold=50.0, series_cols=("series",), ts_col="tu"
+    )
+
+
+_q(
+    "ts_changepoints",
+    _ts_changepoints,
+    BASE
+    + f"""
+, v AS (SELECT 'error user=' || u AS series, tu, value FROM base WHERE metric = 'error')
+, s AS (
+  SELECT series, tu, value,
+    CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) OVER w_run AS VARCHAR) AS DOUBLE)
+      - row_number() OVER w_ord
+        * (CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) OVER w_all AS VARCHAR) AS DOUBLE)
+           / count(value) OVER w_all) AS st
+  FROM v
+  WINDOW w_ord AS (PARTITION BY series ORDER BY tu, value),
+         w_run AS (PARTITION BY series ORDER BY tu, value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_all AS (PARTITION BY series)
+), p AS (
+  SELECT series, tu, value,
+         st - min(st) OVER (PARTITION BY series ORDER BY tu, value
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS ph_stat
+  FROM s
+)
+SELECT series, tu, value, ph_stat FROM p WHERE ph_stat > 50.0
+""",
+)
+
+
+# Per-series ingest quality report over every metric/user series.
+def _ts_quality_profile(spark, sf):
+    from stdb_spark.operators import behavior
+
+    ev = model.events_as_samples(spark, sf).select(
+        F.concat(F.col("metric"), F.lit(" user="), F.col("tags")["user"]).alias(
+            "series"
+        ),
+        F.expr("ts div 1000").alias("tu"),
+        "value",
+    )
+    return behavior.series_quality_profile(ev, series_cols=("series",), ts_col="tu")
+
+
+_q(
+    "ts_quality_profile",
+    _ts_quality_profile,
+    BASE
+    + """
+, v AS (SELECT metric || ' user=' || u AS series, tu, value FROM base)
+, g AS (
+  SELECT series, tu, value,
+         tu - lag(tu) OVER (PARTITION BY series ORDER BY tu) AS gap
+  FROM v
+)
+SELECT series, count(*) AS n_samples,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_values,
+       min(tu) AS first_ts, max(tu) AS last_ts,
+       CAST(sum(CASE WHEN gap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicate_ts,
+       max(gap) AS max_gap,
+       CAST(sum(gap) AS DOUBLE) / greatest(count(gap), 1) AS mean_gap
+FROM g GROUP BY series
+""",
+)

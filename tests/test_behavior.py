@@ -344,3 +344,46 @@ def test_seasonal_decompose_recovers_components(spark):
 
     with pytest.raises(ValueError):
         behavior.seasonal_decompose(df, period=4)
+
+
+def test_changepoints_flag_level_shift_only(spark):
+    # flat at 0 for 30 samples, then a +10 level shift: PH must stay
+    # silent before the shift and fire shortly after it
+    x = [0.0] * 30 + [10.0] * 30
+    rows = [("s", t, v) for t, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    got = sorted(
+        r.ts
+        for r in behavior.changepoints_page_hinkley(df, threshold=20.0).collect()
+    )
+    assert got and min(got) >= 30  # nothing flagged before the shift
+    assert min(got) <= 40  # detected within a few samples
+    # a shift-free series never fires
+    flat = spark.createDataFrame(
+        [("s", t, 1.0) for t in range(50)], "series string, ts long, value double"
+    )
+    assert behavior.changepoints_page_hinkley(flat, threshold=1.0).count() == 0
+
+
+def test_series_quality_profile_hand_computed(spark):
+    rows = [
+        ("a", 0, 1.0),
+        ("a", 10, None),
+        ("a", 10, 2.0),  # duplicate timestamp
+        ("a", 40, 3.0),
+        ("b", 5, 9.0),  # single-sample series: no gaps
+    ]
+    df = spark.createDataFrame(rows, "series string, tu long, value double")
+    out = {
+        r.series: r
+        for r in behavior.series_quality_profile(
+            df, series_cols=("series",), ts_col="tu"
+        ).collect()
+    }
+    a = out["a"]
+    assert (a.n_samples, a.n_null_values, a.n_duplicate_ts) == (4, 1, 1)
+    assert (a.first_ts, a.last_ts, a.max_gap) == (0, 40, 30)
+    assert abs(a.mean_gap - (10 + 0 + 30) / 3) < 1e-12
+    b = out["b"]
+    # single-sample series: no gaps exist, so gap stats are NULL (not 0)
+    assert b.n_samples == 1 and b.max_gap is None and b.mean_gap is None
