@@ -33,6 +33,7 @@ HEADLINE = [
     "ts_ewma",
     "ts_holt",
     "ts_holt_winters",
+    "ts_wma",
     "ts_cusum",
     "ts_gapfill_interpolate",
     "ts_corr_metrics",

@@ -422,6 +422,30 @@ def apply_pipeline(
                     c,
                     F.when(F.col(c).isNotNull() & (rn >= n), med),
                 )
+        elif name == "wma":
+            # linearly-weighted moving average (exposed extra): the most
+            # recent of the n window samples weighs n, the oldest 1 —
+            # out = sum((n-j) * x[t-j]) / (n(n+1)/2).  Integer weights ×
+            # decimal lags summed left-associated are EXACT; the single
+            # closing division is the only float op, so any engine
+            # reproduces the result bit-for-bit.  Warm-up rows (< n
+            # samples) emit NULL (any NULL lag nulls the decimal sum).
+            n = int(step.get("window-width", 0))
+            if not 0 < n <= 12:
+                # the left-assoc decimal chain grows one precision digit
+                # per add; 12 terms stays under every engine's 38-digit
+                # cap with zero rounding.  Wider smoothing belongs to
+                # sma/ewma anyway.
+                raise ApplyError("`wma` requires `window-width` in 1..12")
+            denom = float(n * (n + 1) // 2)
+            for c in value_cols:
+                terms = None
+                for j in range(n):
+                    t = F.lag(F.col(c), j).over(w).cast("DECIMAL(20,10)") * F.lit(
+                        n - j
+                    ).cast("DECIMAL(4,0)")
+                    terms = t if terms is None else terms + t
+                df = df.withColumn(c, terms.cast("double") / F.lit(denom))
         elif name == "top":
             n = int(step["N"])
             c = value_cols[0]

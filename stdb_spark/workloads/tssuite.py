@@ -3209,3 +3209,38 @@ SELECT series, count(*) AS n_samples,
 FROM g GROUP BY series
 """,
 )
+
+
+# Linearly-weighted moving average (width 5) — integer weights times
+# decimal lags, one float division: exact everywhere, NULL warm-up.
+_q(
+    "ts_wma",
+    lambda spark, sf: _us(
+        _engine(spark, sf).query(
+            {
+                "select": "purchase",
+                "range": {"from": JAN01, "to": FEB01},
+                "apply": [{"name": "wma", "window-width": 5}],
+            }
+        )
+    ),
+    f"""
+WITH v AS (
+  SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
+         epoch_us(ts) AS tu, value
+  FROM events
+  WHERE event_type = 'purchase'
+    AND epoch_us(ts) >= {JAN01_US} AND epoch_us(ts) < {FEB01_US}
+)
+SELECT series, tu AS ts,
+  CAST(CAST(
+      CAST(value AS DECIMAL(20,10)) * CAST(5 AS DECIMAL(4,0))
+    + CAST(lag(value, 1) OVER w AS DECIMAL(20,10)) * CAST(4 AS DECIMAL(4,0))
+    + CAST(lag(value, 2) OVER w AS DECIMAL(20,10)) * CAST(3 AS DECIMAL(4,0))
+    + CAST(lag(value, 3) OVER w AS DECIMAL(20,10)) * CAST(2 AS DECIMAL(4,0))
+    + CAST(lag(value, 4) OVER w AS DECIMAL(20,10)) * CAST(1 AS DECIMAL(4,0))
+  AS VARCHAR) AS DOUBLE) / CAST(15.0 AS DOUBLE) AS value
+FROM v
+WINDOW w AS (PARTITION BY series ORDER BY tu)
+""",
+)

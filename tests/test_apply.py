@@ -364,3 +364,37 @@ def test_holt_winters_matches_python_model(spark):
                 "apply": [{"name": "holt-winters", "period": 1}],
             }
         ).collect()
+
+
+def test_wma_hand_computed_and_warmup(spark):
+    x = [1.0, 2.0, 3.0, 4.0, 10.0]
+    rows = [("m", {"s": "W"}, 1_000_000 * i, v) for i, v in enumerate(x)]
+    e = Engine(spark, samples=make_samples(spark, rows))
+    got = [
+        r.value
+        for r in e.query(
+            {
+                "select": "m",
+                "range": {"from": 0, "to": 10**12},
+                "apply": [{"name": "wma", "window-width": 3}],
+            }
+        ).collect()
+    ]
+    # warm-up (< 3 samples): NULL
+    assert got[0] is None and got[1] is None
+    # wma_t = (3*x_t + 2*x_{t-1} + 1*x_{t-2}) / 6
+    assert got[2] == (3 * 3.0 + 2 * 2.0 + 1 * 1.0) / 6
+    assert got[3] == (3 * 4.0 + 2 * 3.0 + 1 * 2.0) / 6
+    assert got[4] == (3 * 10.0 + 2 * 4.0 + 1 * 3.0) / 6
+    import pytest
+
+    from stdb_spark.query.apply_nodes import ApplyError
+
+    with pytest.raises(ApplyError):
+        e.query(
+            {
+                "select": "m",
+                "range": {"from": 0, "to": 10**12},
+                "apply": [{"name": "wma", "window-width": 13}],
+            }
+        ).collect()
