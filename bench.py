@@ -78,6 +78,8 @@ HEADLINE = [
     "doc_hybrid_neardup",
     "ts_group_aggregate_calendar_week",
     "rel_salted_skew_join",
+    "rel_key_skew_histogram",
+    "emb_silhouette",
     "doc_decontaminated_corpus",
     "doc_vocab_coverage",
     "ts_top_per_bucket",

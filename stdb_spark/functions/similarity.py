@@ -601,3 +601,55 @@ def semantic_dedup_pairs(
         .select("a", "b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def simplified_silhouette(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette score per label — the
+    standard linear-time embedding-clustering quality metric: for each
+    vector, a = distance to its own label centroid, b = min distance to
+    any other label's centroid, s = (b - a) / max(a, b); report the
+    per-label mean and count.  O(n·d·k) instead of the exact
+    silhouette's O(n²·d).
+
+    Determinism: centroid means use decimal element sums
+    (:func:`label_centroids`); every squared-distance term quantizes to
+    DECIMAL(38,8) before the (vector, label) reduction, so the result
+    is partitioning- and engine-independent.  Plan: posexplode map-side,
+    ONE (key, label) exchange of the distance partial sums (the
+    centroid table, #labels × dims rows, broadcasts into the join).
+    When cross-engine bit-parity is not required, the kmeans-style
+    collected-centroid broadcast fold (ivf_top_k_trained pattern) is
+    the cheaper at-scale variant — no distance exchange at all."""
+    cents = label_centroids(emb, label_col, vec_col)
+    ex = emb.select(
+        F.col(key),
+        F.col(label_col).alias("vlabel"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    sq = (
+        ex.join(F.broadcast(cents), "pos")
+        .groupBy(key, "vlabel", F.col("label").alias("clabel"))
+        .agg(F.expr("CAST(sum(CAST((CAST(x AS DOUBLE) - centroid) * (CAST(x AS DOUBLE) - centroid) AS DECIMAL(38,8))) AS DOUBLE)").alias("sq"))
+    )
+    per_vec = sq.groupBy(key, "vlabel").agg(
+        F.sqrt(F.max(F.when(F.col("clabel") == F.col("vlabel"), F.col("sq")))).alias("a"),
+        F.sqrt(F.min(F.when(F.col("clabel") != F.col("vlabel"), F.col("sq")))).alias("b"),
+    )
+    s = F.when(F.greatest("a", "b") == 0.0, F.lit(0.0)).otherwise(
+        (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    )
+    return (
+        per_vec.select(F.col("vlabel").alias("label"), s.alias("_s"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(
+                "CAST(sum(CAST(_s AS DECIMAL(28,10))) AS DOUBLE) / count(*)"
+            ).alias("mean_silhouette"),
+        )
+    )

@@ -50,3 +50,29 @@ def salted_join(
     )
     out = l_salted.join(r_rep, on + ["_salt"], how)
     return out.drop("_salt")
+
+
+def key_skew_histogram(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Key-frequency skew diagnostic — the query you run BEFORE picking
+    a join strategy: per-key row counts bucketed by bit length
+    (bucket b holds keys with 2^(b-1) <= count < 2^b), reporting how
+    many keys and how many rows live at each magnitude plus the largest
+    key in the bucket.  A healthy key histogram is bottom-heavy; rows
+    concentrating in the top buckets say "salt this join" / "AQE skew
+    split territory".
+
+    Bit length (`length(bin(c))`) replaces floor(log2(c)): pure integer
+    arithmetic, so the bucketing is exact on every engine (float log2
+    of a power of two is libm-dependent).  Two aggregations: the key
+    count (the unavoidable exchange) and a ≤64-row histogram."""
+    counts = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count("*").alias("_c")
+    )
+    return (
+        counts.groupBy(F.length(F.bin("_c")).cast("long").alias("count_bits"))
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("_c").alias("n_rows"),
+            F.max("_c").alias("max_key_rows"),
+        )
+    )

@@ -1827,3 +1827,52 @@ SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
 FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
 """,
 )
+
+
+# Simplified silhouette per label (centroid-based clustering quality,
+# O(n*d*k)): decimal-exact centroid means, every squared-distance term
+# quantized to DECIMAL(38,8) before reduction, distances via sqrt of
+# the exact sum — bit-deterministic, so the oracle replicates it.
+def _emb_silhouette(spark, sf):
+    return similarity.simplified_silhouette(
+        model.load_table(spark, sf, "embeddings")
+    )
+
+
+_q(
+    "emb_silhouette",
+    _emb_silhouette,
+    """
+WITH ex AS (
+  SELECT vec_id, label AS vlabel,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS x
+  FROM embeddings
+), cents AS (
+  SELECT vlabel AS clabel, pos,
+         CAST(CAST(sum(CAST(x::DOUBLE AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+           / count(*) AS c
+  FROM ex GROUP BY vlabel, pos
+), sq AS (
+  SELECT e.vec_id, e.vlabel, cents.clabel,
+    CAST(CAST(sum(CAST((e.x::DOUBLE - c) * (e.x::DOUBLE - c) AS DECIMAL(38,8)))
+         AS VARCHAR) AS DOUBLE) AS sq
+  FROM ex e JOIN cents ON e.pos = cents.pos
+  GROUP BY e.vec_id, e.vlabel, cents.clabel
+), pv AS (
+  SELECT vec_id, vlabel,
+    sqrt(max(CASE WHEN clabel = vlabel THEN sq END)) AS a,
+    sqrt(min(CASE WHEN clabel != vlabel THEN sq END)) AS b
+  FROM sq GROUP BY vec_id, vlabel
+), s AS (
+  SELECT vlabel AS label,
+    CASE WHEN greatest(a, b) = 0.0 THEN 0.0
+         ELSE (b - a) / greatest(a, b) END AS sil
+  FROM pv
+)
+SELECT label, count(*) AS n,
+  CAST(CAST(sum(CAST(sil AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / count(*)
+    AS mean_silhouette
+FROM s GROUP BY label
+""",
+)

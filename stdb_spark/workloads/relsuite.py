@@ -931,3 +931,27 @@ FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """,
 )
+
+
+# Key-skew diagnostic over the lineitem->orders join key: per-magnitude
+# histogram of l_orderkey frequencies (see functions/skew.py).
+def _rel_skew_histogram(spark, sf):
+    from stdb_spark.functions.skew import key_skew_histogram
+
+    return key_skew_histogram(model.load_table(spark, sf, "lineitem"), "l_orderkey")
+
+
+_q(
+    "rel_key_skew_histogram",
+    _rel_skew_histogram,
+    """
+WITH c AS (
+  SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(length(bin(c)) AS BIGINT) AS count_bits,
+       count(*) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       max(c) AS max_key_rows
+FROM c GROUP BY 1
+""",
+)

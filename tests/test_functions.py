@@ -790,3 +790,38 @@ def test_snapshot_diff_classes(spark):
     out = {r.doc_id: r.status for r in dedup.snapshot_diff(v1, v2).collect()}
     # doc 1: differs only in case/whitespace -> digest-identical
     assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_simplified_silhouette_separated_vs_mixed(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    vid = 0
+    # two tight, well-separated clusters
+    for lab, center in ((0, (10.0, 0.0)), (1, (-10.0, 0.0))):
+        for _ in range(20):
+            v = [center[0] + rng.normal(0, 0.1), center[1] + rng.normal(0, 0.1)]
+            rows.append((vid, [float(x) for x in v], lab))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.label: r for r in similarity.simplified_silhouette(df).collect()}
+    assert out[0].n == 20 and out[1].n == 20
+    assert out[0].mean_silhouette > 0.95 and out[1].mean_silhouette > 0.95
+    # numpy cross-check of the exact definition on one label
+    X = np.array([r[1] for r in rows])
+    labs = np.array([r[2] for r in rows])
+    c0, c1 = X[labs == 0].mean(0), X[labs == 1].mean(0)
+    sils = []
+    for x in X[labs == 0]:
+        a = np.linalg.norm(x - c0)
+        b = np.linalg.norm(x - c1)
+        sils.append((b - a) / max(a, b))
+    assert abs(out[0].mean_silhouette - float(np.mean(sils))) < 1e-6
+    # random labels on one blob: silhouette collapses toward <= 0
+    mixed = spark.createDataFrame(
+        [(i, [float(rng.normal()), float(rng.normal())], i % 2) for i in range(40)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    mo = {r.label: r.mean_silhouette for r in similarity.simplified_silhouette(mixed).collect()}
+    assert all(v < 0.3 for v in mo.values())

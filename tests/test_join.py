@@ -192,3 +192,14 @@ def test_salted_join_equals_plain_join(spark):
         for r in salted_join(l2, right, ["k"], buckets=4, how="left").collect()
     }
     assert lo == {(7, 1, "r7"), (999, 2, None)}
+
+
+def test_key_skew_histogram_buckets(spark):
+    from stdb_spark.functions.skew import key_skew_histogram
+
+    # key 'hot' x 9 (bits=4), 'warm' x 2 (bits=2), 6 singletons (bits=1)
+    rows = [("hot",)] * 9 + [("warm",)] * 2 + [(f"k{i}",) for i in range(6)]
+    df = spark.createDataFrame(rows, "k string")
+    got = {r.count_bits: (r.n_keys, r.n_rows, r.max_key_rows)
+           for r in key_skew_histogram(df, "k").collect()}
+    assert got == {1: (6, 6, 1), 2: (1, 2, 2), 4: (1, 9, 9)}
