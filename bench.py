@@ -79,6 +79,7 @@ HEADLINE = [
     "ts_group_aggregate_calendar_week",
     "rel_salted_skew_join",
     "rel_key_skew_histogram",
+    "rel_sql_portable",
     "emb_silhouette",
     "doc_decontaminated_corpus",
     "doc_vocab_coverage",

@@ -166,6 +166,18 @@ def load_tables(
     return {t: load_table(spark, sf_dir, t) for t in names}
 
 
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> None:
+    """Expose the testdata tables as temp views so the ENTIRE surface is
+    also reachable through ``spark.sql("...")`` — the engine's JSON
+    language and the DataFrame helpers are conveniences, not a wall:
+    any ANSI query a reference user writes against these names runs
+    unchanged on Catalyst (and, in the oracle gate, on DuckDB)."""
+    for t in names:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
 def _ts_ns_expr(ev: DataFrame):
     """int64-ns expression for the events ``ts`` column, dispatched on
     the dtype the parquet footer actually produced.  The engine's

@@ -149,3 +149,57 @@ def write_samples_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def expire_partitions(spark: SparkSession, path: str, before_day: int) -> list[str]:
+    """Retention enforcement on the (day, metric) layout: drop every
+    ``day=N`` partition directory with N < ``before_day``.  This is the
+    TTL path a 100 TB deployment runs nightly — a pure metadata/
+    directory operation (no data rewrite, no scan), the Parquet-layout
+    analog of the reference dropping whole NB+tree superblocks.
+
+    Uses the Hadoop FileSystem API so it works on whatever filesystem
+    the session is configured for (local, HDFS, object store).
+    Returns the partition directory names removed."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    removed = []
+    if not fs.exists(p):
+        return removed
+    for status in fs.listStatus(p):
+        name = status.getPath().getName()
+        if not name.startswith("day="):
+            continue
+        try:
+            day = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if day < before_day:
+            fs.delete(status.getPath(), True)
+            removed.append(name)
+    return sorted(removed)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_files_per_partition: int = 1,
+) -> None:
+    """Small-file compaction: rewrite the layout with
+    ``target_files_per_partition`` files per (day, metric), restoring
+    the (series_id, ts) sort.  Streaming ingest (availableNow
+    micro-batches) leaves one file per batch per partition; at 100 TB
+    that read amplification dominates scan cost, and nightly compaction
+    is the standard fix.  The rewrite is partition-parallel — each
+    (day, metric) group repartitions independently, no global sort."""
+    df = spark.read.parquet(path)
+    (
+        df.repartition(target_files_per_partition, "day", "metric")
+        .sortWithinPartitions("day", "metric", "series_id", "ts")
+        .write.partitionBy("day", "metric")
+        .mode("overwrite")
+        .parquet(out_path)
+    )

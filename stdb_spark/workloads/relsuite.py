@@ -955,3 +955,27 @@ SELECT CAST(length(bin(c)) AS BIGINT) AS count_bits,
 FROM c GROUP BY 1
 """,
 )
+
+
+# The spark.sql entry point, demonstrated the strongest way possible:
+# ONE portable ANSI text executed verbatim by Catalyst AND by the
+# DuckDB oracle (model.register_views exposes the tables under the same
+# names the driver pre-registers).  Counts only — integral aggregates
+# are engine-portable without the decimal/VARCHAR idioms.
+_PORTABLE_SQL = """
+SELECT n_name,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def _rel_sql_portable(spark, sf):
+    model.register_views(spark, sf, ("orders", "customer", "nation"))
+    return spark.sql(_PORTABLE_SQL)
+
+
+_q("rel_sql_portable", _rel_sql_portable, _PORTABLE_SQL)

@@ -249,3 +249,55 @@ def test_bucketed_layout_elides_groupby_exchange(spark, facts):
         assert got == direct
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bucketed_test")
+
+
+def test_expire_partitions_drops_old_days(spark, tmp_path):
+    from stdb_spark.common.timeutil import NS_PER_DAY
+    from stdb_spark.sources import storage
+
+    rows = [
+        ("s1", "m", {}, d * NS_PER_DAY + 5, float(d)) for d in (0, 1, 2, 3)
+    ]
+    df = spark.createDataFrame(
+        rows, "series_id string, metric string, tags map<string,string>, ts long, value double"
+    )
+    path = str(tmp_path / "layout")
+    storage.write_samples(df, path)
+    removed = storage.expire_partitions(spark, path, before_day=2)
+    assert removed == ["day=0", "day=1"]
+    kept = storage.read_samples(spark, path)
+    assert sorted(r.value for r in kept.collect()) == [2.0, 3.0]
+    # idempotent: nothing left below the horizon
+    assert storage.expire_partitions(spark, path, before_day=2) == []
+
+
+def test_compact_partitions_reduces_file_count(spark, tmp_path):
+    import glob
+
+    from stdb_spark.common.timeutil import NS_PER_DAY
+    from stdb_spark.sources import storage
+
+    rows = [
+        ("s%d" % i, "m", {}, (i % 2) * NS_PER_DAY + i, float(i)) for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "series_id string, metric string, tags map<string,string>, ts long, value double"
+    )
+    src = str(tmp_path / "fragmented")
+    # fragment the way streaming ingest does: one file per micro-batch
+    # per partition (4 appends -> 4 files per (day, metric))
+    for start in range(0, 40, 10):
+        part = spark.createDataFrame(
+            rows[start : start + 10],
+            "series_id string, metric string, tags map<string,string>, ts long, value double",
+        )
+        storage.write_samples(part, src, mode="append")
+    dst = str(tmp_path / "compacted")
+    storage.compact_partitions(spark, src, dst, target_files_per_partition=1)
+    n_src = len(glob.glob(f"{src}/day=*/metric=*/*.parquet"))
+    n_dst = len(glob.glob(f"{dst}/day=*/metric=*/*.parquet"))
+    assert n_dst < n_src and n_dst == 2  # one file per (day, metric)
+    # content survives byte-identically
+    a = sorted(map(tuple, storage.read_samples(spark, src).collect()))
+    b = sorted(map(tuple, storage.read_samples(spark, dst).collect()))
+    assert a == b
