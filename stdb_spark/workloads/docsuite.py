@@ -1876,3 +1876,47 @@ SELECT label, count(*) AS n,
 FROM s GROUP BY label
 """,
 )
+
+
+# Survivor-selection policy variant: within each exact-duplicate class
+# keep the LONGEST document (ties: smallest doc_id) — the usual policy
+# when near-identical crawls differ by truncation.  max_by via struct
+# ordering; deterministic by the tie-break.
+def _dedup_keep_longest(spark, sf):
+    docs = model.load_table(spark, sf, "documents")
+    digest = F.md5(dedup.normalized_text())
+    return (
+        docs.select(digest.alias("digest"), "doc_id", "n_chars")
+        .groupBy("digest")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.max(
+                F.struct(
+                    F.col("n_chars").alias("len"), (-F.col("doc_id")).alias("negid")
+                )
+            ).alias("_best"),
+        )
+        .filter(F.col("dup_count") > 1)
+        .select(
+            "digest",
+            "dup_count",
+            F.col("_best.len").alias("keep_len"),
+            (-F.col("_best.negid")).alias("keep_id"),
+        )
+    )
+
+
+_q(
+    "doc_dedup_keep_longest",
+    _dedup_keep_longest,
+    f"""
+SELECT md5({_NORM}) AS digest, count(*) AS dup_count,
+       max(n_chars) AS keep_len,
+       min(doc_id) FILTER (WHERE n_chars = max_n) AS keep_id
+FROM (
+  SELECT *, max(n_chars) OVER (PARTITION BY md5({_NORM})) AS max_n
+  FROM documents
+)
+GROUP BY 1 HAVING count(*) > 1
+""",
+)

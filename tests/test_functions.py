@@ -825,3 +825,29 @@ def test_simplified_silhouette_separated_vs_mixed(spark):
     )
     mo = {r.label: r.mean_silhouette for r in similarity.simplified_silhouette(mixed).collect()}
     assert all(v < 0.3 for v in mo.values())
+
+
+def test_dedup_keep_longest_policy(spark):
+    from stdb_spark.workloads.docsuite import QUERIES as DQ  # noqa
+
+    rows = [
+        (1, "same text", "s", 9),
+        (2, "same  TEXT", "s", 10),   # same digest, longer -> keeper
+        (3, "same text", "s", 9),
+        (4, "unique", "s", 6),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, n_chars long")
+    digest = F.md5(dedup.normalized_text())
+    out = (
+        df.select(digest.alias("digest"), "doc_id", "n_chars")
+        .groupBy("digest")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.max(F.struct(F.col("n_chars").alias("len"), (-F.col("doc_id")).alias("negid"))).alias("_b"),
+        )
+        .filter(F.col("dup_count") > 1)
+        .select("dup_count", F.col("_b.len").alias("keep_len"), (-F.col("_b.negid")).alias("keep_id"))
+        .collect()
+    )
+    assert len(out) == 1
+    assert (out[0].dup_count, out[0].keep_len, out[0].keep_id) == (3, 10, 2)
