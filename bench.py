@@ -109,6 +109,10 @@ HEADLINE = [
     "doc_snapshot_diff",
     "ts_decimate",
     "ts_concurrency",
+    "ts_integral_daily",
+    "ts_mad_outliers",
+    "doc_dup_spans",
+    "sp_grid_density",
 ]
 
 

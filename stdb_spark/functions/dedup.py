@@ -617,3 +617,56 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return o.join(n, key, "full_outer").select(F.col(key), status.alias("status"))
+
+
+def dup_span_profile(
+    docs: DataFrame,
+    width: int = 8,
+    text_col: str = "text",
+    key: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicate-span profile: slide a ``width``-token
+    window over every document and report how many of its spans occur
+    at least ``min_count`` times corpus-wide.  This is the discovery
+    half of exact substring deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): docs
+    with a high ``dup_ratio`` carry boilerplate/templated spans that
+    survive document-level dedup (the reference only ever dedups whole
+    rows — span-level dedup is the training-pipeline extension).
+
+    Returns (key, n_spans, n_dup_spans, dup_ratio) for every document
+    with at least one full-width span (shorter docs have no spans and
+    are absent by definition).
+
+    Scale shape: spans are reduced to md5 digests map-side, then TWO
+    hash exchanges — gram -> count, and the per-doc rollup.  Unlike
+    pair emission (ngram_jaccard_pairs), a corpus-hot span only
+    inflates a single count cell, never a quadratic postings group, so
+    no df-cap is needed; md5 keys are uniform, so no skew either.
+    """
+    toks = tokens_col(text_col)
+    base = docs.select(F.col(key), toks.alias("_t"))
+    n = F.size("_t")
+    grams = F.when(
+        n >= width,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(width - 1)),
+            lambda i: F.md5(F.array_join(F.slice("_t", i, width), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = base.select(F.col(key), F.explode(grams).alias("g"))
+    counts = spans.groupBy("g").agg(F.count("*").alias("_c"))
+    return (
+        spans.join(counts, "g")
+        .groupBy(key)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("_c") >= min_count, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_ratio", F.col("n_dup_spans").cast("double") / F.col("n_spans")
+        )
+    )

@@ -479,3 +479,115 @@ def series_quality_profile(
             F.sum("_gap").cast("double") / F.greatest(F.count("_gap"), F.lit(1))
         ).alias("mean_gap"),
     )
+
+
+def trapezoid_integral(
+    samples: DataFrame,
+    bucket_ns: int,
+    origin_ns: int = 0,
+    series_col: str = "series",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-series trapezoidal integral (area under the value curve) per
+    begin-aligned time bucket, in value·seconds — the continuous-time
+    companion of the reference's discrete aggregates (a mean over
+    irregular samples weights by count; the integral weights by time,
+    which is what energy/utilization/queue-depth analyses need; same
+    accumulation family as the reference's time-weighted `top`,
+    stdb/query/query_processing/top.cc:18-72).
+
+    Each consecutive-pair term (vᵢ₋₁+vᵢ)/2 · Δt belongs to the bucket
+    of its RIGHT endpoint (documented rule; a pair spanning a bucket
+    boundary is not split).
+
+    Exactness: the accumulation never touches doubles until the very
+    end — v and vᵢ₋₁ quantize to DECIMAL(23,10) (exact for the short-
+    decimal doubles real metrics carry), Δt in µs is a DECIMAL(13,0)
+    integer, and (v+pv)·Δt_µs is DECIMAL(38,10) with no precision
+    adjustment, so the per-bucket sum is exact and partitioning/
+    engine-independent; ONE final decimal→double conversion and the
+    ÷2e6 (µs→s and the trapezoid ½) happen in double where a last-ulp
+    wobble is ~1e-16 relative.  (Summing per-term doubles instead
+    diverges across engines: a double→decimal cast of a *computed*
+    product rounds shortest-repr in the JVM but exact-binary in e.g.
+    DuckDB.)  Requires µs-resolution timestamps (the engine's µs-grid
+    ns convention).
+
+    Plan: ONE exchange on the series key for the lag window, then the
+    (series, bucket) aggregate — partial (map-side) combine reduces
+    that second exchange to one row per series×bucket."""
+    w = Window.partitionBy(series_col).orderBy(ts_col)
+    pv = F.lag(value_col).over(w)
+    pt = F.lag(ts_col).over(w)
+    # exact int64 begin-aligned bucket (same convention as the engine's
+    # group-aggregate _bucket_col); origin must be <= min(ts)
+    bucket = F.lit(origin_ns) + F.lit(bucket_ns) * F.expr(
+        f"({ts_col} - {origin_ns}L) div {bucket_ns}L"
+    )
+    d = samples.select(
+        F.col(series_col).alias("series"),
+        bucket.alias("_b"),
+        F.col(value_col).alias("_v"),
+        pv.alias("_pv"),
+        ((F.col(ts_col) - pt) / F.lit(1000)).cast("long").alias("_dt_us"),
+    ).filter(F.col("_pv").isNotNull())
+    term = (
+        "(CAST(_v AS DECIMAL(23,10)) + CAST(_pv AS DECIMAL(23,10)))"
+        " * CAST(_dt_us AS DECIMAL(13,0))"
+    )
+    # integral in value·seconds; twa = Σ(v+pv)Δt / 2ΣΔt (the µs units
+    # cancel).  NOTE for cross-engine hashing: `integral` can be large
+    # (value·seconds over a day ~1e8) and a 1-ulp difference in the
+    # final decimal→double conversion is then visible to an absolute
+    # 1e-6 rounding — hash `twa` or a rescaled integral instead.
+    return d.groupBy("series", F.col("_b").alias("ts")).agg(
+        F.expr(
+            f"CAST(sum({term}) AS DOUBLE) / CAST(2e6 AS DOUBLE)"
+        ).alias("integral"),
+        F.expr(
+            f"CAST(sum({term}) AS DOUBLE) / CAST(2.0 AS DOUBLE)"
+            " / CAST(sum(CAST(_dt_us AS DECIMAL(18,0))) AS DOUBLE)"
+        ).alias("twa"),
+    )
+
+
+def mad_outliers(
+    samples: DataFrame,
+    series_col: str = "series",
+    value_col: str = "value",
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-series robust outlier profile via the median absolute
+    deviation: median, MAD, sample count, and the count of samples with
+    |v − median| > k·1.4826·MAD (1.4826 rescales MAD to σ under
+    normality).  The robust twin of :func:`anomaly_zscore` — a single
+    wild outlier inflates the z-score's own σ and masks itself, which
+    is exactly the failure mode MAD exists to avoid.
+
+    Exactness: medians are exact linear-interpolation percentiles
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont`` bit-for-bit, the
+    proven ts_group_aggregate_p95 pattern); deviations and the k·MAD
+    threshold are fixed-order double arithmetic.  A constant series has
+    MAD 0 and flags nothing (dev > 0 is never > 0·k).
+
+    Plan: ONE exchange on the series key; both percentile windows and
+    the final rollup reuse that partitioning (percentile is not
+    partial-aggregatable, so a window over the series exchange beats
+    two groupBy+join rounds)."""
+    w = Window.partitionBy(series_col)
+    med = F.expr(f"percentile({value_col}, 0.5)").over(w)
+    dev = F.abs(F.col(value_col) - med)
+    d = samples.withColumn("_med", med).withColumn("_dev", dev)
+    mad = F.expr("percentile(_dev, 0.5)").over(w)
+    d = d.withColumn("_mad", mad)
+    out = F.col("_dev") > F.lit(k) * F.lit(1.4826) * F.col("_mad")
+    return (
+        d.groupBy(F.col(series_col).alias("series"))
+        .agg(
+            F.first("_med").alias("median"),
+            F.first("_mad").alias("mad"),
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+        )
+    )

@@ -118,3 +118,18 @@ def knn_grid(
     r_final = math.ceil(math.sqrt(2.0) * (r + 1)) + 1
     pruned = df.filter(ring <= r_final)
     return knn(pruned, lon0, lat0, k, lon, lat, tie_break)
+
+
+def grid_density(
+    points: DataFrame, cell_x: Column, cell_y: Column
+) -> DataFrame:
+    """Point density per grid cell — the aggregate view of the same
+    write-time clustering grid_cell_expr partitions by (heatmaps,
+    hotspot detection, load-balancing a spatial layout).  ONE hash
+    exchange on the (uniform, bounded-cardinality) cell key with
+    map-side partial counts; at 100 TB with the table clustered on the
+    cell the exchange degenerates to a per-partition count."""
+    return (
+        points.groupBy(cell_x.alias("cell_x"), cell_y.alias("cell_y"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )

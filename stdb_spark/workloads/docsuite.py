@@ -1920,3 +1920,41 @@ FROM (
 GROUP BY 1 HAVING count(*) > 1
 """,
 )
+
+
+# ---------------------------------------------- duplicate-span profile
+# Span-level duplicate discovery (the Lee et al. 2022 exact-substring-
+# dedup primitive): how much of each document is W-token boilerplate
+# that recurs corpus-wide.  Unlike pair emission, a corpus-hot span
+# only bumps one count cell — no df-cap needed, no skew (md5 keys).
+def _doc_dup_spans(spark, sf):
+    from stdb_spark.functions.dedup import dup_span_profile
+
+    return dup_span_profile(
+        model.load_table(spark, sf, "documents"), width=8
+    )
+
+
+_q(
+    "doc_dup_spans",
+    _doc_dup_spans,
+    """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+  FROM documents
+),
+s AS (SELECT doc_id, unnest(range(1, len(toks) - 6)) AS i, toks FROM t),
+g AS (
+  SELECT doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS gram FROM s
+),
+c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_spans,
+  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+    AS dup_ratio
+FROM g JOIN c USING (gram)
+GROUP BY doc_id
+""",
+)

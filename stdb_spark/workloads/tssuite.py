@@ -3244,3 +3244,130 @@ FROM v
 WINDOW w AS (PARTITION BY series ORDER BY tu)
 """,
 )
+
+
+# ---------------------------------------------------- trapezoid integral
+# Area under the value curve per series per day (value·seconds) — the
+# continuous-time companion of the discrete aggregates (top.cc's
+# time-weighted accumulation family).  The accumulation is pure exact
+# decimal ((v+pv)·Δt_µs in DECIMAL(38,10)) with ONE final double
+# conversion, so both engines agree to ~1e-16 relative (see
+# trapezoid_integral's docstring for why per-term double→decimal
+# casts are NOT cross-engine safe).
+def _ts_integral(spark, sf):
+    from stdb_spark.operators.behavior import trapezoid_integral
+
+    df = _samples(spark, sf, "view", JAN01_US, FEB01_US)
+    out = trapezoid_integral(df, D1, origin_ns=JAN01)
+    # hash-safe magnitudes: value·hours (~1e4) and the time-weighted
+    # average (~value scale) — raw value·seconds would expose the
+    # final conversion's last ulp to the gate's absolute 1e-6 rounding
+    return _us(out).select(
+        "series",
+        "ts",
+        (F.col("integral") / F.lit(3600.0)).alias("integral_vh"),
+        "twa",
+    )
+
+
+_q(
+    "ts_integral_daily",
+    _ts_integral,
+    f"""
+WITH v AS (
+  SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
+         epoch_us(ts) AS tu, value
+  FROM events
+  WHERE event_type = 'view'
+    AND epoch_us(ts) >= {JAN01_US} AND epoch_us(ts) < {FEB01_US}
+),
+t AS (
+  SELECT series, tu, value,
+         lag(value) OVER w AS pv, lag(tu) OVER w AS ptu
+  FROM v WINDOW w AS (PARTITION BY series ORDER BY tu)
+)
+SELECT series,
+  {JAN01_US} + {D1_US} * ((tu - {JAN01_US}) // {D1_US}) AS ts,
+  CAST(sum(
+      (CAST(value AS DECIMAL(23,10)) + CAST(pv AS DECIMAL(23,10)))
+      * CAST((tu - ptu) AS DECIMAL(13,0))
+    ) AS DOUBLE) / CAST(2e6 AS DOUBLE) / CAST(3600.0 AS DOUBLE)
+    AS integral_vh,
+  CAST(sum(
+      (CAST(value AS DECIMAL(23,10)) + CAST(pv AS DECIMAL(23,10)))
+      * CAST((tu - ptu) AS DECIMAL(13,0))
+    ) AS DOUBLE) / CAST(2.0 AS DOUBLE)
+    / CAST(sum(CAST((tu - ptu) AS DECIMAL(18,0))) AS DOUBLE) AS twa
+FROM t WHERE pv IS NOT NULL
+GROUP BY series, 2
+""",
+)
+
+
+# ------------------------------------------------------- MAD outliers
+# Robust per-series outlier profile: median / MAD via exact linear-
+# interpolation percentiles (Spark percentile == DuckDB quantile_cont,
+# the proven ts_group_aggregate_p95 pattern); the k·1.4826·MAD
+# threshold folds to the same double constant in both engines.
+def _ts_mad(spark, sf):
+    from stdb_spark.operators.behavior import mad_outliers
+
+    return mad_outliers(_samples(spark, sf, "error", JAN01_US, FEB01_US))
+
+
+_q(
+    "ts_mad_outliers",
+    _ts_mad,
+    f"""
+WITH v AS (
+  SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
+         epoch_us(ts) AS tu, value
+  FROM events
+  WHERE event_type = 'error'
+    AND epoch_us(ts) >= {JAN01_US} AND epoch_us(ts) < {FEB01_US}
+),
+m AS (SELECT series, quantile_cont(value, 0.5) AS med FROM v GROUP BY series),
+d AS (
+  SELECT v.series, value, med, abs(value - med) AS dev
+  FROM v JOIN m USING (series)
+),
+md AS (SELECT series, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY series)
+SELECT d.series AS series,
+  max(med) AS median,
+  max(mad) AS mad,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN dev > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM d JOIN md USING (series)
+GROUP BY d.series
+""",
+)
+
+
+# ------------------------------------------------------- grid density
+# Cell-bucketed point density over the derived user locations — the
+# aggregate face of the write-time spatial clustering grid.  The cell
+# id goes through round() on a near-integer double (never near .5), so
+# HALF_UP vs half-away tie rules can't diverge.
+def _sp_grid_density(spark, sf):
+    from stdb_spark.operators.spatial import grid_density
+
+    return grid_density(
+        _user_points(spark, sf),
+        F.expr("CAST(round((lon - CAST(116.0 AS DOUBLE)) * 100) AS BIGINT) div 5"),
+        F.expr("CAST(round((lat - CAST(39.0 AS DOUBLE)) * 100) AS BIGINT) div 5"),
+    )
+
+
+_q(
+    "sp_grid_density",
+    _sp_grid_density,
+    _SP_BASE
+    + """
+SELECT CAST(round((lon - CAST(116.0 AS DOUBLE)) * 100) AS BIGINT) // 5 AS cell_x,
+       CAST(round((lat - CAST(39.0 AS DOUBLE)) * 100) AS BIGINT) // 5 AS cell_y,
+       CAST(count(*) AS BIGINT) AS n
+FROM pts
+GROUP BY 1, 2
+""",
+)

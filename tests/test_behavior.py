@@ -6,6 +6,8 @@ the reference has no analog, its events are scan-only,
 stdb/query/queryparser.cc:317-329).
 """
 
+import pytest
+
 from stdb_spark.operators import behavior
 
 
@@ -387,3 +389,46 @@ def test_series_quality_profile_hand_computed(spark):
     b = out["b"]
     # single-sample series: no gaps exist, so gap stats are NULL (not 0)
     assert b.n_samples == 1 and b.max_gap is None and b.mean_gap is None
+
+
+def test_trapezoid_integral_hand_computed(spark):
+    from stdb_spark.operators.behavior import trapezoid_integral
+
+    S = 1_000_000_000  # 1s in ns
+    rows = [
+        # series A: samples at t=0,10,20 s, values 1,3,5
+        ("A", 0 * S, 1.0),
+        ("A", 10 * S, 3.0),
+        ("A", 20 * S, 5.0),
+        # series A, next bucket (bucket=30s): pair (20s,35s) spans the
+        # boundary and belongs wholly to the right endpoint's bucket
+        ("A", 35 * S, 1.0),
+        # series B: single sample -> no pairs -> absent
+        ("B", 5 * S, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    out = {
+        (r.series, r.ts): (r.integral, r.twa)
+        for r in trapezoid_integral(df, 30 * S, origin_ns=0).collect()
+    }
+    # bucket 0: (1+3)/2*10 + (3+5)/2*10 = 20 + 40 = 60; twa = 60/20 = 3
+    assert out[("A", 0)][0] == pytest.approx(60.0)
+    assert out[("A", 0)][1] == pytest.approx(3.0)
+    # bucket 30s: (5+1)/2*15 = 45; twa = 45/15 = 3
+    assert out[("A", 30 * S)][0] == pytest.approx(45.0)
+    assert out[("A", 30 * S)][1] == pytest.approx(3.0)
+    assert ("B", 0) not in out and len(out) == 2
+
+
+def test_mad_outliers_flags_spike_not_flat(spark):
+    from stdb_spark.operators.behavior import mad_outliers
+
+    rows = [("s", float(v)) for v in [10, 11, 9, 10, 12, 10, 9, 11, 10, 500]]
+    rows += [("flat", 7.0)] * 6
+    df = spark.createDataFrame(rows, "series string, value double")
+    got = {r.series: r for r in mad_outliers(df).collect()}
+    assert got["s"].median == pytest.approx(10.0)
+    assert got["s"].n_outliers == 1  # only the 500 spike
+    assert got["s"].n == 10
+    # constant series: MAD 0, dev 0 -> nothing beyond the threshold
+    assert got["flat"].n_outliers == 0 and got["flat"].mad == 0.0

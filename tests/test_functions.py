@@ -851,3 +851,40 @@ def test_dedup_keep_longest_policy(spark):
     )
     assert len(out) == 1
     assert (out[0].dup_count, out[0].keep_len, out[0].keep_id) == (3, 10, 2)
+
+
+# ------------------------------------------------- duplicate-span profile
+def test_dup_span_profile_counts_planted_spans(spark):
+    from stdb_spark.functions.dedup import dup_span_profile
+
+    boiler = "the quick brown fox jumps over the lazy"  # exactly 8 tokens
+    rows = [
+        (1, boiler + " dog one two three"),       # 12 toks -> 5 spans
+        (2, "intro words here " + boiler),        # 11 toks -> 4 spans
+        (3, "entirely unrelated text with eight tokens set here now"),
+        (4, "short doc"),                          # < 8 tokens -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dup_span_profile(df, width=8).collect()}
+    # the boilerplate 8-gram appears once in doc 1 (at pos 1) and once
+    # in doc 2 (at pos 4) -> exactly one dup span each
+    assert got[1].n_spans == 5 and got[1].n_dup_spans == 1
+    assert got[2].n_spans == 4 and got[2].n_dup_spans == 1
+    assert got[1].dup_ratio == pytest.approx(0.2)
+    assert got[3].n_dup_spans == 0
+    assert 4 not in got
+
+
+def test_grid_density_counts(spark):
+    from pyspark.sql import functions as F
+
+    from stdb_spark.operators.spatial import grid_density
+
+    pts = spark.createDataFrame(
+        [(0.1, 0.1), (0.2, 0.15), (1.4, 0.1), (1.2, 1.3)],
+        "lon double, lat double",
+    )
+    cx = F.floor(F.col("lon")).cast("long")
+    cy = F.floor(F.col("lat")).cast("long")
+    got = {(r.cell_x, r.cell_y): r.n for r in grid_density(pts, cx, cy).collect()}
+    assert got == {(0, 0): 2, (1, 0): 1, (1, 1): 1}

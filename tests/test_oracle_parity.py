@@ -30,11 +30,14 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 # Queries whose floats involve transcendental functions evaluated by
-# each engine's own libm (ln in unigram_logprob): the JVM and DuckDB can
-# disagree in the final ulp, which no amount of decimal-sum discipline
-# fixes.  For these, compare exactly the way the driver's hash does —
-# round(x, 6) — instead of bitwise.  Everything else stays bit-exact.
-LIBM_TOLERANT = {"doc_unigram_logprob"}
+# each engine's own libm (ln in unigram_logprob), or a wide-decimal →
+# double final conversion (ts_integral_daily: the JVM rounds the exact
+# DECIMAL(38,10) sum correctly, DuckDB double-rounds via int128→double
+# then a scale divide — can differ in the last ulp): no amount of
+# decimal-sum discipline fixes either.  For these, compare exactly the
+# way the driver's hash does — round(x, 6) — instead of bitwise.
+# Everything else stays bit-exact.
+LIBM_TOLERANT = {"doc_unigram_logprob", "ts_integral_daily"}
 
 
 def _values_equal(a, b, tolerant=False) -> bool:
