@@ -113,6 +113,10 @@ HEADLINE = [
     "ts_mad_outliers",
     "doc_dup_spans",
     "sp_grid_density",
+    "ts_bollinger",
+    "ts_slo_burn",
+    "doc_winnowing",
+    "emb_ann_pq",
 ]
 
 

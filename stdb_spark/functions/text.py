@@ -328,3 +328,59 @@ def nfc_normalize_col(text: str | Column = "text") -> Column:
         )
 
     return _nfc(F.col(text) if isinstance(text, str) else text)
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS plagiarism-detector algorithm): md5 each
+    k-token gram, slide a window of ``window`` consecutive gram hashes,
+    select each window's minimum, and dedupe.  The winnowing guarantee:
+    any token run of length >= k + window - 1 shared by two documents
+    contributes at least one shared fingerprint, at ~2/(window+1) the
+    density of keeping every gram — the local-sampling middle ground
+    between the full dup-span profile and a single whole-doc hash.
+
+    Returns (key, n_fingerprints, fp_digest) where fp_digest is the md5
+    of the sorted distinct selections (two docs sharing a digest share
+    their ENTIRE fingerprint set).  Documents shorter than k tokens
+    have no grams and are emitted with n_fingerprints = 0; documents
+    with 1..window-1 grams contribute min(all grams).
+
+    Pure map-side array expressions — zero shuffles, no UDFs; md5 keeps
+    it reproducible by any engine (selection takes the lexicographic
+    min of hex digests, identical everywhere)."""
+    toks = tokens_col(text_col)
+    base = df.select(F.col(key), toks.alias("_t"))
+    n = F.size("_t")
+    empty_s = F.array().cast("array<string>")
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.md5(F.array_join(F.slice("_t", i, k), " ")),
+        ),
+    ).otherwise(empty_s)
+    base = base.select(F.col(key), grams.alias("_h"))
+    nh = F.size("_h")
+    sel = (
+        F.when(nh == 0, empty_s)
+        .when(nh < window, F.array(F.array_min("_h")))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), nh - F.lit(window - 1)),
+                lambda j: F.array_min(F.slice("_h", j, window)),
+            )
+        )
+    )
+    fps = F.array_sort(F.array_distinct(sel))
+    return base.select(
+        F.col(key),
+        F.size(fps).cast("long").alias("n_fingerprints"),
+        F.md5(F.array_join(fps, "")).alias("fp_digest"),
+    )

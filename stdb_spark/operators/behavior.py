@@ -591,3 +591,104 @@ def mad_outliers(
             F.sum(F.when(out, 1).otherwise(0)).cast("long").alias("n_outliers"),
         )
     )
+
+
+def bollinger_bands(
+    samples: DataFrame,
+    width: int = 20,
+    k: float = 2.0,
+    series_col: str = "series",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Rolling mean ± k·σ envelope over the last ``width`` samples per
+    series, with a breakout flag — the windowed sibling of
+    :func:`anomaly_zscore` (whole-series moments flag global outliers;
+    a rolling envelope tracks regime changes, which is what alerting
+    rules actually watch).  Emits (series, ts, value, mean, sd, upper,
+    lower, breakout) with a warm-up-aware count (the first width-1 rows
+    use however many samples exist, the standard convention).
+
+    Exactness: Σv and Σv² accumulate as decimals inside the row frame
+    (order-independent), mean/σ/bands are fixed-order double arithmetic;
+    ``greatest(var, 0)`` guards the tiny negative variances float
+    cancellation can produce (σ = NaN would poison the flag).  ONE
+    exchange on the series key; the frame never leaves the sort."""
+    w = (
+        Window.partitionBy(series_col)
+        .orderBy(ts_col)
+        .rowsBetween(-(width - 1), Window.currentRow)
+    )
+    v = F.col(value_col)
+    n = F.count(v).over(w)
+    sx = F.expr(f"sum(CAST({value_col} AS {_D}))").over(w).cast("double")
+    sxx = (
+        F.expr(
+            f"sum(CAST(CAST({value_col} AS {_D}) * CAST({value_col} AS {_D})"
+            f" AS {_D2}))"
+        )
+        .over(w)
+        .cast("double")
+    )
+    mean = sx / n
+    var = (sxx - sx * sx / n) / n
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    upper = mean + F.lit(k) * sd
+    lower = mean - F.lit(k) * sd
+    return samples.select(
+        F.col(series_col).alias("series"),
+        F.col(ts_col).alias("ts"),
+        v.alias("value"),
+        mean.alias("mean"),
+        sd.alias("sd"),
+        upper.alias("upper"),
+        lower.alias("lower"),
+        ((v > upper) | (v < lower)).alias("breakout"),
+    )
+
+
+def error_budget_burn(
+    events: DataFrame,
+    bucket_ns: int,
+    origin_ns: int,
+    error_metric: str = "error",
+    user_col: str = "user",
+    metric_col: str = "metric",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """SLO error-budget burn rate per user per bucket: the bucket's
+    error ratio divided by the user's overall error ratio across the
+    queried range (burn > 1 ⇒ this bucket consumes budget faster than
+    the user's average; the multiwindow-burn-rate alert every SRE
+    handbook builds).  NULL burn when the user has no errors at all.
+
+    Exactness: pure BIGINT counts until two fixed-order double
+    divisions.  Plan: ONE exchange for the (user, bucket) aggregate;
+    the per-user totals are whole-partition window sums over the
+    already-aggregated (tiny) bucket rows — no second scan of the
+    fact table."""
+    bucket = F.lit(origin_ns) + F.lit(bucket_ns) * F.expr(
+        f"({ts_col} - {origin_ns}L) div {bucket_ns}L"
+    )
+    per = (
+        events.groupBy(
+            F.col(user_col).alias("user"), bucket.alias("ts")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when(F.col(metric_col) == error_metric, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_err"),
+        )
+    )
+    wu = Window.partitionBy("user")
+    tot = F.sum("n").over(wu)
+    tot_err = F.sum("n_err").over(wu)
+    burn = F.when(
+        tot_err > 0,
+        (F.col("n_err").cast("double") / F.col("n"))
+        / (tot_err.cast("double") / tot),
+    )
+    return per.select("user", "ts", "n", "n_err", burn.alias("burn"))

@@ -1958,3 +1958,79 @@ FROM g JOIN c USING (gram)
 GROUP BY doc_id
 """,
 )
+
+
+# ------------------------------------------------- winnowing fingerprints
+# MOSS-style winnowing (Schleimer et al. SIGMOD'03): min-hash per
+# sliding window of 5-gram digests — local-sampling fingerprints
+# guaranteeing any shared run of >= k+w-1 tokens shares a fingerprint.
+# Pure map-side array expressions; zero shuffles in the Spark plan.
+def _doc_winnowing(spark, sf):
+    from stdb_spark.functions.text import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        model.load_table(spark, sf, "documents"), k=5, window=4
+    )
+
+
+_q(
+    "doc_winnowing",
+    _doc_winnowing,
+    """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 5
+      THEN list_transform(range(1, len(toks) - 3),
+                          i -> md5(array_to_string(toks[i:i+4], ' ')))
+      ELSE []::VARCHAR[] END AS hs
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) = 0 THEN []::VARCHAR[]
+         WHEN len(hs) < 4 THEN [list_min(hs)]
+         ELSE list_transform(range(1, len(hs) - 2),
+                             j -> list_min(hs[j:j+3])) END AS sel
+  FROM h
+),
+f AS (SELECT doc_id, list_sort(list_distinct(sel)) AS fps FROM s)
+SELECT doc_id,
+  CAST(len(fps) AS BIGINT) AS n_fingerprints,
+  md5(array_to_string(fps, '')) AS fp_digest
+FROM f
+""",
+)
+
+
+# ------------------------------------------------- product quantization
+# PQ ANN (Jégou et al. TPAMI'11): 4 subspace codebooks × 16 centroids,
+# m-byte codes, asymmetric-distance top-k via a broadcast m×ks lookup
+# table.  Float k-means -> rows-only at the gate; exactness properties
+# (self-match at distance ~0, recall vs brute force) are pinned in
+# pytest.  Codebooks are a cached write-time artifact like the IVF
+# centroids.
+def _emb_ann_pq(spark, sf):
+    import json
+    import os
+
+    emb = model.load_table(spark, sf, "embeddings")
+    cache = model.derived_cache_path(sf, "pq_codebooks_m4k16", "embeddings")
+    cfile = os.path.join(cache, "codebooks.json")
+    if os.path.exists(cfile):
+        with open(cfile) as f:
+            books = json.load(f)
+    else:
+        books = similarity.pq_train(emb, dim=_DIM, m=4, ks=16, iters=4)
+        os.makedirs(cache, exist_ok=True)
+        with open(cfile, "w") as f:
+            json.dump(books, f)
+    codes = similarity.pq_codes(emb, books)
+    return similarity.pq_adc_top_k(codes, books, _QVEC, k=10)
+
+
+_q("emb_ann_pq", _emb_ann_pq)

@@ -3371,3 +3371,97 @@ FROM pts
 GROUP BY 1, 2
 """,
 )
+
+
+# ------------------------------------------------------ Bollinger bands
+# Rolling mean ± 2σ envelope (width 20) with breakout flags — the
+# windowed sibling of anomaly_zscore.  Decimal moment sums inside the
+# row frame, fixed-order double band math; both engines share the
+# frame because (series, ts) pairs are distinct.
+def _ts_bollinger(spark, sf):
+    from stdb_spark.operators.behavior import bollinger_bands
+
+    df = _samples(spark, sf, "click", JAN01_US, FEB01_US)
+    return _us(bollinger_bands(df, width=20, k=2.0))
+
+
+_q(
+    "ts_bollinger",
+    _ts_bollinger,
+    f"""
+WITH v AS (
+  SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
+         epoch_us(ts) AS tu, value
+  FROM events
+  WHERE event_type = 'click'
+    AND epoch_us(ts) >= {JAN01_US} AND epoch_us(ts) < {FEB01_US}
+),
+b AS (
+  SELECT series, tu, value,
+    count(value) OVER w AS n,
+    CAST(sum(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE) AS sx,
+    CAST(sum(CAST(CAST(value AS DECIMAL(28,10)) * CAST(value AS DECIMAL(28,10))
+              AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sxx
+  FROM v
+  WINDOW w AS (PARTITION BY series ORDER BY tu
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+),
+c AS (
+  SELECT series, tu, value, sx / n AS mean,
+         sqrt(greatest((sxx - sx * sx / n) / n, CAST(0.0 AS DOUBLE))) AS sd
+  FROM b
+)
+SELECT series, tu AS ts, value, mean, sd,
+  mean + CAST(2.0 AS DOUBLE) * sd AS upper,
+  mean - CAST(2.0 AS DOUBLE) * sd AS lower,
+  (value > mean + CAST(2.0 AS DOUBLE) * sd
+   OR value < mean - CAST(2.0 AS DOUBLE) * sd) AS breakout
+FROM c
+""",
+)
+
+
+# ------------------------------------------------------ SLO burn rate
+# Error-budget burn per user per 6h bucket: bucket error ratio over the
+# user's range-wide error ratio.  Pure BIGINT counts, two fixed-order
+# double divisions; the per-user totals are window sums over the
+# already-aggregated bucket rows.
+def _ts_slo_burn(spark, sf):
+    from stdb_spark.operators.behavior import error_budget_burn
+
+    df = model.events_as_samples(spark, sf, keep_src=True).filter(
+        (F.col("ts") >= JAN01) & (F.col("ts") < FEB01)
+    )
+    src = model.ts_src_bounds(df, JAN01, FEB01)
+    if src is not None:
+        df = df.filter(src)
+    ev = df.select(
+        "metric",
+        F.col("tags")["user"].alias("user"),
+        F.expr("(ts div 1000) * 1000").alias("ts"),
+    )
+    return _us(error_budget_burn(ev, H6, JAN01))
+
+
+_q(
+    "ts_slo_burn",
+    _ts_slo_burn,
+    BASE
+    + f"""
+, per AS (
+  SELECT u,
+    {JAN01_US} + {H6_US} * ((tu - {JAN01_US}) // {H6_US}) AS ts,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN metric = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+  FROM base WHERE tu >= {JAN01_US} AND tu < {FEB01_US}
+  GROUP BY u, 2
+)
+SELECT u AS user, ts, n, n_err,
+  CASE WHEN sum(n_err) OVER wu > 0 THEN
+    (CAST(n_err AS DOUBLE) / n)
+      / (CAST(sum(n_err) OVER wu AS DOUBLE) / sum(n) OVER wu)
+  END AS burn
+FROM per
+WINDOW wu AS (PARTITION BY u)
+""",
+)

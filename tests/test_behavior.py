@@ -432,3 +432,41 @@ def test_mad_outliers_flags_spike_not_flat(spark):
     assert got["s"].n == 10
     # constant series: MAD 0, dev 0 -> nothing beyond the threshold
     assert got["flat"].n_outliers == 0 and got["flat"].mad == 0.0
+
+
+def test_bollinger_hand_computed(spark):
+    from stdb_spark.operators.behavior import bollinger_bands
+
+    rows = [("s", t, v) for t, v in [(1, 1.0), (2, 3.0), (3, 2.0), (4, 100.0)]]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    got = {r.ts: r for r in bollinger_bands(df, width=3, k=2.0).collect()}
+    # t=3: window {1,3,2}: mean 2, var ((14)-36/3)/3 = 2/3
+    assert got[3].mean == pytest.approx(2.0)
+    assert got[3].sd == pytest.approx((2.0 / 3.0) ** 0.5)
+    assert not got[3].breakout
+    # t=4: window {3,2,100}: mean 35, sd huge but 100 > mean+2sd?
+    # var = ((9+4+10000) - 105^2/3)/3 = (10013 - 3675)/3 = 2112.67
+    assert got[4].mean == pytest.approx(35.0)
+    assert got[4].breakout == (100.0 > 35.0 + 2.0 * got[4].sd)
+    # warm-up row uses n=1: sd 0, value == mean, no breakout
+    assert got[1].sd == 0.0 and not got[1].breakout
+
+
+def test_error_budget_burn_hand_computed(spark):
+    from stdb_spark.operators.behavior import error_budget_burn
+
+    B = 100
+    rows = [
+        # user a: bucket0 -> 1 err / 2 events, bucket1 -> 0 err / 2
+        ("a", "error", 10), ("a", "click", 20),
+        ("a", "click", 110), ("a", "view", 120),
+        # user b: no errors at all -> burn NULL
+        ("b", "click", 10), ("b", "view", 130),
+    ]
+    df = spark.createDataFrame(rows, "user string, metric string, ts long")
+    out = {(r.user, r.ts): r for r in error_budget_burn(df, B, 0).collect()}
+    # a overall: 1 err / 4 events = 0.25; bucket0 ratio 0.5 -> burn 2.0
+    assert out[("a", 0)].burn == pytest.approx(2.0)
+    assert out[("a", 100)].burn == pytest.approx(0.0)
+    assert out[("b", 0)].burn is None and out[("b", 100)].burn is None
+    assert out[("a", 0)].n == 2 and out[("a", 0)].n_err == 1
