@@ -3465,3 +3465,28 @@ FROM per
 WINDOW wu AS (PARTITION BY u)
 """,
 )
+
+
+def _ts_p95_sketch(spark, sf):
+    """Mergeable-sketch percentile — the 100 TB path for the SLO query.
+    Exact `percentile` is NOT partial-aggregatable (it buffers every
+    value per group through the exchange); `approx_percentile`
+    (Greenwald-Khanna/KLL-family) ships a bounded sketch per partition
+    and merges map-side, same shape as the HLL path
+    (ts_approx_distinct).  Rows-only: sketch internals are
+    engine-specific; agreement with the exact per-bucket p95 within
+    the accuracy parameter is pinned in pytest
+    (test_aggregate.py::test_p95_sketch_tracks_exact)."""
+    df = _samples(spark, sf, "error", JAN01_US, FEB01_US)
+    bucket = F.lit(JAN01) + F.lit(H6) * F.expr(f"(ts - {JAN01}L) div {H6}L")
+    return (
+        df.groupBy("series", bucket.alias("ts"))
+        .agg(
+            F.expr("approx_percentile(value, 0.95, 10000)").alias("p95_approx"),
+            F.count("value").cast("double").alias("count"),
+        )
+        .withColumn("ts", F.expr("ts div 1000"))
+    )
+
+
+_q("ts_group_aggregate_p95_sketch", _ts_p95_sketch)  # rows-only: sketch path

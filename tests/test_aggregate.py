@@ -226,3 +226,42 @@ def test_group_aggregate_rollup_from_summaries(spark, dense_ramp):
     got2 = sorted(map(tuple, eng_s.query(q2).collect()))
     want2 = sorted(map(tuple, eng_l.query(q2).collect()))
     assert got2 == want2
+
+
+def test_p95_sketch_tracks_exact(spark):
+    """The mergeable sketch must stay within its accuracy envelope of
+    the exact per-bucket p95 — and be partial-aggregatable (the whole
+    reason it exists at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from stdb_spark.workloads import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    from stdb_spark.workloads.tssuite import H6, JAN01, JAN01_US, FEB01_US, _samples
+
+    approx = {
+        (r.series, r.ts): r.p95_approx
+        for r in QUERIES["ts_group_aggregate_p95_sketch"](spark, sf).collect()
+    }
+    df = _samples(spark, sf, "error", JAN01_US, FEB01_US)
+    bucket = F.lit(JAN01) + F.lit(H6) * F.expr(f"(ts - {JAN01}L) div {H6}L")
+    exact = {
+        (r.series, r.ts): r.p95
+        for r in df.groupBy("series", bucket.alias("ts"))
+        .agg(F.expr("percentile(value, 0.95)").alias("p95"))
+        .withColumn("ts", F.expr("ts div 1000"))
+        .collect()
+    }
+    assert set(approx) == set(exact) and approx
+    for k in approx:
+        lo, hi = sorted((approx[k], exact[k]))
+        # accuracy 10000 => rank error ~1/10000; the sf0.001 buckets are
+        # far smaller than that, so the sketch must be near-exact
+        assert hi - lo <= max(0.05 * abs(hi), 1e-6)
+    plan = (
+        QUERIES["ts_group_aggregate_p95_sketch"](spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_approx_percentile" in plan or "partial" in plan

@@ -275,3 +275,53 @@ def test_ngram_novelty_no_postings_self_join(spark):
     # feeding the ownership aggregate.
     plan = _plan(QUERIES["doc_ngram_novelty"](spark, SF))
     assert plan.count("Exchange hashpartitioning(shingle") == 1
+
+
+def test_integral_single_exchange_with_partial_agg(spark):
+    # ONE exchange total: hashpartitioning(series) for the lag window
+    # already satisfies the (series, bucket) aggregate's clustering
+    # (every bucket of a series is co-located), so Catalyst plans
+    # partial+final HashAggregate with NO second exchange
+    df = QUERIES["ts_integral_daily"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
+
+
+def test_mad_outliers_single_series_exchange(spark):
+    # both percentile windows and the rollup share ONE series exchange
+    df = QUERIES["ts_mad_outliers"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bollinger_single_series_exchange(spark):
+    df = QUERIES["ts_bollinger"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_winnowing_zero_shuffles(spark):
+    # pure map-side array expressions: no exchange anywhere
+    df = QUERIES["doc_winnowing"](spark, SF)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+
+
+def test_dup_spans_no_pair_blowup_shape(spark):
+    # two hash exchanges (gram count + per-doc rollup) and NO
+    # generate-after-join: a hot gram must never fan out into pairs
+    df = QUERIES["doc_dup_spans"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 3  # count, join, rollup
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_single_cell_exchange(spark):
+    # the matmul rewrite: ONE exchange (hash by cell) into the Arrow
+    # applyInPandas — the old self-join had join build/probe exchanges
+    df = QUERIES["emb_semantic_dedup"](spark, SF)
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

@@ -46,6 +46,13 @@ PICK = [
     ("ts_seasonal_decompose", "seasonal decompose: three stacked window stages, decimal means, no joins"),
     ("ts_concurrency", "peak concurrency: two-phase prefix sum — bucket-partitioned run sums + tiny offset window"),
     ("ts_changepoints", "Page-Hinkley: decimal run-sum minus rn*mean on one series exchange"),
+    ("ts_integral_daily", "trapezoid integral: lag window + bucket agg share ONE series exchange (partitioning satisfies both)"),
+    ("ts_mad_outliers", "MAD outliers: two exact-percentile windows + rollup on one series exchange"),
+    ("ts_bollinger", "Bollinger bands: decimal moment sums in a row frame, one series exchange"),
+    ("doc_dup_spans", "dup spans: md5 gram digests map-side, count + rollup exchanges — no pair blowup"),
+    ("doc_winnowing", "winnowing: sliding min-hash selection as pure array exprs — zero exchanges"),
+    ("emb_semantic_dedup", "SemDeDup: ONE cell exchange into a blocked-BLAS matmul applyInPandas"),
+    ("emb_ann_pq", "PQ ADC: byte codes + broadcast distance table, TakeOrderedAndProject"),
 ]
 
 
