@@ -117,6 +117,8 @@ HEADLINE = [
     "ts_slo_burn",
     "doc_winnowing",
     "emb_ann_pq",
+    "doc_dup_span_scrub",
+    "ts_group_aggregate_p95_sketch",
 ]
 
 

@@ -670,3 +670,85 @@ def dup_span_profile(
             "dup_ratio", F.col("n_dup_spans").cast("double") / F.col("n_spans")
         )
     )
+
+
+def dup_span_scrub(
+    docs: DataFrame,
+    width: int = 8,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Exact substring deduplication, end to end (Lee et al. 2022):
+    every ``width``-token span whose gram occurs elsewhere in the corpus
+    keeps only its FIRST occurrence (global (doc, position) order); all
+    other occurrences mark their token positions, and marked tokens are
+    removed.  Overlapping duplicated spans union their positions — the
+    standard cover semantics.  Returns (key, text_scrubbed,
+    n_tokens, n_tokens_removed) for every document with >= 1 token
+    (whitespace normalizes to single spaces in the rebuilt text).
+
+    First-occurrence selection packs (doc, pos) into one BIGINT
+    (doc·2²⁰ + pos — exact while positions stay under 2²⁰, i.e. docs
+    under ~1M tokens) so "earliest span" is a plain ``min`` — exact,
+    order-free, engine-independent.
+
+    Scale shape: linear end to end — gram digests map-side, ONE
+    count/min aggregate per gram, a uniform-key join back, a covered-
+    position explode bounded by width × duplicated-span count, and the
+    per-doc rebuild.  A corpus-hot gram contributes its occurrence list
+    once (no pairing), so no df-cap is needed.
+    """
+    toks = tokens_col(text_col)
+    base = docs.select(F.col(key).alias("_d"), toks.alias("_t"))
+    n = F.size("_t")
+    # token stream: (doc, pos, tok) — pos is 1-based
+    stream = base.select(
+        "_d", F.posexplode("_t").alias("_p0", "_tok")
+    ).select("_d", (F.col("_p0") + 1).alias("_p"), "_tok")
+    # spans: (doc, i, gram-digest, pack)
+    grams = F.when(
+        n >= width,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(width - 1)),
+            lambda i: F.md5(F.array_join(F.slice("_t", i, width), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = (
+        base.select("_d", F.posexplode(grams).alias("_i0", "_g"))
+        .select("_d", (F.col("_i0") + 1).alias("_i"), "_g")
+        .withColumn("_pack", F.col("_d") * F.lit(1 << 20) + F.col("_i"))
+    )
+    firsts = spans.groupBy("_g").agg(
+        F.min("_pack").alias("_first"), F.count("*").alias("_c")
+    )
+    dup_spans = (
+        spans.join(firsts, "_g")
+        .filter((F.col("_c") >= 2) & (F.col("_pack") != F.col("_first")))
+        .select("_d", "_i")
+    )
+    covered = dup_spans.select(
+        "_d", F.explode(F.sequence(F.col("_i"), F.col("_i") + F.lit(width - 1))).alias("_p")
+    ).distinct()
+    kept = stream.join(covered, ["_d", "_p"], "left_anti")
+    rebuilt = kept.groupBy("_d").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "_tok"))),
+                lambda s: s.getField("_tok"),
+            ),
+            " ",
+        ).alias("text_scrubbed"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    totals = stream.groupBy("_d").agg(F.count("*").cast("long").alias("n_tokens"))
+    return (
+        totals.join(rebuilt, "_d", "left")
+        .select(
+            F.col("_d").alias(key),
+            F.coalesce("text_scrubbed", F.lit("")).alias("text_scrubbed"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_tokens_removed"
+            ),
+        )
+    )

@@ -2034,3 +2034,60 @@ def _emb_ann_pq(spark, sf):
 
 
 _q("emb_ann_pq", _emb_ann_pq)
+
+
+# ------------------------------------------- exact substring scrub
+# The apply half of doc_dup_spans: remove every non-first duplicated
+# 8-token span corpus-wide (Lee et al. 2022 exact substring dedup),
+# rebuilding each document.  Linear end to end — no pair emission.
+def _doc_dup_span_scrub(spark, sf):
+    from stdb_spark.functions.dedup import dup_span_scrub
+
+    return dup_span_scrub(model.load_table(spark, sf, "documents"), width=8)
+
+
+_q(
+    "doc_dup_span_scrub",
+    _doc_dup_span_scrub,
+    """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+  FROM documents
+),
+st AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM t
+),
+sp AS (
+  SELECT doc_id, i, md5(array_to_string(toks[i:i+7], ' ')) AS g,
+         doc_id * 1048576 + i AS pack
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM t)
+),
+fr AS (SELECT g, min(pack) AS fst, count(*) AS c FROM sp GROUP BY g),
+ds AS (
+  SELECT sp.doc_id, sp.i FROM sp JOIN fr USING (g)
+  WHERE c >= 2 AND pack <> fst
+),
+cov AS (
+  SELECT DISTINCT doc_id, pos
+  FROM (SELECT doc_id, unnest(range(i, i + 8)) AS pos FROM ds)
+),
+kept AS (
+  SELECT st.doc_id, st.pos, st.tok FROM st
+  ANTI JOIN cov ON st.doc_id = cov.doc_id AND st.pos = cov.pos
+),
+reb AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_scrubbed,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_tokens FROM st GROUP BY doc_id)
+SELECT tot.doc_id,
+  coalesce(text_scrubbed, '') AS text_scrubbed,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_tokens - coalesce(n_kept, 0) AS BIGINT) AS n_tokens_removed
+FROM tot LEFT JOIN reb USING (doc_id)
+""",
+)

@@ -970,3 +970,31 @@ def test_pq_roundtrip_and_adc_self_match(spark):
     assert top[0].adc_dist2 == pytest.approx(0.0, abs=1e-6) or (
         top[0].vec_id % ks == 5 % ks
     )
+
+
+def test_dup_span_scrub_removes_second_occurrence_only(spark):
+    from stdb_spark.functions.dedup import dup_span_scrub
+
+    boiler = "a b c d e f g h"  # exactly 8 tokens
+    rows = [
+        (1, boiler + " tail one"),
+        (2, "head words " + boiler + " more after that"),
+        (3, "no duplicate content in this doc at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dup_span_scrub(df, width=8).collect()}
+    # doc 1 holds the FIRST occurrence -> untouched
+    assert got[1].text_scrubbed == boiler + " tail one"
+    assert got[1].n_tokens_removed == 0
+    # doc 2's copy is scrubbed; surrounding tokens survive
+    assert got[2].text_scrubbed == "head words more after that"
+    assert got[2].n_tokens_removed == 8
+    assert got[2].n_tokens == 13
+    assert got[3].n_tokens_removed == 0
+    # intra-doc duplicate: second copy inside the SAME doc is removed
+    d2 = spark.createDataFrame(
+        [(9, boiler + " x " + boiler)], "doc_id long, text string"
+    )
+    out = dup_span_scrub(d2, width=8).collect()[0]
+    assert out.text_scrubbed == boiler + " x"
+    assert out.n_tokens_removed == 8
