@@ -119,6 +119,9 @@ HEADLINE = [
     "emb_ann_pq",
     "doc_dup_span_scrub",
     "ts_group_aggregate_p95_sketch",
+    "ingest_upsert_merge",
+    "ts_sql_window_portable",
+    "doc_quality_classifier",
 ]
 
 

@@ -384,3 +384,56 @@ def winnowing_fingerprints(
         F.size(fps).cast("long").alias("n_fingerprints"),
         F.md5(F.array_join(fps, "")).alias("fp_digest"),
     )
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    weights: dict | None = None,
+    bias: float = 0.0,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Linear quality-classifier scoring — the model-based filter stage
+    of C4/Gopher/RefinedWeb-style pipelines, with a transparent linear
+    model over interpretable features instead of an opaque binary (the
+    real fastText/logreg weights drop in unchanged; only the weight
+    dict differs).  Emits the raw linear score (no sigmoid — the
+    monotone link changes nothing about the keep decision and exp() is
+    libm-dependent) and ``keep`` = score > threshold.
+
+    Features (all map-side, engine-portable exact arithmetic):
+      mean_word_len, stopword_ratio (both from the token stream) and
+      tokens_per_char (token density — penalizes whitespace-sparse
+      blobs).  Fixed-order weighted sum; zero shuffles."""
+    if weights is None:
+        weights = {
+            "mean_word_len": -0.3,
+            "stopword_ratio": 4.0,
+            "tokens_per_char": 8.0,
+        }
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    mean_word_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.greatest(n_tok, F.lit(1))
+    stopword_ratio = F.size(
+        F.filter(toks, lambda t: F.array_contains(sw, F.lower(t)))
+    ) / F.greatest(n_tok, F.lit(1))
+    tokens_per_char = n_tok.cast("double") / F.greatest(
+        F.length(text_col), F.lit(1)
+    )
+    score = (
+        F.lit(float(weights["mean_word_len"])) * mean_word_len
+        + F.lit(float(weights["stopword_ratio"])) * stopword_ratio
+        + F.lit(float(weights["tokens_per_char"])) * tokens_per_char
+        + F.lit(float(bias))
+    )
+    return df.select(
+        F.col(key),
+        score.alias("quality_lin"),
+        (score > F.lit(float(threshold))).alias("keep"),
+    )

@@ -203,3 +203,29 @@ def compact_partitions(
         .mode("overwrite")
         .parquet(out_path)
     )
+
+
+def upsert_latest(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+) -> DataFrame:
+    """Merge-on-read upsert: union the base snapshot with an update
+    batch and keep, per key, the row with the highest ``version_col``
+    (ties broken deterministically by preferring the later row only
+    through the version — supply distinct versions per batch).  This is
+    the WAL-replay/compaction analog for a parquet lakehouse: writers
+    append cheap delta batches, readers (or a nightly rewrite) collapse
+    them with ONE window over the key exchange.  At 100 TB the
+    partition columns of the layout prune which base files join the
+    merge at all — an update batch touching one day reads one day."""
+    from pyspark.sql import Window
+
+    unioned = base.unionByName(updates)
+    w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
+    return (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

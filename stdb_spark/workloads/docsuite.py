@@ -2091,3 +2091,43 @@ SELECT tot.doc_id,
 FROM tot LEFT JOIN reb USING (doc_id)
 """,
 )
+
+
+# --------------------------------------------- quality classifier score
+# Model-based quality filtering (the fastText/logreg stage of C4-class
+# pipelines) as a transparent linear model over engine-portable
+# features — real weights drop in unchanged.  Raw linear score, no
+# sigmoid (monotone link; exp() is libm-dependent).
+def _doc_quality_classifier(spark, sf):
+    from stdb_spark.functions.text import quality_classifier_score
+
+    return quality_classifier_score(model.load_table(spark, sf, "documents"))
+
+
+_q(
+    "doc_quality_classifier",
+    _doc_quality_classifier,
+    f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+    CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS DOUBLE)
+      / greatest(len(toks), 1) AS mwl,
+    len(list_filter(toks, x -> list_contains({_SW_LIST}, lower(x))))
+      / greatest(len(toks), 1) AS swr,
+    CAST(len(toks) AS DOUBLE) / greatest(len(text), 1) AS tpc
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+    CAST(-0.3 AS DOUBLE) * mwl + CAST(4.0 AS DOUBLE) * swr
+      + CAST(8.0 AS DOUBLE) * tpc + CAST(0.0 AS DOUBLE) AS quality_lin
+  FROM f
+)
+SELECT doc_id, quality_lin, quality_lin > CAST(0.0 AS DOUBLE) AS keep FROM s
+""",
+)

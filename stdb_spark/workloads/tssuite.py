@@ -3490,3 +3490,69 @@ def _ts_p95_sketch(spark, sf):
 
 
 _q("ts_group_aggregate_p95_sketch", _ts_p95_sketch)  # rows-only: sketch path
+
+
+# ------------------------------------------------------- upsert merge
+# Merge-on-read upsert (the WAL-replay/compaction analog for a parquet
+# lakehouse): base snapshot (batch 0) + an update batch re-pricing
+# every 10th event (batch 1); per event the highest batch wins via ONE
+# window over the key exchange.
+def _ingest_upsert_merge(spark, sf):
+    from stdb_spark.sources.storage import upsert_latest
+
+    ev = model.load_table(spark, sf, "events").select("event_id", "value")
+    base = ev.withColumn("batch", F.lit(0))
+    upd = (
+        ev.filter(F.col("event_id") % 10 == 0)
+        .withColumn("value", F.col("value") * F.lit(2.0))
+        .withColumn("batch", F.lit(1))
+    )
+    return upsert_latest(base, upd, ["event_id"], "batch")
+
+
+_q(
+    "ingest_upsert_merge",
+    _ingest_upsert_merge,
+    """
+WITH u AS (
+  SELECT event_id, value, 0 AS batch FROM events
+  UNION ALL
+  SELECT event_id, value * CAST(2.0 AS DOUBLE) AS value, 1 AS batch
+  FROM events WHERE event_id % 10 = 0
+),
+r AS (
+  SELECT event_id, value, batch,
+         row_number() OVER (PARTITION BY event_id ORDER BY batch DESC) AS rn
+  FROM u
+)
+SELECT event_id, value, CAST(batch AS INT) AS batch FROM r WHERE rn = 1
+""",
+)
+
+
+# ------------------------------------------- portable SQL window query
+# The spark.sql entry point with WINDOW functions: one ANSI text runs
+# verbatim on Catalyst and on the DuckDB oracle (integral outputs, a
+# deterministic (ts, event_id) tie-break in the frame order).
+_TS_PORTABLE_SQL = """
+WITH d AS (
+  SELECT event_type,
+         value - lag(value) OVER (
+           PARTITION BY event_type, user_id ORDER BY ts, event_id
+         ) AS delta
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_deltas,
+       CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up
+FROM d WHERE delta IS NOT NULL
+GROUP BY event_type
+"""
+
+
+def _ts_sql_window_portable(spark, sf):
+    model.register_views(spark, sf, ("events",))
+    return spark.sql(_TS_PORTABLE_SQL)
+
+
+_q("ts_sql_window_portable", _ts_sql_window_portable, _TS_PORTABLE_SQL)

@@ -998,3 +998,17 @@ def test_dup_span_scrub_removes_second_occurrence_only(spark):
     out = dup_span_scrub(d2, width=8).collect()[0]
     assert out.text_scrubbed == boiler + " x"
     assert out.n_tokens_removed == 8
+
+
+def test_quality_classifier_score_orders_real_over_junk(spark):
+    from stdb_spark.functions.text import quality_classifier_score
+
+    rows = [
+        (1, "the cat sat on the mat and it was good"),   # stopword-rich prose
+        (2, "zxqj kkwpv mmtr qqqqzzzz xxyyzz aabbccdd"), # junk
+        (3, "supercalifragilisticexpialidocious" * 3),   # one huge token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in quality_classifier_score(df).collect()}
+    assert got[1].quality_lin > got[2].quality_lin > got[3].quality_lin
+    assert got[1].keep

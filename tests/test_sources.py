@@ -105,3 +105,26 @@ def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
     corpus.write_jsonl(good.select("doc_id", "text"), str(out))
     back = corpus.read_jsonl(spark, str(out), schema, keep_corrupt=False)
     assert {r.doc_id: r.text for r in back.collect()} == rows
+
+
+def test_upsert_latest_keeps_highest_version(spark):
+    from pyspark.sql import functions as F
+
+    from stdb_spark.sources.storage import upsert_latest
+
+    base = spark.createDataFrame(
+        [(1, 10.0, 0), (2, 20.0, 0), (3, 30.0, 0)],
+        "k long, value double, batch int",
+    )
+    upd = spark.createDataFrame(
+        [(2, 99.0, 1), (4, 40.0, 1)], "k long, value double, batch int"
+    )
+    got = {r.k: (r.value, r.batch) for r in
+           upsert_latest(base, upd, ["k"], "batch").collect()}
+    assert got == {1: (10.0, 0), 2: (99.0, 1), 3: (30.0, 0), 4: (40.0, 1)}
+    # single window over the key exchange — no join in the plan
+    plan = (
+        upsert_latest(base, upd, ["k"], "batch")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
