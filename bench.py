@@ -122,6 +122,8 @@ HEADLINE = [
     "ingest_upsert_merge",
     "ts_sql_window_portable",
     "doc_quality_classifier",
+    "ts_hourofweek_profile",
+    "ts_subsequence_match",
 ]
 
 

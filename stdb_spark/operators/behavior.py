@@ -692,3 +692,65 @@ def error_budget_burn(
         / (tot_err.cast("double") / tot),
     )
     return per.select("user", "ts", "n", "n_err", burn.alias("burn"))
+
+
+def hour_of_week_profile(
+    samples: DataFrame,
+    series_col: str = "series",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Seasonality heatmap: mean value and sample count per (series,
+    hour-of-week) cell — the capacity-planning / anomaly-baseline view
+    (compare a sample against its own weekly phase, not a global mean).
+    ``how`` = hours since epoch mod 168, so phase 0 is Thursday 00:00
+    UTC (1970-01-01); integer time math end to end, decimal-exact
+    means.  ONE hash exchange onto at most 168·|series| cells."""
+    how = F.expr(f"(({ts_col} div 3600000000000) % 168)").cast("int")
+    return (
+        samples.groupBy(F.col(series_col).alias("series"), how.alias("how"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.expr(
+                f"CAST(sum(CAST({value_col} AS {_D})) AS DOUBLE) / count(*)"
+            ).alias("mean_value"),
+        )
+    )
+
+
+def subsequence_distance_profile(
+    samples: DataFrame,
+    pattern: list,
+    series_col: str = "series",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Sliding-window pattern search (the UCR-subsequence-matching
+    primitive): squared Euclidean distance between every length-W
+    window of each series and a query ``pattern``, computed as a fixed
+    lag chain — W-1 ``lag`` terms over ONE series exchange, no UDF, no
+    self-join.  Rows with fewer than W predecessors emit NULL and are
+    dropped (incomplete windows).  Emits (series, ts, dist2) with ts =
+    the window's END timestamp; rank/threshold downstream.
+
+    The distance chain is fixed-order double arithmetic (term j =
+    (lag(v, j) − pattern[W−1−j])²), so any engine reproduces it
+    bit-for-bit; intended for short patterns (W ≲ 16 — each term is a
+    Window expression sharing the same sort)."""
+    w = Window.partitionBy(series_col).orderBy(ts_col)
+    W = len(pattern)
+    dist2 = None
+    for j in range(W):
+        x = F.col(value_col) if j == 0 else F.lag(value_col, j).over(w)
+        t = (x - F.lit(float(pattern[W - 1 - j]))) * (
+            x - F.lit(float(pattern[W - 1 - j]))
+        )
+        dist2 = t if dist2 is None else dist2 + t
+    return (
+        samples.select(
+            F.col(series_col).alias("series"),
+            F.col(ts_col).alias("ts"),
+            dist2.alias("dist2"),
+        )
+        .filter(F.col("dist2").isNotNull())
+    )

@@ -3556,3 +3556,90 @@ def _ts_sql_window_portable(spark, sf):
 
 
 _q("ts_sql_window_portable", _ts_sql_window_portable, _TS_PORTABLE_SQL)
+
+
+# -------------------------------------------------- hour-of-week profile
+# Weekly seasonality heatmap per metric: mean/count per hour-of-week
+# phase (0 = Thursday 00:00 UTC).  Integer phase math, decimal means.
+def _ts_hourofweek(spark, sf):
+    from stdb_spark.operators.behavior import hour_of_week_profile
+
+    df = model.events_as_samples(spark, sf, keep_src=True).filter(
+        (F.col("ts") >= JAN01) & (F.col("ts") < FEB01)
+    )
+    src = model.ts_src_bounds(df, JAN01, FEB01)
+    if src is not None:
+        df = df.filter(src)
+    df = df.select(F.col("metric").alias("series"), "ts", "value")
+    return hour_of_week_profile(df)
+
+
+_q(
+    "ts_hourofweek_profile",
+    _ts_hourofweek,
+    BASE
+    + f"""
+SELECT metric AS series,
+  CAST((tu // 3600000000) % 168 AS INT) AS how,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS mean_value
+FROM base WHERE tu >= {JAN01_US} AND tu < {FEB01_US}
+GROUP BY metric, 2
+""",
+)
+
+
+# ---------------------------------------------- subsequence matching
+# Sliding-window pattern search: squared Euclidean distance of every
+# 6-sample window against a fixed query shape, as a lag chain over one
+# series exchange; top-3 closest windows per series (ties: earlier ts).
+_SSQ_PATTERN = [1.0, 2.0, 3.0, 2.0, 1.0, 0.0]
+
+
+def _ts_subseq(spark, sf):
+    from pyspark.sql import Window as W
+
+    from stdb_spark.operators.behavior import subsequence_distance_profile
+
+    df = _samples(spark, sf, "purchase", JAN01_US, FEB01_US)
+    prof = subsequence_distance_profile(df, _SSQ_PATTERN)
+    w = W.partitionBy("series").orderBy(F.col("dist2").asc(), F.col("ts").asc())
+    return (
+        _us(prof)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("series", "ts", "dist2", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _ssq_sql() -> str:
+    W = len(_SSQ_PATTERN)
+    terms = []
+    for j in range(W):
+        x = "value" if j == 0 else f"lag(value, {j}) OVER w"
+        q = f"CAST({_SSQ_PATTERN[W - 1 - j]!r} AS DOUBLE)"
+        terms.append(f"({x} - {q}) * ({x} - {q})")
+    chain = " + ".join(terms)
+    return f"""
+WITH v AS (
+  SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
+         epoch_us(ts) AS tu, value
+  FROM events
+  WHERE event_type = 'purchase'
+    AND epoch_us(ts) >= {JAN01_US} AND epoch_us(ts) < {FEB01_US}
+),
+d AS (
+  SELECT series, tu, {chain} AS dist2
+  FROM v WINDOW w AS (PARTITION BY series ORDER BY tu)
+),
+r AS (
+  SELECT series, tu AS ts, dist2,
+         CAST(row_number() OVER (PARTITION BY series
+                                 ORDER BY dist2 ASC, tu ASC) AS INT) AS rk
+  FROM d WHERE dist2 IS NOT NULL
+)
+SELECT series, ts, dist2, rk FROM r WHERE rk <= 3
+"""
+
+
+_q("ts_subsequence_match", _ts_subseq, _ssq_sql())

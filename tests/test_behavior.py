@@ -470,3 +470,33 @@ def test_error_budget_burn_hand_computed(spark):
     assert out[("a", 100)].burn == pytest.approx(0.0)
     assert out[("b", 0)].burn is None and out[("b", 100)].burn is None
     assert out[("a", 0)].n == 2 and out[("a", 0)].n_err == 1
+
+
+def test_hour_of_week_profile_phases(spark):
+    from stdb_spark.operators.behavior import hour_of_week_profile
+
+    H = 3_600_000_000_000  # 1h in ns
+    rows = [
+        ("m", 0 * H, 2.0),        # how 0
+        ("m", 168 * H, 4.0),      # how 0 again (next week)
+        ("m", 5 * H, 7.0),        # how 5
+    ]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    got = {(r.series, r.how): (r.n, r.mean_value)
+           for r in hour_of_week_profile(df).collect()}
+    assert got == {("m", 0): (2, 3.0), ("m", 5): (1, 7.0)}
+
+
+def test_subsequence_distance_profile_finds_planted_shape(spark):
+    from stdb_spark.operators.behavior import subsequence_distance_profile
+
+    pat = [1.0, 2.0, 3.0]
+    vals = [9.0, 9.0, 1.0, 2.0, 3.0, 9.0]  # exact match ends at ts=4
+    rows = [("s", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    got = {r.ts: r.dist2 for r in
+           subsequence_distance_profile(df, pat).collect()}
+    # windows need 3 samples: ts 0,1 are incomplete and absent
+    assert set(got) == {2, 3, 4, 5}
+    assert got[4] == 0.0
+    assert min(got, key=got.get) == 4
