@@ -124,6 +124,8 @@ HEADLINE = [
     "doc_quality_classifier",
     "ts_hourofweek_profile",
     "ts_subsequence_match",
+    "ts_seasonal_naive_backtest",
+    "ts_dtw_metrics",
 ]
 
 

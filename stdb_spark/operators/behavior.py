@@ -754,3 +754,44 @@ def subsequence_distance_profile(
         )
         .filter(F.col("dist2").isNotNull())
     )
+
+
+def seasonal_naive_backtest(
+    samples: DataFrame,
+    season_lag: int,
+    series_col: str = "series",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Backtest of the seasonal-naïve forecaster (ŷ(t) = y(t −
+    season_lag samples)) — the baseline every real forecast must beat,
+    and the sanity check for the Holt-Winters family: per series, MAE
+    and MAPE over the rows that have a seasonal predecessor, plus the
+    evaluated count.  A regular sampling grid makes the row lag a time
+    lag; run after gap-filling for irregular series.
+
+    Exactness: |error| terms are per-row IEEE doubles; both sums
+    quantize each term to DECIMAL(38,10) (exact, order-free); the final
+    divisions are fixed-order doubles.  MAPE skips zero actuals (the
+    standard dodge).  ONE series exchange shared by the lag window and
+    the rollup."""
+    w = Window.partitionBy(series_col).orderBy(ts_col)
+    pred = F.lag(value_col, season_lag).over(w)
+    err = F.abs(F.col(value_col) - pred)
+    ape = F.when(
+        F.col(value_col) != 0.0, err / F.abs(F.col(value_col))
+    )
+    d = samples.select(
+        F.col(series_col).alias("series"),
+        err.alias("_e"),
+        ape.alias("_a"),
+    ).filter(F.col("_e").isNotNull())
+    return d.groupBy("series").agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.expr("CAST(sum(CAST(_e AS DECIMAL(38,10))) AS DOUBLE) / count(*)").alias(
+            "mae"
+        ),
+        F.expr(
+            "CAST(sum(CAST(_a AS DECIMAL(38,10))) AS DOUBLE) / count(_a)"
+        ).alias("mape"),
+    )

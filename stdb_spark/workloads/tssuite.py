@@ -3643,3 +3643,82 @@ SELECT series, ts, dist2, rk FROM r WHERE rk <= 3
 
 
 _q("ts_subsequence_match", _ts_subseq, _ssq_sql())
+
+
+# --------------------------------------------- seasonal-naive backtest
+# MAE/MAPE of the seasonal-naive forecaster (daily totals, weekly
+# season) — the baseline every real forecast must beat.  Daily totals
+# (not means) keep the lag inputs short-decimal so the |error| decimal
+# quantization is exact cross-engine.
+def _ts_snaive(spark, sf):
+    from stdb_spark.operators.behavior import seasonal_naive_backtest
+
+    df = _samples(spark, sf, "view", JAN01_US, FEB01_US)
+    bucket = F.lit(JAN01) + F.lit(D1) * F.expr(f"(ts - {JAN01}L) div {D1}L")
+    daily = df.groupBy("series", bucket.alias("ts")).agg(
+        F.expr(f"CAST(sum({DEC}) AS DOUBLE)").alias("value")
+    )
+    return seasonal_naive_backtest(daily, 7)
+
+
+_q(
+    "ts_seasonal_naive_backtest",
+    _ts_snaive,
+    f"""
+WITH v AS (
+  SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
+         epoch_us(ts) AS tu, value
+  FROM events
+  WHERE event_type = 'view'
+    AND epoch_us(ts) >= {JAN01_US} AND epoch_us(ts) < {FEB01_US}
+),
+d AS (
+  SELECT series,
+    {JAN01_US} + {D1_US} * ((tu - {JAN01_US}) // {D1_US}) AS ts,
+    CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS value
+  FROM v GROUP BY series, 2
+),
+l AS (
+  SELECT series, value,
+         lag(value, 7) OVER (PARTITION BY series ORDER BY ts) AS pred
+  FROM d
+),
+e AS (
+  SELECT series, abs(value - pred) AS e,
+         CASE WHEN value <> CAST(0.0 AS DOUBLE)
+              THEN abs(value - pred) / abs(value) END AS a
+  FROM l WHERE pred IS NOT NULL
+)
+SELECT series,
+  CAST(count(*) AS BIGINT) AS n_eval,
+  CAST(sum(CAST(e AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS mae,
+  CAST(sum(CAST(a AS DECIMAL(38,10))) AS DOUBLE) / count(a) AS mape
+FROM e GROUP BY series
+""",
+)
+
+
+# ---------------------------------------------------------------- DTW
+# Elastic shape similarity between the five metric-level daily-total
+# profiles — DTW over SHORT per-series profiles (bucket first, pair
+# arrays, Arrow pandas-UDF DP kernel).  Sequential DP kernel ->
+# rows-only; elasticity and zero-distance identities pinned in pytest.
+def _ts_dtw(spark, sf):
+    from stdb_spark.operators.dtw import dtw_pairs, series_profiles
+
+    df = model.events_as_samples(spark, sf, keep_src=True).filter(
+        (F.col("ts") >= JAN01) & (F.col("ts") < FEB01)
+    )
+    src = model.ts_src_bounds(df, JAN01, FEB01)
+    if src is not None:
+        df = df.filter(src)
+    bucket = F.lit(JAN01) + F.lit(D1) * F.expr(f"(ts - {JAN01}L) div {D1}L")
+    daily = (
+        df.select(F.col("metric").alias("series"), bucket.alias("ts"), "value")
+        .groupBy("series", "ts")
+        .agg(F.expr(f"CAST(sum({DEC}) AS DOUBLE)").alias("value"))
+    )
+    return dtw_pairs(series_profiles(daily), band=7)
+
+
+_q("ts_dtw_metrics", _ts_dtw)  # rows-only: sequential DP kernel

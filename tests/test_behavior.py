@@ -500,3 +500,39 @@ def test_subsequence_distance_profile_finds_planted_shape(spark):
     assert set(got) == {2, 3, 4, 5}
     assert got[4] == 0.0
     assert min(got, key=got.get) == 4
+
+
+def test_seasonal_naive_backtest_hand_computed(spark):
+    from stdb_spark.operators.behavior import seasonal_naive_backtest
+
+    vals = [10.0, 20.0, 12.0, 18.0]  # lag 2: errors |12-10|=2, |18-20|=2
+    rows = [("s", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    got = seasonal_naive_backtest(df, 2).collect()[0]
+    assert got.n_eval == 2
+    assert got.mae == pytest.approx(2.0)
+    assert got.mape == pytest.approx((2 / 12 + 2 / 18) / 2)
+
+
+def test_dtw_pairs_elastic_match(spark):
+    from stdb_spark.operators.dtw import dtw_pairs, series_profiles
+
+    rows = (
+        [("a", t, v) for t, v in enumerate([0.0, 1.0, 2.0, 1.0, 0.0])]
+        # b = a shifted by one step: DTW absorbs the shift cheaply
+        + [("b", t, v) for t, v in enumerate([0.0, 0.0, 1.0, 2.0, 1.0])]
+        # c = flat line, genuinely far from both
+        + [("c", t, 5.0) for t in range(5)]
+    )
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    prof = series_profiles(df)
+    got = {(r.a, r.b): r.dtw for r in dtw_pairs(prof, band=2).collect()}
+    assert got[("a", "b")] < got[("a", "c")]
+    assert got[("a", "b")] < got[("b", "c")]
+    # identical profiles -> zero distance
+    dup = spark.createDataFrame(
+        [("x", 0, 1.0), ("x", 1, 2.0), ("y", 0, 1.0), ("y", 1, 2.0)],
+        "series string, ts long, value double",
+    )
+    z = dtw_pairs(series_profiles(dup)).collect()[0]
+    assert z.dtw == 0.0
