@@ -459,3 +459,113 @@ def test_ngram_novelty_bounds_and_partition_invariance(spark, texts):
         assert 0.0 <= nov <= 1.0
     b = sorted(map(tuple, dedup.ngram_novelty(df.repartition(7), n=2).collect()))
     assert a == b
+
+
+# ------------------------------------------ round-3 extension properties
+
+_words = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=3), min_size=0, max_size=30
+)
+
+
+@given(docs=st.lists(_words, min_size=1, max_size=6))
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_dup_span_scrub_matches_python_model(spark, docs):
+    """dup_span_scrub == a pure-Python reimplementation for arbitrary
+    small corpora: first occurrence (by (doc, pos)) of every duplicated
+    W-gram survives, all other occurrences' positions are removed."""
+    from stdb_spark.functions.dedup import dup_span_scrub
+
+    W = 3
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_scrubbed, r.n_tokens, r.n_tokens_removed)
+        for r in dup_span_scrub(df, width=W).collect()
+    }
+
+    # python model
+    spans = {}  # gram -> list of (doc, i)
+    for d, ws in enumerate(docs):
+        for i in range(len(ws) - W + 1):
+            spans.setdefault(tuple(ws[i : i + W]), []).append((d, i))
+    covered = {d: set() for d in range(len(docs))}
+    for g, occ in spans.items():
+        if len(occ) >= 2:
+            first = min(occ)
+            for d, i in occ:
+                if (d, i) != first:
+                    covered[d].update(range(i, i + W))
+    for d, ws in enumerate(docs):
+        if not ws:
+            assert d not in got
+            continue
+        kept = [w for p, w in enumerate(ws) if p not in covered[d]]
+        assert got[d] == (" ".join(kept), len(ws), len(ws) - len(kept))
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=2, max_size=40
+    ),
+    parts=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_trapezoid_integral_partition_invariant(spark, vals, parts):
+    """The integral is a pure function of content — decimal-sum
+    accumulation makes it independent of physical partitioning, and it
+    matches a pure-Python trapezoid fold (values are integer-valued
+    doubles so the model is exact)."""
+    from stdb_spark.operators.behavior import trapezoid_integral
+
+    S = 1_000_000_000
+    rows = [("s", (t + 1) * S, float(v)) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    B = 7 * S
+    expect = {}
+    for j in range(1, len(vals)):
+        b = ((j + 1) * S) // B * B
+        expect[b] = expect.get(b, 0.0) + (vals[j] + vals[j - 1]) / 2.0 * 1.0
+    for p in (1, parts):
+        got = {
+            r.ts: r.integral
+            for r in trapezoid_integral(df.repartition(p), B).collect()
+        }
+        assert set(got) == set(expect)
+        for b in got:
+            assert got[b] == pytest.approx(expect[b], abs=1e-9)
+
+
+@given(
+    base=st.dictionaries(
+        st.integers(min_value=0, max_value=20),
+        st.integers(min_value=-99, max_value=99),
+        min_size=1,
+        max_size=10,
+    ),
+    upd=st.dictionaries(
+        st.integers(min_value=0, max_value=20),
+        st.integers(min_value=-99, max_value=99),
+        min_size=0,
+        max_size=10,
+    ),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_upsert_latest_is_dict_update(spark, base, upd):
+    """upsert_latest == dict.update: updates win on overlap, both sides'
+    exclusive keys survive, and re-applying the same batch is a no-op."""
+    from stdb_spark.sources.storage import upsert_latest
+
+    b = spark.createDataFrame(
+        [(k, float(v), 0) for k, v in base.items()], "k long, value double, batch int"
+    )
+    u = spark.createDataFrame(
+        [(k, float(v), 1) for k, v in upd.items()], "k long, value double, batch int"
+    )
+    merged = upsert_latest(b, u, ["k"], "batch")
+    got = {r.k: r.value for r in merged.collect()}
+    want = {**{k: float(v) for k, v in base.items()},
+            **{k: float(v) for k, v in upd.items()}}
+    assert got == want
+    again = {r.k: r.value for r in upsert_latest(merged, u, ["k"], "batch").collect()}
+    assert again == want
