@@ -126,6 +126,7 @@ HEADLINE = [
     "ts_subsequence_match",
     "ts_seasonal_naive_backtest",
     "ts_dtw_metrics",
+    "ts_xcorr_lead_lag",
 ]
 
 

@@ -795,3 +795,60 @@ def seasonal_naive_backtest(
             "CAST(sum(CAST(_a AS DECIMAL(38,10))) AS DOUBLE) / count(_a)"
         ).alias("mape"),
     )
+
+
+def lagged_cross_correlation(
+    daily: DataFrame,
+    max_lag: int = 5,
+    ts_col: str = "ts",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Pearson cross-correlation of two integer count series at leads
+    0..max_lag — the lead/lag discovery tool ("views today correlate
+    with purchases k days later").  Input is the already-bucketed
+    (ts, x, y) count table; all moment sums stay in exact integer
+    arithmetic, so the only float ops are the two final sqrt's and one
+    division — bit-identical on any engine.  Emits (lag, n, corr);
+    corr is NULL for constant series (zero denominator).
+
+    The lead window is a single global sort — the input is
+    post-aggregate (one row per bucket), so the single-partition window
+    is over a driver-trivial row count by construction; the heavy
+    exchange happened in the upstream count aggregate."""
+    w = Window.orderBy(ts_col)
+    leads = daily.select(
+        F.col(x_col).alias("x"),
+        *[F.lead(y_col, l).over(w).alias(f"_y{l}") for l in range(max_lag + 1)],
+    )
+    u = leads.select(
+        "x",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(l).alias("lag"), F.col(f"_y{l}").alias("y")
+                    )
+                    for l in range(max_lag + 1)
+                ]
+            )
+        ).alias("_s"),
+    ).select("x", F.col("_s.lag").alias("lag"), F.col("_s.y").alias("y"))
+    m = (
+        u.filter(F.col("y").isNotNull())
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    corr = F.expr(
+        "CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+        "    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))"
+    )
+    return m.select("lag", F.col("n").cast("long").alias("n"), corr.alias("corr"))

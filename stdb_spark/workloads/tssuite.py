@@ -3722,3 +3722,67 @@ def _ts_dtw(spark, sf):
 
 
 _q("ts_dtw_metrics", _ts_dtw)  # rows-only: sequential DP kernel
+
+
+# --------------------------------------------- lagged cross-correlation
+# Do views lead purchases?  Daily event COUNTS (integer-exact moments;
+# the only float ops are two sqrt's and a division) cross-correlated at
+# leads 0..5 days.
+def _ts_xcorr(spark, sf):
+    from stdb_spark.operators.behavior import lagged_cross_correlation
+
+    df = _samples_range(spark, sf, JAN01, FEB01).filter(
+        F.col("metric").isin("view", "purchase")
+    )
+    bucket = F.lit(JAN01) + F.lit(D1) * F.expr(f"(ts - {JAN01}L) div {D1}L")
+    daily = df.groupBy(bucket.alias("ts")).agg(
+        F.sum(F.when(F.col("metric") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("metric") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    return lagged_cross_correlation(daily, max_lag=5)
+
+
+_q(
+    "ts_xcorr_lead_lag",
+    _ts_xcorr,
+    BASE
+    + f"""
+, d AS (
+  SELECT {JAN01_US} + {D1_US} * ((tu - {JAN01_US}) // {D1_US}) AS ts,
+    CAST(sum(CASE WHEN metric = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+    CAST(sum(CASE WHEN metric = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM base WHERE metric IN ('view', 'purchase')
+    AND tu >= {JAN01_US} AND tu < {FEB01_US}
+  GROUP BY 1
+),
+l AS (
+  SELECT x,
+    lead(y, 0) OVER w AS y0, lead(y, 1) OVER w AS y1,
+    lead(y, 2) OVER w AS y2, lead(y, 3) OVER w AS y3,
+    lead(y, 4) OVER w AS y4, lead(y, 5) OVER w AS y5
+  FROM d WINDOW w AS (ORDER BY ts)
+),
+u AS (
+  SELECT 0 AS lag, x, y0 AS y FROM l UNION ALL
+  SELECT 1, x, y1 FROM l UNION ALL
+  SELECT 2, x, y2 FROM l UNION ALL
+  SELECT 3, x, y3 FROM l UNION ALL
+  SELECT 4, x, y4 FROM l UNION ALL
+  SELECT 5, x, y5 FROM l
+),
+m AS (
+  SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM u WHERE y IS NOT NULL GROUP BY lag
+)
+SELECT lag, CAST(n AS BIGINT) AS n,
+  CAST(n * sxy - sx * sy AS DOUBLE)
+    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+FROM m
+""",
+)

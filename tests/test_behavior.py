@@ -536,3 +536,19 @@ def test_dtw_pairs_elastic_match(spark):
     )
     z = dtw_pairs(series_profiles(dup)).collect()[0]
     assert z.dtw == 0.0
+
+
+def test_lagged_cross_correlation_detects_planted_lead(spark):
+    from stdb_spark.operators.behavior import lagged_cross_correlation
+
+    import random
+
+    rnd = random.Random(11)
+    x = [rnd.randint(10, 100) for _ in range(30)]
+    # y follows x with a 2-step delay (+ tiny noise-free offset)
+    y = [0, 0] + [v + 3 for v in x[:-2]]
+    rows = [(t, x[t], y[t]) for t in range(30)]
+    df = spark.createDataFrame(rows, "ts long, x long, y long")
+    got = {r.lag: r.corr for r in lagged_cross_correlation(df, max_lag=4).collect()}
+    assert got[2] == pytest.approx(1.0)
+    assert all(got[l] < 0.99 for l in got if l != 2)
