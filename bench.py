@@ -127,6 +127,7 @@ HEADLINE = [
     "ts_seasonal_naive_backtest",
     "ts_dtw_metrics",
     "ts_xcorr_lead_lag",
+    "ts_heavy_hitters_sketch",
 ]
 
 

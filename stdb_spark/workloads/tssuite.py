@@ -3786,3 +3786,23 @@ SELECT lag, CAST(n AS BIGINT) AS n,
 FROM m
 """,
 )
+
+
+# --------------------------------------- SpaceSaver-parity MG sketch
+# The reference's heavy-hitter node is a bounded-memory SpaceSaver
+# (spacesaver.h:11-150); the exact groupBy variants answer it when the
+# distinct-item exchange fits — this is the mergeable-sketch twin for
+# when it doesn't.  Estimates depend on partition boundaries ->
+# rows-only; the one-sided error guarantee is pinned in pytest.
+def _ts_heavy_hitters_sketch(spark, sf):
+    from stdb_spark.operators.sketch import misra_gries_topk
+
+    df = model.events_as_samples(spark, sf).select(
+        F.concat(F.col("metric"), F.lit(" user="), F.col("tags")["user"]).alias(
+            "series"
+        )
+    )
+    return misra_gries_topk(df, "series", k=64, top=10)
+
+
+_q("ts_heavy_hitters_sketch", _ts_heavy_hitters_sketch)  # rows-only: sketch

@@ -552,3 +552,24 @@ def test_lagged_cross_correlation_detects_planted_lead(spark):
     got = {r.lag: r.corr for r in lagged_cross_correlation(df, max_lag=4).collect()}
     assert got[2] == pytest.approx(1.0)
     assert all(got[l] < 0.99 for l in got if l != 2)
+
+
+def test_misra_gries_guarantee_and_heavy_hitter_recovery(spark):
+    from stdb_spark.operators.sketch import misra_gries_topk
+
+    import random
+
+    rnd = random.Random(5)
+    # one heavy item at ~30%, the rest spread thin over 200 items
+    items = ["hot"] * 300 + [f"i{rnd.randint(0, 199)}" for _ in range(700)]
+    rnd.shuffle(items)
+    df = spark.createDataFrame([(x,) for x in items], "item string").repartition(4)
+    got = {r.item: r.est_count for r in misra_gries_topk(df, "item", k=20).collect()}
+    n = len(items)
+    true_hot = 300
+    assert "hot" in got  # freq 30% >> n/(k+1): guaranteed present
+    # one-sided guarantee: estimate never exceeds the true count and is
+    # within n/(k+1) per partition-phase (4 partitions share the slack)
+    assert got["hot"] <= true_hot
+    assert got["hot"] >= true_hot - n // (20 + 1) - 4
+    assert max(got, key=got.get) == "hot"
