@@ -53,6 +53,11 @@ PICK = [
     ("doc_winnowing", "winnowing: sliding min-hash selection as pure array exprs — zero exchanges"),
     ("emb_semantic_dedup", "SemDeDup: ONE cell exchange into a blocked-BLAS matmul applyInPandas"),
     ("emb_ann_pq", "PQ ADC: byte codes + broadcast distance table, TakeOrderedAndProject"),
+    ("doc_dup_span_scrub", "substring scrub: gram min/count agg + covered-position anti-join — linear, no pairs"),
+    ("ingest_upsert_merge", "upsert: union + one key-window keep-latest, no join"),
+    ("ts_xcorr_lead_lag", "cross-correlation: count agg exchange, tiny post-agg lead window, integer moments"),
+    ("ts_heavy_hitters_sketch", "Misra-Gries: mapInPandas partition summaries, <=k rows shuffled per partition"),
+    ("ts_subsequence_match", "subsequence search: W-term lag chain + rank on one series exchange"),
 ]
 
 
