@@ -128,6 +128,7 @@ HEADLINE = [
     "ts_dtw_metrics",
     "ts_xcorr_lead_lag",
     "ts_heavy_hitters_sketch",
+    "doc_term_lookup",
 ]
 
 

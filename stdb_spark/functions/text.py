@@ -437,3 +437,32 @@ def quality_classifier_score(
         score.alias("quality_lin"),
         (score > F.lit(float(threshold))).alias("keep"),
     )
+
+
+def inverted_index(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Postings table (term, doc, tf) — the write-time inverted index
+    (the reference keeps one in memory for series lookup,
+    stdb/index/invertedindex.h; a corpus engine keeps the same
+    structure on disk for term lookup).  Lowercased whitespace terms;
+    ONE (term, doc) exchange with map-side partial counts.
+
+    Write it `repartition(N, "term").sortWithinPartitions("term")` so a
+    term-equality lookup prunes parquet row groups via min/max stats —
+    the same presigned-artifact pattern as the LSH signature table."""
+    toks = F.transform(tokens_col(text_col), lambda t: F.lower(t))
+    return (
+        df.select(F.col(key), F.explode(toks).alias("term"))
+        .groupBy("term", key)
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def term_lookup(index: DataFrame, terms: list, key: str = "doc_id") -> DataFrame:
+    """Postings lookup over a written inverted index: term-equality
+    predicates reach the parquet scan (PushedFilters), so a sorted
+    index answers from a handful of row groups."""
+    return index.filter(F.col("term").isin(list(terms))).select(
+        "term", key, "tf"
+    )

@@ -2131,3 +2131,46 @@ s AS (
 SELECT doc_id, quality_lin, quality_lin > CAST(0.0 AS DOUBLE) AS keep FROM s
 """,
 )
+
+
+# ------------------------------------------------- inverted text index
+# Write-time inverted index (term, doc, tf) sorted by term so lookups
+# prune parquet row groups — the on-disk twin of the reference's
+# in-memory inverted index (stdb/index/invertedindex.h).  The oracle
+# recomputes the same postings straight from the documents table.
+_LOOKUP_TERMS = ("the", "and")
+
+
+def _doc_term_lookup(spark, sf):
+    import os
+
+    from stdb_spark.functions.text import inverted_index, term_lookup
+
+    cache = model.derived_cache_path(sf, "inverted_index", "documents")
+    if not os.path.isdir(cache):
+        idx = inverted_index(model.load_table(spark, sf, "documents"))
+        (
+            idx.repartition(8, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(cache)
+        )
+    return term_lookup(spark.read.parquet(cache), list(_LOOKUP_TERMS))
+
+
+_q(
+    "doc_term_lookup",
+    _doc_term_lookup,
+    f"""
+WITH t AS (
+  SELECT doc_id,
+    unnest(list_transform(
+      list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0),
+      x -> lower(x))) AS term
+  FROM documents
+)
+SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+FROM t WHERE term IN ('{_LOOKUP_TERMS[0]}', '{_LOOKUP_TERMS[1]}')
+GROUP BY term, doc_id
+""",
+)

@@ -1012,3 +1012,16 @@ def test_quality_classifier_score_orders_real_over_junk(spark):
     got = {r.doc_id: r for r in quality_classifier_score(df).collect()}
     assert got[1].quality_lin > got[2].quality_lin > got[3].quality_lin
     assert got[1].keep
+
+
+def test_inverted_index_postings(spark):
+    from stdb_spark.functions.text import inverted_index, term_lookup
+
+    rows = [(1, "The cat and the dog"), (2, "a dog barks")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = inverted_index(df)
+    got = {(r.term, r.doc_id): r.tf for r in idx.collect()}
+    assert got[("the", 1)] == 2  # case-folded
+    assert got[("dog", 1)] == 1 and got[("dog", 2)] == 1
+    hits = {(r.term, r.doc_id) for r in term_lookup(idx, ["dog"]).collect()}
+    assert hits == {("dog", 1), ("dog", 2)}

@@ -325,3 +325,12 @@ def test_semantic_dedup_single_cell_exchange(spark):
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_term_lookup_pushes_term_filter_to_scan(spark):
+    # the inverted-index artifact answers term lookups from pruned row
+    # groups: the term predicate must reach PushedFilters
+    df = QUERIES["doc_term_lookup"](spark, SF)
+    plan = _plan_formatted(df)
+    assert "PushedFilters:" in plan
+    assert "term" in plan.split("PushedFilters:")[1][:200]
