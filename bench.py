@@ -129,6 +129,8 @@ HEADLINE = [
     "ts_xcorr_lead_lag",
     "ts_heavy_hitters_sketch",
     "doc_term_lookup",
+    "doc_bm25_search",
+    "doc_phrase_search",
 ]
 
 

@@ -466,3 +466,120 @@ def term_lookup(index: DataFrame, terms: list, key: str = "doc_id") -> DataFrame
     return index.filter(F.col("term").isin(list(terms))).select(
         "term", key, "tf"
     )
+
+
+def positional_index(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Inverted index with positions: (term, doc, positions array,
+    tf) — the phrase-query-capable variant of :func:`inverted_index`.
+    Positions are 1-based token offsets, sorted.  Same write-time
+    contract (repartition+sort by term for row-group pruning)."""
+    toks = F.transform(tokens_col(text_col), lambda t: F.lower(t))
+    ex = df.select(
+        F.col(key), F.posexplode(toks).alias("_p0", "term")
+    ).select(F.col(key), "term", (F.col("_p0") + 1).alias("pos"))
+    return ex.groupBy("term", key).agg(
+        F.array_sort(F.collect_list("pos")).alias("positions"),
+        F.count("*").cast("long").alias("tf"),
+    )
+
+
+def phrase_query(
+    index: DataFrame, phrase: list, key: str = "doc_id"
+) -> DataFrame:
+    """Exact phrase matching over a positional index: documents where
+    ``phrase``'s terms occur at consecutive positions, with the match
+    count.  N-term phrases chain N-1 broadcast-friendly postings joins
+    on the doc key, intersecting shifted position sets JVM-side
+    (``array_intersect`` on int arrays) — classic positional-index
+    evaluation, no text rescan."""
+    terms = [t.lower() for t in phrase]
+    if not terms:
+        raise ValueError("empty phrase")
+    cur = index.filter(F.col("term") == terms[0]).select(
+        F.col(key), F.col("positions").alias("_m")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = index.filter(F.col("term") == t).select(
+            F.col(key), F.col("positions").alias("_p")
+        )
+        cur = (
+            cur.join(nxt, key)
+            .select(
+                F.col(key),
+                F.array_intersect(
+                    F.transform("_m", lambda p: p + i), F.col("_p")
+                ).alias("_shifted"),
+            )
+            .filter(F.size("_shifted") > 0)
+            # keep match-start positions: shift back
+            .select(
+                F.col(key),
+                F.transform("_shifted", lambda p: p - i).alias("_m"),
+            )
+        )
+    return cur.select(
+        F.col(key), F.size("_m").cast("long").alias("n_matches")
+    )
+
+
+def bm25_topk(
+    index: DataFrame,
+    doc_lengths: DataFrame,
+    terms: list,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    key: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval over the inverted index (Robertson &
+    Zaragoza 2009): score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 −
+    b + b·|d|/avgdl)), idf = ln((N − df + ½)/(df + ½) + 1).
+
+    Plan shape: the postings scan touches only the query terms (term
+    pushdown on the written index), df/N/avgdl are scalar aggregates
+    broadcast into the score projection, and the finish is one per-doc
+    sum + TakeOrdered.  ln() is the single libm call — engine parity
+    holds to the driver gate's 1e-6 rounding."""
+    terms = [t.lower() for t in terms]
+    n_docs = doc_lengths.count()
+    avgdl = doc_lengths.agg(
+        F.expr("CAST(sum(CAST(dl AS DECIMAL(28,10))) AS DOUBLE)")
+    ).first()[0] / float(n_docs)
+    hits = index.filter(F.col("term").isin(terms))
+    dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(doc_lengths, key)
+        .select(
+            F.col(key),
+            (
+                idf
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * (F.col("dl") / F.lit(avgdl))
+                    )
+                )
+            ).alias("_s"),
+        )
+    )
+    return (
+        scored.groupBy(key)
+        .agg(
+            F.expr("CAST(sum(CAST(_s AS DECIMAL(38,10))) AS DOUBLE)").alias(
+                "bm25"
+            )
+        )
+        .orderBy(F.col("bm25").desc(), F.col(key).asc())
+        .limit(k)
+    )

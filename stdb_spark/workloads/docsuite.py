@@ -2174,3 +2174,103 @@ FROM t WHERE term IN ('{_LOOKUP_TERMS[0]}', '{_LOOKUP_TERMS[1]}')
 GROUP BY term, doc_id
 """,
 )
+
+
+# ------------------------------------------------ BM25 + phrase search
+# Ranked retrieval and exact phrase matching over the written index —
+# the query half of the search story (invertedindex.h analog).
+def _doc_lengths(spark, sf):
+    from stdb_spark.functions.text import tokens_col
+
+    return model.load_table(spark, sf, "documents").select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("dl")
+    )
+
+
+def _doc_bm25(spark, sf):
+    from stdb_spark.functions.text import bm25_topk, inverted_index
+
+    idx = inverted_index(model.load_table(spark, sf, "documents"))
+    return bm25_topk(idx, _doc_lengths(spark, sf), ["the", "and"], k=10)
+
+
+_q(
+    "doc_bm25_search",
+    _doc_bm25,
+    """
+WITH t AS (
+  SELECT doc_id,
+    list_transform(
+      list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0),
+      x -> lower(x)) AS toks
+  FROM documents
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+stats AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(dl AS DECIMAL(28,10))) AS DOUBLE) AS sdl
+  FROM dl
+),
+idx AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY doc_id, term
+),
+h AS (SELECT * FROM idx WHERE term IN ('the', 'and')),
+dfq AS (SELECT term, count(*) AS df FROM h GROUP BY term),
+sc AS (
+  SELECT h.doc_id,
+    ln((CAST(n AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
+        / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+    * (tf * CAST(2.2 AS DOUBLE))
+    / (tf + CAST(1.2 AS DOUBLE)
+         * (CAST(0.25 AS DOUBLE)
+            + CAST(0.75 AS DOUBLE) * (dl / (sdl / n)))) AS s
+  FROM h JOIN dfq USING (term) JOIN dl USING (doc_id), stats
+)
+SELECT doc_id, CAST(sum(CAST(s AS DECIMAL(38,10))) AS DOUBLE) AS bm25
+FROM sc GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+""",
+)
+
+
+def _doc_phrase(spark, sf):
+    import os
+
+    from stdb_spark.functions.text import phrase_query, positional_index
+
+    cache = model.derived_cache_path(sf, "positional_index", "documents")
+    if not os.path.isdir(cache):
+        idx = positional_index(model.load_table(spark, sf, "documents"))
+        (
+            idx.repartition(8, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(cache)
+        )
+    return phrase_query(spark.read.parquet(cache), ["of", "the"])
+
+
+_q(
+    "doc_phrase_search",
+    _doc_phrase,
+    """
+WITH t AS (
+  SELECT doc_id,
+    list_transform(
+      list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0),
+      x -> lower(x)) AS toks
+  FROM documents
+),
+p AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM t
+),
+a AS (SELECT doc_id, pos FROM p WHERE term = 'of'),
+b AS (SELECT doc_id, pos FROM p WHERE term = 'the')
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+GROUP BY a.doc_id
+""",
+)

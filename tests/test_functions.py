@@ -1025,3 +1025,39 @@ def test_inverted_index_postings(spark):
     assert got[("dog", 1)] == 1 and got[("dog", 2)] == 1
     hits = {(r.term, r.doc_id) for r in term_lookup(idx, ["dog"]).collect()}
     assert hits == {("dog", 1), ("dog", 2)}
+
+
+def test_phrase_query_consecutive_positions(spark):
+    from stdb_spark.functions.text import phrase_query, positional_index
+
+    rows = [
+        (1, "the big bad wolf and the big bad dog"),
+        (2, "big the bad wolf"),          # terms present, order broken
+        (3, "nothing relevant here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = positional_index(df)
+    got = {r.doc_id: r.n_matches
+           for r in phrase_query(idx, ["big", "bad"]).collect()}
+    assert got == {1: 2}
+    # three-term phrase
+    g3 = {r.doc_id: r.n_matches
+          for r in phrase_query(idx, ["the", "big", "bad"]).collect()}
+    assert g3 == {1: 2}
+
+
+def test_bm25_ranks_term_dense_doc_first(spark):
+    from stdb_spark.functions.text import bm25_topk, inverted_index, tokens_col
+
+    rows = [
+        (1, "spark spark spark engine"),
+        (2, "spark engine and lots of other padding words here now"),
+        (3, "unrelated content entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = inverted_index(df)
+    dl = df.select("doc_id", F.size(tokens_col("text")).cast("long").alias("dl"))
+    got = bm25_topk(idx, dl, ["spark"], k=3).collect()
+    assert [r.doc_id for r in got][0] == 1   # highest tf, shortest doc
+    assert len(got) == 2                     # doc 3 never matches
+    assert got[0].bm25 > got[1].bm25 > 0

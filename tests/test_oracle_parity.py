@@ -37,7 +37,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 # decimal-sum discipline fixes either.  For these, compare exactly the
 # way the driver's hash does — round(x, 6) — instead of bitwise.
 # Everything else stays bit-exact.
-LIBM_TOLERANT = {"doc_unigram_logprob", "ts_integral_daily"}
+LIBM_TOLERANT = {"doc_unigram_logprob", "ts_integral_daily", "doc_bm25_search"}
 
 
 def _values_equal(a, b, tolerant=False) -> bool:
