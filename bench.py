@@ -131,6 +131,7 @@ HEADLINE = [
     "doc_term_lookup",
     "doc_bm25_search",
     "doc_phrase_search",
+    "doc_hybrid_search",
 ]
 
 

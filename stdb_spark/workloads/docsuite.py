@@ -2274,3 +2274,80 @@ FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
 GROUP BY a.doc_id
 """,
 )
+
+
+# ------------------------------------------------- hybrid search (RAG)
+# Lexical-recall + semantic-rerank: BM25 top-50 candidates joined to
+# their embeddings (doc_id == vec_id in the testdata) and reranked by
+# cosine against the query vector — the standard hybrid-retrieval
+# shape.  The candidate set is 50 rows, so the rerank join broadcasts.
+def _doc_hybrid_search(spark, sf):
+    from stdb_spark.functions.text import bm25_topk, inverted_index
+
+    docs = model.load_table(spark, sf, "documents")
+    idx = inverted_index(docs)
+    cands = bm25_topk(idx, _doc_lengths(spark, sf), ["the", "and"], k=50)
+    emb = model.load_table(spark, sf, "embeddings")
+    q = F.array(*[F.lit(float(x)) for x in _QVEC])
+    joined = emb.join(
+        F.broadcast(cands), emb.vec_id == cands.doc_id
+    ).select(
+        "doc_id", "bm25", similarity.cosine_expr(F.col("embedding"), q).alias("cosine")
+    )
+    return joined.orderBy(
+        F.col("cosine").desc(), F.col("bm25").desc(), F.col("doc_id").asc()
+    ).limit(10)
+
+
+_BM25_CAND_SQL = """
+WITH t AS (
+  SELECT doc_id,
+    list_transform(
+      list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0),
+      x -> lower(x)) AS toks
+  FROM documents
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+stats AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(dl AS DECIMAL(28,10))) AS DOUBLE) AS sdl
+  FROM dl
+),
+idx AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY doc_id, term
+),
+h AS (SELECT * FROM idx WHERE term IN ('the', 'and')),
+dfq AS (SELECT term, count(*) AS df FROM h GROUP BY term),
+sc AS (
+  SELECT h.doc_id,
+    ln((CAST(n AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
+        / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+    * (tf * CAST(2.2 AS DOUBLE))
+    / (tf + CAST(1.2 AS DOUBLE)
+         * (CAST(0.25 AS DOUBLE)
+            + CAST(0.75 AS DOUBLE) * (dl / (sdl / n)))) AS s
+  FROM h JOIN dfq USING (term) JOIN dl USING (doc_id), stats
+),
+cands AS (
+  SELECT doc_id, CAST(sum(CAST(s AS DECIMAL(38,10))) AS DOUBLE) AS bm25
+  FROM sc GROUP BY doc_id
+  ORDER BY bm25 DESC, doc_id ASC LIMIT 50
+)
+"""
+
+
+def _hybrid_sql() -> str:
+    return (
+        _BM25_CAND_SQL
+        + f"""
+SELECT c.doc_id, c.bm25,
+  ({_qvec_dot('e.embedding')}) / ({_norm_chain('e.embedding')} * {_QNORM})
+    AS cosine
+FROM cands c JOIN embeddings e ON e.vec_id = c.doc_id
+ORDER BY cosine DESC, bm25 DESC, doc_id ASC LIMIT 10
+"""
+    )
+
+
+_q("doc_hybrid_search", _doc_hybrid_search, _hybrid_sql())
