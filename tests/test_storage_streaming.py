@@ -301,3 +301,56 @@ def test_compact_partitions_reduces_file_count(spark, tmp_path):
     a = sorted(map(tuple, storage.read_samples(spark, src).collect()))
     b = sorted(map(tuple, storage.read_samples(spark, dst).collect()))
     assert a == b
+
+
+def test_streaming_late_rows_dropped_by_watermark(spark, tmp_path):
+    """The watermark policy must actually DROP late rows and account for
+    them (numRowsDroppedByWatermark) — the observable FAIL_LATE_WRITE
+    analog, not just a declared intent."""
+    import json
+    import time
+
+    from stdb_spark.sources.opentsdb import parse_opentsdb_lines
+    from stdb_spark.streaming.ingest import streaming_downsample
+
+    src = tmp_path / "in"
+    src.mkdir()
+    base = 1_700_000_000  # epoch seconds
+    # batch 0: window W1 (T) plus a fresh row 2h ahead — advances the
+    # watermark to T+1h.  Spark applies watermark eviction/filtering
+    # with a one-batch lag, so W1 survives batch 0 and is evicted after
+    # batch 1; only a THIRD batch's late row is provably dropped.
+    (src / "b1.txt").write_text(
+        f"put cpu {base} 1.0 host=a\nput cpu {base + 7200} 2.0 host=a\n"
+    )
+    time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+    (src / "b2.txt").write_text(f"put cpu {base + 7260} 3.0 host=a\n")
+    time.sleep(1.1)
+    # batch 2: late row aimed at the evicted W1 -> dropped and counted
+    (src / "b3.txt").write_text(f"put cpu {base + 10} 9.0 host=a\n")
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    agg = streaming_downsample(
+        parse_opentsdb_lines(lines), step="1 minute", max_lateness="1 hour"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = 0
+    for p in q.recentProgress:
+        d = json.loads(p.json) if hasattr(p, "json") else p
+        for so in d.get("stateOperators", []):
+            dropped += so.get("numRowsDroppedByWatermark", 0)
+    assert dropped >= 1, [str(p) for p in q.recentProgress]
+    # and the late row's value never reaches the sink: W1 was finalized
+    # with the on-time value only
+    w1 = [r for r in spark.table("late_sink").collect() if r["min"] == 1.0]
+    assert w1 and all(r["max"] == 1.0 and r["count"] == 1 for r in w1)
