@@ -132,6 +132,7 @@ HEADLINE = [
     "doc_bm25_search",
     "doc_phrase_search",
     "doc_hybrid_search",
+    "ts_alert_hysteresis",
 ]
 
 

@@ -852,3 +852,43 @@ def lagged_cross_correlation(
         "    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))"
     )
     return m.select("lag", F.col("n").cast("long").alias("n"), corr.alias("corr"))
+
+
+def hysteresis_alerts(
+    samples: DataFrame,
+    hi: float,
+    lo: float,
+    series_col: str = "series",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Alert-rule evaluation with hysteresis (fire at v >= hi, clear at
+    v <= lo — the two-threshold rule every alerting system uses to stop
+    flapping): per series, the number of alert episodes and the number
+    of samples spent in the firing state.
+
+    The state machine needs no sequential fold: a sample is a crossing
+    EVENT (1 = fire, 0 = clear, NULL = no crossing), and the alert
+    state at any row is simply the most recent non-null event —
+    ``last(ev, ignorenulls)`` over a running frame.  Episode starts are
+    state transitions via lag.  All integer arithmetic on ONE series
+    exchange shared by both windows and the rollup."""
+    w = Window.partitionBy(series_col).orderBy(ts_col)
+    v = F.col(value_col)
+    ev = F.when(v >= F.lit(float(hi)), F.lit(1)).when(
+        v <= F.lit(float(lo)), F.lit(0)
+    )
+    st = F.coalesce(
+        F.last(ev, ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+        F.lit(0),
+    )
+    d = samples.select(F.col(series_col).alias("series"), F.col(ts_col).alias("ts"), st.alias("_st"))
+    d = d.withColumn("_pst", F.lag("_st", 1, 0).over(Window.partitionBy("series").orderBy("ts")))
+    return d.groupBy("series").agg(
+        F.sum("_st").cast("long").alias("n_alert_samples"),
+        F.sum(F.when((F.col("_st") == 1) & (F.col("_pst") != 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_episodes"),
+    )

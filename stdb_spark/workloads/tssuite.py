@@ -3806,3 +3806,52 @@ def _ts_heavy_hitters_sketch(spark, sf):
 
 
 _q("ts_heavy_hitters_sketch", _ts_heavy_hitters_sketch)  # rows-only: sketch
+
+
+# ----------------------------------------------------- hysteresis alerts
+# Two-threshold alert-rule evaluation (fire >= hi, clear <= lo) with no
+# sequential fold: alert state = most recent crossing event
+# (last_value IGNORE NULLS over a running frame); integer-exact.
+def _ts_alerts(spark, sf):
+    from stdb_spark.operators.behavior import hysteresis_alerts
+
+    df = _samples(spark, sf, "error", JAN01_US, FEB01_US)
+    return hysteresis_alerts(df, hi=150.0, lo=75.0)
+
+
+_q(
+    "ts_alert_hysteresis",
+    _ts_alerts,
+    f"""
+WITH v AS (
+  SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
+         epoch_us(ts) AS tu, value
+  FROM events
+  WHERE event_type = 'error'
+    AND epoch_us(ts) >= {JAN01_US} AND epoch_us(ts) < {FEB01_US}
+),
+e AS (
+  SELECT series, tu,
+    CASE WHEN value >= CAST(150.0 AS DOUBLE) THEN 1
+         WHEN value <= CAST(75.0 AS DOUBLE) THEN 0 END AS ev
+  FROM v
+),
+s AS (
+  SELECT series, tu,
+    coalesce(last_value(ev IGNORE NULLS) OVER (
+      PARTITION BY series ORDER BY tu
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS st
+  FROM e
+),
+t AS (
+  SELECT series, st,
+         lag(st, 1, 0) OVER (PARTITION BY series ORDER BY tu) AS pst
+  FROM s
+)
+SELECT series,
+  CAST(sum(st) AS BIGINT) AS n_alert_samples,
+  CAST(sum(CASE WHEN st = 1 AND pst <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_episodes
+FROM t GROUP BY series
+""",
+)

@@ -573,3 +573,16 @@ def test_misra_gries_guarantee_and_heavy_hitter_recovery(spark):
     assert got["hot"] <= true_hot
     assert got["hot"] >= true_hot - n // (20 + 1) - 4
     assert max(got, key=got.get) == "hot"
+
+
+def test_hysteresis_alerts_state_machine(spark):
+    from stdb_spark.operators.behavior import hysteresis_alerts
+
+    # fire at >= 10, clear at <= 5; values walk through two episodes
+    vals = [1.0, 11.0, 8.0, 12.0, 4.0, 6.0, 10.0, 3.0]
+    #        0    1fire 1hold 1hold 0clr  0     1fire 0clr  -> 2 episodes, 4 firing samples
+    rows = [("s", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    got = hysteresis_alerts(df, hi=10.0, lo=5.0).collect()[0]
+    assert got.n_episodes == 2
+    assert got.n_alert_samples == 4
