@@ -133,6 +133,7 @@ HEADLINE = [
     "doc_phrase_search",
     "doc_hybrid_search",
     "ts_alert_hysteresis",
+    "ts_sliding_group_aggregate",
 ]
 
 

@@ -892,3 +892,46 @@ def hysteresis_alerts(
         .cast("long")
         .alias("n_episodes"),
     )
+
+
+def sliding_group_aggregate(
+    samples: DataFrame,
+    width_ns: int,
+    step_ns: int,
+    origin_ns: int = 0,
+    series_col: str = "series",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Batch sliding-window aggregate (count/sum/min/max per series per
+    overlapping window) — the batch twin of the streaming hopping
+    window, which the reference's tumbling-only group-aggregate lacks.
+    Each sample explodes into the width/step windows that cover it
+    (map-side integer math, clamped at the origin), then ONE hash
+    aggregate; requires width % step == 0.
+
+    Exactness: window starts are exact int64; sums go through decimal.
+    At 100 TB the fan-out factor IS width/step — keep it small (e.g.
+    24h/6h = 4×) or pre-aggregate to step-sized tumbling buckets first
+    (exact for count/sum/min/max) so the explode runs on buckets, not
+    raw rows."""
+    assert width_ns % step_ns == 0, "width must be a multiple of step"
+    k = width_ns // step_ns
+    m_hi = F.expr(f"({ts_col} - {origin_ns}L) div {step_ns}L")
+    m_lo = F.greatest(m_hi - F.lit(k - 1), F.lit(0).cast("long"))
+    ws = F.explode(F.sequence(m_lo, m_hi)).alias("_m")
+    d = samples.select(
+        F.col(series_col).alias("series"),
+        F.col(value_col).alias("_v"),
+        ws,
+    ).select(
+        "series",
+        (F.lit(origin_ns) + F.col("_m") * F.lit(step_ns)).alias("ts"),
+        "_v",
+    )
+    return d.groupBy("series", "ts").agg(
+        F.count("*").cast("long").alias("count"),
+        F.expr("CAST(sum(CAST(_v AS DECIMAL(28,10))) AS DOUBLE)").alias("sum"),
+        F.min("_v").alias("min"),
+        F.max("_v").alias("max"),
+    )

@@ -3855,3 +3855,41 @@ SELECT series,
 FROM t GROUP BY series
 """,
 )
+
+
+# ---------------------------------------------- sliding group-aggregate
+# 24h windows hopping by 6h — the batch twin of the streaming hopping
+# window (the reference's group-aggregate is tumbling-only).  4× map-
+# side fan-out, one hash aggregate.
+def _ts_sliding(spark, sf):
+    from stdb_spark.operators.behavior import sliding_group_aggregate
+
+    df = _samples(spark, sf, "click", JAN01_US, FEB01_US)
+    return _us(sliding_group_aggregate(df, D1, H6, origin_ns=JAN01))
+
+
+_q(
+    "ts_sliding_group_aggregate",
+    _ts_sliding,
+    f"""
+WITH v AS (
+  SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
+         epoch_us(ts) AS tu, value
+  FROM events
+  WHERE event_type = 'click'
+    AND epoch_us(ts) >= {JAN01_US} AND epoch_us(ts) < {FEB01_US}
+),
+x AS (
+  SELECT series, value,
+    unnest(range(greatest((tu - {JAN01_US}) // {H6_US} - 3, 0),
+                 (tu - {JAN01_US}) // {H6_US} + 1)) AS m
+  FROM v
+)
+SELECT series, {JAN01_US} + m * {H6_US} AS ts,
+  CAST(count(*) AS BIGINT) AS count,
+  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum,
+  min(value) AS min,
+  max(value) AS max
+FROM x GROUP BY series, 2
+""",
+)

@@ -586,3 +586,18 @@ def test_hysteresis_alerts_state_machine(spark):
     got = hysteresis_alerts(df, hi=10.0, lo=5.0).collect()[0]
     assert got.n_episodes == 2
     assert got.n_alert_samples == 4
+
+
+def test_sliding_group_aggregate_overlap(spark):
+    from stdb_spark.operators.behavior import sliding_group_aggregate
+
+    # width 20, step 10: each sample lands in 2 windows (clamped at 0)
+    rows = [("s", 5, 1.0), ("s", 15, 3.0), ("s", 25, 5.0)]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    got = {r.ts: (r["count"], r["sum"], r["min"], r["max"])
+           for r in sliding_group_aggregate(df, 20, 10).collect()}
+    # window 0 [0,20): samples 5,15; window 10 [10,30): 15,25; window 20: 25
+    assert got[0] == (2, 4.0, 1.0, 3.0)
+    assert got[10] == (2, 8.0, 3.0, 5.0)
+    assert got[20] == (1, 5.0, 5.0, 5.0)
+    assert set(got) == {0, 10, 20}
