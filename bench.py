@@ -134,6 +134,7 @@ HEADLINE = [
     "doc_hybrid_search",
     "ts_alert_hysteresis",
     "ts_sliding_group_aggregate",
+    "emb_centroid_outliers",
 ]
 
 

@@ -783,3 +783,74 @@ def pq_adc_top_k(
         .orderBy(F.col("adc_dist2").asc(), F.col(key).asc())
         .limit(k)
     )
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    k: float = 3.0,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """Per-label embedding outliers: vectors whose squared distance to
+    their OWN label centroid exceeds the label's mean + k·σ — the
+    mislabeled/garbage-embedding screen that runs right after
+    :func:`simplified_silhouette` in an embedding-quality pass.
+
+    Exactness mirrors the silhouette: centroids and every squared-
+    distance term go through decimal sums, the per-label moment sums
+    quantize the (already 8-dp-exact) distances again, and the flag is
+    fixed-order double arithmetic.  Plan: posexplode map-side, ONE
+    (key,label) exchange for distances, one tiny per-label rollup; the
+    centroid table broadcasts."""
+    cents = label_centroids(emb, label_col, vec_col)
+    ex = emb.select(
+        F.col(key),
+        F.col(label_col).alias("vlabel"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    sq = (
+        ex.join(
+            F.broadcast(cents),
+            (ex.pos == cents.pos) & (ex.vlabel == cents.label),
+        )
+        .groupBy(key, "vlabel")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST((CAST(x AS DOUBLE) - centroid)"
+                " * (CAST(x AS DOUBLE) - centroid) AS DECIMAL(38,8)))"
+                " AS DOUBLE)"
+            ).alias("sq")
+        )
+    )
+    d = "DECIMAL(28,8)"
+    m = sq.groupBy(F.col("vlabel").alias("label")).agg(
+        F.count("*").alias("n"),
+        F.expr(f"CAST(sum(CAST(sq AS {d})) AS DOUBLE)").alias("sx"),
+        F.expr(
+            f"CAST(sum(CAST(CAST(sq AS {d}) * CAST(sq AS {d})"
+            f" AS DECIMAL(38,8))) AS DOUBLE)"
+        ).alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n")
+    thr = mean + F.lit(float(k)) * F.sqrt(F.greatest(var, F.lit(0.0)))
+    flagged = (
+        sq.join(
+            m.select("label", thr.alias("_thr")),
+            sq.vlabel == F.col("label"),
+        )
+        .filter(F.col("sq") > F.col("_thr"))
+        .groupBy("label")
+        .agg(F.count("*").cast("long").alias("n_outliers"))
+    )
+    return (
+        m.select("label", F.col("n").cast("long").alias("n"), (F.col("sx") / F.col("n")).alias("mean_dist2"))
+        .join(flagged, "label", "left")
+        .select(
+            "label",
+            "n",
+            "mean_dist2",
+            F.coalesce("n_outliers", F.lit(0)).cast("long").alias("n_outliers"),
+        )
+    )

@@ -2351,3 +2351,53 @@ ORDER BY cosine DESC, bm25 DESC, doc_id ASC LIMIT 10
 
 
 _q("doc_hybrid_search", _doc_hybrid_search, _hybrid_sql())
+
+
+# ------------------------------------------------ embedding outliers
+# Per-label mislabeled/garbage-embedding screen: distance to own-label
+# centroid beyond mean + 3σ.  Same decimal discipline as the
+# silhouette; the driver gate carries a full value hash.
+def _emb_outliers(spark, sf):
+    return similarity.centroid_outliers(
+        model.load_table(spark, sf, "embeddings")
+    )
+
+
+_q(
+    "emb_centroid_outliers",
+    _emb_outliers,
+    """
+WITH ex AS (
+  SELECT vec_id, label AS vlabel,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS x
+  FROM embeddings
+), cents AS (
+  SELECT vlabel AS clabel, pos,
+         CAST(CAST(sum(CAST(x::DOUBLE AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+           / count(*) AS c
+  FROM ex GROUP BY vlabel, pos
+), sq AS (
+  SELECT e.vec_id, e.vlabel,
+    CAST(CAST(sum(CAST((e.x::DOUBLE - c) * (e.x::DOUBLE - c) AS DECIMAL(38,8)))
+         AS VARCHAR) AS DOUBLE) AS sq
+  FROM ex e JOIN cents ON e.pos = cents.pos AND e.vlabel = cents.clabel
+  GROUP BY e.vec_id, e.vlabel
+), m AS (
+  SELECT vlabel AS label, count(*) AS n,
+    CAST(CAST(sum(CAST(sq AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sum(CAST(CAST(sq AS DECIMAL(28,8)) * CAST(sq AS DECIMAL(28,8))
+         AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxx
+  FROM sq GROUP BY vlabel
+), f AS (
+  SELECT sq.vlabel AS label, count(*) AS n_outliers
+  FROM sq JOIN m ON sq.vlabel = m.label
+  WHERE sq > sx / n + CAST(3.0 AS DOUBLE)
+    * sqrt(greatest((sxx - sx * sx / n) / n, CAST(0.0 AS DOUBLE)))
+  GROUP BY sq.vlabel
+)
+SELECT m.label, CAST(m.n AS BIGINT) AS n, sx / n AS mean_dist2,
+  CAST(coalesce(f.n_outliers, 0) AS BIGINT) AS n_outliers
+FROM m LEFT JOIN f ON m.label = f.label
+""",
+)

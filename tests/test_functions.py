@@ -1061,3 +1061,17 @@ def test_bm25_ranks_term_dense_doc_first(spark):
     assert [r.doc_id for r in got][0] == 1   # highest tf, shortest doc
     assert len(got) == 2                     # doc 3 never matches
     assert got[0].bm25 > got[1].bm25 > 0
+
+
+def test_centroid_outliers_flags_planted_far_vector(spark):
+    import random
+
+    rnd = random.Random(2)
+    rows = [(i, [rnd.gauss(0, 0.05) for _ in range(8)], 0) for i in range(30)]
+    rows.append((99, [50.0] * 8, 0))  # far from the label-0 cloud
+    rows += [(200 + i, [5 + rnd.gauss(0, 0.05) for _ in range(8)], 1)
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {r.label: r for r in similarity.centroid_outliers(df).collect()}
+    assert got[0].n == 31 and got[0].n_outliers == 1
+    assert got[1].n_outliers == 0
