@@ -135,6 +135,7 @@ HEADLINE = [
     "ts_alert_hysteresis",
     "ts_sliding_group_aggregate",
     "emb_centroid_outliers",
+    "ts_counter_rate_resets",
 ]
 
 

@@ -3893,3 +3893,57 @@ SELECT series, {JAN01_US} + m * {H6_US} AS ts,
 FROM x GROUP BY series, 2
 """,
 )
+
+
+# ------------------------------------------------ counter rate (resets)
+# Monitoring-counter rate with reset detection (the Prometheus rule the
+# reference's plain `rate` node lacks): a negative delta means the
+# counter restarted, so the increase since reset is the current value.
+# Per-row fixed-order doubles over one series exchange.
+def _ts_counter_rate(spark, sf):
+    from pyspark.sql import Window as W
+
+    df = _samples(spark, sf, "click", JAN01_US, FEB01_US)
+    w = W.partitionBy("series").orderBy("ts")
+    pv = F.lag("value").over(w)
+    pt = F.lag("ts").over(w)
+    delta = F.when(F.col("value") >= pv, F.col("value") - pv).otherwise(
+        F.col("value")
+    )
+    rate = delta / ((F.col("ts") - pt).cast("double") / F.lit(1.0e9))
+    return (
+        _us(
+            df.select(
+                "series",
+                "ts",
+                rate.alias("rate"),
+                (F.col("value") < pv).alias("reset"),
+            )
+        )
+        .filter(F.col("rate").isNotNull())
+    )
+
+
+_q(
+    "ts_counter_rate_resets",
+    _ts_counter_rate,
+    f"""
+WITH v AS (
+  SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
+         epoch_us(ts) AS tu, value
+  FROM events
+  WHERE event_type = 'click'
+    AND epoch_us(ts) >= {JAN01_US} AND epoch_us(ts) < {FEB01_US}
+),
+l AS (
+  SELECT series, tu, value,
+         lag(value) OVER w AS pv, lag(tu) OVER w AS ptu
+  FROM v WINDOW w AS (PARTITION BY series ORDER BY tu)
+)
+SELECT series, tu AS ts,
+  (CASE WHEN value >= pv THEN value - pv ELSE value END)
+    / (CAST((tu - ptu) * 1000 AS DOUBLE) / 1e9) AS rate,
+  value < pv AS reset
+FROM l WHERE pv IS NOT NULL
+""",
+)
