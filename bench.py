@@ -136,6 +136,9 @@ HEADLINE = [
     "ts_sliding_group_aggregate",
     "emb_centroid_outliers",
     "ts_counter_rate_resets",
+    "ts_sla_availability",
+    "ts_top_movers",
+    "doc_lang_confusion",
 ]
 
 

@@ -2401,3 +2401,29 @@ SELECT m.label, CAST(m.n AS BIGINT) AS n, sx / n AS mean_dist2,
 FROM m LEFT JOIN f ON m.label = f.label
 """,
 )
+
+
+# ------------------------------------------- lang-ID confusion matrix
+# Predicted vs labeled language counts — the evaluation view of the
+# n-gram classifier (the testdata carries a ground-truth lang column).
+def _doc_lang_confusion(spark, sf):
+    docs = model.load_table(spark, sf, "documents")
+    pred = text.lang_id(docs).select("doc_id", "lang_pred")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+_q(
+    "doc_lang_confusion",
+    _doc_lang_confusion,
+    f"""
+WITH p AS ({_langid_sql()})
+SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN p USING (doc_id)
+GROUP BY d.lang, p.lang_pred
+""",
+)

@@ -3947,3 +3947,99 @@ SELECT series, tu AS ts,
 FROM l WHERE pv IS NOT NULL
 """,
 )
+
+
+# ------------------------------------------------------ SLA availability
+# Coverage of the 6h bucket grid per series over January: buckets with
+# at least one sample / total grid buckets.  Integer counts, one exact
+# division.
+_JAN_BUCKETS = (FEB01_US - JAN01_US) // H6_US
+
+
+def _ts_sla(spark, sf):
+    df = _samples_range(spark, sf, JAN01, FEB01)
+    series = F.concat(F.col("metric"), F.lit(" user="), F.col("tags")["user"])
+    bucket = F.expr(f"(ts - {JAN01}L) div {H6}L")
+    per = (
+        df.select(series.alias("series"), bucket.alias("b"))
+        .distinct()
+        .groupBy("series")
+        .agg(F.count("*").cast("long").alias("n_buckets"))
+    )
+    return per.select(
+        "series",
+        "n_buckets",
+        (F.col("n_buckets") / F.lit(int(_JAN_BUCKETS))).alias("availability"),
+    )
+
+
+_q(
+    "ts_sla_availability",
+    _ts_sla,
+    BASE
+    + f"""
+, b AS (
+  SELECT DISTINCT metric || ' user=' || u AS series,
+         (tu - {JAN01_US}) // {H6_US} AS b
+  FROM base WHERE tu >= {JAN01_US} AND tu < {FEB01_US}
+)
+SELECT series, CAST(count(*) AS BIGINT) AS n_buckets,
+  count(*) / CAST({_JAN_BUCKETS} AS DOUBLE) AS availability
+FROM b GROUP BY series
+""",
+)
+
+
+# -------------------------------------------------------- top movers
+# Biggest day-over-day activity changes per metric: daily counts, lag
+# delta, global top-5 by |delta| with a total-order tie-break.
+def _ts_top_movers(spark, sf):
+    from pyspark.sql import Window as W
+
+    df = _samples_range(spark, sf, JAN01, FEB01)
+    day = F.lit(JAN01_US) + F.lit(D1_US) * F.expr(
+        f"((ts div 1000) - {JAN01_US}L) div {D1_US}L"
+    )
+    daily = df.groupBy(
+        F.col("metric"), day.alias("ts")
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = W.partitionBy("metric").orderBy("ts")
+    d = daily.withColumn("delta", F.col("n") - F.lag("n").over(w)).filter(
+        F.col("delta").isNotNull()
+    )
+    wr = W.orderBy(
+        F.abs(F.col("delta")).desc(), F.col("metric").asc(), F.col("ts").asc()
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select("metric", "ts", "n", "delta", "rk")
+    )
+
+
+_q(
+    "ts_top_movers",
+    _ts_top_movers,
+    BASE
+    + f"""
+, daily AS (
+  SELECT metric,
+    {JAN01_US} + {D1_US} * ((tu - {JAN01_US}) // {D1_US}) AS ts,
+    CAST(count(*) AS BIGINT) AS n
+  FROM base WHERE tu >= {JAN01_US} AND tu < {FEB01_US}
+  GROUP BY metric, 2
+),
+d AS (
+  SELECT metric, ts, n,
+         n - lag(n) OVER (PARTITION BY metric ORDER BY ts) AS delta
+  FROM daily
+),
+r AS (
+  SELECT metric, ts, n, delta,
+    CAST(row_number() OVER (ORDER BY abs(delta) DESC, metric ASC, ts ASC)
+         AS INT) AS rk
+  FROM d WHERE delta IS NOT NULL
+)
+SELECT metric, ts, n, delta, rk FROM r WHERE rk <= 5
+""",
+)
