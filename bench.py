@@ -139,6 +139,7 @@ HEADLINE = [
     "ts_sla_availability",
     "ts_top_movers",
     "doc_lang_confusion",
+    "doc_tokenizer_fertility",
 ]
 
 

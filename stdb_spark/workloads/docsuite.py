@@ -2427,3 +2427,38 @@ FROM documents d JOIN p USING (doc_id)
 GROUP BY d.lang, p.lang_pred
 """,
 )
+
+
+# ------------------------------------------- tokenizer fertility by lang
+# Sub-word tokens per whitespace word, aggregated per language — the
+# standard tokenizer-fairness metric (high fertility = the tokenizer
+# fragments that language).  Integer sums, one exact division.
+_q(
+    "doc_tokenizer_fertility",
+    lambda spark, sf: model.load_table(spark, sf, "documents")
+    .groupBy("lang")
+    .agg(
+        F.sum(text.token_count_col("text").cast("long")).cast("long").alias("ws_tokens"),
+        F.sum(text.bpe_token_count_col("text").cast("long")).cast("long").alias("bpe_tokens"),
+    )
+    .select(
+        "lang",
+        "ws_tokens",
+        "bpe_tokens",
+        (
+            F.col("bpe_tokens").cast("double")
+            / F.greatest(F.col("ws_tokens"), F.lit(1))
+        ).alias("fertility"),
+    ),
+    f"""
+SELECT lang,
+  CAST(sum(len(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS BIGINT)
+    AS ws_tokens,
+  CAST(sum(len(regexp_extract_all(text, '{text.BPE_PATTERN}'))) AS BIGINT)
+    AS bpe_tokens,
+  CAST(sum(len(regexp_extract_all(text, '{text.BPE_PATTERN}'))) AS DOUBLE)
+    / greatest(sum(len(list_filter(string_split(text, ' '), x -> len(x) > 0))), 1)
+    AS fertility
+FROM documents GROUP BY lang
+""",
+)
