@@ -543,10 +543,13 @@ def bm25_topk(
     sum + TakeOrdered.  ln() is the single libm call — engine parity
     holds to the driver gate's 1e-6 rounding."""
     terms = [t.lower() for t in terms]
-    n_docs = doc_lengths.count()
-    avgdl = doc_lengths.agg(
-        F.expr("CAST(sum(CAST(dl AS DECIMAL(28,10))) AS DOUBLE)")
-    ).first()[0] / float(n_docs)
+    # one job for both collection stats (doc_lengths is usually an
+    # unmaterialized projection — two actions would scan it twice)
+    n_docs, sdl = doc_lengths.agg(
+        F.count("*"),
+        F.expr("CAST(sum(CAST(dl AS DECIMAL(28,10))) AS DOUBLE)"),
+    ).first()
+    avgdl = sdl / float(n_docs)
     hits = index.filter(F.col("term").isin(terms))
     dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(

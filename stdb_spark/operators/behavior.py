@@ -917,6 +917,11 @@ def sliding_group_aggregate(
     raw rows."""
     assert width_ns % step_ns == 0, "width must be a multiple of step"
     k = width_ns // step_ns
+    # No window starts before the origin, and pre-origin samples belong
+    # to no window — filter them so Spark's truncating `div` IS floor
+    # division (negative offsets would otherwise round toward zero,
+    # fabricating phantom windows and polluting window 0)
+    samples = samples.filter(F.col(ts_col) >= F.lit(origin_ns))
     m_hi = F.expr(f"({ts_col} - {origin_ns}L) div {step_ns}L")
     m_lo = F.greatest(m_hi - F.lit(k - 1), F.lit(0).cast("long"))
     ws = F.explode(F.sequence(m_lo, m_hi)).alias("_m")

@@ -591,8 +591,12 @@ def test_hysteresis_alerts_state_machine(spark):
 def test_sliding_group_aggregate_overlap(spark):
     from stdb_spark.operators.behavior import sliding_group_aggregate
 
-    # width 20, step 10: each sample lands in 2 windows (clamped at 0)
-    rows = [("s", 5, 1.0), ("s", 15, 3.0), ("s", 25, 5.0)]
+    # width 20, step 10: each sample lands in 2 windows (clamped at 0);
+    # pre-origin samples belong to NO window (truncating-div vs floor
+    # regression guard: they must not fabricate negative windows or
+    # pollute window 0)
+    rows = [("s", 5, 1.0), ("s", 15, 3.0), ("s", 25, 5.0),
+            ("s", -5, 99.0), ("s", -25, 98.0)]
     df = spark.createDataFrame(rows, "series string, ts long, value double")
     got = {r.ts: (r["count"], r["sum"], r["min"], r["max"])
            for r in sliding_group_aggregate(df, 20, 10).collect()}

@@ -37,7 +37,12 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 # decimal-sum discipline fixes either.  For these, compare exactly the
 # way the driver's hash does — round(x, 6) — instead of bitwise.
 # Everything else stays bit-exact.
-LIBM_TOLERANT = {"doc_unigram_logprob", "ts_integral_daily", "doc_bm25_search"}
+LIBM_TOLERANT = {
+    "doc_unigram_logprob",
+    "ts_integral_daily",
+    "doc_bm25_search",
+    "doc_hybrid_search",  # carries the same ln()-derived bm25 column
+}
 
 
 def _values_equal(a, b, tolerant=False) -> bool:
