@@ -97,7 +97,7 @@ _q(
     f"""
 WITH t AS (
   SELECT doc_id,
-         list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+         list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
   FROM documents
 )
 SELECT doc_id,
@@ -136,7 +136,7 @@ def _langid_sql() -> str:
     return f"""
 WITH t AS (
   SELECT doc_id, list_transform(
-      list_filter(string_split(text, ' '), x -> len(x) > 0), x -> lower(x)) AS tl
+      list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0), x -> lower(x)) AS tl
   FROM documents
 ), s AS (
   SELECT doc_id,
@@ -161,7 +161,7 @@ _q(
     ),
     f"""
 SELECT doc_id,
-  CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT)
+  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT)
     AS ws_tokens,
   CAST(len(regexp_extract_all(text, '{text.BPE_PATTERN}')) AS BIGINT)
     AS bpe_tokens
@@ -567,7 +567,7 @@ _q(
     f"""
 WITH t AS (
   SELECT doc_id, text,
-         list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+         list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
   FROM documents
 ), m AS (
   SELECT doc_id,
@@ -2452,12 +2452,12 @@ _q(
     ),
     f"""
 SELECT lang,
-  CAST(sum(len(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS BIGINT)
+  CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))) AS BIGINT)
     AS ws_tokens,
   CAST(sum(len(regexp_extract_all(text, '{text.BPE_PATTERN}'))) AS BIGINT)
     AS bpe_tokens,
   CAST(sum(len(regexp_extract_all(text, '{text.BPE_PATTERN}'))) AS DOUBLE)
-    / greatest(sum(len(list_filter(string_split(text, ' '), x -> len(x) > 0))), 1)
+    / greatest(sum(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))), 1)
     AS fertility
 FROM documents GROUP BY lang
 """,
