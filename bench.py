@@ -140,6 +140,7 @@ HEADLINE = [
     "ts_top_movers",
     "doc_lang_confusion",
     "doc_tokenizer_fertility",
+    "rel_cohort_revenue",
 ]
 
 

@@ -979,3 +979,50 @@ def _rel_sql_portable(spark, sf):
 
 
 _q("rel_sql_portable", _rel_sql_portable, _PORTABLE_SQL)
+
+
+# ------------------------------------------------- cohort revenue (LTV)
+# Product-analytics on the relational side: customers cohorted by
+# first-order year, revenue tracked per (cohort, order year) — the
+# lifetime-value progression grid.  Decimal-exact revenue sums; the
+# first-order aggregate and the revenue rollup share the custkey
+# shuffle.
+def _rel_cohort_revenue(spark, sf):
+    o = model.load_table(spark, sf, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort")
+    )
+    rev = o.select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_totalprice"),
+    )
+    return (
+        rev.join(first, "o_custkey")
+        .groupBy("cohort", "yr")
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("revenue"),
+        )
+    )
+
+
+_q(
+    "rel_cohort_revenue",
+    _rel_cohort_revenue,
+    """
+WITH first AS (
+  SELECT o_custkey, min(year(o_orderdate)) AS cohort
+  FROM orders GROUP BY o_custkey
+)
+SELECT cohort, year(o_orderdate) AS yr,
+  CAST(count(DISTINCT orders.o_custkey) AS BIGINT) AS n_customers,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN first ON orders.o_custkey = first.o_custkey
+GROUP BY cohort, 2
+""",
+)
