@@ -141,6 +141,8 @@ HEADLINE = [
     "doc_lang_confusion",
     "doc_tokenizer_fertility",
     "rel_cohort_revenue",
+    "ts_sax_motifs",
+    "emb_dim_stats",
 ]
 
 

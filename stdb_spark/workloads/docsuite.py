@@ -2462,3 +2462,54 @@ SELECT lang,
 FROM documents GROUP BY lang
 """,
 )
+
+
+# ------------------------------------------------- embedding dim stats
+# Per-dimension mean/σ across the corpus — the embedding-health probe
+# (collapsed/dead dimensions show near-zero variance).  Decimal moment
+# sums per (pos); the same posexplode shape as the centroid table.
+def _emb_dim_stats(spark, sf):
+    emb = model.load_table(spark, sf, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("pos", "x"))
+    d = "DECIMAL(28,10)"
+    d2 = "DECIMAL(38,8)"
+    m = ex.groupBy("pos").agg(
+        F.count("*").alias("n"),
+        F.expr(f"CAST(sum(CAST(CAST(x AS DOUBLE) AS {d})) AS DOUBLE)").alias("sx"),
+        # multiply in DOUBLE (IEEE-identical in any engine), cast the
+        # product to decimal ONCE — decimal x decimal would trigger
+        # engine-specific precision/scale reduction on tiny components
+        F.expr(
+            f"CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
+            f" AS {d2})) AS DOUBLE)"
+        ).alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n")
+    return m.select(
+        "pos",
+        mean.alias("mean"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("sd"),
+    )
+
+
+_q(
+    "emb_dim_stats",
+    _emb_dim_stats,
+    """
+WITH ex AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x
+  FROM embeddings
+),
+m AS (
+  SELECT pos, count(*) AS n,
+    CAST(CAST(sum(CAST(x::DOUBLE AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sum(CAST(x::DOUBLE * x::DOUBLE
+         AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxx
+  FROM ex GROUP BY pos
+)
+SELECT pos, sx / n AS mean,
+  sqrt(greatest((sxx - sx * sx / n) / n, CAST(0.0 AS DOUBLE))) AS sd
+FROM m
+""",
+)

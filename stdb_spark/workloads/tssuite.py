@@ -4043,3 +4043,43 @@ r AS (
 SELECT metric, ts, n, delta, rk FROM r WHERE rk <= 5
 """,
 )
+
+
+# ----------------------------------------------------- SAX motif counts
+# Motif discovery over the symbolic words: which shapes recur across
+# series.  Tiny post-SAX aggregate with a total-order top-5.
+def _ts_sax_motifs(spark, sf):
+    from pyspark.sql import Window as W
+
+    from stdb_spark.operators.sax import sax_words
+
+    words = sax_words(_samples(spark, sf, "purchase"), word_len=8, alphabet=4)
+    counts = words.groupBy("sax_word").agg(
+        F.count("*").cast("long").alias("n_series")
+    )
+    wr = W.orderBy(F.col("n_series").desc(), F.col("sax_word").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+def _sax_motifs_oracle():
+    from stdb_spark.operators.sax import sax_oracle_sql
+
+    base = (
+        "SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series, "
+        "epoch_us(ts) AS tu, value FROM events WHERE event_type = 'purchase'"
+    )
+    inner = sax_oracle_sql(base, word_len=8, alphabet=4)
+    return f"""
+WITH w AS ({inner}),
+c AS (SELECT sax_word, CAST(count(*) AS BIGINT) AS n_series FROM w GROUP BY sax_word),
+r AS (SELECT sax_word, n_series,
+        CAST(row_number() OVER (ORDER BY n_series DESC, sax_word ASC) AS INT) AS rk
+      FROM c)
+SELECT sax_word, n_series, rk FROM r WHERE rk <= 5
+"""
+
+
+_q("ts_sax_motifs", _ts_sax_motifs, _sax_motifs_oracle())
