@@ -143,6 +143,8 @@ HEADLINE = [
     "rel_cohort_revenue",
     "ts_sax_motifs",
     "emb_dim_stats",
+    "ts_burstiness",
+    "rel_repeat_purchase_rate",
 ]
 
 

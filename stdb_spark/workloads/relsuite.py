@@ -1026,3 +1026,37 @@ FROM orders JOIN first ON orders.o_custkey = first.o_custkey
 GROUP BY cohort, 2
 """,
 )
+
+
+# -------------------------------------------------- repeat-purchase rate
+# Share of customers with two or more orders — the one-number retention
+# headline on the relational side.  Pure integer counts, one division.
+def _rel_repeat_rate(spark, sf):
+    o = model.load_table(spark, sf, "orders")
+    per = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    return per.agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_repeat"),
+    ).select(
+        "n_customers",
+        "n_repeat",
+        (F.col("n_repeat").cast("double") / F.col("n_customers")).alias(
+            "repeat_rate"
+        ),
+    )
+
+
+_q(
+    "rel_repeat_purchase_rate",
+    _rel_repeat_rate,
+    """
+WITH per AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+  CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+  CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+    AS repeat_rate
+FROM per
+""",
+)

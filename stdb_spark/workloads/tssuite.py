@@ -4083,3 +4083,55 @@ SELECT sax_word, n_series, rk FROM r WHERE rk <= 5
 
 
 _q("ts_sax_motifs", _ts_sax_motifs, _sax_motifs_oracle())
+
+
+# ---------------------------------------------------------- burstiness
+# Index of dispersion (Fano factor) of per-6h event counts per metric:
+# variance/mean of integer bucket counts — >1 means bursty arrivals,
+# ~1 Poisson-like.  Counts are integers, so the moment sums are exact
+# BIGINT; two divisions and a subtraction in fixed-order double.
+def _ts_burstiness(spark, sf):
+    df = _samples_range(spark, sf, JAN01, FEB01)
+    bucket = F.expr(f"((ts div 1000) - {JAN01_US}L) div {H6_US}L")
+    counts = df.groupBy(F.col("metric"), bucket.alias("b")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    m = counts.groupBy("metric").agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+    )
+    mean = F.col("sx").cast("double") / F.col("k")
+    var = (
+        F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("k")
+    ) / F.col("k")
+    return m.select(
+        "metric",
+        F.col("k").cast("long").alias("n_buckets"),
+        mean.alias("mean_count"),
+        (var / mean).alias("fano"),
+    )
+
+
+_q(
+    "ts_burstiness",
+    _ts_burstiness,
+    BASE
+    + f"""
+, c AS (
+  SELECT metric, (tu - {JAN01_US}) // {H6_US} AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM base WHERE tu >= {JAN01_US} AND tu < {FEB01_US}
+  GROUP BY metric, 2
+),
+m AS (
+  SELECT metric, count(*) AS k, sum(n) AS sx, sum(n * n) AS sxx FROM c
+  GROUP BY metric
+)
+SELECT metric, CAST(k AS BIGINT) AS n_buckets,
+  CAST(sx AS DOUBLE) / k AS mean_count,
+  ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / k) / k)
+    / (CAST(sx AS DOUBLE) / k) AS fano
+FROM m
+""",
+)
