@@ -145,6 +145,8 @@ HEADLINE = [
     "emb_dim_stats",
     "ts_burstiness",
     "rel_repeat_purchase_rate",
+    "doc_dup_ratio_by_source",
+    "emb_lsh_recall_eval",
 ]
 
 

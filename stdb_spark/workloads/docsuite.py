@@ -2513,3 +2513,74 @@ SELECT pos, sx / n AS mean,
 FROM m
 """,
 )
+
+
+# ---------------------------------------------- dup ratio by source
+# Curation diagnostic: exact-duplicate share per corpus source (which
+# crawl/feed contributes the boilerplate).  One digest aggregate.
+_q(
+    "doc_dup_ratio_by_source",
+    lambda spark, sf: model.load_table(spark, sf, "documents")
+    .groupBy("source")
+    .agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct(F.md5(dedup.normalized_text())).cast("long").alias(
+            "n_unique"
+        ),
+    )
+    .select(
+        "source",
+        "n_docs",
+        "n_unique",
+        (
+            (F.col("n_docs") - F.col("n_unique")).cast("double")
+            / F.col("n_docs")
+        ).alias("dup_ratio"),
+    ),
+    f"""
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT md5({_NORM})) AS BIGINT) AS n_unique,
+  CAST(count(*) - count(DISTINCT md5({_NORM})) AS DOUBLE) / count(*)
+    AS dup_ratio
+FROM documents GROUP BY source
+""",
+)
+
+
+# ---------------------------------------------- ANN recall evaluation
+# Recall@10 of the LSH candidate path against the exact brute force for
+# the fixed query — the eval harness an ANN deployment watches.  Both
+# sides are deterministic, so the single-row result carries a full
+# oracle composed from the two proven query texts.
+def _emb_lsh_recall(spark, sf):
+    brute = similarity.brute_force_top_k(
+        model.load_table(spark, sf, "embeddings"), _QVEC, k=10
+    ).select("vec_id")
+    lsh = _emb_ann_lsh(spark, sf).select("vec_id")
+    hit = brute.join(lsh, "vec_id").count()
+    # single-row result assembled relationally (no driver math beyond
+    # the count collect — this is an eval summary, not a hot path)
+    return spark.createDataFrame(
+        [(int(hit),)], "n_hits int"
+    ).select(
+        F.col("n_hits").cast("long").alias("n_hits"),
+        (F.col("n_hits") / F.lit(10.0)).alias("recall_at_10"),
+    )
+
+
+_q(
+    "emb_lsh_recall_eval",
+    _emb_lsh_recall,
+    f"""
+WITH brute AS (
+  SELECT vec_id,
+    ({_qvec_dot('embedding')}) / ({_norm_chain('embedding')} * {_QNORM}) AS cosine
+  FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
+),
+lsh AS ({_emb_ann_lsh_sql()})
+SELECT CAST(count(*) AS BIGINT) AS n_hits,
+  count(*) / CAST(10.0 AS DOUBLE) AS recall_at_10
+FROM brute JOIN lsh USING (vec_id)
+""",
+)
