@@ -147,6 +147,8 @@ HEADLINE = [
     "rel_repeat_purchase_rate",
     "doc_dup_ratio_by_source",
     "emb_lsh_recall_eval",
+    "doc_pii_audit_by_source",
+    "doc_length_percentiles_by_source",
 ]
 
 

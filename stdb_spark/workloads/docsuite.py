@@ -2584,3 +2584,66 @@ SELECT CAST(count(*) AS BIGINT) AS n_hits,
 FROM brute JOIN lsh USING (vec_id)
 """,
 )
+
+
+# ------------------------------------------------- PII audit by source
+# Which feed carries the PII: per-source email/long-number hit counts
+# and the share of affected documents — the audit view over the same
+# regexes doc_pii_scrub redacts with.
+_q(
+    "doc_pii_audit_by_source",
+    lambda spark, sf: model.load_table(spark, sf, "documents")
+    .groupBy("source")
+    .agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.expr(f"regexp_extract_all(text, '{_EMAIL_RE}', 0)")))
+        .cast("long")
+        .alias("n_emails"),
+        F.sum(F.size(F.expr(f"regexp_extract_all(text, '{_LONGNUM_RE}', 0)")))
+        .cast("long")
+        .alias("n_longnums"),
+        F.sum(
+            F.when(
+                (F.size(F.expr(f"regexp_extract_all(text, '{_EMAIL_RE}', 0)")) > 0)
+                | (F.size(F.expr(f"regexp_extract_all(text, '{_LONGNUM_RE}', 0)")) > 0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_affected_docs"),
+    ),
+    f"""
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(len(regexp_extract_all(text, '{_EMAIL_RE}'))) AS BIGINT) AS n_emails,
+  CAST(sum(len(regexp_extract_all(text, '{_LONGNUM_RE}'))) AS BIGINT) AS n_longnums,
+  CAST(sum(CASE WHEN len(regexp_extract_all(text, '{_EMAIL_RE}')) > 0
+              OR len(regexp_extract_all(text, '{_LONGNUM_RE}')) > 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_affected_docs
+FROM documents GROUP BY source
+""",
+)
+
+
+# ----------------------------------------- length percentiles by source
+# Exact doc-length quartiles per source (the proven percentile ==
+# quantile_cont pattern) — the curation view of length distribution.
+_q(
+    "doc_length_percentiles_by_source",
+    lambda spark, sf: model.load_table(spark, sf, "documents")
+    .groupBy("source")
+    .agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("percentile(n_chars, 0.25)").alias("p25"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50"),
+        F.expr("percentile(n_chars, 0.75)").alias("p75"),
+    ),
+    """
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  quantile_cont(n_chars, 0.25) AS p25,
+  quantile_cont(n_chars, 0.5) AS p50,
+  quantile_cont(n_chars, 0.75) AS p75
+FROM documents GROUP BY source
+""",
+)
