@@ -149,6 +149,8 @@ HEADLINE = [
     "emb_lsh_recall_eval",
     "doc_pii_audit_by_source",
     "doc_length_percentiles_by_source",
+    "rel_order_gap_cohorts",
+    "rel_supplier_hhi",
 ]
 
 

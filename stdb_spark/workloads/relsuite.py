@@ -1060,3 +1060,107 @@ SELECT CAST(count(*) AS BIGINT) AS n_customers,
 FROM per
 """,
 )
+
+
+# ------------------------------------------------- order cadence (gaps)
+# Mean days between consecutive orders per customer, summarized per
+# order-count cohort — purchase-cadence analytics.  Integer day diffs
+# (datediff), decimal-exact means.
+def _rel_order_gaps(spark, sf):
+    from pyspark.sql import Window as W
+
+    o = model.load_table(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+    per = (
+        o.select("o_custkey", gap.alias("g"))
+        .filter(F.col("g").isNotNull())
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_gaps"), F.sum("g").alias("sg"))
+    )
+    return per.groupBy(F.col("n_gaps").cast("long").alias("n_gaps")).agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.expr("CAST(sum(sg) AS DOUBLE) / sum(n_gaps)").alias("mean_gap_days"),
+    )
+
+
+_q(
+    "rel_order_gap_cohorts",
+    _rel_order_gaps,
+    """
+WITH l AS (
+  SELECT o_custkey,
+    date_diff('day', lag(o_orderdate) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey), o_orderdate) AS g
+  FROM orders
+),
+per AS (
+  SELECT o_custkey, count(*) AS n_gaps, sum(g) AS sg
+  FROM l WHERE g IS NOT NULL GROUP BY o_custkey
+)
+SELECT CAST(n_gaps AS BIGINT) AS n_gaps,
+  CAST(count(*) AS BIGINT) AS n_customers,
+  CAST(sum(sg) AS DOUBLE) / sum(n_gaps) AS mean_gap_days
+FROM per GROUP BY n_gaps
+""",
+)
+
+
+# --------------------------------------------- supplier concentration
+# Herfindahl-Hirschman index of supplier revenue share per nation —
+# the concentration metric for "is this nation's supply chain
+# single-sourced".  Revenue sums are decimal-exact; shares and the
+# squared-share sum are fixed-order doubles at ~1e-2 magnitude.
+def _rel_supplier_hhi(spark, sf):
+    li = model.load_table(spark, sf, "lineitem")
+    s = model.load_table(spark, sf, "supplier")
+    n = model.load_table(spark, sf, "nation")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "s_suppkey")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("r")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    tot = F.sum("r").over(W.partitionBy("n_name"))
+    share2 = (F.col("r") / tot) * (F.col("r") / tot)
+    return (
+        rev.select("n_name", share2.alias("s2"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.expr("CAST(sum(CAST(s2 AS DECIMAL(28,10))) AS DOUBLE)").alias(
+                "hhi"
+            ),
+        )
+    )
+
+
+_q(
+    "rel_supplier_hhi",
+    _rel_supplier_hhi,
+    """
+WITH rev AS (
+  SELECT n_name, s_suppkey,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS r
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, s_suppkey
+),
+sh AS (
+  SELECT n_name,
+    (r / sum(r) OVER (PARTITION BY n_name))
+      * (r / sum(r) OVER (PARTITION BY n_name)) AS s2
+  FROM rev
+)
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+  CAST(CAST(sum(CAST(s2 AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS hhi
+FROM sh GROUP BY n_name
+""",
+)
