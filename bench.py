@@ -151,6 +151,8 @@ HEADLINE = [
     "doc_length_percentiles_by_source",
     "rel_order_gap_cohorts",
     "rel_supplier_hhi",
+    "ts_seasonal_strength",
+    "ts_gap_distribution",
 ]
 
 

@@ -4135,3 +4135,142 @@ SELECT metric, CAST(k AS BIGINT) AS n_buckets,
 FROM m
 """,
 )
+
+
+# ------------------------------------------------- seasonal strength
+# Weekly seasonality strength per series on daily totals: 1 −
+# var(residual)/var(total) where residual removes the day-of-week
+# phase mean (simplified variance-explained; ~0 for aperiodic series).
+# Decimal moments end to end; totals are decimal-exact doubles.
+def _ts_seasonal_strength(spark, sf):
+    from pyspark.sql import Window as W
+
+    df = _samples(spark, sf, "view", JAN01_US, FEB01_US)
+    bucket = F.lit(JAN01) + F.lit(D1) * F.expr(f"(ts - {JAN01}L) div {D1}L")
+    daily = df.groupBy("series", bucket.alias("ts")).agg(
+        F.expr(f"CAST(sum({DEC}) AS DOUBLE)").alias("v")
+    )
+    phase = F.expr(f"((ts - {JAN01}L) div {D1}L) % 7")
+    d = daily.withColumn("ph", phase)
+    wp = W.partitionBy("series", "ph")
+    ws = W.partitionBy("series")
+    pm = (
+        F.expr("sum(CAST(v AS DECIMAL(28,10)))").over(wp).cast("double")
+        / F.count("v").over(wp)
+    )
+    d = d.withColumn("r", F.col("v") - pm)
+    dd = "DECIMAL(28,6)"
+    d2 = "DECIMAL(38,6)"
+    m = d.groupBy("series").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr(f"CAST(sum(CAST(v AS {dd})) AS DOUBLE)").alias("sv"),
+        F.expr(f"CAST(sum(CAST(v * v AS {d2})) AS DOUBLE)").alias("svv"),
+        F.expr(f"CAST(sum(CAST(r AS {dd})) AS DOUBLE)").alias("sr"),
+        F.expr(f"CAST(sum(CAST(r * r AS {d2})) AS DOUBLE)").alias("srr"),
+    )
+    var_t = (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")) / F.col("n")
+    var_r = (F.col("srr") - F.col("sr") * F.col("sr") / F.col("n")) / F.col("n")
+    strength = F.when(
+        var_t > 0, F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_t)
+    ).otherwise(F.lit(0.0))
+    return m.select("series", "n", var_t.alias("var_total"),
+                    var_r.alias("var_resid"), strength.alias("strength"))
+
+
+_q(
+    "ts_seasonal_strength",
+    _ts_seasonal_strength,
+    f"""
+WITH v0 AS (
+  SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
+         epoch_us(ts) AS tu, value
+  FROM events
+  WHERE event_type = 'view'
+    AND epoch_us(ts) >= {JAN01_US} AND epoch_us(ts) < {FEB01_US}
+),
+daily AS (
+  SELECT series,
+    {JAN01_US} + {D1_US} * ((tu - {JAN01_US}) // {D1_US}) AS ts,
+    CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS v
+  FROM v0 GROUP BY series, 2
+),
+d AS (
+  SELECT series, ts, v, ((ts - {JAN01_US}) // {D1_US}) % 7 AS ph FROM daily
+),
+r AS (
+  SELECT series, v,
+    v - CAST(sum(CAST(v AS DECIMAL(28,10))) OVER wp AS DOUBLE)
+          / count(v) OVER wp AS r
+  FROM d WINDOW wp AS (PARTITION BY series, ph)
+),
+m AS (
+  SELECT series, count(*) AS n,
+    CAST(CAST(sum(CAST(v AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sv,
+    CAST(CAST(sum(CAST(v * v AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS svv,
+    CAST(CAST(sum(CAST(r AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sr,
+    CAST(CAST(sum(CAST(r * r AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS srr
+  FROM r GROUP BY series
+)
+SELECT series, CAST(n AS BIGINT) AS n,
+  (svv - sv * sv / n) / n AS var_total,
+  (srr - sr * sr / n) / n AS var_resid,
+  CASE WHEN (svv - sv * sv / n) / n > 0 THEN
+    greatest(CAST(0.0 AS DOUBLE),
+      CAST(1.0 AS DOUBLE) - ((srr - sr * sr / n) / n)
+        / ((svv - sv * sv / n) / n))
+  ELSE CAST(0.0 AS DOUBLE) END AS strength
+FROM m
+""",
+)
+
+
+# --------------------------------------------- inter-arrival histogram
+# Distribution of per-series inter-arrival gaps per metric, bucketed on
+# a fixed CASE ladder — the arrival-process profile behind burstiness.
+# Pure integer math.
+def _ts_gap_distribution(spark, sf):
+    from pyspark.sql import Window as W
+
+    df = _samples_range(spark, sf, JAN01, FEB01)
+    series = F.concat(F.col("metric"), F.lit(" user="), F.col("tags")["user"])
+    w = W.partitionBy("s").orderBy("ts")
+    gap_us = F.expr("(ts - _pts) div 1000")
+    d = (
+        df.select(F.col("metric"), series.alias("s"), "ts")
+        .withColumn("_pts", F.lag("ts").over(w))
+        .filter(F.col("_pts").isNotNull())
+        .withColumn("g", gap_us)
+    )
+    bucket = (
+        F.when(F.col("g") < 60_000_000, "lt_1m")
+        .when(F.col("g") < 3_600_000_000, "1m_1h")
+        .when(F.col("g") < 21_600_000_000, "1h_6h")
+        .when(F.col("g") < 86_400_000_000, "6h_1d")
+        .otherwise("ge_1d")
+    )
+    return d.groupBy("metric", bucket.alias("gap_bucket")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+_q(
+    "ts_gap_distribution",
+    _ts_gap_distribution,
+    BASE
+    + f"""
+, l AS (
+  SELECT metric, metric || ' user=' || u AS s, tu,
+         lag(tu) OVER (PARTITION BY metric || ' user=' || u ORDER BY tu) AS ptu
+  FROM base WHERE tu >= {JAN01_US} AND tu < {FEB01_US}
+),
+g AS (SELECT metric, tu - ptu AS g FROM l WHERE ptu IS NOT NULL)
+SELECT metric,
+  CASE WHEN g < 60000000 THEN 'lt_1m'
+       WHEN g < 3600000000 THEN '1m_1h'
+       WHEN g < 21600000000 THEN '1h_6h'
+       WHEN g < 86400000000 THEN '6h_1d'
+       ELSE 'ge_1d' END AS gap_bucket,
+  CAST(count(*) AS BIGINT) AS n
+FROM g GROUP BY metric, 2
+""",
+)
