@@ -153,6 +153,7 @@ HEADLINE = [
     "rel_supplier_hhi",
     "ts_seasonal_strength",
     "ts_gap_distribution",
+    "doc_curation_funnel",
 ]
 
 

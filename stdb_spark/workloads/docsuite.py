@@ -2647,3 +2647,86 @@ SELECT source,
 FROM documents GROUP BY source
 """,
 )
+
+
+# ------------------------------------------------ curation funnel report
+# The one-row pipeline report every curation run prints: how many docs
+# survive each progressive stage — predicted-English -> positive
+# quality score -> exact-dedup keeper (first doc_id per normalized
+# digest).  Stages reuse the oracle-proven primitives.
+def _doc_curation_funnel(spark, sf):
+    from pyspark.sql import Window as W
+
+    from stdb_spark.functions.text import quality_classifier_score
+
+    docs = model.load_table(spark, sf, "documents")
+    pred = text.lang_id(docs).select("doc_id", "lang_pred")
+    qual = quality_classifier_score(docs).select("doc_id", "keep")
+    keeper = (
+        docs.select(
+            "doc_id",
+            (
+                F.col("doc_id")
+                == F.min("doc_id").over(
+                    W.partitionBy(F.md5(dedup.normalized_text()))
+                )
+            ).alias("is_keeper"),
+        )
+    )
+    j = docs.select("doc_id").join(pred, "doc_id").join(qual, "doc_id").join(
+        keeper, "doc_id"
+    )
+    en = F.col("lang_pred") == "en"
+    return j.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.when(en, 1).otherwise(0)).cast("long").alias("n_lang_en"),
+        F.sum(F.when(en & F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_quality"),
+        F.sum(F.when(en & F.col("keep") & F.col("is_keeper"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_survivors"),
+    )
+
+
+_q(
+    "doc_curation_funnel",
+    _doc_curation_funnel,
+    f"""
+WITH p AS ({_langid_sql()}),
+t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+    CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS DOUBLE)
+      / greatest(len(toks), 1) AS mwl,
+    len(list_filter(toks, x -> list_contains({_SW_LIST}, lower(x))))
+      / greatest(len(toks), 1) AS swr,
+    CAST(len(toks) AS DOUBLE) / greatest(len(text), 1) AS tpc
+  FROM t
+),
+q AS (
+  SELECT doc_id,
+    (CAST(-0.3 AS DOUBLE) * mwl + CAST(4.0 AS DOUBLE) * swr
+      + CAST(8.0 AS DOUBLE) * tpc + CAST(0.0 AS DOUBLE))
+      > CAST(0.0 AS DOUBLE) AS keep
+  FROM f
+),
+k AS (
+  SELECT doc_id,
+    doc_id = min(doc_id) OVER (PARTITION BY md5({_NORM})) AS is_keeper
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+  CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_lang_en,
+  CAST(sum(CASE WHEN lang_pred = 'en' AND keep THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_quality,
+  CAST(sum(CASE WHEN lang_pred = 'en' AND keep AND is_keeper
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+FROM p JOIN q USING (doc_id) JOIN k USING (doc_id)
+""",
+)
