@@ -334,3 +334,41 @@ def test_term_lookup_pushes_term_filter_to_scan(spark):
     plan = _plan_formatted(df)
     assert "PushedFilters:" in plan
     assert "term" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_sliding_aggregate_single_exchange_no_join(spark):
+    df = QUERIES["ts_sliding_group_aggregate"](spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_alert_hysteresis_single_series_exchange(spark):
+    plan = _plan(QUERIES["ts_alert_hysteresis"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_hourofweek_single_exchange_partial_agg(spark):
+    plan = _plan(QUERIES["ts_hourofweek_profile"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_" in plan
+
+
+def test_span_scrub_no_cartesian_bounded_exchanges(spark):
+    plan = _plan(QUERIES["doc_dup_span_scrub"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_takeordered_no_global_sort(spark):
+    df = QUERIES["doc_bm25_search"](spark, SF)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mg_sketch_uses_map_in_pandas(spark):
+    df = QUERIES["ts_heavy_hitters_sketch"](spark, SF)
+    plan = _plan(df)
+    assert "MapInPandas" in plan
+    assert "TakeOrderedAndProject" in plan
