@@ -289,3 +289,52 @@ def streaming_heavy_hitters(
     return ev.groupBy(
         F.window("event_time", step).alias("bucket"), F.col(key_col)
     ).agg(F.count("*").alias("n"))
+
+
+def streaming_hysteresis(
+    samples: DataFrame,
+    hi: float,
+    lo: float,
+    key_cols: tuple[str, ...] = ("metric",),
+) -> DataFrame:
+    """Stateful streaming alert evaluation with hysteresis (fire at
+    v >= hi, clear at v <= lo) via applyInPandasWithState — the
+    continuous twin of the batch `hysteresis_alerts` window (alerting
+    is THE always-on streaming workload; the batch trick of
+    "state = last crossing event" needs the whole history, so the
+    streaming side carries the one-int state instead).
+
+    State is a single int per key — O(#series) cluster-wide.  Emits one
+    row per sample with the post-sample alert state and an
+    episode-start flag; counts aggregate batch-side from the sink.
+    Rows fold in ts order within each micro-batch; cross-batch order is
+    the replay/ingest order (in-order by construction for the
+    layout-backed replay)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (st,) = state.get if state.exists else (0,)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                v = float(value)
+                new = 1 if v >= hi else (0 if v <= lo else st)
+                ep = 1 if (new == 1 and st != 1) else 0
+                st = new
+                out.append(key + (int(ts), st, ep))
+        state.update((st,))
+        yield pd.DataFrame(
+            out, columns=[*key_cols, "ts", "alert", "episode_start"]
+        )
+
+    key_schema = ", ".join(f"{c} string" for c in key_cols)
+    return samples.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key_schema}, ts long, alert int, episode_start int",
+        stateStructType="st int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -4274,3 +4274,71 @@ SELECT metric,
 FROM g GROUP BY metric, 2
 """,
 )
+
+
+# ------------------------------------------- streaming hysteresis alerts
+# The stateful streaming twin of ts_alert_hysteresis: one-int state per
+# series via applyInPandasWithState, replayed over the layout; per-
+# series episode/sample counts aggregate from the sink and carry the
+# SAME oracle as the batch window formulation.
+def _stream_hysteresis(spark, sf):
+    from stdb_spark.streaming.ingest import streaming_hysteresis
+
+    def tf(sdf):
+        ev = (
+            sdf.filter(F.col("metric") == "error")
+            .withColumn("u", F.col("tags")["user"])
+            .withColumn("ts", F.expr("(ts div 1000) * 1000"))
+        )
+        return streaming_hysteresis(
+            ev, hi=150.0, lo=75.0, key_cols=("metric", "u")
+        )
+
+    res = _replay_stream(spark, sf, tf, "stream_hysteresis_sink", "append")
+    return (
+        res.groupBy(
+            F.concat(F.col("metric"), F.lit(" user="), F.col("u")).alias(
+                "series"
+            )
+        )
+        .agg(
+            F.sum("alert").cast("long").alias("n_alert_samples"),
+            F.sum("episode_start").cast("long").alias("n_episodes"),
+        )
+    )
+
+
+_q(
+    "stream_alert_hysteresis",
+    _stream_hysteresis,
+    """
+WITH v AS (
+  SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
+         epoch_us(ts) AS tu, value
+  FROM events WHERE event_type = 'error'
+),
+e AS (
+  SELECT series, tu,
+    CASE WHEN value >= CAST(150.0 AS DOUBLE) THEN 1
+         WHEN value <= CAST(75.0 AS DOUBLE) THEN 0 END AS ev
+  FROM v
+),
+s AS (
+  SELECT series, tu,
+    coalesce(last_value(ev IGNORE NULLS) OVER (
+      PARTITION BY series ORDER BY tu
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS st
+  FROM e
+),
+t AS (
+  SELECT series, st,
+         lag(st, 1, 0) OVER (PARTITION BY series ORDER BY tu) AS pst
+  FROM s
+)
+SELECT series,
+  CAST(sum(st) AS BIGINT) AS n_alert_samples,
+  CAST(sum(CASE WHEN st = 1 AND pst <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_episodes
+FROM t GROUP BY series
+""",
+)
