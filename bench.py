@@ -154,6 +154,9 @@ HEADLINE = [
     "ts_seasonal_strength",
     "ts_gap_distribution",
     "doc_curation_funnel",
+    "ts_hash_sample",
+    "rel_monthly_revenue_trend",
+    "emb_norm_stats",
 ]
 
 

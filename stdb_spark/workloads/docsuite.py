@@ -2730,3 +2730,34 @@ SELECT CAST(count(*) AS BIGINT) AS n_total,
 FROM p JOIN q USING (doc_id) JOIN k USING (doc_id)
 """,
 )
+
+
+# --------------------------------------------------- embedding norms
+# Distribution of vector L2 norms (quantization/normalization health):
+# exact-decimal squared-sums per vector, exact percentiles across the
+# corpus.
+_q(
+    "emb_norm_stats",
+    lambda spark, sf: model.load_table(spark, sf, "embeddings")
+    .select(similarity.norm_expr(F.col("embedding")).alias("nrm"))
+    .agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("percentile(nrm, 0.05)").alias("p05"),
+        F.expr("percentile(nrm, 0.5)").alias("p50"),
+        F.expr("percentile(nrm, 0.95)").alias("p95"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    ),
+    f"""
+WITH n AS (
+  SELECT {_norm_chain('embedding')} AS nrm FROM embeddings
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+  quantile_cont(nrm, 0.05) AS p05,
+  quantile_cont(nrm, 0.5) AS p50,
+  quantile_cont(nrm, 0.95) AS p95,
+  min(nrm) AS min_norm,
+  max(nrm) AS max_norm
+FROM n
+""",
+)

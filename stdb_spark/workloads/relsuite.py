@@ -1164,3 +1164,50 @@ SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
 FROM sh GROUP BY n_name
 """,
 )
+
+
+# -------------------------------------------------- monthly revenue MoM
+# Monthly revenue with month-over-month growth — the BI staple.
+# Decimal-exact sums; growth is one double division on decimal-exact
+# totals; lag over the tiny post-aggregate month table.
+def _rel_monthly_revenue(spark, sf):
+    from pyspark.sql import Window as W
+
+    o = model.load_table(spark, sf, "orders")
+    m = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("revenue"),
+    )
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "n_orders",
+        "revenue",
+        F.when(prev > 0, (F.col("revenue") - prev) / prev).alias("mom_growth"),
+    )
+
+
+_q(
+    "rel_monthly_revenue_trend",
+    _rel_monthly_revenue,
+    """
+WITH m AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+    CAST(count(*) AS BIGINT) AS n_orders,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders, revenue,
+  CASE WHEN lag(revenue) OVER (ORDER BY month) > 0 THEN
+    (revenue - lag(revenue) OVER (ORDER BY month))
+      / lag(revenue) OVER (ORDER BY month) END AS mom_growth
+FROM m
+""",
+)

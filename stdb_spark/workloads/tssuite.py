@@ -4342,3 +4342,31 @@ SELECT series,
 FROM t GROUP BY series
 """,
 )
+
+
+# -------------------------------------------------- deterministic sample
+# Hash-keyed 1/16 sample of samples rows (the dashboard-sampling path;
+# same md5 membership rule as doc_hash_sample — reproducible across
+# runs, engines, and cluster sizes; no RNG, no shuffle).
+def _ts_hash_sample(spark, sf):
+    df = _samples(spark, sf, "view", JAN05_US, JAN15_US)
+    key = F.concat(F.col("series"), F.lit(":"), F.col("ts").cast("string"))
+    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 16
+    return _us(df.filter(bucket == 0))
+
+
+_q(
+    "ts_hash_sample",
+    _ts_hash_sample,
+    f"""
+WITH v AS (
+  SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
+         epoch_us(ts) AS tu, value
+  FROM events
+  WHERE event_type = 'view'
+    AND epoch_us(ts) >= {JAN05_US} AND epoch_us(ts) < {JAN15_US}
+)
+SELECT series, tu AS ts, value FROM v
+WHERE CAST(('0x' || substr(md5(series || ':' || CAST(tu * 1000 AS VARCHAR)), 1, 8)) AS BIGINT) % 16 = 0
+""",
+)
