@@ -157,6 +157,8 @@ HEADLINE = [
     "ts_hash_sample",
     "rel_monthly_revenue_trend",
     "emb_norm_stats",
+    "ts_percentile_bands",
+    "doc_char_entropy",
 ]
 
 

@@ -2761,3 +2761,55 @@ SELECT CAST(count(*) AS BIGINT) AS n,
 FROM n
 """,
 )
+
+
+# --------------------------------------------- character-bigram entropy
+# Shannon entropy of the character-bigram distribution per document —
+# the gibberish/keyboard-mash detector (low entropy = repetitive mash,
+# high = natural text; ln is the single libm call, driver-gate
+# tolerant at 1e-6).
+def _doc_char_entropy(spark, sf):
+    docs = model.load_table(spark, sf, "documents")
+    # substring with a column start needs the expr form
+    grams = F.expr(
+        "CASE WHEN length(text) >= 2 THEN"
+        " transform(sequence(1, length(text) - 1),"
+        "           i -> substring(text, i, 2)) END"
+    )
+    ex = docs.select("doc_id", F.explode(grams).alias("g"))
+    counts = ex.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("doc_id").agg(F.sum("c").alias("t"))
+    p = F.col("c").cast("double") / F.col("t")
+    return (
+        counts.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(-(CAST(c AS DOUBLE) / t)"
+                " * ln(CAST(c AS DOUBLE) / t) AS DECIMAL(28,10)))"
+                " AS DOUBLE)"
+            ).alias("bigram_entropy"),
+            F.count("*").cast("long").alias("n_distinct_bigrams"),
+        )
+    )
+
+
+_q(
+    "doc_char_entropy",
+    _doc_char_entropy,
+    """
+WITH g AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(text)),
+                 i -> substr(text, CAST(i AS BIGINT), 2))) AS g
+  FROM documents WHERE len(text) >= 2
+),
+c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+t AS (SELECT doc_id, sum(c) AS t FROM c GROUP BY doc_id)
+SELECT c.doc_id,
+  CAST(CAST(sum(CAST(-(CAST(c AS DOUBLE) / t) * ln(CAST(c AS DOUBLE) / t)
+       AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS bigram_entropy,
+  CAST(count(*) AS BIGINT) AS n_distinct_bigrams
+FROM c JOIN t USING (doc_id)
+GROUP BY c.doc_id
+""",
+)

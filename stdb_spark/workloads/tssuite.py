@@ -4370,3 +4370,41 @@ SELECT series, tu AS ts, value FROM v
 WHERE CAST(('0x' || substr(md5(series || ':' || CAST(tu * 1000 AS VARCHAR)), 1, 8)) AS BIGINT) % 16 = 0
 """,
 )
+
+
+# --------------------------------------------------- percentile bands
+# p10/p50/p90 envelope per series per day — the dashboard band query
+# (exact percentile ≡ quantile_cont, per the p95 pattern).
+def _ts_percentile_bands(spark, sf):
+    df = _samples(spark, sf, "click", JAN01_US, FEB01_US)
+    bucket = F.lit(JAN01) + F.lit(D1) * F.expr(f"(ts - {JAN01}L) div {D1}L")
+    return (
+        df.groupBy("series", bucket.alias("ts"))
+        .agg(
+            F.expr("percentile(value, 0.1)").alias("p10"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+        )
+        .withColumn("ts", F.expr("ts div 1000"))
+    )
+
+
+_q(
+    "ts_percentile_bands",
+    _ts_percentile_bands,
+    f"""
+WITH v AS (
+  SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
+         epoch_us(ts) AS tu, value
+  FROM events
+  WHERE event_type = 'click'
+    AND epoch_us(ts) >= {JAN01_US} AND epoch_us(ts) < {FEB01_US}
+)
+SELECT series,
+  {JAN01_US} + {D1_US} * ((tu - {JAN01_US}) // {D1_US}) AS ts,
+  quantile_cont(value, 0.1) AS p10,
+  quantile_cont(value, 0.5) AS p50,
+  quantile_cont(value, 0.9) AS p90
+FROM v GROUP BY series, 2
+""",
+)

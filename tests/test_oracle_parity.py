@@ -42,6 +42,7 @@ LIBM_TOLERANT = {
     "ts_integral_daily",
     "doc_bm25_search",
     "doc_hybrid_search",  # carries the same ln()-derived bm25 column
+    "doc_char_entropy",  # ln() per bigram
 }
 
 
