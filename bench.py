@@ -159,6 +159,7 @@ HEADLINE = [
     "emb_norm_stats",
     "ts_percentile_bands",
     "doc_char_entropy",
+    "ts_dau_wau_stickiness",
 ]
 
 

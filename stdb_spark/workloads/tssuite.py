@@ -4408,3 +4408,54 @@ SELECT series,
 FROM v GROUP BY series, 2
 """,
 )
+
+
+# ------------------------------------------------ DAU / WAU stickiness
+# Daily active users, trailing-7-day active users (distinct users over
+# the window via the sliding-explode trick), and the DAU/WAU
+# stickiness ratio — the product-analytics headline.  Integer-exact
+# distinct counts, one double division.
+def _ts_dau_wau(spark, sf):
+    df = _samples_range(spark, sf, JAN01, FEB01)
+    day = F.expr(f"((ts div 1000) - {JAN01_US}L) div {D1_US}L")
+    ud = df.select(
+        F.col("tags")["user"].alias("u"), day.alias("d")
+    ).distinct()
+    dau = ud.groupBy("d").agg(F.countDistinct("u").cast("long").alias("dau"))
+    # trailing 7d: each (u, d) activity covers windows ending d..d+6;
+    # clamp to the queried range
+    span = ud.select(
+        "u", F.explode(F.sequence(F.col("d"), F.least(F.col("d") + 6, F.lit(30)))).alias("d")
+    ).distinct()
+    wau = span.groupBy("d").agg(F.countDistinct("u").cast("long").alias("wau"))
+    return (
+        dau.join(wau, "d")
+        .select(
+            (F.lit(JAN01_US) + F.col("d") * F.lit(D1_US)).alias("ts"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )
+
+
+_q(
+    "ts_dau_wau_stickiness",
+    _ts_dau_wau,
+    BASE
+    + f"""
+, ud AS (
+  SELECT DISTINCT u, (tu - {JAN01_US}) // {D1_US} AS d
+  FROM base WHERE tu >= {JAN01_US} AND tu < {FEB01_US}
+),
+dau AS (SELECT d, CAST(count(DISTINCT u) AS BIGINT) AS dau FROM ud GROUP BY d),
+sp AS (
+  SELECT DISTINCT u, d2 AS d
+  FROM (SELECT u, unnest(range(d, least(d + 7, 31))) AS d2 FROM ud)
+),
+wau AS (SELECT d, CAST(count(DISTINCT u) AS BIGINT) AS wau FROM sp GROUP BY d)
+SELECT {JAN01_US} + dau.d * {D1_US} AS ts, dau, wau,
+  CAST(dau AS DOUBLE) / wau AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d
+""",
+)
