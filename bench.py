@@ -160,6 +160,7 @@ HEADLINE = [
     "ts_percentile_bands",
     "doc_char_entropy",
     "ts_dau_wau_stickiness",
+    "emb_label_distances",
 ]
 
 

@@ -2813,3 +2813,58 @@ FROM c JOIN t USING (doc_id)
 GROUP BY c.doc_id
 """,
 )
+
+
+# ------------------------------------------- label centroid distances
+# Pairwise distances between label centroids — the label-geometry view
+# (labels whose centroids nearly coincide are candidates for merging /
+# relabeling).  k² rows over the tiny centroid table; decimal element
+# sums make the centroids engine-exact, the distance is a fixed-order
+# double fold over dims.
+def _emb_label_distances(spark, sf):
+    cents = similarity.label_centroids(
+        model.load_table(spark, sf, "embeddings")
+    )
+    a = cents.select(
+        F.col("label").alias("la"), "pos", F.col("centroid").alias("ca")
+    )
+    b = cents.select(
+        F.col("label").alias("lb"), "pos", F.col("centroid").alias("cb")
+    )
+    return (
+        a.join(b, "pos")
+        .filter(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sqrt(
+                F.expr(
+                    "CAST(sum(CAST((ca - cb) * (ca - cb) AS DECIMAL(38,8)))"
+                    " AS DOUBLE)"
+                )
+            ).alias("dist")
+        )
+    )
+
+
+_q(
+    "emb_label_distances",
+    _emb_label_distances,
+    """
+WITH ex AS (
+  SELECT label AS vlabel,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS x
+  FROM embeddings
+), cents AS (
+  SELECT vlabel AS label, pos,
+         CAST(CAST(sum(CAST(x::DOUBLE AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+           / count(*) AS c
+  FROM ex GROUP BY vlabel, pos
+)
+SELECT a.label AS la, b.label AS lb,
+  sqrt(CAST(CAST(sum(CAST((a.c - b.c) * (a.c - b.c) AS DECIMAL(38,8)))
+       AS VARCHAR) AS DOUBLE)) AS dist
+FROM cents a JOIN cents b ON a.pos = b.pos AND a.label < b.label
+GROUP BY a.label, b.label
+""",
+)
