@@ -161,6 +161,8 @@ HEADLINE = [
     "doc_char_entropy",
     "ts_dau_wau_stickiness",
     "emb_label_distances",
+    "ts_audience_overlap",
+    "rel_basket_pairs",
 ]
 
 

@@ -1211,3 +1211,54 @@ SELECT month, n_orders, revenue,
 FROM m
 """,
 )
+
+
+# --------------------------------------------------- market basket
+# Frequently co-purchased part pairs within an order — the classic
+# basket analysis.  The self-join is bounded by order size (≤7 line
+# items in TPC-H), so pair fan-out is linear in orders; top-10 by
+# support with a total-order tie-break.
+def _rel_basket_pairs(spark, sf):
+    from pyspark.sql import Window as W
+
+    li = model.load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("long").alias("support"))
+    )
+    wr = W.orderBy(
+        F.col("support").desc(), F.col("pa").asc(), F.col("pb").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rk") <= 10)
+    )
+
+
+_q(
+    "rel_basket_pairs",
+    _rel_basket_pairs,
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(count(*) AS BIGINT) AS support
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+),
+r AS (
+  SELECT pa, pb, support,
+    CAST(row_number() OVER (ORDER BY support DESC, pa ASC, pb ASC) AS INT)
+      AS rk
+  FROM p
+)
+SELECT pa, pb, support, rk FROM r WHERE rk <= 10
+""",
+)

@@ -4459,3 +4459,59 @@ SELECT {JAN01_US} + dau.d * {D1_US} AS ts, dau, wau,
 FROM dau JOIN wau ON dau.d = wau.d
 """,
 )
+
+
+# ------------------------------------------------- audience overlap
+# Users active in BOTH metrics within the range (cross-feature
+# adoption): distinct per-metric user sets, pairwise intersection
+# counts with Jaccard.  Integer-exact; the metric-pair space is tiny.
+def _ts_audience_overlap(spark, sf):
+    df = _samples_range(spark, sf, JAN01, FEB01)
+    mu = df.select(
+        F.col("metric"), F.col("tags")["user"].alias("u")
+    ).distinct()
+    sizes = mu.groupBy("metric").agg(F.count("*").alias("nu"))
+    a = mu.select(F.col("metric").alias("ma"), "u")
+    b = mu.select(F.col("metric").alias("mb"), "u")
+    inter = (
+        a.join(b, "u")
+        .filter(F.col("ma") < F.col("mb"))
+        .groupBy("ma", "mb")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    return (
+        inter.join(sizes.select(F.col("metric").alias("ma"), F.col("nu").alias("na")), "ma")
+        .join(sizes.select(F.col("metric").alias("mb"), F.col("nu").alias("nb")), "mb")
+        .select(
+            "ma",
+            "mb",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_both"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+_q(
+    "ts_audience_overlap",
+    _ts_audience_overlap,
+    BASE
+    + f"""
+, mu AS (
+  SELECT DISTINCT metric, u FROM base
+  WHERE tu >= {JAN01_US} AND tu < {FEB01_US}
+),
+sz AS (SELECT metric, count(*) AS nu FROM mu GROUP BY metric),
+i AS (
+  SELECT a.metric AS ma, b.metric AS mb,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM mu a JOIN mu b ON a.u = b.u AND a.metric < b.metric
+  GROUP BY a.metric, b.metric
+)
+SELECT ma, mb, n_both,
+  CAST(n_both AS DOUBLE) / (sa.nu + sb.nu - n_both) AS jaccard
+FROM i JOIN sz sa ON sa.metric = ma JOIN sz sb ON sb.metric = mb
+""",
+)
