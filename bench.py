@@ -163,6 +163,8 @@ HEADLINE = [
     "emb_label_distances",
     "ts_audience_overlap",
     "rel_basket_pairs",
+    "rel_abc_analysis",
+    "ts_rolling_corr",
 ]
 
 

@@ -1262,3 +1262,71 @@ r AS (
 SELECT pa, pb, support, rk FROM r WHERE rk <= 10
 """,
 )
+
+
+# ------------------------------------------------------- ABC analysis
+# Pareto classification of parts by revenue: rank by decimal-exact
+# revenue, cumulative share, A (first 80%), B (to 95%), C (rest) —
+# the inventory-management standard.  The cumulative window runs over
+# the post-aggregate part table.
+def _rel_abc(spark, sf):
+    from pyspark.sql import Window as W
+
+    li = model.load_table(spark, sf, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.expr(
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("r")
+    )
+    w = W.orderBy(F.col("r").desc(), F.col("l_partkey").asc())
+    tot = F.sum(F.expr("CAST(r AS DECIMAL(28,6))")).over(
+        W.partitionBy()
+    ).cast("double")
+    cum = F.sum(F.expr("CAST(r AS DECIMAL(28,6))")).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ).cast("double")
+    share = cum / tot
+    cls = (
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
+    )
+    return (
+        rev.select("l_partkey", "r", cls.alias("abc"))
+        .groupBy("abc")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.expr("CAST(sum(CAST(r AS DECIMAL(28,6))) AS DOUBLE)").alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+_q(
+    "rel_abc_analysis",
+    _rel_abc,
+    """
+WITH rev AS (
+  SELECT l_partkey,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS r
+  FROM lineitem GROUP BY l_partkey
+),
+s AS (
+  SELECT l_partkey, r,
+    CAST(sum(CAST(r AS DECIMAL(28,6))) OVER (
+      ORDER BY r DESC, l_partkey ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / CAST(sum(CAST(r AS DECIMAL(28,6))) OVER () AS DOUBLE) AS share
+  FROM rev
+),
+c AS (
+  SELECT l_partkey, r,
+    CASE WHEN share <= CAST(0.8 AS DOUBLE) THEN 'A'
+         WHEN share <= CAST(0.95 AS DOUBLE) THEN 'B'
+         ELSE 'C' END AS abc
+  FROM s
+)
+SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+  CAST(CAST(sum(CAST(r AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue
+FROM c GROUP BY abc
+""",
+)

@@ -4515,3 +4515,96 @@ SELECT ma, mb, n_both,
 FROM i JOIN sz sa ON sa.metric = ma JOIN sz sb ON sb.metric = mb
 """,
 )
+
+
+# ---------------------------------------------------- rolling correlation
+# Rolling 20-sample correlation between click and view per user (the
+# relationship-drift monitor; whole-range corr is ts_corr_metrics).
+# Five decimal moment sums inside the row frame, fixed-order double
+# finish, zero-variance guard.
+def _ts_rolling_corr(spark, sf):
+    from pyspark.sql import Window as W
+
+    df = _samples_range(spark, sf, JAN01, FEB01)
+    pv = (
+        df.filter(F.col("metric").isin("click", "view"))
+        .withColumn("u", F.col("tags")["user"])
+        .withColumn("ts", F.expr("ts div 1000"))
+        .groupBy("u", "ts")
+        .pivot("metric", ["click", "view"])
+        .agg(F.max("value"))
+        .filter(F.col("click").isNotNull() & F.col("view").isNotNull())
+    )
+    w = W.partitionBy("u").orderBy("ts").rowsBetween(-19, W.currentRow)
+    d = "DECIMAL(28,10)"
+    d2 = "DECIMAL(38,8)"
+    n = F.count("click").over(w)
+    sx = F.expr(f"sum(CAST(click AS {d}))").over(w).cast("double")
+    sy = F.expr(f"sum(CAST(view AS {d}))").over(w).cast("double")
+    sxy = (
+        F.expr(f"sum(CAST(CAST(click AS {d}) * CAST(view AS {d}) AS {d2}))")
+        .over(w)
+        .cast("double")
+    )
+    sxx = (
+        F.expr(f"sum(CAST(CAST(click AS {d}) * CAST(click AS {d}) AS {d2}))")
+        .over(w)
+        .cast("double")
+    )
+    syy = (
+        F.expr(f"sum(CAST(CAST(view AS {d}) * CAST(view AS {d}) AS {d2}))")
+        .over(w)
+        .cast("double")
+    )
+    num = n * sxy - sx * sy
+    den = F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0))) * F.sqrt(
+        F.greatest(n * syy - sy * sy, F.lit(0.0))
+    )
+    return pv.select(
+        "u",
+        "ts",
+        n.cast("long").alias("n"),
+        F.when(den > 0, num / den).alias("rolling_corr"),
+    )
+
+
+_q(
+    "ts_rolling_corr",
+    _ts_rolling_corr,
+    BASE
+    + f"""
+, p AS (
+  SELECT u, tu,
+         max(CASE WHEN metric = 'click' THEN value END) AS click,
+         max(CASE WHEN metric = 'view'  THEN value END) AS view
+  FROM base WHERE metric IN ('click', 'view')
+    AND tu >= {JAN01_US} AND tu < {FEB01_US}
+  GROUP BY u, tu
+),
+f AS (SELECT u, tu, click, view FROM p
+      WHERE click IS NOT NULL AND view IS NOT NULL),
+m AS (
+  SELECT u, tu,
+    count(click) OVER w AS n,
+    CAST(sum(CAST(click AS DECIMAL(28,10))) OVER w AS DOUBLE) AS sx,
+    CAST(sum(CAST(view AS DECIMAL(28,10))) OVER w AS DOUBLE) AS sy,
+    CAST(sum(CAST(CAST(click AS DECIMAL(28,10)) * CAST(view AS DECIMAL(28,10))
+         AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sxy,
+    CAST(sum(CAST(CAST(click AS DECIMAL(28,10)) * CAST(click AS DECIMAL(28,10))
+         AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sxx,
+    CAST(sum(CAST(CAST(view AS DECIMAL(28,10)) * CAST(view AS DECIMAL(28,10))
+         AS DECIMAL(38,8))) OVER w AS DOUBLE) AS syy
+  FROM f
+  WINDOW w AS (PARTITION BY u ORDER BY tu
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT u, tu AS ts, CAST(n AS BIGINT) AS n,
+  CASE WHEN sqrt(greatest(n * sxx - sx * sx, CAST(0.0 AS DOUBLE)))
+         * sqrt(greatest(n * syy - sy * sy, CAST(0.0 AS DOUBLE))) > 0
+  THEN (n * sxy - sx * sy)
+    / (sqrt(greatest(n * sxx - sx * sx, CAST(0.0 AS DOUBLE)))
+       * sqrt(greatest(n * syy - sy * sy, CAST(0.0 AS DOUBLE))))
+  END AS rolling_corr
+FROM m
+""",
+)
