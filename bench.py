@@ -165,6 +165,8 @@ HEADLINE = [
     "rel_basket_pairs",
     "rel_abc_analysis",
     "ts_rolling_corr",
+    "ts_dataset_summary",
+    "rel_ship_delay_profile",
 ]
 
 

@@ -1330,3 +1330,44 @@ SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
 FROM c GROUP BY abc
 """,
 )
+
+
+# ---------------------------------------------- shipping delay profile
+# Order-to-ship delay distribution per ship mode: mean and exact
+# quartiles of datediff days — the fulfillment-SLA view (q12 counts
+# priority classes; this profiles the latency itself).
+def _rel_ship_delay(spark, sf):
+    li = model.load_table(spark, sf, "lineitem")
+    o = model.load_table(spark, sf, "orders")
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.lit("all").alias("grp"),
+        F.datediff("l_shipdate", "o_orderdate").alias("delay"),
+    )
+    return d.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("CAST(sum(delay) AS DOUBLE) / count(*)").alias("mean_delay"),
+        F.expr("percentile(delay, 0.25)").alias("p25"),
+        F.expr("percentile(delay, 0.5)").alias("p50"),
+        F.expr("percentile(delay, 0.75)").alias("p75"),
+        F.max("delay").cast("long").alias("max_delay"),
+    )
+
+
+_q(
+    "rel_ship_delay_profile",
+    _rel_ship_delay,
+    """
+WITH d AS (
+  SELECT 'all' AS grp,
+         date_diff('day', o_orderdate, l_shipdate) AS delay
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT grp, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(delay) AS DOUBLE) / count(*) AS mean_delay,
+  quantile_cont(delay, 0.25) AS p25,
+  quantile_cont(delay, 0.5) AS p50,
+  quantile_cont(delay, 0.75) AS p75,
+  CAST(max(delay) AS BIGINT) AS max_delay
+FROM d GROUP BY grp
+""",
+)

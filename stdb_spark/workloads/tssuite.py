@@ -4608,3 +4608,33 @@ SELECT u, tu AS ts, CAST(n AS BIGINT) AS n,
 FROM m
 """,
 )
+
+
+# --------------------------------------------------- dataset summary
+# One-row operational stats (the SHOW-STATS / meta analog): sample
+# count, series count, metric count, time span.  Integer-exact.
+def _ts_dataset_summary(spark, sf):
+    df = model.events_as_samples(spark, sf)
+    return df.agg(
+        F.count("*").cast("long").alias("n_samples"),
+        F.countDistinct(
+            F.concat(F.col("metric"), F.lit(" user="), F.col("tags")["user"])
+        ).cast("long").alias("n_series"),
+        F.countDistinct("metric").cast("long").alias("n_metrics"),
+        F.expr("min(ts) div 1000").alias("min_ts"),
+        F.expr("max(ts) div 1000").alias("max_ts"),
+    )
+
+
+_q(
+    "ts_dataset_summary",
+    _ts_dataset_summary,
+    BASE
+    + """
+SELECT CAST(count(*) AS BIGINT) AS n_samples,
+  CAST(count(DISTINCT metric || ' user=' || u) AS BIGINT) AS n_series,
+  CAST(count(DISTINCT metric) AS BIGINT) AS n_metrics,
+  min(tu) AS min_ts, max(tu) AS max_ts
+FROM base
+""",
+)
