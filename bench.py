@@ -167,6 +167,8 @@ HEADLINE = [
     "ts_rolling_corr",
     "ts_dataset_summary",
     "rel_ship_delay_profile",
+    "rel_rfm_segments",
+    "emb_int8_recall_eval",
 ]
 
 

@@ -2868,3 +2868,36 @@ FROM cents a JOIN cents b ON a.pos = b.pos AND a.label < b.label
 GROUP BY a.label, b.label
 """,
 )
+
+
+# ---------------------------------------------- int8 ANN recall eval
+# Recall@10 of the int8-quantized scan against the float brute force —
+# the quantization-quality number a deployment tracks next to the 4×
+# byte savings.  Both sides deterministic; the oracle composes the two
+# proven texts.
+def _emb_int8_recall(spark, sf):
+    emb = model.load_table(spark, sf, "embeddings")
+    brute = similarity.brute_force_top_k(emb, _QVEC, k=10).select("vec_id")
+    q = similarity.ann_int8_top_k(emb, _QVEC, k=10).select("vec_id")
+    hit = brute.join(q, "vec_id").count()
+    return spark.createDataFrame([(int(hit),)], "n_hits int").select(
+        F.col("n_hits").cast("long").alias("n_hits"),
+        (F.col("n_hits") / F.lit(10.0)).alias("recall_at_10"),
+    )
+
+
+_q(
+    "emb_int8_recall_eval",
+    _emb_int8_recall,
+    f"""
+WITH brute AS (
+  SELECT vec_id,
+    ({_qvec_dot('embedding')}) / ({_norm_chain('embedding')} * {_QNORM}) AS cosine
+  FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
+),
+i8 AS ({_int8_oracle()})
+SELECT CAST(count(*) AS BIGINT) AS n_hits,
+  count(*) / CAST(10.0 AS DOUBLE) AS recall_at_10
+FROM brute JOIN i8 USING (vec_id)
+""",
+)

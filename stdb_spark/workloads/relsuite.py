@@ -1371,3 +1371,56 @@ SELECT grp, CAST(count(*) AS BIGINT) AS n,
 FROM d GROUP BY grp
 """,
 )
+
+
+# ------------------------------------------------- RFM segmentation
+# Recency/frequency/monetary quartile segmentation of customers —
+# the classic CRM cut.  Quartiles via ntile(4) with total-order
+# tie-breaks (custkey) so the assignment is deterministic; anchor for
+# recency is the corpus max order date (data-derived, engine-equal).
+def _rel_rfm(spark, sf):
+    from pyspark.sql import Window as W
+
+    o = model.load_table(spark, sf, "orders")
+    anchor = o.agg(F.max("o_orderdate")).first()[0]
+    per = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit(anchor), F.max("o_orderdate")).alias("recency"),
+        F.count("*").alias("frequency"),
+        F.expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("monetary"),
+    )
+    r = F.ntile(4).over(W.orderBy(F.col("recency").asc(), F.col("o_custkey").asc()))
+    f_ = F.ntile(4).over(W.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc()))
+    m = F.ntile(4).over(W.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc()))
+    seg = per.select(
+        "o_custkey", r.alias("r"), f_.alias("f"), m.alias("m")
+    )
+    return seg.groupBy("r", "f", "m").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )
+
+
+_q(
+    "rel_rfm_segments",
+    _rel_rfm,
+    """
+WITH a AS (SELECT max(o_orderdate) AS anchor FROM orders),
+per AS (
+  SELECT o_custkey,
+    date_diff('day', max(o_orderdate), (SELECT anchor FROM a)) AS recency,
+    count(*) AS frequency,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+seg AS (
+  SELECT o_custkey,
+    ntile(4) OVER (ORDER BY recency ASC, o_custkey ASC) AS r,
+    ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f,
+    ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m
+  FROM per
+)
+SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_customers
+FROM seg GROUP BY r, f, m
+""",
+)
