@@ -169,6 +169,8 @@ HEADLINE = [
     "rel_ship_delay_profile",
     "rel_rfm_segments",
     "emb_int8_recall_eval",
+    "rel_brand_revenue_share",
+    "doc_source_quality_matrix",
 ]
 
 

@@ -2901,3 +2901,58 @@ SELECT CAST(count(*) AS BIGINT) AS n_hits,
 FROM brute JOIN i8 USING (vec_id)
 """,
 )
+
+
+# --------------------------------------------- source × lang quality
+# Mean linear quality score per (source, lang) cell — where the good
+# and bad text comes from.  Reuses the classifier's exact features;
+# decimal-quantized means over the ~unit-magnitude scores.
+def _doc_source_quality(spark, sf):
+    from stdb_spark.functions.text import quality_classifier_score
+
+    docs = model.load_table(spark, sf, "documents")
+    q = quality_classifier_score(docs).select("doc_id", "quality_lin")
+    return (
+        docs.select("doc_id", "source", "lang")
+        .join(q, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr(
+                "CAST(sum(CAST(quality_lin AS DECIMAL(28,10))) AS DOUBLE)"
+                " / count(*)"
+            ).alias("mean_quality"),
+        )
+    )
+
+
+_q(
+    "doc_source_quality_matrix",
+    _doc_source_quality,
+    f"""
+WITH t AS (
+  SELECT doc_id, source, lang, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id, source, lang,
+    CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS DOUBLE)
+      / greatest(len(toks), 1) AS mwl,
+    len(list_filter(toks, x -> list_contains({_SW_LIST}, lower(x))))
+      / greatest(len(toks), 1) AS swr,
+    CAST(len(toks) AS DOUBLE) / greatest(len(text), 1) AS tpc
+  FROM t
+),
+s AS (
+  SELECT doc_id, source, lang,
+    CAST(-0.3 AS DOUBLE) * mwl + CAST(4.0 AS DOUBLE) * swr
+      + CAST(8.0 AS DOUBLE) * tpc + CAST(0.0 AS DOUBLE) AS quality_lin
+  FROM f
+)
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(CAST(sum(CAST(quality_lin AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+    / count(*) AS mean_quality
+FROM s GROUP BY source, lang
+""",
+)

@@ -1424,3 +1424,46 @@ SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_customers
 FROM seg GROUP BY r, f, m
 """,
 )
+
+
+# ------------------------------------------------ brand revenue share
+# Revenue by part brand with share-of-total — broadcast part dim,
+# decimal-exact sums, share over the tiny brand table.
+def _rel_brand_share(spark, sf):
+    from pyspark.sql import Window as W
+
+    li = model.load_table(spark, sf, "lineitem")
+    p = model.load_table(spark, sf, "part")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("revenue")
+        )
+    )
+    tot = F.sum(F.expr("CAST(revenue AS DECIMAL(28,6))")).over(
+        W.partitionBy()
+    ).cast("double")
+    return rev.select(
+        "p_brand", "revenue", (F.col("revenue") / tot).alias("share")
+    )
+
+
+_q(
+    "rel_brand_revenue_share",
+    _rel_brand_share,
+    """
+WITH rev AS (
+  SELECT p_brand,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand, revenue,
+  revenue / CAST(sum(CAST(revenue AS DECIMAL(28,6))) OVER () AS DOUBLE)
+    AS share
+FROM rev
+""",
+)
