@@ -171,6 +171,7 @@ HEADLINE = [
     "emb_int8_recall_eval",
     "rel_brand_revenue_share",
     "doc_source_quality_matrix",
+    "emb_pca_spectrum",
 ]
 
 

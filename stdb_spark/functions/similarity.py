@@ -854,3 +854,78 @@ def centroid_outliers(
             F.coalesce("n_outliers", F.lit(0)).cast("long").alias("n_outliers"),
         )
     )
+
+
+def pca_spectrum(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """Top-k PCA eigenvalue spectrum of the embedding cloud — the
+    intrinsic-dimensionality probe (a spectrum dominated by few
+    components ⇒ collapsed representation; anisotropy is the classic
+    embedding pathology).
+
+    Scale shape: ONE pass — each partition accumulates its d×d Gram
+    partial and column sums inside an Arrow ``mapInPandas`` (BLAS
+    ``X.T @ X``), ships d²+d+1 numbers, and a single (i, j) aggregate
+    merges them; only the d×d covariance ever reaches the driver, where
+    the tiny symmetric eigendecomposition runs in numpy.  Returns
+    (component, eigenvalue, explained_share) for the top k."""
+    import numpy as np
+    import pandas as pd
+
+    def gram(batches):
+        G = None
+        s = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            G = X.T @ X if G is None else G + X.T @ X
+            s = X.sum(0) if s is None else s + X.sum(0)
+            n += len(X)
+        if n:
+            d = G.shape[0]
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            rows = {
+                "i": np.concatenate([ii.ravel(), np.arange(d), [-1]]),
+                "j": np.concatenate([jj.ravel(), np.full(d, -1), [-1]]),
+                "v": np.concatenate([G.ravel(), s, [float(n)]]),
+            }
+            yield pd.DataFrame(rows)
+
+    parts = (
+        df.select(vec_col)
+        .mapInPandas(gram, schema="i int, j int, v double")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    d = max(r["i"] for r in parts) + 1
+    G = np.zeros((d, d))
+    s = np.zeros(d)
+    n = 0.0
+    for r in parts:
+        if r["i"] == -1:
+            n = r["v"]
+        elif r["j"] == -1:
+            s[r["i"]] = r["v"]
+        else:
+            G[r["i"], r["j"]] = r["v"]
+    mu = s / n
+    C = G / n - np.outer(mu, mu)
+    ev = np.linalg.eigvalsh(C)[::-1]
+    total = float(ev.sum())
+    spark = df.sparkSession
+    out = [
+        (int(c), float(ev[c]), float(ev[c] / total) if total > 0 else 0.0)
+        for c in range(min(k, d))
+    ]
+    return spark.createDataFrame(
+        out, "component int, eigenvalue double, explained_share double"
+    )

@@ -2956,3 +2956,16 @@ SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
 FROM s GROUP BY source, lang
 """,
 )
+
+
+# ------------------------------------------------ PCA spectrum probe
+# Top-8 eigenvalue shares of the embedding covariance — anisotropy /
+# collapsed-representation check.  Driver-side eig on the d×d matrix
+# only; rows-only (eigendecomposition is numpy's), spectrum properties
+# pinned in pytest.
+_q(
+    "emb_pca_spectrum",
+    lambda spark, sf: similarity.pca_spectrum(
+        model.load_table(spark, sf, "embeddings"), k=8
+    ),
+)

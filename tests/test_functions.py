@@ -1075,3 +1075,25 @@ def test_centroid_outliers_flags_planted_far_vector(spark):
     got = {r.label: r for r in similarity.centroid_outliers(df).collect()}
     assert got[0].n == 31 and got[0].n_outliers == 1
     assert got[1].n_outliers == 0
+
+
+def test_pca_spectrum_recovers_low_rank(spark):
+    import random
+
+    rnd = random.Random(4)
+    # rank-2 cloud in 8 dims: two orthogonal directions + tiny noise
+    rows = []
+    for i in range(200):
+        a, b = rnd.gauss(0, 3), rnd.gauss(0, 1)
+        v = [a, b] + [rnd.gauss(0, 0.01) for _ in range(6)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.pca_spectrum(df, k=4).collect()
+    shares = [r.explained_share for r in sorted(got, key=lambda r: r.component)]
+    assert shares[0] > shares[1] > shares[2]
+    assert shares[0] + shares[1] > 0.99  # rank-2 dominates
+    # partition invariance: the Gram merge is exact up to float addition
+    again = similarity.pca_spectrum(df.repartition(7), k=4).collect()
+    for r1, r2 in zip(sorted(got, key=lambda r: r.component),
+                      sorted(again, key=lambda r: r.component)):
+        assert abs(r1.eigenvalue - r2.eigenvalue) < 1e-9
