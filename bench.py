@@ -172,6 +172,7 @@ HEADLINE = [
     "rel_brand_revenue_share",
     "doc_source_quality_matrix",
     "emb_pca_spectrum",
+    "ts_periodogram",
 ]
 
 

@@ -4638,3 +4638,80 @@ SELECT CAST(count(*) AS BIGINT) AS n_samples,
 FROM base
 """,
 )
+
+
+# ---------------------------------------------------- periodogram probe
+# DFT power at candidate periods (1 day, 1 week) per series — the
+# frequency-domain sibling of the autocorrelation probe.  cos/sin are
+# the libm calls (driver-gate tolerant at 1e-6); the projection sums
+# quantize to decimal.
+_PERIODS_US = (86_400_000_000, 604_800_000_000)
+
+
+def _ts_periodogram(spark, sf):
+    df = _samples(spark, sf, "view", JAN01_US, FEB01_US)
+    rows = []
+    for T in _PERIODS_US:
+        phase = (
+            F.lit(2.0) * F.lit(3.141592653589793)
+            * (((F.expr("ts div 1000")) % F.lit(T)).cast("double") / F.lit(float(T)))
+        )
+        d = df.select(
+            "series",
+            F.lit(T).alias("period_us"),
+            (F.col("value") * F.cos(phase)).alias("_c"),
+            (F.col("value") * F.sin(phase)).alias("_s"),
+        )
+        rows.append(d)
+    u = rows[0]
+    for r in rows[1:]:
+        u = u.unionByName(r)
+    m = u.groupBy("series", "period_us").agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(sum(CAST(_c AS DECIMAL(28,10))) AS DOUBLE)").alias("sc"),
+        F.expr("CAST(sum(CAST(_s AS DECIMAL(28,10))) AS DOUBLE)").alias("ss"),
+    )
+    return m.select(
+        "series",
+        "period_us",
+        F.col("n").cast("long").alias("n"),
+        (
+            (F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss"))
+            / F.col("n")
+        ).alias("power"),
+    )
+
+
+def _periodogram_sql() -> str:
+    parts = []
+    for T in _PERIODS_US:
+        parts.append(f"""
+SELECT series, {T} AS period_us,
+  value * cos(CAST(2.0 AS DOUBLE) * CAST(3.141592653589793 AS DOUBLE)
+    * (CAST(tu % {T} AS DOUBLE) / CAST({T} AS DOUBLE))) AS c,
+  value * sin(CAST(2.0 AS DOUBLE) * CAST(3.141592653589793 AS DOUBLE)
+    * (CAST(tu % {T} AS DOUBLE) / CAST({T} AS DOUBLE))) AS s
+FROM v""")
+    un = " UNION ALL ".join(parts)
+    return f"""
+WITH v AS (
+  SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
+         epoch_us(ts) AS tu, value
+  FROM events
+  WHERE event_type = 'view'
+    AND epoch_us(ts) >= {JAN01_US} AND epoch_us(ts) < {FEB01_US}
+),
+u AS ({un}),
+m AS (
+  SELECT series, period_us, count(*) AS n,
+    CAST(CAST(sum(CAST(c AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sc,
+    CAST(CAST(sum(CAST(s AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS ss
+  FROM u GROUP BY series, period_us
+)
+SELECT series, period_us, CAST(n AS BIGINT) AS n,
+  (sc * sc + ss * ss) / n AS power
+FROM m
+"""
+
+
+_q("ts_periodogram", _ts_periodogram, _periodogram_sql())

@@ -43,6 +43,7 @@ LIBM_TOLERANT = {
     "doc_bm25_search",
     "doc_hybrid_search",  # carries the same ln()-derived bm25 column
     "doc_char_entropy",  # ln() per bigram
+    "ts_periodogram",  # cos/sin per sample
 }
 
 
