@@ -173,6 +173,8 @@ HEADLINE = [
     "doc_source_quality_matrix",
     "emb_pca_spectrum",
     "ts_periodogram",
+    "ts_weekend_effect",
+    "ts_variance_decomposition",
 ]
 
 

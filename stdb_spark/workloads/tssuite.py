@@ -4715,3 +4715,158 @@ FROM m
 
 
 _q("ts_periodogram", _ts_periodogram, _periodogram_sql())
+
+
+# ----------------------------------------------------- weekend effect
+# Weekday-vs-weekend mean comparison per metric with a Welch t
+# statistic — "does traffic differ on weekends" with an effect-size
+# answer.  Decimal moments; phase 0 = Thursday (epoch day 0 UTC), so
+# weekend = days (dow + 4) % 7 in {5, 6} for Sat/Sun.
+def _ts_weekend_effect(spark, sf):
+    df = _samples_range(spark, sf, JAN01, FEB01)
+    dow = F.expr(f"(((ts div 1000) div {D1_US}L) + 4) % 7")
+    grp = F.when(dow >= 5, "weekend").otherwise("weekday")
+    d = "DECIMAL(28,10)"
+    d2 = "DECIMAL(38,8)"
+    m = df.select(F.col("metric"), grp.alias("g"), "value").groupBy(
+        "metric", "g"
+    ).agg(
+        F.count("*").alias("n"),
+        F.expr(f"CAST(sum(CAST(value AS {d})) AS DOUBLE)").alias("sx"),
+        F.expr(
+            f"CAST(sum(CAST(CAST(value AS {d}) * CAST(value AS {d}) AS {d2}))"
+            " AS DOUBLE)"
+        ).alias("sxx"),
+    )
+    wd = m.filter(F.col("g") == "weekday").select(
+        "metric",
+        F.col("n").alias("n1"),
+        (F.col("sx") / F.col("n")).alias("m1"),
+        (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("v1"),
+    )
+    we = m.filter(F.col("g") == "weekend").select(
+        "metric",
+        F.col("n").alias("n2"),
+        (F.col("sx") / F.col("n")).alias("m2"),
+        (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("v2"),
+    )
+    j = wd.join(we, "metric")
+    t = (F.col("m2") - F.col("m1")) / F.sqrt(
+        F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    )
+    return j.select(
+        "metric",
+        F.col("n1").cast("long").alias("n_weekday"),
+        F.col("n2").cast("long").alias("n_weekend"),
+        "m1",
+        "m2",
+        t.alias("welch_t"),
+    )
+
+
+_q(
+    "ts_weekend_effect",
+    _ts_weekend_effect,
+    BASE
+    + f"""
+, d AS (
+  SELECT metric,
+    CASE WHEN ((tu // {D1_US}) + 4) % 7 >= 5 THEN 'weekend'
+         ELSE 'weekday' END AS g,
+    value
+  FROM base WHERE tu >= {JAN01_US} AND tu < {FEB01_US}
+),
+m AS (
+  SELECT metric, g, count(*) AS n,
+    CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sum(CAST(CAST(value AS DECIMAL(28,10)) * CAST(value AS DECIMAL(28,10))
+         AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxx
+  FROM d GROUP BY metric, g
+),
+wd AS (SELECT metric, n AS n1, sx / n AS m1,
+         (sxx - sx * sx / n) / (n - 1) AS v1 FROM m WHERE g = 'weekday'),
+we AS (SELECT metric, n AS n2, sx / n AS m2,
+         (sxx - sx * sx / n) / (n - 1) AS v2 FROM m WHERE g = 'weekend')
+SELECT metric, CAST(n1 AS BIGINT) AS n_weekday, CAST(n2 AS BIGINT) AS n_weekend,
+  m1, m2,
+  (m2 - m1) / sqrt(v1 / n1 + v2 / n2) AS welch_t
+FROM wd JOIN we USING (metric)
+""",
+)
+
+
+# ------------------------------------------- variance decomposition
+# ANOVA-style between-user vs within-user variance share per metric —
+# "is this metric user-driven or globally driven".  Pure decimal
+# moments at two grouping levels.
+def _ts_variance_decomposition(spark, sf):
+    df = _samples_range(spark, sf, JAN01, FEB01)
+    d = "DECIMAL(28,10)"
+    d2 = "DECIMAL(38,8)"
+    per_user = df.groupBy(
+        F.col("metric"), F.col("tags")["user"].alias("u")
+    ).agg(
+        F.count("*").alias("n"),
+        F.expr(f"CAST(sum(CAST(value AS {d})) AS DOUBLE)").alias("sx"),
+        F.expr(
+            f"CAST(sum(CAST(CAST(value AS {d}) * CAST(value AS {d}) AS {d2}))"
+            " AS DOUBLE)"
+        ).alias("sxx"),
+    )
+    tot = per_user.groupBy("metric").agg(
+        F.sum("n").alias("N"),
+        F.expr("CAST(sum(CAST(sx AS DECIMAL(28,6))) AS DOUBLE)").alias("SX"),
+        F.expr("CAST(sum(CAST(sxx AS DECIMAL(28,6))) AS DOUBLE)").alias("SXX"),
+        # (28,4): the per-user term is ~1e8, and total digits must stay
+        # well inside a double's 15-16 reliable decimal digits or the
+        # two engines' double->decimal roundings diverge
+        F.expr(
+            "CAST(sum(CAST(sx * sx / n AS DECIMAL(28,4))) AS DOUBLE)"
+        ).alias("SB"),
+    )
+    ss_total = F.col("SXX") - F.col("SX") * F.col("SX") / F.col("N")
+    ss_between = F.col("SB") - F.col("SX") * F.col("SX") / F.col("N")
+    # raw ss_between is omitted from the output: its decimal-quantized
+    # per-user terms can round one 1e-4 grid step apart between engines
+    # (near-short-decimal quotients hit the repr-vs-binary boundary),
+    # while the share statistic divides that noise down to ~1e-11
+    return tot.select(
+        "metric",
+        F.col("N").cast("long").alias("n"),
+        ss_total.alias("ss_total"),
+        (ss_between / ss_total).alias("between_share"),
+    )
+
+
+_q(
+    "ts_variance_decomposition",
+    _ts_variance_decomposition,
+    BASE
+    + f"""
+, pu AS (
+  SELECT metric, u, count(*) AS n,
+    CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sum(CAST(CAST(value AS DECIMAL(28,10)) * CAST(value AS DECIMAL(28,10))
+         AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxx
+  FROM base WHERE tu >= {JAN01_US} AND tu < {FEB01_US}
+  GROUP BY metric, u
+),
+t AS (
+  SELECT metric, sum(n) AS N,
+    CAST(CAST(sum(CAST(sx AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS SX,
+    CAST(CAST(sum(CAST(sxx AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS SXX,
+    CAST(CAST(sum(CAST(sx * sx / n AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS SB
+  FROM pu GROUP BY metric
+)
+SELECT metric, CAST(N AS BIGINT) AS n,
+  SXX - SX * SX / N AS ss_total,
+  (SB - SX * SX / N) / (SXX - SX * SX / N) AS between_share
+FROM t
+""",
+)

@@ -44,6 +44,8 @@ LIBM_TOLERANT = {
     "doc_hybrid_search",  # carries the same ln()-derived bm25 column
     "doc_char_entropy",  # ln() per bigram
     "ts_periodogram",  # cos/sin per sample
+    "ts_variance_decomposition",  # SB terms quantize on a repr-sensitive grid
+    "ts_weekend_effect",  # same moment-quotient sensitivity in v1/v2
 }
 
 
