@@ -175,6 +175,7 @@ HEADLINE = [
     "ts_periodogram",
     "ts_weekend_effect",
     "ts_variance_decomposition",
+    "doc_dedup_cluster_sizes",
 ]
 
 

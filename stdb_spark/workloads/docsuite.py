@@ -2969,3 +2969,40 @@ _q(
         model.load_table(spark, sf, "embeddings"), k=8
     ),
 )
+
+
+# -------------------------------------------- dedup cluster size report
+# Cluster-size histogram of the near-dup graph (how much mass sits in
+# big boilerplate clusters vs pairs) — the dedup run report.
+def _dedup_cluster_sizes(spark, sf):
+    labels = _dedup_clusters(spark, sf)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+    )
+
+
+_q(
+    "doc_dedup_cluster_sizes",
+    _dedup_cluster_sizes,
+    _MH_CTES.replace("WITH toks", "WITH RECURSIVE toks")
+    + """
+, edges AS (
+  SELECT a AS src, b AS dst FROM cands
+  UNION SELECT b, a FROM cands
+), reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+sizes AS (SELECT cluster_id, count(*) AS sz FROM labels GROUP BY cluster_id)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+  CAST(count(*) AS BIGINT) AS n_clusters,
+  CAST(count(*) * sz AS BIGINT) AS n_docs
+FROM sizes GROUP BY sz
+""",
+)
