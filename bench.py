@@ -176,6 +176,7 @@ HEADLINE = [
     "ts_weekend_effect",
     "ts_variance_decomposition",
     "doc_dedup_cluster_sizes",
+    "ts_staleness_monitor",
 ]
 
 

@@ -4870,3 +4870,44 @@ SELECT metric, CAST(N AS BIGINT) AS n,
 FROM t
 """,
 )
+
+
+# ---------------------------------------------------- staleness monitor
+# Series that stopped reporting: last-seen timestamp per series and a
+# stale flag against a fixed cutoff (the "dead exporter" ops view).
+# Integer-exact.
+_STALE_CUTOFF_US = FEB01_US - 3 * D1_US  # silent for the last 3 days
+
+
+def _ts_staleness(spark, sf):
+    df = _samples_range(spark, sf, JAN01, FEB01)
+    series = F.concat(F.col("metric"), F.lit(" user="), F.col("tags")["user"])
+    return (
+        df.select(series.alias("series"), F.expr("ts div 1000").alias("tu"))
+        .groupBy("series")
+        .agg(
+            F.max("tu").alias("last_seen"),
+            F.count("*").cast("long").alias("n_samples"),
+        )
+        .select(
+            "series",
+            "last_seen",
+            "n_samples",
+            (F.col("last_seen") < F.lit(int(_STALE_CUTOFF_US))).alias("stale"),
+        )
+    )
+
+
+_q(
+    "ts_staleness_monitor",
+    _ts_staleness,
+    BASE
+    + f"""
+SELECT metric || ' user=' || u AS series,
+  max(tu) AS last_seen,
+  CAST(count(*) AS BIGINT) AS n_samples,
+  max(tu) < {_STALE_CUTOFF_US} AS stale
+FROM base WHERE tu >= {JAN01_US} AND tu < {FEB01_US}
+GROUP BY metric || ' user=' || u
+""",
+)
