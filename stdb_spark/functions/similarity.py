@@ -906,6 +906,10 @@ def pca_spectrum(
         .agg(F.sum("v").alias("v"))
         .collect()
     )
+    spark = df.sparkSession
+    schema = "component int, eigenvalue double, explained_share double"
+    if not parts:  # empty input degrades to an empty spectrum
+        return spark.createDataFrame([], schema)
     d = max(r["i"] for r in parts) + 1
     G = np.zeros((d, d))
     s = np.zeros(d)
@@ -921,11 +925,8 @@ def pca_spectrum(
     C = G / n - np.outer(mu, mu)
     ev = np.linalg.eigvalsh(C)[::-1]
     total = float(ev.sum())
-    spark = df.sparkSession
     out = [
         (int(c), float(ev[c]), float(ev[c] / total) if total > 0 else 0.0)
         for c in range(min(k, d))
     ]
-    return spark.createDataFrame(
-        out, "component int, eigenvalue double, explained_share double"
-    )
+    return spark.createDataFrame(out, schema)

@@ -2553,37 +2553,39 @@ FROM documents GROUP BY source
 # the fixed query — the eval harness an ANN deployment watches.  Both
 # sides are deterministic, so the single-row result carries a full
 # oracle composed from the two proven query texts.
-def _emb_lsh_recall(spark, sf):
+def _recall_eval(spark, sf, cand_df):
+    """Shared recall@10 assembly: overlap of a candidate top-10 with the
+    float brute force (single-row eval summary; the count collect is the
+    point, not a hot path)."""
     brute = similarity.brute_force_top_k(
         model.load_table(spark, sf, "embeddings"), _QVEC, k=10
     ).select("vec_id")
-    lsh = _emb_ann_lsh(spark, sf).select("vec_id")
-    hit = brute.join(lsh, "vec_id").count()
-    # single-row result assembled relationally (no driver math beyond
-    # the count collect — this is an eval summary, not a hot path)
-    return spark.createDataFrame(
-        [(int(hit),)], "n_hits int"
-    ).select(
+    hit = brute.join(cand_df.select("vec_id"), "vec_id").count()
+    return spark.createDataFrame([(int(hit),)], "n_hits int").select(
         F.col("n_hits").cast("long").alias("n_hits"),
         (F.col("n_hits") / F.lit(10.0)).alias("recall_at_10"),
     )
 
 
-_q(
-    "emb_lsh_recall_eval",
-    _emb_lsh_recall,
-    f"""
+def _recall_sql(cand_sql: str) -> str:
+    return f"""
 WITH brute AS (
   SELECT vec_id,
     ({_qvec_dot('embedding')}) / ({_norm_chain('embedding')} * {_QNORM}) AS cosine
   FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
 ),
-lsh AS ({_emb_ann_lsh_sql()})
+cand AS ({cand_sql})
 SELECT CAST(count(*) AS BIGINT) AS n_hits,
   count(*) / CAST(10.0 AS DOUBLE) AS recall_at_10
-FROM brute JOIN lsh USING (vec_id)
-""",
-)
+FROM brute JOIN cand USING (vec_id)
+"""
+
+
+def _emb_lsh_recall(spark, sf):
+    return _recall_eval(spark, sf, _emb_ann_lsh(spark, sf))
+
+
+_q("emb_lsh_recall_eval", _emb_lsh_recall, _recall_sql(_emb_ann_lsh_sql()))
 
 
 # ------------------------------------------------- PII audit by source
@@ -2876,31 +2878,16 @@ GROUP BY a.label, b.label
 # byte savings.  Both sides deterministic; the oracle composes the two
 # proven texts.
 def _emb_int8_recall(spark, sf):
-    emb = model.load_table(spark, sf, "embeddings")
-    brute = similarity.brute_force_top_k(emb, _QVEC, k=10).select("vec_id")
-    q = similarity.ann_int8_top_k(emb, _QVEC, k=10).select("vec_id")
-    hit = brute.join(q, "vec_id").count()
-    return spark.createDataFrame([(int(hit),)], "n_hits int").select(
-        F.col("n_hits").cast("long").alias("n_hits"),
-        (F.col("n_hits") / F.lit(10.0)).alias("recall_at_10"),
+    return _recall_eval(
+        spark,
+        sf,
+        similarity.ann_int8_top_k(
+            model.load_table(spark, sf, "embeddings"), _QVEC, k=10
+        ),
     )
 
 
-_q(
-    "emb_int8_recall_eval",
-    _emb_int8_recall,
-    f"""
-WITH brute AS (
-  SELECT vec_id,
-    ({_qvec_dot('embedding')}) / ({_norm_chain('embedding')} * {_QNORM}) AS cosine
-  FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
-),
-i8 AS ({_int8_oracle()})
-SELECT CAST(count(*) AS BIGINT) AS n_hits,
-  count(*) / CAST(10.0 AS DOUBLE) AS recall_at_10
-FROM brute JOIN i8 USING (vec_id)
-""",
-)
+_q("emb_int8_recall_eval", _emb_int8_recall, _recall_sql(_int8_oracle()))
 
 
 # --------------------------------------------- source × lang quality

@@ -4233,13 +4233,17 @@ def _ts_gap_distribution(spark, sf):
 
     df = _samples_range(spark, sf, JAN01, FEB01)
     series = F.concat(F.col("metric"), F.lit(" user="), F.col("tags")["user"])
-    w = W.partitionBy("s").orderBy("ts")
-    gap_us = F.expr("(ts - _pts) div 1000")
+    w = W.partitionBy("s").orderBy("tu")
+    # truncate to the µs grid FIRST: floor(a)-floor(b) is what the
+    # oracle's epoch_us difference computes, and it differs from
+    # floor(a-b) on sub-µs-grain (NANOS-generation) timestamps
     d = (
-        df.select(F.col("metric"), series.alias("s"), "ts")
-        .withColumn("_pts", F.lag("ts").over(w))
-        .filter(F.col("_pts").isNotNull())
-        .withColumn("g", gap_us)
+        df.select(
+            F.col("metric"), series.alias("s"), F.expr("ts div 1000").alias("tu")
+        )
+        .withColumn("_ptu", F.lag("tu").over(w))
+        .filter(F.col("_ptu").isNotNull())
+        .withColumn("g", F.col("tu") - F.col("_ptu"))
     )
     bucket = (
         F.when(F.col("g") < 60_000_000, "lt_1m")
@@ -4720,11 +4724,11 @@ _q("ts_periodogram", _ts_periodogram, _periodogram_sql())
 # ----------------------------------------------------- weekend effect
 # Weekday-vs-weekend mean comparison per metric with a Welch t
 # statistic — "does traffic differ on weekends" with an effect-size
-# answer.  Decimal moments; phase 0 = Thursday (epoch day 0 UTC), so
-# weekend = days (dow + 4) % 7 in {5, 6} for Sat/Sun.
+# answer.  Decimal moments; epoch day 0 (1970-01-01) is a THURSDAY, so
+# (epoch_day + 3) % 7 gives 0=Mon .. 6=Sun and weekend = {5, 6}.
 def _ts_weekend_effect(spark, sf):
     df = _samples_range(spark, sf, JAN01, FEB01)
-    dow = F.expr(f"(((ts div 1000) div {D1_US}L) + 4) % 7")
+    dow = F.expr(f"(((ts div 1000) div {D1_US}L) + 3) % 7")
     grp = F.when(dow >= 5, "weekend").otherwise("weekday")
     d = "DECIMAL(28,10)"
     d2 = "DECIMAL(38,8)"
@@ -4777,7 +4781,7 @@ _q(
     + f"""
 , d AS (
   SELECT metric,
-    CASE WHEN ((tu // {D1_US}) + 4) % 7 >= 5 THEN 'weekend'
+    CASE WHEN ((tu // {D1_US}) + 3) % 7 >= 5 THEN 'weekend'
          ELSE 'weekday' END AS g,
     value
   FROM base WHERE tu >= {JAN01_US} AND tu < {FEB01_US}
