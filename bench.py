@@ -177,6 +177,9 @@ HEADLINE = [
     "ts_variance_decomposition",
     "doc_dedup_cluster_sizes",
     "ts_staleness_monitor",
+    "doc_boilerplate_lines",
+    "emb_duplicate_vectors",
+    "ts_shape_clusters",
 ]
 
 

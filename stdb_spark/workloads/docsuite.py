@@ -2993,3 +2993,75 @@ SELECT CAST(sz AS BIGINT) AS cluster_size,
 FROM sizes GROUP BY sz
 """,
 )
+
+
+# ------------------------------------------------- boilerplate lines
+# Most-duplicated non-blank lines corpus-wide (the boilerplate targets
+# paragraph dedup removes) — top-20 by document frequency with a
+# total-order tie-break.
+def _doc_boilerplate_lines(spark, sf):
+    from pyspark.sql import Window as W
+
+    docs = model.load_table(spark, sf, "documents")
+    lines = F.filter(
+        F.transform(F.split("text", "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    d = docs.select("doc_id", F.explode(lines).alias("line")).distinct()
+    counts = d.groupBy("line").agg(F.count("*").cast("long").alias("df"))
+    wr = W.orderBy(F.col("df").desc(), F.col("line").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rk") <= 20)
+        .select(F.md5("line").alias("line_digest"), "df", "rk")
+    )
+
+
+_q(
+    "doc_boilerplate_lines",
+    _doc_boilerplate_lines,
+    """
+WITH l AS (
+  SELECT DISTINCT doc_id, line FROM (
+    SELECT doc_id,
+      unnest(list_filter(list_transform(string_split(text, chr(10)),
+             x -> trim(x)), x -> len(x) > 0)) AS line
+    FROM documents)
+),
+c AS (SELECT line, CAST(count(*) AS BIGINT) AS df FROM l GROUP BY line),
+r AS (
+  SELECT line, df,
+    CAST(row_number() OVER (ORDER BY df DESC, line ASC) AS INT) AS rk
+  FROM c
+)
+SELECT md5(line) AS line_digest, df, rk FROM r WHERE rk <= 20
+""",
+)
+
+
+# ------------------------------------------------ duplicate vectors
+# Exact-duplicate embedding detection by grouping on the raw vector
+# (byte-equality — the degenerate-ANN hygiene check before any
+# similarity work).
+_q(
+    "emb_duplicate_vectors",
+    lambda spark, sf: model.load_table(spark, sf, "embeddings")
+    .groupBy("embedding")
+    .agg(F.count("*").alias("c"))
+    .agg(
+        F.count("*").cast("long").alias("n_distinct_vectors"),
+        F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_classes"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_vectors"),
+    ),
+    """
+WITH g AS (SELECT embedding, count(*) AS c FROM embeddings GROUP BY embedding)
+SELECT CAST(count(*) AS BIGINT) AS n_distinct_vectors,
+  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_classes,
+  CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_vectors
+FROM g
+""",
+)

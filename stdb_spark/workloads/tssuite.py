@@ -4915,3 +4915,36 @@ FROM base WHERE tu >= {JAN01_US} AND tu < {FEB01_US}
 GROUP BY metric || ' user=' || u
 """,
 )
+
+
+# ----------------------------------------------------- shape clusters
+# Load-shape clustering: DTW distances between daily-total profiles,
+# thresholded into edges, connected components — "which metrics move
+# alike".  Sequential DP kernel upstream -> rows-only; the CC operator
+# itself is oracle-proven on the doc suite.
+def _ts_shape_clusters(spark, sf):
+    from stdb_spark.functions.dedup import connected_components
+    from stdb_spark.operators.dtw import dtw_pairs, series_profiles
+
+    df = model.events_as_samples(spark, sf, keep_src=True).filter(
+        (F.col("ts") >= JAN01) & (F.col("ts") < FEB01)
+    )
+    src = model.ts_src_bounds(df, JAN01, FEB01)
+    if src is not None:
+        df = df.filter(src)
+    bucket = F.lit(JAN01) + F.lit(D1) * F.expr(f"(ts - {JAN01}L) div {D1}L")
+    daily = (
+        df.select(F.col("metric").alias("series"), bucket.alias("ts"), "value")
+        .groupBy("series", "ts")
+        .agg(F.expr(f"CAST(sum({DEC}) AS DOUBLE)").alias("value"))
+    )
+    pairs = dtw_pairs(series_profiles(daily), band=7)
+    # threshold at the median pairwise distance: relative, data-driven
+    med = pairs.agg(F.expr("percentile(dtw, 0.5)")).first()[0]
+    edges = pairs.filter(F.col("dtw") <= med)
+    return connected_components(edges).select(
+        F.col("id").alias("series"), F.col("cluster_id")
+    )
+
+
+_q("ts_shape_clusters", _ts_shape_clusters)  # rows-only: DTW kernel
