@@ -180,6 +180,8 @@ HEADLINE = [
     "doc_boilerplate_lines",
     "emb_duplicate_vectors",
     "ts_shape_clusters",
+    "rel_discount_band_revenue",
+    "ts_peak_hour",
 ]
 
 

@@ -1467,3 +1467,46 @@ SELECT p_brand, revenue,
 FROM rev
 """,
 )
+
+
+# -------------------------------------------- discount band revenue
+# Revenue and volume by discount band (CASE ladder) — the promotion
+# effectiveness view.  Decimal-exact sums; band edges on exact 2dp
+# discounts.
+def _rel_discount_bands(spark, sf):
+    li = model.load_table(spark, sf, "lineitem")
+    band = (
+        F.when(F.col("l_discount") == 0.0, "none")
+        .when(F.col("l_discount") <= 0.02, "low")
+        .when(F.col("l_discount") <= 0.05, "mid")
+        .otherwise("high")
+    )
+    return li.groupBy(band.alias("discount_band")).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.expr(
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("gross"),
+        F.expr(
+            "CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * CAST(l_discount AS DECIMAL(9,4)) AS DECIMAL(28,6)))"
+            " AS DOUBLE)"
+        ).alias("discount_given"),
+    )
+
+
+_q(
+    "rel_discount_band_revenue",
+    _rel_discount_bands,
+    """
+SELECT CASE WHEN l_discount = 0.0 THEN 'none'
+            WHEN l_discount <= 0.02 THEN 'low'
+            WHEN l_discount <= 0.05 THEN 'mid'
+            ELSE 'high' END AS discount_band,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross,
+  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       * CAST(l_discount AS DECIMAL(9,4)) AS DECIMAL(28,6))) AS VARCHAR)
+       AS DOUBLE) AS discount_given
+FROM lineitem GROUP BY 1
+""",
+)

@@ -4948,3 +4948,43 @@ def _ts_shape_clusters(spark, sf):
 
 
 _q("ts_shape_clusters", _ts_shape_clusters)  # rows-only: DTW kernel
+
+
+# ----------------------------------------------------- peak hour
+# Busiest hour-of-day per metric (UTC) by event count, deterministic
+# argmax via ranked counts.
+def _ts_peak_hour(spark, sf):
+    from pyspark.sql import Window as W
+
+    df = _samples_range(spark, sf, JAN01, FEB01)
+    hour = F.expr(f"((ts div 1000) div 3600000000L) % 24")
+    c = df.groupBy(F.col("metric"), hour.alias("hour")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = W.partitionBy("metric").orderBy(F.col("n").desc(), F.col("hour").asc())
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("metric", F.col("hour").cast("long").alias("peak_hour"), "n")
+    )
+
+
+_q(
+    "ts_peak_hour",
+    _ts_peak_hour,
+    BASE
+    + f"""
+, c AS (
+  SELECT metric, (tu // 3600000000) % 24 AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM base WHERE tu >= {JAN01_US} AND tu < {FEB01_US}
+  GROUP BY metric, 2
+),
+r AS (
+  SELECT metric, hour, n,
+    row_number() OVER (PARTITION BY metric ORDER BY n DESC, hour ASC) AS rk
+  FROM c
+)
+SELECT metric, CAST(hour AS BIGINT) AS peak_hour, n FROM r WHERE rk = 1
+""",
+)
