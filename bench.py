@@ -182,6 +182,7 @@ HEADLINE = [
     "ts_shape_clusters",
     "rel_discount_band_revenue",
     "ts_peak_hour",
+    "doc_readability",
 ]
 
 

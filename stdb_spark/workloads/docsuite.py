@@ -3065,3 +3065,59 @@ SELECT CAST(count(*) AS BIGINT) AS n_distinct_vectors,
 FROM g
 """,
 )
+
+
+# ------------------------------------------------- readability score
+# Flesch-style reading ease per doc from engine-portable counts:
+# words (whitespace tokens), sentences (.!? runs, min 1), syllables ≈
+# vowel groups per word (the standard heuristic).  Pure regex counts
+# and fixed-order double arithmetic — no libm.
+_q(
+    "doc_readability",
+    lambda spark, sf: model.load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.size(text.tokens_col("text")).cast("long").alias("n_words"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+        )
+        .cast("long")
+        .alias("n_sentences"),
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+        )
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    .filter(F.col("n_words") > 0)
+    .select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words").cast("double") / F.col("n_sentences"))
+            - F.lit(84.6)
+            * (F.col("n_syllables").cast("double") / F.col("n_words"))
+        ).alias("flesch"),
+    ),
+    """
+WITH c AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))
+         AS BIGINT) AS n_words,
+    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+      AS n_sentences,
+    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+      AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  CAST(206.835 AS DOUBLE)
+    - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sentences)
+    - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / n_words)
+    AS flesch
+FROM c WHERE n_words > 0
+""",
+)

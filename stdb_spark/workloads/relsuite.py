@@ -1510,3 +1510,5 @@ SELECT CASE WHEN l_discount = 0.0 THEN 'none'
 FROM lineitem GROUP BY 1
 """,
 )
+
+
