@@ -183,6 +183,8 @@ HEADLINE = [
     "rel_discount_band_revenue",
     "ts_peak_hour",
     "doc_readability",
+    "doc_neardup_threshold_curve",
+    "ts_delta_histogram",
 ]
 
 

@@ -3121,3 +3121,44 @@ SELECT doc_id, n_words, n_sentences, n_syllables,
 FROM c WHERE n_words > 0
 """,
 )
+
+
+# -------------------------------------------- near-dup threshold curve
+# Candidate-pair counts per estimated-Jaccard band — the tuning curve
+# for picking a dedup threshold (how many pairs each cutoff keeps).
+def _doc_threshold_curve(spark, sf):
+    est = _minhash_est(spark, sf)
+    band = (
+        F.when(F.col("est_jaccard") >= 0.9, "ge_090")
+        .when(F.col("est_jaccard") >= 0.7, "070_090")
+        .when(F.col("est_jaccard") >= 0.5, "050_070")
+        .when(F.col("est_jaccard") >= 0.3, "030_050")
+        .otherwise("lt_030")
+    )
+    return est.groupBy(band.alias("jaccard_band")).agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+
+
+_q(
+    "doc_neardup_threshold_curve",
+    _doc_threshold_curve,
+    _MH_CTES
+    + f"""
+, est AS (
+  SELECT c.a, c.b,
+         CAST(count(*) FILTER (ha.h = hb.h) AS DOUBLE) / {_MH_K} AS ej
+  FROM cands c
+  JOIN hs ha ON ha.doc_id = c.a
+  JOIN hs hb ON hb.doc_id = c.b AND hb.i = ha.i
+  GROUP BY c.a, c.b
+)
+SELECT CASE WHEN ej >= CAST(0.9 AS DOUBLE) THEN 'ge_090'
+            WHEN ej >= CAST(0.7 AS DOUBLE) THEN '070_090'
+            WHEN ej >= CAST(0.5 AS DOUBLE) THEN '050_070'
+            WHEN ej >= CAST(0.3 AS DOUBLE) THEN '030_050'
+            ELSE 'lt_030' END AS jaccard_band,
+  CAST(count(*) AS BIGINT) AS n_pairs
+FROM est GROUP BY 1
+""",
+)

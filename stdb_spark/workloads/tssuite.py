@@ -4988,3 +4988,55 @@ r AS (
 SELECT metric, CAST(hour AS BIGINT) AS peak_hour, n FROM r WHERE rk = 1
 """,
 )
+
+
+# --------------------------------------------------- delta histogram
+# Distribution of per-step value changes per metric (volatility
+# profile): lag deltas bucketed on a symmetric CASE ladder.  Exact
+# doubles per row, integer counts.
+def _ts_delta_histogram(spark, sf):
+    from pyspark.sql import Window as W
+
+    df = _samples(spark, sf, "purchase", JAN01_US, FEB01_US)
+    w = W.partitionBy("series").orderBy("ts")
+    delta = F.col("value") - F.lag("value").over(w)
+    band = (
+        F.when(delta < -100.0, "lt_-100")
+        .when(delta < -10.0, "-100_-10")
+        .when(delta < 10.0, "-10_10")
+        .when(delta < 100.0, "10_100")
+        .otherwise("ge_100")
+    )
+    return (
+        df.select(band.alias("delta_band"), delta.alias("_d"))
+        .filter(F.col("_d").isNotNull())
+        .groupBy("delta_band")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+_q(
+    "ts_delta_histogram",
+    _ts_delta_histogram,
+    f"""
+WITH v AS (
+  SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
+         epoch_us(ts) AS tu, value
+  FROM events
+  WHERE event_type = 'purchase'
+    AND epoch_us(ts) >= {JAN01_US} AND epoch_us(ts) < {FEB01_US}
+),
+d AS (
+  SELECT value - lag(value) OVER (PARTITION BY series ORDER BY tu) AS d
+  FROM v
+)
+SELECT CASE WHEN d < CAST(-100.0 AS DOUBLE) THEN 'lt_-100'
+            WHEN d < CAST(-10.0 AS DOUBLE) THEN '-100_-10'
+            WHEN d < CAST(10.0 AS DOUBLE) THEN '-10_10'
+            WHEN d < CAST(100.0 AS DOUBLE) THEN '10_100'
+            ELSE 'ge_100' END AS delta_band,
+  CAST(count(*) AS BIGINT) AS n
+FROM d WHERE d IS NOT NULL
+GROUP BY 1
+""",
+)
