@@ -185,6 +185,8 @@ HEADLINE = [
     "doc_readability",
     "doc_neardup_threshold_curve",
     "ts_delta_histogram",
+    "emb_cosine_histogram",
+    "rel_region_quarter_matrix",
 ]
 
 

@@ -3162,3 +3162,54 @@ SELECT CASE WHEN ej >= CAST(0.9 AS DOUBLE) THEN 'ge_090'
 FROM est GROUP BY 1
 """,
 )
+
+
+# ------------------------------------------- sampled cosine histogram
+# Embedding-space geometry: cosine distribution over a deterministic
+# 1-per-vector pair sample (partner = (id*7+3) mod n — reproducible,
+# no RNG), bucketed into bands.  The anisotropy companion to
+# emb_pca_spectrum with a full oracle.
+def _emb_cosine_hist(spark, sf):
+    emb = model.load_table(spark, sf, "embeddings")
+    n = emb.count()
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    pairs = a.join(
+        b, ((F.col("ia") * 7 + 3) % F.lit(int(n))) == F.col("ib")
+    ).filter(F.col("ia") != F.col("ib"))
+    cos = similarity.cosine_expr(F.col("ea"), F.col("eb"))
+    band = (
+        F.when(cos >= 0.5, "ge_05")
+        .when(cos >= 0.2, "02_05")
+        .when(cos >= -0.2, "-02_02")
+        .when(cos >= -0.5, "-05_-02")
+        .otherwise("lt_-05")
+    )
+    return pairs.select(band.alias("cos_band")).groupBy("cos_band").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+
+
+_q(
+    "emb_cosine_histogram",
+    _emb_cosine_hist,
+    f"""
+WITH a AS (SELECT vec_id AS ia, embedding AS ea FROM embeddings),
+b AS (SELECT vec_id AS ib, embedding AS eb FROM embeddings),
+p AS (
+  SELECT ia, ib,
+    ({_dot_chain('ea', 'eb')}) / ({_norm_chain('ea')} * {_norm_chain('eb')})
+      AS cosine
+  FROM a JOIN b
+    ON (ia * 7 + 3) % (SELECT count(*) FROM embeddings) = ib
+  WHERE ia <> ib
+)
+SELECT CASE WHEN cosine >= CAST(0.5 AS DOUBLE) THEN 'ge_05'
+            WHEN cosine >= CAST(0.2 AS DOUBLE) THEN '02_05'
+            WHEN cosine >= CAST(-0.2 AS DOUBLE) THEN '-02_02'
+            WHEN cosine >= CAST(-0.5 AS DOUBLE) THEN '-05_-02'
+            ELSE 'lt_-05' END AS cos_band,
+  CAST(count(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY 1
+""",
+)

@@ -1512,3 +1512,48 @@ FROM lineitem GROUP BY 1
 )
 
 
+
+
+# --------------------------------------------- region-quarter matrix
+# Revenue by customer region × order quarter — the BI cube headline.
+# Broadcast dims, decimal-exact sums.
+def _rel_region_quarter(spark, sf):
+    o = model.load_table(spark, sf, "orders")
+    c = model.load_table(spark, sf, "customer")
+    n = model.load_table(spark, sf, "nation")
+    r = model.load_table(spark, sf, "region")
+    q = F.concat(
+        F.year("o_orderdate").cast("string"),
+        F.lit("-Q"),
+        F.quarter("o_orderdate").cast("string"),
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", q.alias("quarter"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("revenue"),
+        )
+    )
+
+
+_q(
+    "rel_region_quarter_matrix",
+    _rel_region_quarter,
+    """
+SELECT r_name,
+  CAST(year(o_orderdate) AS VARCHAR) || '-Q'
+    || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, 2
+""",
+)
