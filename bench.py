@@ -187,6 +187,7 @@ HEADLINE = [
     "ts_delta_histogram",
     "emb_cosine_histogram",
     "rel_region_quarter_matrix",
+    "ingest_csv_roundtrip",
 ]
 
 

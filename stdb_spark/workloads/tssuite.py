@@ -5040,3 +5040,44 @@ FROM d WHERE d IS NOT NULL
 GROUP BY 1
 """,
 )
+
+
+# ---------------------------------------------------- CSV ingest
+# CSV round-trip with an EXPLICIT schema (no inference scan — at 100 TB
+# schema inference is a full extra pass): export a narrow projection of
+# the events table to CSV once (cached artifact), read it back, and
+# verify against the direct parquet read via the oracle.
+def _ingest_csv_roundtrip(spark, sf):
+    import os
+
+    from pyspark.sql import types as T
+
+    cache = model.derived_cache_path(sf, "csv_export", "events")
+    if not os.path.isdir(cache):
+        (
+            model.load_table(spark, sf, "events")
+            .select("event_id", "event_type", "value")
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(cache)
+        )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .csv(cache)
+        .select("event_id", "event_type", "value")
+    )
+
+
+_q(
+    "ingest_csv_roundtrip",
+    _ingest_csv_roundtrip,
+    "SELECT event_id, event_type, value FROM events",
+)
