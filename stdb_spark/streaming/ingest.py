@@ -338,3 +338,45 @@ def streaming_hysteresis(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_counter_rate(
+    samples: DataFrame,
+    key_cols: tuple[str, ...] = ("metric",),
+) -> DataFrame:
+    """Stateful streaming counter rate with reset detection — the
+    continuous twin of the batch counter-rate query.  State is the last
+    (ts, value) pair per key; each sample emits the Prometheus-rule
+    increase (negative delta ⇒ counter restarted ⇒ increase = current
+    value) divided by the elapsed seconds.  O(#series) state; rows fold
+    in ts order within a micro-batch and the replay order across
+    batches (in-order for the layout-backed replay)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        pts, pv = state.get if state.exists else (-1, 0.0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                ts, v = int(ts), float(value)
+                if pts >= 0:
+                    delta = v - pv if v >= pv else v
+                    rate = delta / ((ts - pts) / 1e9)
+                    out.append(key + (ts, rate, v < pv))
+                pts, pv = ts, v
+        state.update((pts, pv))
+        yield pd.DataFrame(
+            out, columns=[*key_cols, "ts", "rate", "reset"]
+        )
+
+    key_schema = ", ".join(f"{c} string" for c in key_cols)
+    return samples.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key_schema}, ts long, rate double, reset boolean",
+        stateStructType="pts long, pv double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -5081,3 +5081,50 @@ _q(
     _ingest_csv_roundtrip,
     "SELECT event_id, event_type, value FROM events",
 )
+
+
+# --------------------------------------------- streaming counter rate
+# The stateful streaming twin of ts_counter_rate_resets: last (ts,
+# value) state per series carried across micro-batches; the replayed
+# result matches the batch lag-window SQL exactly.
+def _stream_counter_rate(spark, sf):
+    from stdb_spark.streaming.ingest import streaming_counter_rate
+
+    def tf(sdf):
+        ev = (
+            sdf.filter(F.col("metric") == "click")
+            .withColumn("u", F.col("tags")["user"])
+            .withColumn("ts", F.expr("(ts div 1000) * 1000"))
+        )
+        return streaming_counter_rate(ev, key_cols=("metric", "u"))
+
+    res = _replay_stream(spark, sf, tf, "stream_counter_rate_sink", "append")
+    return res.select(
+        F.concat(F.col("metric"), F.lit(" user="), F.col("u")).alias("series"),
+        F.expr("ts div 1000").alias("ts"),
+        "rate",
+        "reset",
+    )
+
+
+_q(
+    "stream_counter_rate",
+    _stream_counter_rate,
+    """
+WITH v AS (
+  SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
+         epoch_us(ts) AS tu, value
+  FROM events WHERE event_type = 'click'
+),
+l AS (
+  SELECT series, tu, value,
+         lag(value) OVER w AS pv, lag(tu) OVER w AS ptu
+  FROM v WINDOW w AS (PARTITION BY series ORDER BY tu)
+)
+SELECT series, tu AS ts,
+  (CASE WHEN value >= pv THEN value - pv ELSE value END)
+    / (CAST((tu - ptu) * 1000 AS DOUBLE) / 1e9) AS rate,
+  value < pv AS reset
+FROM l WHERE pv IS NOT NULL
+""",
+)
