@@ -188,6 +188,7 @@ HEADLINE = [
     "emb_cosine_histogram",
     "rel_region_quarter_matrix",
     "ingest_csv_roundtrip",
+    "ts_series_turnover",
 ]
 
 

@@ -5128,3 +5128,56 @@ SELECT series, tu AS ts,
 FROM l WHERE pv IS NOT NULL
 """,
 )
+
+
+# ------------------------------------------------- series turnover
+# Registry churn per day: how many series appear for the first time
+# and how many are seen for the last time — the cardinality-growth ops
+# view (new exporters vs decommissioned ones).  Integer-exact.
+def _ts_series_turnover(spark, sf):
+    df = _samples_range(spark, sf, JAN01, FEB01)
+    series = F.concat(F.col("metric"), F.lit(" user="), F.col("tags")["user"])
+    day = F.expr(f"((ts div 1000) - {JAN01_US}L) div {D1_US}L")
+    span = df.select(series.alias("s"), day.alias("d")).groupBy("s").agg(
+        F.min("d").alias("first_d"), F.max("d").alias("last_d")
+    )
+    born = span.groupBy(F.col("first_d").alias("d")).agg(
+        F.count("*").cast("long").alias("n_new")
+    )
+    died = span.groupBy(F.col("last_d").alias("d")).agg(
+        F.count("*").cast("long").alias("n_last_seen")
+    )
+    return (
+        born.join(died, "d", "full_outer")
+        .select(
+            (F.lit(JAN01_US) + F.col("d") * F.lit(D1_US)).alias("ts"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.coalesce("n_last_seen", F.lit(0)).cast("long").alias(
+                "n_last_seen"
+            ),
+        )
+    )
+
+
+_q(
+    "ts_series_turnover",
+    _ts_series_turnover,
+    BASE
+    + f"""
+, sp AS (
+  SELECT metric || ' user=' || u AS s,
+         min((tu - {JAN01_US}) // {D1_US}) AS first_d,
+         max((tu - {JAN01_US}) // {D1_US}) AS last_d
+  FROM base WHERE tu >= {JAN01_US} AND tu < {FEB01_US}
+  GROUP BY metric || ' user=' || u
+),
+born AS (SELECT first_d AS d, CAST(count(*) AS BIGINT) AS n_new
+         FROM sp GROUP BY first_d),
+died AS (SELECT last_d AS d, CAST(count(*) AS BIGINT) AS n_last_seen
+         FROM sp GROUP BY last_d)
+SELECT {JAN01_US} + coalesce(born.d, died.d) * {D1_US} AS ts,
+  CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+  CAST(coalesce(n_last_seen, 0) AS BIGINT) AS n_last_seen
+FROM born FULL OUTER JOIN died ON born.d = died.d
+""",
+)
