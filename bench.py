@@ -189,6 +189,8 @@ HEADLINE = [
     "rel_region_quarter_matrix",
     "ingest_csv_roundtrip",
     "ts_series_turnover",
+    "doc_quality_length_corr",
+    "ts_downtime_episodes",
 ]
 
 

@@ -3213,3 +3213,81 @@ SELECT CASE WHEN cosine >= CAST(0.5 AS DOUBLE) THEN 'ge_05'
 FROM p GROUP BY 1
 """,
 )
+
+
+# ------------------------------------------- quality vs length corr
+# Does the quality score just proxy length?  Pearson corr between
+# n_chars and the linear quality score: integer moments where exact
+# (n_chars), decimal-quantized where computed (score ~unit magnitude).
+def _doc_quality_length_corr(spark, sf):
+    from stdb_spark.functions.text import quality_classifier_score
+
+    docs = model.load_table(spark, sf, "documents")
+    q = quality_classifier_score(docs).select("doc_id", "quality_lin")
+    d = docs.select("doc_id", F.col("n_chars").cast("long").alias("x")).join(
+        q.select("doc_id", F.col("quality_lin").alias("y")), "doc_id"
+    )
+    m = d.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(28,10))) AS DOUBLE)").alias("sy"),
+        F.expr(
+            "CAST(sum(CAST(y * y AS DECIMAL(28,10))) AS DOUBLE)"
+        ).alias("syy"),
+        F.expr(
+            "CAST(sum(CAST(x * y AS DECIMAL(28,8))) AS DOUBLE)"
+        ).alias("sxy"),
+    )
+    corr = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (
+            F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+            )
+            * F.sqrt(
+                F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+            )
+        )
+    )
+    return m.select(F.col("n").cast("long").alias("n"), corr.alias("corr"))
+
+
+_q(
+    "doc_quality_length_corr",
+    _doc_quality_length_corr,
+    f"""
+WITH t AS (
+  SELECT doc_id, n_chars, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+    CAST(-0.3 AS DOUBLE)
+      * (CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS DOUBLE)
+         / greatest(len(toks), 1))
+    + CAST(4.0 AS DOUBLE)
+      * (len(list_filter(toks, x -> list_contains({_SW_LIST}, lower(x))))
+         / greatest(len(toks), 1))
+    + CAST(8.0 AS DOUBLE)
+      * (CAST(len(toks) AS DOUBLE) / greatest(len(text), 1))
+    + CAST(0.0 AS DOUBLE) AS y
+  FROM t
+),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+    CAST(CAST(sum(CAST(y AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(sum(CAST(y * y AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS syy,
+    CAST(CAST(sum(CAST(x * y AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM f
+)
+SELECT CAST(n AS BIGINT) AS n,
+  (n * sxy - sx * sy)
+    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       * sqrt(n * syy - sy * sy)) AS corr
+FROM m
+""",
+)

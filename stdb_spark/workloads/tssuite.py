@@ -5181,3 +5181,53 @@ SELECT {JAN01_US} + coalesce(born.d, died.d) * {D1_US} AS ts,
 FROM born FULL OUTER JOIN died ON born.d = died.d
 """,
 )
+
+
+# ------------------------------------------------- downtime episodes
+# Outage accounting per series: gaps longer than 1 day count as
+# downtime episodes; total missing time = sum of those gaps.  Integer
+# µs math.
+def _ts_downtime(spark, sf):
+    from pyspark.sql import Window as W
+
+    df = _samples_range(spark, sf, JAN01, FEB01)
+    series = F.concat(F.col("metric"), F.lit(" user="), F.col("tags")["user"])
+    w = W.partitionBy("s").orderBy("tu")
+    d = (
+        df.select(series.alias("s"), F.expr("ts div 1000").alias("tu"))
+        .withColumn("_ptu", F.lag("tu").over(w))
+        .filter(F.col("_ptu").isNotNull())
+        .withColumn("g", F.col("tu") - F.col("_ptu"))
+    )
+    return (
+        d.groupBy(F.col("s").alias("series"))
+        .agg(
+            F.sum(F.when(F.col("g") > D1_US, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outages"),
+            F.sum(F.when(F.col("g") > D1_US, F.col("g")).otherwise(0))
+            .cast("long")
+            .alias("downtime_us"),
+        )
+        .filter(F.col("n_outages") > 0)
+    )
+
+
+_q(
+    "ts_downtime_episodes",
+    _ts_downtime,
+    BASE
+    + f"""
+, l AS (
+  SELECT metric || ' user=' || u AS s, tu,
+         lag(tu) OVER (PARTITION BY metric || ' user=' || u ORDER BY tu) AS ptu
+  FROM base WHERE tu >= {JAN01_US} AND tu < {FEB01_US}
+),
+g AS (SELECT s, tu - ptu AS g FROM l WHERE ptu IS NOT NULL)
+SELECT s AS series,
+  CAST(sum(CASE WHEN g > {D1_US} THEN 1 ELSE 0 END) AS BIGINT) AS n_outages,
+  CAST(sum(CASE WHEN g > {D1_US} THEN g ELSE 0 END) AS BIGINT) AS downtime_us
+FROM g GROUP BY s
+HAVING sum(CASE WHEN g > {D1_US} THEN 1 ELSE 0 END) > 0
+""",
+)
