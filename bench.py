@@ -191,6 +191,7 @@ HEADLINE = [
     "ts_series_turnover",
     "doc_quality_length_corr",
     "ts_downtime_episodes",
+    "emb_label_margin",
 ]
 
 

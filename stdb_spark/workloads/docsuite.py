@@ -3291,3 +3291,59 @@ SELECT CAST(n AS BIGINT) AS n,
 FROM m
 """,
 )
+
+
+# --------------------------------------- intra vs inter label cosine
+# Mean cosine within-label vs across-label over the deterministic
+# pair sample — the separability margin of the labeling in embedding
+# space (companion to silhouette, with a full oracle).
+def _emb_label_margin(spark, sf):
+    emb = model.load_table(spark, sf, "embeddings")
+    n = emb.count()
+    a = emb.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("ea"),
+        F.col("label").alias("la"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("eb"),
+        F.col("label").alias("lb"),
+    )
+    pairs = a.join(
+        b, ((F.col("ia") * 7 + 3) % F.lit(int(n))) == F.col("ib")
+    ).filter(F.col("ia") != F.col("ib"))
+    cos = similarity.cosine_expr(F.col("ea"), F.col("eb"))
+    grp = F.when(F.col("la") == F.col("lb"), "intra").otherwise("inter")
+    return (
+        pairs.select(grp.alias("pair_kind"), cos.alias("_c"))
+        .groupBy("pair_kind")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr(
+                "CAST(sum(CAST(_c AS DECIMAL(28,10))) AS DOUBLE) / count(*)"
+            ).alias("mean_cosine"),
+        )
+    )
+
+
+_q(
+    "emb_label_margin",
+    _emb_label_margin,
+    f"""
+WITH a AS (SELECT vec_id AS ia, embedding AS ea, label AS la FROM embeddings),
+b AS (SELECT vec_id AS ib, embedding AS eb, label AS lb FROM embeddings),
+p AS (
+  SELECT CASE WHEN la = lb THEN 'intra' ELSE 'inter' END AS pair_kind,
+    ({_dot_chain('ea', 'eb')}) / ({_norm_chain('ea')} * {_norm_chain('eb')})
+      AS c
+  FROM a JOIN b
+    ON (ia * 7 + 3) % (SELECT count(*) FROM embeddings) = ib
+  WHERE ia <> ib
+)
+SELECT pair_kind, CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(CAST(sum(CAST(c AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / count(*)
+    AS mean_cosine
+FROM p GROUP BY pair_kind
+""",
+)
