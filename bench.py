@@ -192,6 +192,8 @@ HEADLINE = [
     "doc_quality_length_corr",
     "ts_downtime_episodes",
     "emb_label_margin",
+    "ts_time_to_convert",
+    "rel_order_value_deciles",
 ]
 
 

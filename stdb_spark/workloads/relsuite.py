@@ -1557,3 +1557,39 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, 2
 """,
 )
+
+
+# ------------------------------------------------- order value deciles
+# Decile boundaries of order value (min/max/count per ntile(10)) —
+# the pricing-distribution report, deterministic via total-order
+# tie-break.
+def _rel_order_deciles(spark, sf):
+    from pyspark.sql import Window as W
+
+    o = model.load_table(spark, sf, "orders")
+    w = W.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    d = o.select(
+        "o_totalprice", F.ntile(10).over(w).alias("decile")
+    )
+    return d.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+_q(
+    "rel_order_value_deciles",
+    _rel_order_deciles,
+    """
+WITH d AS (
+  SELECT o_totalprice,
+    ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS decile
+  FROM orders
+)
+SELECT CAST(decile AS INT) AS decile,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+FROM d GROUP BY decile
+""",
+)

@@ -5231,3 +5231,61 @@ FROM g GROUP BY s
 HAVING sum(CASE WHEN g > {D1_US} THEN 1 ELSE 0 END) > 0
 """,
 )
+
+
+# ------------------------------------------------- time to convert
+# Days from a user's first signup event to their first purchase —
+# the conversion-lag distribution (funnel's time dimension).  Integer
+# µs math, CASE-ladder day buckets; users who never purchase are
+# counted separately.
+def _ts_time_to_convert(spark, sf):
+    df = model.events_as_samples(spark, sf)
+    u = F.col("tags")["user"]
+    firsts = (
+        df.filter(F.col("metric").isin("signup", "purchase"))
+        .groupBy(u.alias("u"))
+        .agg(
+            F.min(F.when(F.col("metric") == "signup", F.expr("ts div 1000"))).alias(
+                "t_signup"
+            ),
+            F.min(
+                F.when(F.col("metric") == "purchase", F.expr("ts div 1000"))
+            ).alias("t_purchase"),
+        )
+        .filter(F.col("t_signup").isNotNull())
+    )
+    lag_days = F.expr(f"(t_purchase - t_signup) div {D1_US}L")
+    band = (
+        F.when(F.col("t_purchase").isNull(), "never")
+        .when(F.col("t_purchase") < F.col("t_signup"), "before_signup")
+        .when(lag_days < 1, "same_day")
+        .when(lag_days < 7, "1_7d")
+        .otherwise("ge_7d")
+    )
+    return firsts.groupBy(band.alias("convert_band")).agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+
+
+_q(
+    "ts_time_to_convert",
+    _ts_time_to_convert,
+    BASE
+    + f"""
+, firsts AS (
+  SELECT u,
+    min(CASE WHEN metric = 'signup' THEN tu END) AS t_signup,
+    min(CASE WHEN metric = 'purchase' THEN tu END) AS t_purchase
+  FROM base WHERE metric IN ('signup', 'purchase')
+  GROUP BY u
+)
+SELECT CASE WHEN t_purchase IS NULL THEN 'never'
+            WHEN t_purchase < t_signup THEN 'before_signup'
+            WHEN (t_purchase - t_signup) // {D1_US} < 1 THEN 'same_day'
+            WHEN (t_purchase - t_signup) // {D1_US} < 7 THEN '1_7d'
+            ELSE 'ge_7d' END AS convert_band,
+  CAST(count(*) AS BIGINT) AS n_users
+FROM firsts WHERE t_signup IS NOT NULL
+GROUP BY 1
+""",
+)
