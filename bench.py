@@ -194,6 +194,7 @@ HEADLINE = [
     "emb_label_margin",
     "ts_time_to_convert",
     "rel_order_value_deciles",
+    "ts_monthly_digest",
 ]
 
 

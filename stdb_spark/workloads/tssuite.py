@@ -5289,3 +5289,56 @@ FROM firsts WHERE t_signup IS NOT NULL
 GROUP BY 1
 """,
 )
+
+
+# ------------------------------------------------- weekly digest
+# One-row executive summary for January: events, active users, busiest
+# metric (deterministic argmax), error share.  Integer-exact counts.
+def _ts_weekly_digest(spark, sf):
+    df = _samples_range(spark, sf, JAN01, FEB01)
+    u = F.col("tags")["user"]
+    per_metric = df.groupBy("metric").agg(F.count("*").alias("n"))
+    top = (
+        per_metric.orderBy(F.col("n").desc(), F.col("metric").asc())
+        .limit(1)
+        .select(F.col("metric").alias("busiest_metric"))
+    )
+    totals = df.agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct(u).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("metric") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_errors"),
+    )
+    return totals.crossJoin(top).select(
+        "n_events",
+        "n_users",
+        "busiest_metric",
+        (F.col("n_errors").cast("double") / F.col("n_events")).alias(
+            "error_share"
+        ),
+    )
+
+
+_q(
+    "ts_monthly_digest",
+    _ts_weekly_digest,
+    BASE
+    + f"""
+, t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_events,
+    CAST(count(DISTINCT u) AS BIGINT) AS n_users,
+    CAST(sum(CASE WHEN metric = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_errors
+  FROM base WHERE tu >= {JAN01_US} AND tu < {FEB01_US}
+),
+b AS (
+  SELECT metric AS busiest_metric FROM base
+  WHERE tu >= {JAN01_US} AND tu < {FEB01_US}
+  GROUP BY metric ORDER BY count(*) DESC, metric ASC LIMIT 1
+)
+SELECT n_events, n_users, busiest_metric,
+  CAST(n_errors AS DOUBLE) / n_events AS error_share
+FROM t, b
+""",
+)
