@@ -195,6 +195,8 @@ HEADLINE = [
     "ts_time_to_convert",
     "rel_order_value_deciles",
     "ts_monthly_digest",
+    "emb_norm_by_label",
+    "rel_priority_trend",
 ]
 
 

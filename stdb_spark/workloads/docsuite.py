@@ -3347,3 +3347,31 @@ SELECT pair_kind, CAST(count(*) AS BIGINT) AS n_pairs,
 FROM p GROUP BY pair_kind
 """,
 )
+
+
+# ----------------------------------------------- norms by label
+# L2-norm quartiles per label — the per-class variant of
+# emb_norm_stats (a label whose norms drift signals a bad batch).
+_q(
+    "emb_norm_by_label",
+    lambda spark, sf: model.load_table(spark, sf, "embeddings")
+    .select(
+        "label", similarity.norm_expr(F.col("embedding")).alias("nrm")
+    )
+    .groupBy("label")
+    .agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("percentile(nrm, 0.5)").alias("p50"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    ),
+    f"""
+WITH n AS (
+  SELECT label, {_norm_chain('embedding')} AS nrm FROM embeddings
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+  quantile_cont(nrm, 0.5) AS p50,
+  min(nrm) AS min_norm, max(nrm) AS max_norm
+FROM n GROUP BY label
+""",
+)

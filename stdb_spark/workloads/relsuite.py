@@ -1593,3 +1593,45 @@ SELECT CAST(decile AS INT) AS decile,
 FROM d GROUP BY decile
 """,
 )
+
+
+# ----------------------------------------------- priority mix trend
+# Order-priority mix per month (share of URGENT+HIGH) — the service-
+# level demand trend.  Integer counts, one division.
+def _rel_priority_trend(spark, sf):
+    o = model.load_table(spark, sf, "orders")
+    hot = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.when(hot, 1).otherwise(0)).cast("long").alias("n_hot"),
+        )
+        .select(
+            "month",
+            "n_orders",
+            "n_hot",
+            (F.col("n_hot").cast("double") / F.col("n_orders")).alias(
+                "hot_share"
+            ),
+        )
+    )
+
+
+_q(
+    "rel_priority_trend",
+    _rel_priority_trend,
+    """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS hot_share
+FROM orders GROUP BY 1
+""",
+)
