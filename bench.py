@@ -197,6 +197,8 @@ HEADLINE = [
     "ts_monthly_digest",
     "emb_norm_by_label",
     "rel_priority_trend",
+    "rel_basket_size_trend",
+    "doc_dedup_savings",
 ]
 
 

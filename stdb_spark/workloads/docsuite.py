@@ -3375,3 +3375,53 @@ SELECT label, CAST(count(*) AS BIGINT) AS n,
 FROM n GROUP BY label
 """,
 )
+
+
+# ----------------------------------------------- dedup bytes saved
+# Storage impact of exact dedup: characters removed by dropping all
+# non-keeper duplicates (keeper = min doc_id per normalized digest).
+def _doc_dedup_savings(spark, sf):
+    from pyspark.sql import Window as W
+
+    docs = model.load_table(spark, sf, "documents")
+    keeper = F.col("doc_id") == F.min("doc_id").over(
+        W.partitionBy(F.md5(dedup.normalized_text()))
+    )
+    d = docs.select("doc_id", "n_chars", keeper.alias("k"))
+    return d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(~F.col("k"), 1).otherwise(0)).cast("long").alias(
+            "n_removed"
+        ),
+        F.sum(F.when(~F.col("k"), F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("chars_saved"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+    ).select(
+        "n_docs",
+        "n_removed",
+        "chars_saved",
+        (F.col("chars_saved").cast("double") / F.col("chars_total")).alias(
+            "savings_share"
+        ),
+    )
+
+
+_q(
+    "doc_dedup_savings",
+    _doc_dedup_savings,
+    f"""
+WITH k AS (
+  SELECT doc_id, n_chars,
+    doc_id = min(doc_id) OVER (PARTITION BY md5({_NORM})) AS keep
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  CAST(sum(CASE WHEN NOT keep THEN n_chars ELSE 0 END) AS BIGINT)
+    AS chars_saved,
+  CAST(sum(CASE WHEN NOT keep THEN n_chars ELSE 0 END) AS DOUBLE)
+    / sum(n_chars) AS savings_share
+FROM k
+""",
+)

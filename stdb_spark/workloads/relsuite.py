@@ -1635,3 +1635,47 @@ SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
 FROM orders GROUP BY 1
 """,
 )
+
+
+# ----------------------------------------------- basket size trend
+# Mean line items per order by month — decimal-exact counts ratio.
+def _rel_basket_size_trend(spark, sf):
+    li = model.load_table(spark, sf, "lineitem")
+    o = model.load_table(spark, sf, "orders")
+    per = li.groupBy("l_orderkey").agg(F.count("*").alias("n_items"))
+    j = o.join(per, o.o_orderkey == per.l_orderkey)
+    return (
+        j.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("n_items").cast("long").alias("n_items"),
+        )
+        .select(
+            "month",
+            "n_orders",
+            "n_items",
+            (F.col("n_items").cast("double") / F.col("n_orders")).alias(
+                "mean_basket"
+            ),
+        )
+    )
+
+
+_q(
+    "rel_basket_size_trend",
+    _rel_basket_size_trend,
+    """
+WITH per AS (SELECT l_orderkey, count(*) AS n_items FROM lineitem
+             GROUP BY l_orderkey)
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(n_items) AS BIGINT) AS n_items,
+  CAST(sum(n_items) AS DOUBLE) / count(*) AS mean_basket
+FROM orders JOIN per ON o_orderkey = l_orderkey
+GROUP BY 1
+""",
+)
