@@ -199,6 +199,8 @@ HEADLINE = [
     "rel_priority_trend",
     "rel_basket_size_trend",
     "doc_dedup_savings",
+    "ts_business_hours_share",
+    "rel_returns_trend",
 ]
 
 

@@ -1679,3 +1679,45 @@ FROM orders JOIN per ON o_orderkey = l_orderkey
 GROUP BY 1
 """,
 )
+
+
+# ------------------------------------------------ returns by month
+# Returned-line share per ship month (the post-sale quality trend).
+def _rel_returns_trend(spark, sf):
+    li = model.load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy(
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("n_returned"),
+        )
+        .select(
+            "month",
+            "n_lines",
+            "n_returned",
+            (F.col("n_returned").cast("double") / F.col("n_lines")).alias(
+                "return_share"
+            ),
+        )
+    )
+
+
+_q(
+    "rel_returns_trend",
+    _rel_returns_trend,
+    """
+SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_returned,
+  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+    / count(*) AS return_share
+FROM lineitem GROUP BY 1
+""",
+)

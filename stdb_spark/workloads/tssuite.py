@@ -5342,3 +5342,53 @@ SELECT n_events, n_users, busiest_metric,
 FROM t, b
 """,
 )
+
+
+# ------------------------------------------------ business-hours share
+# Share of events inside business hours (Mon-Fri 09:00-17:00 UTC) per
+# metric — the staffing/SLA coverage split.  Integer-exact counts.
+def _ts_business_hours(spark, sf):
+    df = _samples_range(spark, sf, JAN01, FEB01)
+    tu = F.expr("ts div 1000")
+    dow = F.expr(f"(((ts div 1000) div {D1_US}L) + 3) % 7")
+    hour = tu % F.lit(D1_US) / F.lit(3_600_000_000)
+    biz = (dow <= 4) & (hour >= 9) & (hour < 17)
+    return (
+        df.select(F.col("metric"), biz.alias("b"))
+        .groupBy("metric")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.when(F.col("b"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_business"),
+        )
+        .select(
+            "metric",
+            "n_events",
+            "n_business",
+            (F.col("n_business").cast("double") / F.col("n_events")).alias(
+                "business_share"
+            ),
+        )
+    )
+
+
+_q(
+    "ts_business_hours_share",
+    _ts_business_hours,
+    BASE
+    + f"""
+, d AS (
+  SELECT metric,
+    (((tu // {D1_US}) + 3) % 7 <= 4
+     AND (tu % {D1_US}) / 3600000000 >= 9
+     AND (tu % {D1_US}) / 3600000000 < 17) AS b
+  FROM base WHERE tu >= {JAN01_US} AND tu < {FEB01_US}
+)
+SELECT metric, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_business,
+  CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+    AS business_share
+FROM d GROUP BY metric
+""",
+)
