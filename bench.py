@@ -201,6 +201,8 @@ HEADLINE = [
     "doc_dedup_savings",
     "ts_business_hours_share",
     "rel_returns_trend",
+    "ts_value_share_by_metric",
+    "doc_line_stats_by_source",
 ]
 
 

@@ -3425,3 +3425,45 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
 FROM k
 """,
 )
+
+
+# ------------------------------------------------ line stats by source
+# Mean non-blank line count per document per source (structure profile).
+_q(
+    "doc_line_stats_by_source",
+    lambda spark, sf: model.load_table(spark, sf, "documents")
+    .select(
+        "source",
+        F.size(
+            F.filter(
+                F.transform(F.split("text", "\n"), lambda l: F.trim(l)),
+                lambda l: F.length(l) > 0,
+            )
+        ).cast("long").alias("n_lines"),
+    )
+    .groupBy("source")
+    .agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_lines").cast("long").alias("n_lines"),
+    )
+    .select(
+        "source",
+        "n_docs",
+        "n_lines",
+        (F.col("n_lines").cast("double") / F.col("n_docs")).alias(
+            "mean_lines_per_doc"
+        ),
+    ),
+    """
+WITH l AS (
+  SELECT source,
+    CAST(len(list_filter(list_transform(string_split(text, chr(10)),
+         x -> trim(x)), x -> len(x) > 0)) AS BIGINT) AS n_lines
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_lines) AS BIGINT) AS n_lines,
+  CAST(sum(n_lines) AS DOUBLE) / count(*) AS mean_lines_per_doc
+FROM l GROUP BY source
+""",
+)

@@ -5392,3 +5392,35 @@ SELECT metric, CAST(count(*) AS BIGINT) AS n_events,
 FROM d GROUP BY metric
 """,
 )
+
+
+# ------------------------------------------------ value share by metric
+# Decimal-exact value totals and share per metric over January.
+def _ts_value_share(spark, sf):
+    from pyspark.sql import Window as W
+
+    df = _samples_range(spark, sf, JAN01, FEB01)
+    m = df.groupBy("metric").agg(
+        F.expr(f"CAST(sum({DEC}) AS DOUBLE)").alias("total")
+    )
+    tot = F.sum(F.expr("CAST(total AS DECIMAL(28,6))")).over(
+        W.partitionBy()
+    ).cast("double")
+    return m.select("metric", "total", (F.col("total") / tot).alias("share"))
+
+
+_q(
+    "ts_value_share_by_metric",
+    _ts_value_share,
+    BASE
+    + f"""
+, m AS (
+  SELECT metric, CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total
+  FROM base WHERE tu >= {JAN01_US} AND tu < {FEB01_US}
+  GROUP BY metric
+)
+SELECT metric, total,
+  total / CAST(sum(CAST(total AS DECIMAL(28,6))) OVER () AS DOUBLE) AS share
+FROM m
+""",
+)
