@@ -273,16 +273,44 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # The driver captures only a bounded tail of stdout, so the final
+    # stdout line must stay well under 1 KB: full per-query timings go
+    # to stderr + a detail file; stdout carries the headline total plus
+    # the slowest-10 map (compact, parseable).
+    detail = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+    }
+    print(json.dumps(detail), file=sys.stderr, flush=True)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_suite_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+                "queries": slowest,
+                "sf": detail["sf"],
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
     spark.stop()
 

@@ -1,11 +1,23 @@
 """RESP (Redis serialization) ingest protocol -> narrow samples.
 
-Reference: RESPProtocolParser (stdb/protocol/protocolparser.h:129-264):
-a PDU is ``+<series>\\r\\n`` then ``+<ISO8601-or-int ts>\\r\\n`` (or
-``:<int>``) then ``+<value>\\r\\n`` (or ``:<int>``).  The row-protocol
-variant names N pipe-joined metrics sharing tags and carries an array of
-N values (``*N`` prefix).  The dictionary prelude maps integer ids to
-series names.
+Reference: RESPProtocolParser (stdb/protocol/protocolparser.h:129-264,
+stdb/protocol/protocolparser.cc:219-536).  Three interleavable layers
+on one wire format:
+
+- DATA POINT protocol: ``+<series>`` then ``+<ISO8601-basic or int ts>``
+  (or ``:<int ts>``) then one scalar value (``+<float>`` or ``:<int>``).
+- ROW protocol: the series line names N pipe-joined metrics sharing one
+  tag suffix (``cpu.real|cpu.user|cpu.sys host=m1``); the timestamp is
+  followed by a RESP array header ``*N`` and exactly N value lines, one
+  per metric IN ORDER (protocolparser.cc:462-533).  A scalar value with
+  N>1 metrics is an error ("array expected"), and an array whose size
+  differs from N is an error (protocolparser.cc:468-479) — the values
+  are NEVER fanned out.
+- DICTIONARY prelude: zero or more RESP arrays BEFORE the first message
+  (protocolparser.cc:219-309), each holding an even number of elements
+  alternating ``+<series-name>`` / ``:<id>``; later messages may start
+  with ``:<id>`` instead of the series string.  Dictionary names may be
+  compound (pipe-joined) row-protocol names.
 
 Two layers here:
 
@@ -14,8 +26,9 @@ Two layers here:
   tests.
 - ``parse_resp_pdus``: a distributed DataFrame transformation over
   pre-framed PDU strings (one PDU per row, e.g. from Kafka where the
-  producer frames messages) — JVM-side split/explode, no Python in the
-  hot path.
+  producer frames messages) — JVM-side split/slice/zip/explode, no
+  Python in the hot path.  The session-scoped dictionary is passed as a
+  small id->name mapping and resolved with a broadcast join.
 """
 
 from __future__ import annotations
@@ -45,8 +58,11 @@ class RESPStream:
     """Incremental line-oriented RESP parser (dictionary + row protocol).
 
     Feed chunks with :meth:`feed`; complete samples accumulate in
-    :attr:`out`.  State is (pending series, pending ts) like the
-    reference's parser loop (protocolparser.cc:538-614).
+    :attr:`out`.  State is (pending series, pending ts, pending value
+    array) like the reference's parser loop (protocolparser.cc:538-614);
+    the dictionary phase lasts until the first non-array element, after
+    which array headers are only legal as row-protocol value arrays
+    (protocolparser.cc:300-309).
     """
 
     def __init__(self) -> None:
@@ -55,6 +71,13 @@ class RESPStream:
         self._series: str | None = None
         self._ts: int | None = None
         self._dict: dict[int, str] = {}
+        # dictionary arrays are accepted only before the first message
+        self._dict_phase = True
+        self._dict_remaining = 0
+        self._dict_pending_name: str | None = None
+        # row protocol: number of value lines still expected, collected
+        self._values_expected: int | None = None
+        self._values: list[float] = []
 
     def feed(self, chunk: str) -> None:
         self._buf += chunk
@@ -64,66 +87,182 @@ class RESPStream:
             if line:
                 self._line(line)
 
+    def _metrics(self) -> list[str]:
+        return self._series.partition(" ")[0].split("|")
+
     def _line(self, line: str) -> None:
         kind, body = line[0], line[1:]
-        if kind == "+" and self._series is None:
-            self._series = body
-        elif kind == ":" and self._series is None:
-            sid = int(body)
-            if sid not in self._dict:
-                raise RESPError(f"unknown series id {sid}")
-            self._series = self._dict[sid]
-        elif self._series is not None and self._ts is None:
+        # inside a dictionary array: alternating +name / :id elements
+        if self._dict_remaining > 0:
+            if self._dict_pending_name is None:
+                if kind != "+":
+                    raise RESPError(f"unexpected series name format: {line!r}")
+                for m in body.partition(" ")[0].split("|"):
+                    parse_series_name(f"{m} {body.partition(' ')[2]}".strip())
+                self._dict_pending_name = body
+            else:
+                if kind != ":":
+                    raise RESPError(f"dictionary id must be an integer: {line!r}")
+                self._dict[int(body)] = self._dict_pending_name
+                self._dict_pending_name = None
+            self._dict_remaining -= 1
+            return
+        # collecting a row-protocol value array
+        if self._values_expected is not None:
+            if kind not in "+:":
+                raise RESPError(f"unexpected parameter value format: {line!r}")
+            self._values.append(float(body))
+            if len(self._values) == self._values_expected:
+                self._emit(self._values)
+            return
+        if kind == "*":
+            n = int(body)
+            if self._series is None:
+                # protocolparser.cc:235-243 — a top-level array is a
+                # dictionary, legal only before the first message
+                if not self._dict_phase:
+                    raise RESPError(
+                        "dictionary arrays must precede all messages"
+                    )
+                if n % 2 != 0:
+                    raise RESPError(
+                        "number of elements in the dictionary should be even"
+                    )
+                self._dict_remaining = n
+                return
+            if self._ts is None:
+                raise RESPError("expected timestamp, got array header")
+            nmetrics = len(self._metrics())
+            if n != nmetrics:
+                side = "more" if n < nmetrics else "less"
+                raise RESPError(
+                    f"wrong array size, {side} values expected"
+                    f" ({n} values for {nmetrics} metrics)"
+                )
+            self._values_expected = n
+            self._values = []
+            return
+        if self._series is None:
+            # first non-array element ends the dictionary phase
+            self._dict_phase = False
+            if kind == "+":
+                self._series = body
+            elif kind == ":":
+                sid = int(body)
+                if sid not in self._dict:
+                    raise RESPError(f"unknown series id {sid}")
+                self._series = self._dict[sid]
+            else:
+                raise RESPError(f"unexpected line {line!r}")
+            return
+        if self._ts is None:
             if kind in "+:":
                 self._ts = parse_timestamp_ns(body)
             else:
                 raise RESPError(f"expected timestamp, got {line!r}")
-        elif self._series is not None and self._ts is not None:
-            if kind not in "+:":
-                raise RESPError(f"expected value, got {line!r}")
-            self._emit(float(body))
-        elif kind == "*":
-            raise RESPError("array PDU must follow a series name")
-        else:
-            raise RESPError(f"unexpected line {line!r}")
+            return
+        # scalar value: legal only for single-metric series
+        # (protocolparser.cc:429-459 — "array expected (bulk format)")
+        if kind not in "+:":
+            raise RESPError(f"expected value, got {line!r}")
+        if len(self._metrics()) != 1:
+            raise RESPError(
+                "array expected (bulk format), scalar found for"
+                f" {len(self._metrics())}-metric row series"
+            )
+        self._emit([float(body)])
 
     def define(self, sid: int, series: str) -> None:
-        """Dictionary prelude entry (integer id -> series name)."""
+        """Out-of-band dictionary entry (same map the in-stream
+        dictionary prelude fills)."""
         self._dict[sid] = series
 
-    def _emit(self, value: float) -> None:
+    def _emit(self, values: list[float]) -> None:
         series, ts = self._series, self._ts
         self._series = self._ts = None
-        # row protocol: pipe-joined metrics share the tag suffix
+        self._values_expected = None
+        self._values = []
         metric_part, _, tags_part = series.partition(" ")
         metrics = metric_part.split("|")
-        for m in metrics:
+        for m, v in zip(metrics, values):
             name = f"{m} {tags_part}".strip()
             parse_series_name(name)  # validates
-            self.out.append(Sample(name, ts, value))
+            self.out.append(Sample(name, ts, v))
 
 
-def parse_resp_pdus(pdus: DataFrame, value_col: str = "value") -> DataFrame:
-    """PDU strings ``+series\\n+ts\\n+value`` -> narrow samples; the row
-    protocol (``m1|m2|m3 tags`` + ``*N`` array of values) explodes into
-    one sample per metric.  All JVM-side."""
-    lines = F.split(F.regexp_replace(F.col(value_col), "\r", ""), "\n")
+def parse_resp_pdus(
+    pdus: DataFrame,
+    value_col: str = "value",
+    dictionary: dict[int, str] | None = None,
+) -> DataFrame:
+    """Pre-framed PDU strings -> narrow samples, all JVM-side.
+
+    A PDU is either the data-point form ``+series\\n+ts\\n+value`` or
+    the row form ``+m1|m2 tags\\n+ts\\n*2\\n+v1\\n+v2`` — each metric is
+    zipped with ITS value (protocolparser.cc:462-533), never fanned.
+    Malformed PDUs (scalar value for a multi-metric series, array size
+    mismatch, unresolvable id) are dropped, mirroring the batch-source
+    contract of the OpenTSDB parser.  ``dictionary`` maps the session's
+    integer ids to (possibly compound) series names; id-addressed PDUs
+    (``:7\\n...``) resolve through a broadcast join.
+    """
     strip = lambda c: F.regexp_replace(c, r"^[+:]", "")  # noqa: E731
     df = pdus.select(
-        strip(lines[0]).alias("series"),
-        strip(lines[1]).cast("long").alias("ts"),
-        strip(lines[2]).cast("double").alias("value"),
-    ).filter(
-        F.col("series").isNotNull() & F.col("ts").isNotNull() & F.col("value").isNotNull()
+        F.split(F.regexp_replace(F.col(value_col), "\r", ""), "\n").alias("_l")
     )
-    metric_part = F.split(F.col("series"), " ")[0]
-    tags_part = F.array_join(
-        F.slice(F.split(F.col("series"), " "), 2, 32), " "
+    first = F.col("_l")[0]
+    if dictionary:
+        spark = pdus.sparkSession
+        dict_df = spark.createDataFrame(
+            [(int(k), str(v)) for k, v in dictionary.items()],
+            "_sid bigint, _dict_series string",
+        )
+        df = df.withColumn(
+            "_sid",
+            F.when(
+                first.startswith(":"), strip(first).cast("bigint")
+            ),
+        ).join(F.broadcast(dict_df), "_sid", "left")
+        series = F.when(first.startswith(":"), F.col("_dict_series")).otherwise(
+            strip(first)
+        )
+    else:
+        series = F.when(~first.startswith(":"), strip(first))
+    arr_hdr = F.col("_l")[2]
+    is_arr = arr_hdr.startswith("*")
+    df = (
+        df.select(
+            series.alias("_series"),
+            strip(F.col("_l")[1]).cast("long").alias("ts"),
+            F.when(
+                is_arr,
+                F.transform(
+                    F.slice(
+                        F.col("_l"),
+                        F.lit(4),
+                        F.regexp_extract(arr_hdr, r"^\*(\d+)$", 1).cast("int"),
+                    ),
+                    lambda v: F.regexp_replace(v, r"^[+:]", "").cast("double"),
+                ),
+            )
+            .otherwise(F.array(strip(arr_hdr).cast("double")))
+            .alias("_vs"),
+        )
+        .withColumn(
+            "_ms", F.split(F.split(F.col("_series"), " ")[0], r"\|")
+        )
+        .filter(
+            F.col("_series").isNotNull()
+            & F.col("ts").isNotNull()
+            # row-protocol contract: exactly one value per metric
+            & (F.size("_ms") == F.size("_vs"))
+            & ~F.exists("_vs", lambda v: v.isNull())
+        )
     )
+    tags_part = F.array_join(F.slice(F.split(F.col("_series"), " "), 2, 32), " ")
     df = df.select(
-        F.explode(F.split(metric_part, r"\|")).alias("metric"),
+        F.explode(F.arrays_zip("_ms", "_vs")).alias("_z"),
         "ts",
-        "value",
         F.map_from_entries(
             F.transform(
                 F.filter(F.split(tags_part, " "), lambda t: t.contains("=")),
@@ -132,6 +271,11 @@ def parse_resp_pdus(pdus: DataFrame, value_col: str = "value") -> DataFrame:
                 ),
             )
         ).alias("tags"),
+    ).select(
+        F.col("_z._ms").alias("metric"),
+        "ts",
+        F.col("_z._vs").alias("value"),
+        "tags",
     )
     return df.withColumn("series_id", series_id_col()).select(
         "series_id", "metric", "tags", "ts", "value"

@@ -113,12 +113,19 @@ def streaming_cusum(samples: DataFrame) -> DataFrame:
         (series_id, metric) = key
         acc, n = state.get if state.exists else (0.0, 0)
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for ts, value in zip(pdf["ts"], pdf["value"]):
-                acc += float(value)
-                n += 1
-                out.append((series_id, metric, int(ts), float(value), acc, n))
+        # A key's rows within one micro-batch can span multiple Arrow
+        # chunks and arrive unordered ACROSS chunks — concatenate and
+        # sort once, then fold.
+        chunks = list(pdfs)
+        pdf = (
+            pd.concat(chunks, ignore_index=True).sort_values("ts")
+            if chunks
+            else pd.DataFrame({"ts": [], "value": []})
+        )
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            acc += float(value)
+            n += 1
+            out.append((series_id, metric, int(ts), float(value), acc, n))
         state.update((acc, n))
         yield pd.DataFrame(
             out, columns=["series_id", "metric", "ts", "value", "cusum", "n"]
@@ -317,14 +324,20 @@ def streaming_hysteresis(
 
         (st,) = state.get if state.exists else (0,)
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for ts, value in zip(pdf["ts"], pdf["value"]):
-                v = float(value)
-                new = 1 if v >= hi else (0 if v <= lo else st)
-                ep = 1 if (new == 1 and st != 1) else 0
-                st = new
-                out.append(key + (int(ts), st, ep))
+        # Arrow chunks within a micro-batch are not ts-ordered across
+        # chunk boundaries — concatenate, sort once, fold once.
+        chunks = list(pdfs)
+        pdf = (
+            pd.concat(chunks, ignore_index=True).sort_values("ts")
+            if chunks
+            else pd.DataFrame({"ts": [], "value": []})
+        )
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            v = float(value)
+            new = 1 if v >= hi else (0 if v <= lo else st)
+            ep = 1 if (new == 1 and st != 1) else 0
+            st = new
+            out.append(key + (int(ts), st, ep))
         state.update((st,))
         yield pd.DataFrame(
             out, columns=[*key_cols, "ts", "alert", "episode_start"]
@@ -358,15 +371,27 @@ def streaming_counter_rate(
 
         pts, pv = state.get if state.exists else (-1, 0.0)
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for ts, value in zip(pdf["ts"], pdf["value"]):
-                ts, v = int(ts), float(value)
-                if pts >= 0:
+        # Concatenate + sort once: chunk-local sorts fold out of order
+        # when a key spans Arrow batches.
+        chunks = list(pdfs)
+        pdf = (
+            pd.concat(chunks, ignore_index=True).sort_values("ts")
+            if chunks
+            else pd.DataFrame({"ts": [], "value": []})
+        )
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            ts, v = int(ts), float(value)
+            if pts >= 0:
+                if ts == pts:
+                    # duplicate timestamp: elapsed is 0 — emit a NULL
+                    # rate instead of dividing by zero (mirrors the
+                    # batch twin's null/inf semantics)
+                    out.append(key + (ts, None, v < pv))
+                else:
                     delta = v - pv if v >= pv else v
                     rate = delta / ((ts - pts) / 1e9)
                     out.append(key + (ts, rate, v < pv))
-                pts, pv = ts, v
+            pts, pv = ts, v
         state.update((pts, pv))
         yield pd.DataFrame(
             out, columns=[*key_cols, "ts", "rate", "reset"]

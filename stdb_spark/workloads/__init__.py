@@ -91,12 +91,23 @@ _PRIORITY = [
     "doc_hash_sample",              # reproducible sampling
     "emb_ann_bruteforce",           # similarity: ANN baseline
     "mm_manifest_stats",            # multimodal binary plumbing (full oracle)
-    # Tier 2 (27-49): second query per family — variants, backward
-    # semantics, scale paths.
+    # Tier 2 (27-49): rotated each round toward never-driver-proven
+    # families (VERDICT r3 #3) — r4 swaps second variants of r3-green
+    # families (range_iso, partitioned_layout, gapfill, set ops,
+    # suggest, trajectory, paragraph dedup, ann_lsh) for the §2
+    # operators only the local gate had proven: sma/cusum/cma/
+    # top-timeweighted/filter-value/knn/interval-join/pivot-by-tag.
+    "ingest_resp_roundtrip",    # r4: row-protocol *N semantics re-proven
+    "ts_select_filter_value",   # §2.2 value filter gt/ge/lt/le
+    "ts_sma",                   # §2.5 simple moving average
+    "ts_cusum",                 # §2.5 accumulate/cusum
+    "ts_cma",                   # §2.5 cumulative moving average
+    "ts_top_timeweighted",      # §2.5 time-weighted top
+    "ts_interval_join",         # §2.3 interval join
+    "ts_pivot_by_tag",          # §2.4 pivot-by-tag
+    "sp_knn",                   # §2.9 KNN
     "ts_select_backward_limit",
     "ts_select_where",
-    "ts_select_range_iso",
-    "ts_select_partitioned_layout",
     "ts_select_events_regex",
     "ts_meta_names",
     "ts_aggregate_summary_pushdown",
@@ -105,18 +116,10 @@ _PRIORITY = [
     "ts_join_filter_any",
     "ts_gaj_eval",
     "ts_rate",
-    "doc_pack_sequences",       # training-batch prep family (r4)
-    "ingest_jsonl_roundtrip",   # corpus source family (r4)
-    "stream_enrich_join",       # stream-join class (r4)
+    "doc_pack_sequences",       # training-batch prep family
+    "ingest_jsonl_roundtrip",   # corpus source family
+    "stream_enrich_join",       # stream-join class
     "ts_heavy_hitters",
-    "ts_suggest_tag_values",
-    "sp_trajectory_bbox",
-    "ts_set_except",
-    "ts_gapfill_locf",
-    "ingest_resp_roundtrip",
-    "doc_paragraph_dedup",
-    "emb_ann_lsh",
-    "emb_near_dup_pairs",
 ]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
 QUERIES = {

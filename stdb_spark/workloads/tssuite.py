@@ -1645,21 +1645,40 @@ FROM events
 
 
 # RESP ingest round-trip (RESPProtocolParser framing,
-# protocolparser.h:129-264): every event becomes a
-# ``+series / :ts / +value`` PDU, parsed back JVM-side by
+# protocolparser.h:129-264): even-user events become data-point PDUs
+# ``+series / :ts / +value``; odd-user events become ROW-protocol PDUs
+# carrying TWO pipe-joined metrics and a ``*2`` value array (one value
+# PER metric, zipped in order per protocolparser.cc:462-533 — never
+# fanned).  Both interleave on one wire, parsed back JVM-side by
 # parse_resp_pdus — including the double->string->double round-trip.
+# value+1.0 is a single IEEE op, bit-identical across engines.
 def _ingest_resp_roundtrip(spark, sf):
     from stdb_spark.sources.resp import parse_resp_pdus
 
     ev = model.events_raw_ns(spark, sf)
     pdus = ev.select(
-        F.format_string(
-            "+%s user=%s\n:%d\n+%s",
-            F.col("event_type"),
-            F.col("user_id").cast("string"),
-            F.col("ts").cast("long"),
-            F.col("value").cast("string"),
-        ).alias("value")
+        F.when(
+            F.col("user_id") % 2 == 0,
+            F.format_string(
+                "+%s user=%s\n:%d\n+%s",
+                F.col("event_type"),
+                F.col("user_id").cast("string"),
+                F.col("ts").cast("long"),
+                F.col("value").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                "+%s|%s.alt user=%s\n:%d\n*2\n+%s\n+%s",
+                F.col("event_type"),
+                F.col("event_type"),
+                F.col("user_id").cast("string"),
+                F.col("ts").cast("long"),
+                F.col("value").cast("string"),
+                (F.col("value") + F.lit(1.0)).cast("string"),
+            )
+        )
+        .alias("value")
     )
     parsed = parse_resp_pdus(pdus)
     return parsed.select(
@@ -1676,6 +1695,10 @@ _q(
 SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
        epoch_us(ts) AS ts, value
 FROM events
+UNION ALL
+SELECT event_type || '.alt user=' || CAST(user_id AS VARCHAR) AS series,
+       epoch_us(ts) AS ts, value + 1.0 AS value
+FROM events WHERE user_id % 2 = 1
 """,
 )
 

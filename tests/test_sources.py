@@ -24,10 +24,29 @@ def test_resp_stream_iso_timestamp():
     assert p.out[0].ts == 1_000_000_000
 
 
-def test_resp_row_protocol_fanout():
+def test_resp_row_protocol_zips_values():
+    # protocolparser.h:148-163 documented example: N pipe-joined metrics
+    # + a *N array carrying one value PER metric, in order.
     p = RESPStream()
-    p.feed("+cpu|mem|disk host=h1\r\n:5\r\n:1\r\n")
-    assert [s.series for s in p.out] == ["cpu host=h1", "mem host=h1", "disk host=h1"]
+    p.feed(
+        "+cpu.real|cpu.user|cpu.sys host=machine1 region=NW\r\n"
+        "+20141210T074343\r\n*3\r\n+3.12\r\n+8.11\r\n+12.6\r\n"
+    )
+    assert [(s.series, s.value) for s in p.out] == [
+        ("cpu.real host=machine1 region=NW", 3.12),
+        ("cpu.user host=machine1 region=NW", 8.11),
+        ("cpu.sys host=machine1 region=NW", 12.6),
+    ]
+    assert len({s.ts for s in p.out}) == 1
+
+
+def test_resp_row_protocol_rejects_scalar_and_size_mismatch():
+    # protocolparser.cc:429-459: scalar where a row array is required
+    with pytest.raises(RESPError, match="array expected"):
+        RESPStream().feed("+cpu|mem host=h1\r\n:5\r\n:1\r\n")
+    # protocolparser.cc:468-479: array size must equal the metric count
+    with pytest.raises(RESPError, match="wrong array size"):
+        RESPStream().feed("+cpu|mem host=h1\r\n:5\r\n*3\r\n:1\r\n:2\r\n:3\r\n")
 
 
 def test_resp_dictionary():
@@ -37,6 +56,50 @@ def test_resp_dictionary():
     assert p.out[0].series == "cpu host=h9"
     with pytest.raises(RESPError):
         RESPStream().feed(":99\r\n")
+
+
+def test_resp_in_stream_dictionary():
+    # protocolparser.h:166-199 documented example: the session starts
+    # with dictionary arrays (even element count, +name/:id pairs), and
+    # later messages address series by :id.
+    p = RESPStream()
+    p.feed(
+        "*4\r\n"
+        "+balancers.memusage host=machine1\r\n:1\r\n"
+        "+balancers.memusage host=machine2\r\n:2\r\n"
+        ":1\r\n+20141210T074343\r\n:31\r\n"
+        ":2\r\n+20141210T074343\r\n+12.01\r\n"
+        ":1\r\n+20141210T074344\r\n:32\r\n"
+    )
+    assert [(s.series, s.value) for s in p.out] == [
+        ("balancers.memusage host=machine1", 31.0),
+        ("balancers.memusage host=machine2", 12.01),
+        ("balancers.memusage host=machine1", 32.0),
+    ]
+
+
+def test_resp_dictionary_compound_row_name():
+    # protocolparser.h:193-199: a dictionary entry may be a compound
+    # row-protocol name; :id messages then need a *N value array.
+    p = RESPStream()
+    p.feed(
+        "*2\r\n+cpu.real|cpu.user|cpu.sys host=machine1\r\n:1\r\n"
+        ":1\r\n+20141210T074343\r\n*3\r\n+3.12\r\n+8.11\r\n+12.6\r\n"
+    )
+    assert [(s.series, s.value) for s in p.out] == [
+        ("cpu.real host=machine1", 3.12),
+        ("cpu.user host=machine1", 8.11),
+        ("cpu.sys host=machine1", 12.6),
+    ]
+
+
+def test_resp_dictionary_only_before_messages():
+    p = RESPStream()
+    p.feed("+cpu host=h1\r\n:5\r\n:1\r\n")
+    with pytest.raises(RESPError, match="precede"):
+        p.feed("*2\r\n+mem host=h1\r\n:2\r\n")
+    with pytest.raises(RESPError, match="even"):
+        RESPStream().feed("*3\r\n")
 
 
 def test_resp_partial_chunks():
@@ -49,14 +112,43 @@ def test_resp_partial_chunks():
 
 def test_parse_resp_pdus_dataframe(spark):
     pdus = spark.createDataFrame(
-        [("+cpu|mem host=h0\n:1000\n:2.5",), ("+disk host=h1\n:2000\n:7",)],
+        [
+            # row PDU: *2 array zips one value per metric
+            ("+cpu|mem host=h0\n:1000\n*2\n:2.5\n:6.5",),
+            # data-point PDU
+            ("+disk host=h1\n:2000\n:7",),
+            # malformed: scalar for a 2-metric row series -> dropped
+            ("+a|b host=h2\n:3000\n:1",),
+            # malformed: array size mismatch -> dropped
+            ("+c|d host=h3\n:4000\n*3\n:1\n:2\n:3",),
+        ],
         "value string",
     )
     rows = parse_resp_pdus(pdus).orderBy("metric").collect()
     assert [(r.metric, r.tags["host"], r.ts, r.value) for r in rows] == [
         ("cpu", "h0", 1000, 2.5),
         ("disk", "h1", 2000, 7.0),
-        ("mem", "h0", 1000, 2.5),
+        ("mem", "h0", 1000, 6.5),
+    ]
+
+
+def test_parse_resp_pdus_dictionary(spark):
+    pdus = spark.createDataFrame(
+        [(":7\n:1000\n:3",), (":8\n:2000\n*2\n:1\n:2",), (":9\n:1\n:0",)],
+        "value string",
+    )
+    rows = (
+        parse_resp_pdus(
+            pdus, dictionary={7: "cpu host=h0", 8: "a|b host=h1"}
+        )
+        .orderBy("metric")
+        .collect()
+    )
+    # :9 is not in the dictionary -> dropped
+    assert [(r.metric, r.tags["host"], r.value) for r in rows] == [
+        ("a", "h1", 1.0),
+        ("b", "h1", 2.0),
+        ("cpu", "h0", 3.0),
     ]
 
 
