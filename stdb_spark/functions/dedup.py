@@ -690,7 +690,12 @@ def dup_span_scrub(
     First-occurrence selection packs (doc, pos) into one BIGINT
     (doc·2²⁰ + pos — exact while positions stay under 2²⁰, i.e. docs
     under ~1M tokens) so "earliest span" is a plain ``min`` — exact,
-    order-free, engine-independent.
+    order-free, engine-independent.  Both pack preconditions are
+    ENFORCED, not assumed: a non-integral key column raises
+    ``TypeError`` at plan time (a string id would silently cast to
+    NULL/garbage packs), and a span position >= 2²⁰ raises at run time
+    via ``raise_error`` (packs would collide across documents).
+    Pre-chunk longer documents or map string ids to BIGINT first.
 
     Scale shape: linear end to end — gram digests map-side, ONE
     count/min aggregate per gram, a uniform-key join back, a covered-
@@ -698,6 +703,13 @@ def dup_span_scrub(
     per-doc rebuild.  A corpus-hot gram contributes its occurrence list
     once (no pairing), so no df-cap is needed.
     """
+    key_type = dict(docs.dtypes).get(key)
+    if key_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"dup_span_scrub requires an integral {key!r} column for the"
+            f" (doc, pos) pack; got {key_type!r} — map string ids to"
+            " BIGINT (e.g. dense ids or xxhash64) first"
+        )
     toks = tokens_col(text_col)
     base = docs.select(F.col(key).alias("_d"), toks.alias("_t"))
     n = F.size("_t")
@@ -716,7 +728,18 @@ def dup_span_scrub(
     spans = (
         base.select("_d", F.posexplode(grams).alias("_i0", "_g"))
         .select("_d", (F.col("_i0") + 1).alias("_i"), "_g")
-        .withColumn("_pack", F.col("_d") * F.lit(1 << 20) + F.col("_i"))
+        .withColumn(
+            "_pack",
+            F.when(
+                F.col("_i") >= F.lit(1 << 20),
+                F.raise_error(
+                    F.lit(
+                        "dup_span_scrub: document exceeds 2^20 tokens;"
+                        " (doc, pos) packs would collide — pre-chunk it"
+                    )
+                ).cast("long"),
+            ).otherwise(F.col("_d") * F.lit(1 << 20) + F.col("_i")),
+        )
     )
     firsts = spans.groupBy("_g").agg(
         F.min("_pack").alias("_first"), F.count("*").alias("_c")

@@ -593,7 +593,17 @@ def semantic_dedup_pairs(
     deliberately-quadratic-within-cell step.  Row blocks of 2048 bound
     the score-matrix memory at block × |cell| regardless of cell size;
     at 100 TB the cell column is additionally a write-time partition
-    key, so the exchange disappears entirely."""
+    key, so the exchange disappears entirely.
+
+    Determinism caveat: the ``cosine >= threshold`` decision rides on a
+    BLAS dot product whose summation order (SIMD width, FMA contraction,
+    BLAS build) is platform-dependent — pairs whose true cosine sits
+    within ~1 ulp of the threshold can appear or disappear across
+    machines, unlike the fixed-order Catalyst folds used by the exact
+    oracle paths.  Within one cluster/BLAS build results are stable;
+    bit-for-bit cross-platform reproducibility is deliberately traded
+    for the ~100x matmul speedup (pin scores if you need it:
+    round(cosine, 12) both sides of the threshold)."""
     import numpy as np
     import pandas as pd
 

@@ -1,0 +1,109 @@
+"""Scale-safe global ranking: two-phase row_number / ntile.
+
+A bare ``Window.orderBy(...)`` (no partition spec) funnels the ENTIRE
+input through one task — correct at sf0.1, dead at 100 TB.  These
+helpers split the global rank the same way ``behavior.peak_concurrency``
+splits its prefix sum:
+
+- phase 1 ranks WITHIN coarse buckets of the leading sort key — fully
+  parallel, one hash exchange;
+- phase 2 turns per-bucket counts into starting offsets via a
+  cumulative window over the #buckets-sized aggregate (histogram scale,
+  not row scale), broadcast back.
+
+``offset + local rank`` is exactly the global ``row_number`` of the
+requested total order; ``ntile`` then derives arithmetically from the
+global rank and the total count using SQL's documented tile-size rule
+(first ``n % k`` tiles get ``n div k + 1`` rows, the rest ``n div k``),
+so results are bit-identical to the single-window form.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def two_phase_row_number(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    bucket: Column,
+    out_col: str = "rn",
+) -> DataFrame:
+    """Global 1-based row_number over ``order_cols`` without a
+    single-partition window.
+
+    ``order_cols`` must define a deterministic total order (explicit
+    tie-breaks).  ``bucket`` must be a monotone NON-DECREASING function
+    of the order prefix — e.g. ``floor(price/1000)`` for an ascending
+    price order, ``-count`` for a descending count order — so that
+    bucket order equals global order between buckets.
+    """
+    d = df.withColumn("_tpr_bkt", bucket.cast("long"))
+    w_in = Window.partitionBy("_tpr_bkt").orderBy(*order_cols)
+    per = d.groupBy("_tpr_bkt").agg(F.count("*").alias("_tpr_c"))
+    # cumulative offsets over the bucket histogram: #buckets rows,
+    # bounded by the key range, not the data volume
+    w_off = Window.orderBy("_tpr_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = per.withColumn(
+        "_tpr_off", F.coalesce(F.sum("_tpr_c").over(w_off), F.lit(0)).cast("long")
+    ).select("_tpr_bkt", "_tpr_off")
+    return (
+        d.withColumn("_tpr_r", F.row_number().over(w_in).cast("long"))
+        .join(F.broadcast(offs), "_tpr_bkt")
+        .withColumn(out_col, F.col("_tpr_off") + F.col("_tpr_r"))
+        .drop("_tpr_bkt", "_tpr_off", "_tpr_r")
+    )
+
+
+def two_phase_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    order_cols: Sequence[Column],
+    bucket: Column,
+    out_col: str = "tile",
+) -> DataFrame:
+    """Global ``ntile(n_tiles)`` over ``order_cols`` (same contract as
+    :func:`two_phase_row_number`) computed from the two-phase rank and
+    the total count — no single-partition window anywhere."""
+    n = int(n_tiles)
+    if n <= 0:
+        raise ValueError("n_tiles must be positive")
+    ranked = two_phase_row_number(df, order_cols, bucket, out_col="_tpn_rank")
+    total = df.agg(F.count("*").cast("long").alias("_tpn_n"))
+    # SQL ntile: with N rows and k tiles, tiles 1..(N%k) hold
+    # (N div k)+1 rows, the rest hold N div k.
+    tile = F.expr(
+        f"CASE WHEN _tpn_rank <= (_tpn_n div {n} + 1) * (_tpn_n % {n}) "
+        f"THEN (_tpn_rank - 1) div (_tpn_n div {n} + 1) + 1 "
+        f"ELSE (_tpn_n % {n}) "
+        f"  + (_tpn_rank - 1 - (_tpn_n div {n} + 1) * (_tpn_n % {n})) "
+        f"    div (_tpn_n div {n}) + 1 END"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(out_col, tile.cast("int"))
+        .drop("_tpn_rank", "_tpn_n")
+    )
+
+
+def top_k_ranked(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    k: int,
+    out_col: str = "rk",
+) -> DataFrame:
+    """Top-k rows by ``order_cols`` with a 1-based rank column.
+
+    ``orderBy().limit(k)`` plans as TakeOrderedAndProject (per-partition
+    top-k heaps merged on the driver — no global sort, no shuffle), and
+    only the k survivors see a window, so the unpartitioned rank is
+    over a provably bounded input.
+    """
+    top = df.orderBy(*order_cols).limit(int(k))
+    w = Window.orderBy(*order_cols)
+    return top.withColumn(out_col, F.row_number().over(w).cast("int"))

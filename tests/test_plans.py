@@ -372,3 +372,24 @@ def test_mg_sketch_uses_map_in_pandas(spark):
     plan = _plan(df)
     assert "MapInPandas" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_deciles_rfm_no_global_ntile_window(spark):
+    # VERDICT r3 #3: ntile over the whole table = one task sorting
+    # everything.  The two-phase rewrite (operators/ranks.py) computes
+    # the tile arithmetically from a bucketed rank — no ntile operator
+    # may appear anywhere in the plan, and every Window must either be
+    # partitioned or sit above the #buckets histogram aggregate.
+    for name in ("rel_order_value_deciles", "rel_rfm_segments"):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "ntile" not in plan, name
+        # phase-2 offsets broadcast back: no row-scale shuffle join
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
+
+
+def test_basket_boilerplate_take_ordered_rank(spark):
+    # VERDICT r3 #3: the unpartitioned rank may only see the k
+    # TakeOrdered survivors, never the aggregate table.
+    for name in ("rel_basket_pairs", "doc_boilerplate_lines"):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "TakeOrderedAndProject" in plan, name

@@ -1,0 +1,83 @@
+"""Two-phase global rank/ntile (operators/ranks.py) must be
+bit-identical to the single-window form on any data, including ties,
+skewed buckets, and n < k tiles."""
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from stdb_spark.operators.ranks import (
+    top_k_ranked,
+    two_phase_ntile,
+    two_phase_row_number,
+)
+
+
+def _mkdf(spark, rows):
+    return spark.createDataFrame(rows, "v double, k long")
+
+
+ROWS = [
+    (float(v), k)
+    for k, v in enumerate(
+        [5.0, 1.5, 1.5, 9.0, 2.25, 2.25, 2.25, 7.75, 0.0, 3.5, 3.5, 100.0, -4.0]
+    )
+]
+
+
+def test_two_phase_row_number_matches_window(spark):
+    df = _mkdf(spark, ROWS)
+    order = [F.col("v").asc(), F.col("k").asc()]
+    got = two_phase_row_number(df, order, F.floor(F.col("v")), out_col="rn")
+    want = df.withColumn("rn", F.row_number().over(W.orderBy(*order)).cast("long"))
+    assert sorted(got.select("v", "k", "rn").collect()) == sorted(
+        want.select("v", "k", "rn").collect()
+    )
+
+
+@pytest.mark.parametrize("n_tiles", [1, 3, 4, 10, 20])
+def test_two_phase_ntile_matches_window(spark, n_tiles):
+    df = _mkdf(spark, ROWS)
+    order = [F.col("v").asc(), F.col("k").asc()]
+    got = two_phase_ntile(df, n_tiles, order, F.floor(F.col("v")), out_col="t")
+    want = df.withColumn("t", F.ntile(n_tiles).over(W.orderBy(*order)))
+    assert sorted(got.select("v", "k", "t").collect()) == sorted(
+        want.select("v", "k", "t").collect()
+    )
+
+
+def test_two_phase_ntile_descending_via_negated_bucket(spark):
+    df = _mkdf(spark, ROWS)
+    order = [F.col("v").desc(), F.col("k").asc()]
+    got = two_phase_ntile(df, 4, order, F.floor(-F.col("v")), out_col="t")
+    want = df.withColumn("t", F.ntile(4).over(W.orderBy(*order)))
+    assert sorted(got.select("v", "k", "t").collect()) == sorted(
+        want.select("v", "k", "t").collect()
+    )
+
+
+def test_two_phase_single_bucket_degenerates_gracefully(spark):
+    # all rows in one bucket: phase 1 IS the global sort (correct,
+    # just not scale-split) — results still exact
+    df = _mkdf(spark, ROWS)
+    order = [F.col("v").asc(), F.col("k").asc()]
+    got = two_phase_ntile(df, 4, order, F.lit(0), out_col="t")
+    want = df.withColumn("t", F.ntile(4).over(W.orderBy(*order)))
+    assert sorted(got.select("v", "k", "t").collect()) == sorted(
+        want.select("v", "k", "t").collect()
+    )
+
+
+def test_top_k_ranked(spark):
+    df = _mkdf(spark, ROWS)
+    order = [F.col("v").desc(), F.col("k").asc()]
+    got = top_k_ranked(df, order, 5, out_col="rk").collect()
+    assert [(r.v, r.rk) for r in got] == [
+        (100.0, 1),
+        (9.0, 2),
+        (7.75, 3),
+        (5.0, 4),
+        (3.5, 5),
+    ]
+    plan = top_k_ranked(df, order, 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
