@@ -239,6 +239,90 @@ def _batched_series_apply(df: DataFrame, cols: list[str], backward: bool, one):
     )
 
 
+def _batched_series_apply_lockstep(
+    df: DataFrame, cols: list[str], backward: bool, many, max_elems: int = 1 << 22
+) -> DataFrame:
+    """Run a LANE-LOCKSTEP recurrence kernel ``many(X) -> OUT`` where
+    ``X`` is an (n_series, max_len) float64 matrix, one series per row,
+    NaN-padded at the END (rows hold each series' dense, NaN-free
+    values in ts order).
+
+    This is how a sequential recurrence vectorizes WITHOUT changing its
+    float semantics: the kernel loops over TIME STEPS and applies each
+    step's arithmetic elementwise across all series at once.  Per lane
+    the operations and their order are identical to the scalar fold
+    (numpy elementwise ops are independently IEEE-rounded per element,
+    no cross-lane reduction), so results are bit-exact by construction
+    — no parity probe needed, unlike the pandas ``ewm`` path whose
+    internal kernel uses a different recurrence form.
+
+    Series are length-sorted and chunked so each padded matrix stays
+    under ``max_elems`` doubles: padding waste is bounded (neighbors in
+    the sort have similar lengths) and peak memory is capped regardless
+    of how skewed series lengths are.  Shuffle shape is the same
+    hash-partition batching as ``_batched_series_apply``."""
+    import numpy as np
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["series", "ts"], ascending=[True, not backward]
+        ).reset_index(drop=True)
+        for c in cols:
+            x = pdf[c].to_numpy(dtype="float64", copy=True)
+            dense = []
+            for _, idx in pdf.groupby("series", sort=False).indices.items():
+                xi = x[idx]
+                mask = ~np.isnan(xi)
+                dense.append((idx[mask], xi[mask]))
+            dense.sort(key=lambda t: len(t[1]))
+            i0 = 0
+            while i0 < len(dense):
+                max_len, j = 0, i0
+                while j < len(dense):
+                    cand = max(max_len, len(dense[j][1]))
+                    if (j - i0 + 1) * cand > max_elems and j > i0:
+                        break
+                    max_len = cand
+                    j += 1
+                chunk = dense[i0:j]
+                X = np.full((len(chunk), max(max_len, 1)), np.nan)
+                for r, (_, vals) in enumerate(chunk):
+                    X[r, : len(vals)] = vals
+                OUT = many(X)
+                for r, (pos, vals) in enumerate(chunk):
+                    x[pos] = OUT[r, : len(vals)]
+                i0 = j
+            pdf[c] = x
+        return pdf
+
+    n_pg = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    tagged = df.withColumn("_pg", F.pmod(F.xxhash64("series"), F.lit(n_pg)))
+    return (
+        tagged.groupBy("_pg").applyInPandas(fn, schema=tagged.schema).drop("_pg")
+    )
+
+
+def _holt_seq(xs, alpha: float, beta: float, delta: bool):
+    """Reference-exact scalar Holt fold — the semantic ground truth the
+    lockstep kernel is tested bit-for-bit against."""
+    import numpy as np
+
+    n = len(xs)
+    outs = xs.copy() if not delta else np.zeros_like(xs)
+    if n < 2:
+        return outs
+    l = float(xs[1])
+    b = float(xs[1]) - float(xs[0])
+    for i in range(2, n):
+        cur = float(xs[i])
+        f = l + b
+        outs[i] = (cur - f) if delta else f
+        prev_l = l
+        l = alpha * cur + (1.0 - alpha) * (l + b)
+        b = beta * (l - prev_l) + (1.0 - beta) * b
+    return outs
+
+
 def _holt_udf(
     df: DataFrame, cols: list[str], alpha: float, beta: float, delta: bool, backward: bool
 ) -> DataFrame:
@@ -254,26 +338,32 @@ def _holt_udf(
         b  = beta*(l' - l) + (1-beta)*b;  l = l'.
     ``holt-error`` emits x[i] - forecast (0 during warm-up).  The fold
     is replicated op-for-op by the DuckDB recursive-CTE oracle, so the
-    Python loop order IS the spec."""
+    loop order IS the spec — which is why the vectorization runs the
+    loop over time steps with numpy lanes across series
+    (_batched_series_apply_lockstep): identical per-series op order,
+    bit-exact, ~len(chunk)x fewer Python iterations."""
     import numpy as np
 
-    def one(xs):
-        n = len(xs)
-        outs = xs.copy() if not delta else np.zeros_like(xs)
-        if n < 2:
+    def many(X):
+        nS, T = X.shape
+        outs = X.copy() if not delta else np.zeros_like(X)
+        if T < 3:
             return outs
-        l = float(xs[1])
-        b = float(xs[1]) - float(xs[0])
-        for i in range(2, n):
-            cur = float(xs[i])
-            f = l + b
-            outs[i] = (cur - f) if delta else f
-            prev_l = l
-            l = alpha * cur + (1.0 - alpha) * (l + b)
-            b = beta * (l - prev_l) + (1.0 - beta) * b
+        with np.errstate(invalid="ignore"):
+            l = X[:, 1].copy()
+            b = X[:, 1] - X[:, 0]
+            for i in range(2, T):
+                cur = X[:, i]
+                active = ~np.isnan(cur)  # NaN padding sits at the end
+                f = l + b
+                outs[active, i] = (cur - f)[active] if delta else f[active]
+                l_new = alpha * cur + (1.0 - alpha) * (l + b)
+                b_new = beta * (l_new - l) + (1.0 - beta) * b
+                l = np.where(active, l_new, l)
+                b = np.where(active, b_new, b)
         return outs
 
-    return _batched_series_apply(df, cols, backward, one)
+    return _batched_series_apply_lockstep(df, cols, backward, many)
 
 
 def _holt_winters_udf(
@@ -303,34 +393,72 @@ def _holt_winters_udf(
         s[p] = gamma*((x[i] - l) - b) + (1-gamma)*s[p]   (OLD l, b)
         l, b = l', b'
 
-    ``holt-winters-error`` emits x[i] - forecast (0 during warm-up)."""
+    ``holt-winters-error`` emits x[i] - forecast (0 during warm-up).
+    Vectorized lane-lockstep across series
+    (_batched_series_apply_lockstep): the time loop stays sequential,
+    each step's arithmetic runs elementwise across lanes in the exact
+    scalar op order — bit-identical to _holt_winters_seq."""
     import numpy as np
 
     m = int(period)
 
-    def one(xs):
-        n = len(xs)
-        outs = xs.copy() if not delta else np.zeros_like(xs)
-        if n <= m:
+    def many(X):
+        nS, T = X.shape
+        outs = X.copy() if not delta else np.zeros_like(X)
+        if T <= m:
             return outs
-        acc = 0.0
-        for j in range(m):
-            acc = acc + float(xs[j])
-        l = acc / m
-        b = (float(xs[m - 1]) - float(xs[0])) / (m - 1)
-        s = [float(xs[j]) - l for j in range(m)]
-        for i in range(m, n):
-            p = i % m
-            cur = float(xs[i])
-            f = (l + b) + s[p]
-            outs[i] = (cur - f) if delta else f
-            l_new = alpha * (cur - s[p]) + (1.0 - alpha) * (l + b)
-            b_new = beta * (l_new - l) + (1.0 - beta) * b
-            s[p] = gamma * ((cur - l) - b) + (1.0 - gamma) * s[p]
-            l, b = l_new, b_new
+        with np.errstate(invalid="ignore"):
+            acc = np.zeros(nS)
+            for j in range(m):
+                acc = acc + X[:, j]
+            l = acc / m
+            b = (X[:, m - 1] - X[:, 0]) / (m - 1)
+            s = X[:, :m] - l[:, None]  # per-lane x[j] - l, scalar order
+            s = np.ascontiguousarray(s)
+            for i in range(m, T):
+                p = i % m
+                cur = X[:, i]
+                active = ~np.isnan(cur)  # NaN padding sits at the end
+                sp = s[:, p]
+                f = (l + b) + sp
+                outs[active, i] = (cur - f)[active] if delta else f[active]
+                l_new = alpha * (cur - sp) + (1.0 - alpha) * (l + b)
+                b_new = beta * (l_new - l) + (1.0 - beta) * b
+                sp_new = gamma * ((cur - l) - b) + (1.0 - gamma) * sp
+                s[:, p] = np.where(active, sp_new, sp)
+                l = np.where(active, l_new, l)
+                b = np.where(active, b_new, b)
         return outs
 
-    return _batched_series_apply(df, cols, backward, one)
+    return _batched_series_apply_lockstep(df, cols, backward, many)
+
+
+def _holt_winters_seq(xs, alpha, beta, gamma, period, delta):
+    """Reference-exact scalar Holt-Winters fold — ground truth for the
+    lockstep kernel's bit-parity test."""
+    import numpy as np
+
+    m = int(period)
+    n = len(xs)
+    outs = xs.copy() if not delta else np.zeros_like(xs)
+    if n <= m:
+        return outs
+    acc = 0.0
+    for j in range(m):
+        acc = acc + float(xs[j])
+    l = acc / m
+    b = (float(xs[m - 1]) - float(xs[0])) / (m - 1)
+    s = [float(xs[j]) - l for j in range(m)]
+    for i in range(m, n):
+        p = i % m
+        cur = float(xs[i])
+        f = (l + b) + s[p]
+        outs[i] = (cur - f) if delta else f
+        l_new = alpha * (cur - s[p]) + (1.0 - alpha) * (l + b)
+        b_new = beta * (l_new - l) + (1.0 - beta) * b
+        s[p] = gamma * ((cur - l) - b) + (1.0 - gamma) * s[p]
+        l, b = l_new, b_new
+    return outs
 
 
 def apply_pipeline(

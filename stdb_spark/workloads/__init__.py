@@ -119,7 +119,7 @@ _PRIORITY = [
     "doc_pack_sequences",       # training-batch prep family
     "ingest_jsonl_roundtrip",   # corpus source family
     "stream_enrich_join",       # stream-join class
-    "ts_heavy_hitters",
+    "stream_resp_dictionary_ingest",  # r4: wire dictionary over streaming
 ]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
 QUERIES = {

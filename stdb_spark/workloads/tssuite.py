@@ -315,6 +315,111 @@ _q(
 )
 
 
+# Streaming RESP session with a wire-format dictionary prelude
+# (protocolparser.h:165-199): the session's in-stream id->series
+# arrays become the broadcast mapping handed to parse_resp_pdus, and
+# EVERY replayed PDU addresses its series by integer id (:id) — odd
+# users through COMPOUND dictionary names (pipe-joined row protocol
+# with *2 value arrays), even users through plain names.  Oracle is the
+# same union as the batch roundtrip, proving the streaming file-replay
+# path and the batch path parse the dictionary-compressed wire
+# identically.
+def _stream_resp_dict(spark, sf):
+    import os
+
+    from stdb_spark.sources.resp import parse_resp_pdus
+
+    ev = model.events_raw_ns(spark, sf)
+    cname = F.when(
+        F.col("user_id") % 2 == 0,
+        F.format_string(
+            "%s user=%s", F.col("event_type"), F.col("user_id").cast("string")
+        ),
+    ).otherwise(
+        F.format_string(
+            "%s|%s.alt user=%s",
+            F.col("event_type"),
+            F.col("event_type"),
+            F.col("user_id").cast("string"),
+        )
+    )
+    # the dictionary is session state by protocol design (bounded:
+    # one entry per distinct series the client declares) — driver-side
+    # by construction, deterministic via the sorted name order
+    names = sorted(r[0] for r in ev.select(cname.alias("n")).distinct().collect())
+    dictionary = {i + 1: n for i, n in enumerate(names)}
+    inv = {n: i for i, n in dictionary.items()}
+    wire = model.derived_cache_path(sf, "resp_wire", "events")
+    if not os.path.isdir(wire):
+        mdf = spark.createDataFrame(
+            list(inv.items()), "_n string, _id long"
+        )
+        pdus = (
+            ev.withColumn("_n", cname)
+            .join(F.broadcast(mdf), "_n")
+            .select(
+                F.when(
+                    F.col("user_id") % 2 == 0,
+                    F.format_string(
+                        ":%d\n:%d\n+%s",
+                        F.col("_id"),
+                        F.col("ts").cast("long"),
+                        F.col("value").cast("string"),
+                    ),
+                )
+                .otherwise(
+                    F.format_string(
+                        ":%d\n:%d\n*2\n+%s\n+%s",
+                        F.col("_id"),
+                        F.col("ts").cast("long"),
+                        F.col("value").cast("string"),
+                        (F.col("value") + F.lit(1.0)).cast("string"),
+                    )
+                )
+                .alias("value")
+            )
+        )
+        pdus.write.mode("overwrite").parquet(wire)
+    schema = spark.read.parquet(wire).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(wire)
+    )
+    out = parse_resp_pdus(sdf, dictionary=dictionary).select(
+        F.concat("metric", F.lit(" user="), F.col("tags")["user"]).alias("series"),
+        F.expr("ts div 1000").alias("ts"),
+        "value",
+    )
+    sink = "stream_resp_dict_sink"
+    if sink in [t.name for t in spark.catalog.listTables()]:
+        spark.catalog.dropTempView(sink)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+_q(
+    "stream_resp_dictionary_ingest",
+    _stream_resp_dict,
+    """
+SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
+       epoch_us(ts) AS ts, value
+FROM events
+UNION ALL
+SELECT event_type || '.alt user=' || CAST(user_id AS VARCHAR) AS series,
+       epoch_us(ts) AS ts, value + 1.0 AS value
+FROM events WHERE user_id % 2 = 1
+""",
+)
+
+
 # Streaming candlesticks: tumbling 1-day OHLC per series over the
 # replayed layout — deterministic (struct min/max ties break on value),
 # so it carries a full value-hash oracle unlike the float-sum downsample.

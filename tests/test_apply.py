@@ -398,3 +398,63 @@ def test_wma_hand_computed_and_warmup(spark):
                 "apply": [{"name": "wma", "window-width": 13}],
             }
         ).collect()
+
+
+def test_holt_lockstep_bitexact_vs_scalar():
+    # The lane-lockstep kernels must match the scalar reference folds
+    # BIT-FOR-BIT for ragged lane lengths, NaN padding, and equal runs.
+    import numpy as np
+
+    from stdb_spark.query.apply_nodes import (
+        _holt_seq,
+        _holt_winters_seq,
+        _holt_udf,
+        _holt_winters_udf,
+    )
+
+    rng = np.random.default_rng(777)
+    lens = [0, 1, 2, 3, 7, 64, 257, 1000]
+    X = np.full((len(lens), max(lens)), np.nan)
+    for r, n in enumerate(lens):
+        X[r, :n] = rng.normal(50.0, 20.0, n)
+    if max(lens) > 40:
+        X[-1, 20:40] = X[-1, 19]  # equal-run edge case
+
+    # reach the inner kernels through the udf factories' closures
+    import types
+
+    def grab_many(factory, *args):
+        cell = {}
+
+        def fake_batch(df, cols, backward, many):
+            cell["many"] = many
+            return None
+
+        import stdb_spark.query.apply_nodes as A
+
+        orig = A._batched_series_apply_lockstep
+        A._batched_series_apply_lockstep = fake_batch
+        try:
+            factory(None, ["v"], *args)
+        finally:
+            A._batched_series_apply_lockstep = orig
+        return cell["many"]
+
+    for delta in (False, True):
+        many = grab_many(_holt_udf, 0.4, 0.2, delta, False)
+        OUT = many(X.copy())
+        for r, n in enumerate(lens):
+            want = _holt_seq(X[r, :n].copy(), 0.4, 0.2, delta)
+            got = OUT[r, :n]
+            assert np.array_equal(got, want), (delta, n)
+
+    for delta in (False, True):
+        for m in (2, 5, 12):
+            many = grab_many(_holt_winters_udf, 0.5, 0.3, 0.2, m, delta, False)
+            OUT = many(X.copy())
+            for r, n in enumerate(lens):
+                want = _holt_winters_seq(
+                    X[r, :n].copy(), 0.5, 0.3, 0.2, m, delta
+                )
+                got = OUT[r, :n]
+                assert np.array_equal(got, want), (delta, m, n)
