@@ -21,6 +21,8 @@ from __future__ import annotations
 import hashlib
 import struct
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -444,7 +446,8 @@ def kmeans_fit(
     training step.  Deterministic: seeds are the k rows with the
     smallest md5(key) (reproducible across runs/engines, like
     functions/sampling.py), and every iteration is exact DataFrame
-    algebra (assign = JVM argmin expression; recenter = posexplode +
+    algebra (assign = JVM argmin expression for small k, Arrow/BLAS
+    matmul for k >= ASSIGN_MATMUL_MIN_K; recenter = posexplode +
     groupBy(cell, pos) avg — never collects vectors).  Only the k×dim
     centroid matrix ever reaches the driver, once per iteration —
     broadcast-scale by construction.  Empty cells keep their previous
@@ -462,9 +465,12 @@ def kmeans_fit(
     )
     cents = [list(map(float, r[vec_col])) for r in seed_rows]
     for _ in range(iters):
-        assigned = df.select(
-            _assign_cells_expr(vec_col, cents).alias("cell"), vec_col
+        assign = (
+            _assign_cells_pandas(vec_col, cents)
+            if k >= ASSIGN_MATMUL_MIN_K
+            else _assign_cells_expr(vec_col, cents)
         )
+        assigned = df.select(assign.alias("cell"), vec_col)
         rows = (
             assigned.select("cell", F.posexplode(vec_col).alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -479,6 +485,43 @@ def kmeans_fit(
     return cents
 
 
+def _assign_cells_pandas(vec_col: str, centroids: list[list[float]]) -> Column:
+    """Arrow-batched nearest-centroid assignment via one BLAS matmul
+    per batch (argmin over |c|² − 2·x·c, first index on ties — same
+    selection rule as _assign_cells_expr).  The literal-fold expression
+    evaluates k dot-product folds through Catalyst's interpreter PER
+    ROW; at k ≳ 32 that dominates everything around it (the round-4
+    scale rehearsal measured SemDeDup's k=100 assignment as the bulk of
+    an 87x blowup at 10x data).  The matmul costs the same flops inside
+    vendored BLAS at ~zero interpreter overhead and is k-independent in
+    per-row overhead.  Same last-ulp caveat as semantic_dedup_pairs:
+    fold vs BLAS dot products can differ in the final ulp, so
+    assignments of near-equidistant points may differ between the two
+    paths — both are valid nearest-centroid choices."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, d)
+    c2 = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="int32")
+        X = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vs]
+        )  # (b, d)
+        scores = c2[None, :] - 2.0 * (X @ C.T)
+        return pd.Series(np.argmin(scores, axis=1).astype("int32"))
+
+    return assign(F.col(vec_col))
+
+
+# below this many centroids the literal-fold expression stays cheaper
+# than the Arrow round-trip; above it the matmul path wins decisively
+ASSIGN_MATMUL_MIN_K = 32
+
+
 def with_ivf_cells(
     df: DataFrame,
     centroids: list[list[float]],
@@ -488,7 +531,10 @@ def with_ivf_cells(
     100 TB the table is then written partitioned (or clustered) by
     ``cell`` so a probe reads only n_probe/k of the data —
     PartitionFilters, not a full scan (same story as the presigned LSH
-    path)."""
+    path).  Small k assigns via a whole-stage-codegen'd literal argmin;
+    large k switches to the Arrow/BLAS matmul assignment."""
+    if len(centroids) >= ASSIGN_MATMUL_MIN_K:
+        return df.withColumn("cell", _assign_cells_pandas(vec_col, centroids))
     return df.withColumn("cell", _assign_cells_expr(vec_col, centroids))
 
 
