@@ -1097,3 +1097,43 @@ def test_pca_spectrum_recovers_low_rank(spark):
     for r1, r2 in zip(sorted(got, key=lambda r: r.component),
                       sorted(again, key=lambda r: r.component)):
         assert abs(r1.eigenvalue - r2.eigenvalue) < 1e-9
+
+
+def test_dup_span_scrub_rejects_string_key(spark):
+    # the (doc, pos) BIGINT pack silently corrupts on a string key —
+    # the guard must refuse at plan time
+    import pytest as _pytest
+
+    from stdb_spark.functions.dedup import dup_span_scrub
+
+    docs = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x y z")], "doc_id string, text string"
+    )
+    with _pytest.raises(TypeError, match="integral"):
+        dup_span_scrub(docs, width=2)
+
+
+def test_assign_cells_matmul_matches_expr(spark):
+    # the BLAS matmul assignment and the literal-fold expression must
+    # pick the same cells on clearly-separated data (the documented
+    # near-tie ulp caveat never applies at this separation)
+    import numpy as np
+
+    from stdb_spark.functions import similarity
+
+    rng = np.random.default_rng(99)
+    cents = [list(map(float, rng.normal(0, 1, 8))) for _ in range(40)]
+    rows = []
+    for i, c in enumerate(cents):
+        for j in range(5):
+            v = np.asarray(c) + rng.normal(0, 0.01, 8)
+            rows.append((i * 5 + j, [float(x) for x in v], i))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, want int"
+    )
+    got = similarity.with_ivf_cells(df, cents)  # k=40 -> matmul path
+    assert got.filter(F.col("cell") != F.col("want")).count() == 0
+    from stdb_spark.functions.similarity import _assign_cells_expr
+
+    expr_cells = df.withColumn("cell", _assign_cells_expr("embedding", cents))
+    assert expr_cells.filter(F.col("cell") != F.col("want")).count() == 0
