@@ -203,6 +203,9 @@ HEADLINE = [
     "rel_returns_trend",
     "ts_value_share_by_metric",
     "doc_line_stats_by_source",
+    "stream_resp_dictionary_ingest",
+    "doc_token_budget_plan",
+    "doc_curriculum_phases",
 ]
 
 

@@ -3466,3 +3466,126 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
 FROM l GROUP BY source
 """,
 )
+
+
+# ------------------------------------------- token budget planning
+# Mixture planning under a fixed training-token budget (the step
+# BEFORE source_mixture executes a mixture): per source, available
+# tokens vs the share-implied target, the resulting document sampling
+# rate (capped at 1 — a source cannot yield more than it has), and the
+# expected token yield.  Pure aggregates + a broadcast share table;
+# float math is single-op-per-step (mult, div, least, mult), identical
+# across engines.
+_BUDGET_TOKENS = 500_000.0
+_BUDGET_SHARES = {
+    "src0": 0.30,
+    "src1": 0.10,
+    "src2": 0.20,
+    "src3": 0.15,
+    "src4": 0.15,
+    "src5": 0.10,
+}
+
+
+def _token_budget_plan(spark, sf):
+    docs = model.load_table(spark, sf, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(text.tokens_col("text"))).cast("long").alias("avail_tokens"),
+    )
+    shares = spark.createDataFrame(
+        sorted(_BUDGET_SHARES.items()), "source string, share double"
+    )
+    target = F.col("share") * F.lit(_BUDGET_TOKENS)
+    rate = F.least(F.lit(1.0), target / F.col("avail_tokens"))
+    return (
+        per.join(F.broadcast(shares), "source")
+        .select(
+            "source",
+            "n_docs",
+            "avail_tokens",
+            target.alias("target_tokens"),
+            rate.alias("sample_rate"),
+            (rate * F.col("avail_tokens")).alias("expected_tokens"),
+        )
+    )
+
+
+_BUDGET_VALUES = ", ".join(
+    f"('{s}', CAST({w!r} AS DOUBLE))" for s, w in sorted(_BUDGET_SHARES.items())
+)
+
+_q(
+    "doc_token_budget_plan",
+    _token_budget_plan,
+    f"""
+WITH w(source, share) AS (VALUES {_BUDGET_VALUES}),
+per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> len(x) > 0))) AS BIGINT) AS avail_tokens
+  FROM documents GROUP BY source
+)
+SELECT per.source, n_docs, avail_tokens,
+  share * {_BUDGET_TOKENS!r} AS target_tokens,
+  least(1.0, share * {_BUDGET_TOKENS!r} / avail_tokens) AS sample_rate,
+  least(1.0, share * {_BUDGET_TOKENS!r} / avail_tokens) * avail_tokens
+    AS expected_tokens
+FROM per JOIN w ON per.source = w.source
+""",
+)
+
+
+# ------------------------------------------- curriculum phase ordering
+# Curriculum-style training order: documents rank into quality
+# quartiles (phase 1 = cleanest quarter first) and the plan reports
+# each phase's size and token mass.  ntile runs through the TWO-PHASE
+# global rank (operators/ranks.py — per-bucket rank + histogram
+# offsets, bit-identical to the window form, no single-partition sort),
+# with the bucket key a monotone image of the DESC quality order.
+# Tie-break doc_id makes the quartile assignment deterministic.
+def _curriculum_phases(spark, sf):
+    from stdb_spark.operators.ranks import two_phase_ntile
+
+    scored = text.quality_score(model.load_table(spark, sf, "documents")).select(
+        "doc_id",
+        "quality_score",
+        F.size(text.tokens_col("text")).cast("long").alias("n_tokens"),
+    )
+    phased = two_phase_ntile(
+        scored,
+        4,
+        [F.col("quality_score").desc(), F.col("doc_id").asc()],
+        F.floor(-F.col("quality_score") * 100),
+        out_col="phase",
+    )
+    return phased.groupBy("phase").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("quality_score").alias("q_min"),
+        F.max("quality_score").alias("q_max"),
+    )
+
+
+_q(
+    "doc_curriculum_phases",
+    _curriculum_phases,
+    f"""
+WITH scored AS ({{QS}}),
+tok AS (
+  SELECT d.doc_id, s.quality_score,
+    CAST(len(list_filter(string_split_regex(d.text, '\\s+'),
+                         x -> len(x) > 0)) AS BIGINT) AS n_tokens
+  FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+),
+phased AS (
+  SELECT *, ntile(4) OVER (ORDER BY quality_score DESC, doc_id ASC) AS phase
+  FROM tok
+)
+SELECT CAST(phase AS INT) AS phase,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+  min(quality_score) AS q_min, max(quality_score) AS q_max
+FROM phased GROUP BY phase
+""".replace("{QS}", ORACLES["doc_quality_score"]),
+)
