@@ -6,6 +6,9 @@ above 10x is flagged SUPER-LINEAR for a plan fix or a documented cap.
 
 Usage: python tools/scale_rehearsal.py [name ...]   (default: the
 round-3 slowest-10 + the round-4 two-phase rewrites + engine cores)
+Env: SPARK_SCALE_BIG overrides the big-side dir (e.g. .cache/sf10 from
+`python tools/gen_scale.py 100` for a 100x rehearsal); SPARK_SCALE_EXPECT
+sets the linearity flag threshold (default 14, i.e. 1.4x the 10x step).
 """
 
 from __future__ import annotations
@@ -53,11 +56,12 @@ def _time(fn, spark, sf_dir):
 def main() -> None:
     names = sys.argv[1:] or DEFAULT
     base = "/root/testdata/sf0.1"
-    big = os.path.join(
+    big = os.environ.get("SPARK_SCALE_BIG") or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".cache",
         "sf1",
     )
+    flag_at = float(os.environ.get("SPARK_SCALE_EXPECT", "14"))
     if not os.path.isdir(big):
         raise SystemExit("run tools/gen_scale.py first")
     from stdb_spark.session import get_spark
@@ -67,6 +71,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     rows = []
     special = {"ingest_layout_write"}
+    unknown = [n for n in names if n not in QUERIES and n not in special]
+    if unknown:
+        print(f"skipping unknown queries: {unknown}", flush=True)
+        names = [n for n in names if n not in unknown]
     for name in names:
         if name in special:
             import shutil
@@ -97,7 +105,7 @@ def main() -> None:
             t_small = _time(fn, spark, base)
             t_big = _time(fn, spark, big)
         ratio = t_big / t_small if t_small > 0 else float("inf")
-        flag = "SUPER-LINEAR" if ratio > 14.0 else ""
+        flag = "SUPER-LINEAR" if ratio > flag_at else ""
         rows.append((name, round(t_small, 2), round(t_big, 2), round(ratio, 1), flag))
         print(
             f"{name:32s} sf0.1={t_small:6.2f}s sf1={t_big:7.2f}s "
