@@ -58,6 +58,12 @@ PICK = [
     ("ts_xcorr_lead_lag", "cross-correlation: count agg exchange, tiny post-agg lead window, integer moments"),
     ("ts_heavy_hitters_sketch", "Misra-Gries: mapInPandas partition summaries, <=k rows shuffled per partition"),
     ("ts_subsequence_match", "subsequence search: W-term lag chain + rank on one series exchange"),
+    ("rel_order_value_deciles", "two-phase ntile: bucketed rank + broadcast histogram offsets, no ntile operator, no single-partition sort"),
+    ("rel_rfm_segments", "3x two-phase ntile over the customer aggregate — every row-scale window partitioned"),
+    ("doc_boilerplate_lines", "TakeOrdered-then-rank: unpartitioned window sees only the 20 survivors"),
+    ("doc_curriculum_phases", "curriculum quartiles: two-phase ntile over quality scores at corpus scale"),
+    ("sp_knn_grid", "grid KNN phase 2: bbox predicates reach PushedFilters, TakeOrdered(k)"),
+    ("ingest_resp_roundtrip", "RESP parse: JVM split/slice/arrays_zip/explode — row-protocol zip, no Python"),
 ]
 
 
