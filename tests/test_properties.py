@@ -569,3 +569,115 @@ def test_upsert_latest_is_dict_update(spark, base, upd):
     assert got == want
     again = {r.k: r.value for r in upsert_latest(merged, u, ["k"], "batch").collect()}
     assert again == want
+
+
+# ---------------------------------------------------------------- RESP
+_resp_metric = st.from_regex(r"[a-z][a-z0-9.]{0,8}", fullmatch=True)
+_resp_val = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e9, max_value=1e9
+)
+
+
+@st.composite
+def _resp_session(draw):
+    """A valid RESP session: optional dictionary prelude + a mix of
+    data-point and row-protocol PDUs (protocolparser.h:129-264)."""
+    dict_entries = draw(
+        st.lists(
+            st.tuples(
+                st.lists(_resp_metric, min_size=1, max_size=3, unique=True),
+                st.integers(min_value=1, max_value=50),
+            ),
+            max_size=3,
+            unique_by=lambda t: t[1],
+        )
+    )
+    wire = []
+    if dict_entries:
+        wire.append(f"*{2 * len(dict_entries)}")
+        for metrics, sid in dict_entries:
+            wire.append("+" + "|".join(metrics) + " host=h0")
+            wire.append(f":{sid}")
+    n_msgs = draw(st.integers(min_value=1, max_value=8))
+    for i in range(n_msgs):
+        use_dict = dict_entries and draw(st.booleans())
+        if use_dict:
+            metrics, sid = draw(st.sampled_from(dict_entries))
+            wire.append(f":{sid}")
+        else:
+            metrics = draw(
+                st.lists(_resp_metric, min_size=1, max_size=3, unique=True)
+            )
+            wire.append("+" + "|".join(metrics) + " host=h0")
+        wire.append(f":{1000 + i}")
+        vals = [draw(_resp_val) for _ in metrics]
+        if len(metrics) == 1 and draw(st.booleans()):
+            wire.append(f"+{vals[0]!r}")
+        else:
+            wire.append(f"*{len(vals)}")
+            wire.extend(f"+{v!r}" for v in vals)
+    return "\r\n".join(wire) + "\r\n"
+
+
+@given(session=_resp_session(), data=st.data())
+@settings(max_examples=120, deadline=None)
+def test_resp_stream_chunking_invariant(session, data):
+    """The incremental parser's output must not depend on how the TCP
+    stream is chunked (protocolparser.cc worker loop is resumable)."""
+    from stdb_spark.sources.resp import RESPStream
+
+    whole = RESPStream()
+    whole.feed(session)
+    chunked = RESPStream()
+    rest = session
+    while rest:
+        n = data.draw(st.integers(min_value=1, max_value=max(1, len(rest))))
+        chunked.feed(rest[:n])
+        rest = rest[n:]
+    assert [(s.series, s.ts, s.value) for s in whole.out] == [
+        (s.series, s.ts, s.value) for s in chunked.out
+    ]
+
+
+@given(session=_resp_session())
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_resp_batch_matches_stream(spark, session):
+    """The distributed pre-framed parser (parse_resp_pdus) and the
+    sequential wire parser (RESPStream) must agree sample-for-sample
+    on the same session (dictionary resolved identically)."""
+    from stdb_spark.sources.resp import RESPStream, parse_resp_pdus
+
+    stream = RESPStream()
+    stream.feed(session)
+    want = sorted(
+        (s.series.partition(" ")[0], s.ts, s.value) for s in stream.out
+    )
+    # split the session into PDUs: the dictionary prelude (if any) maps
+    # to the `dictionary` argument; messages frame as one PDU per row
+    lines = [l for l in session.split("\r\n") if l]
+    i, dictionary = 0, {}
+    if lines and lines[0].startswith("*"):
+        n = int(lines[0][1:])
+        for j in range(1, n + 1, 2):
+            dictionary[int(lines[j + 1][1:])] = lines[j][1:]
+        i = 1 + n
+    pdus = []
+    while i < len(lines):
+        pdu = [lines[i], lines[i + 1]]
+        i += 2
+        if lines[i].startswith("*"):
+            cnt = int(lines[i][1:])
+            pdu.extend(lines[i : i + cnt + 1])
+            i += cnt + 1
+        else:
+            pdu.append(lines[i])
+            i += 1
+        pdus.append(("\n".join(pdu),))
+    df = spark.createDataFrame(pdus, "value string")
+    got = sorted(
+        (r.metric, r.ts, r.value)
+        for r in parse_resp_pdus(df, dictionary=dictionary or None).collect()
+    )
+    assert got == want
