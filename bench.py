@@ -206,6 +206,7 @@ HEADLINE = [
     "stream_resp_dictionary_ingest",
     "doc_token_budget_plan",
     "doc_curriculum_phases",
+    "rel_colocated_join",
 ]
 
 

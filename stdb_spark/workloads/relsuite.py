@@ -1746,3 +1746,54 @@ SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
 FROM lineitem GROUP BY 1
 """,
 )
+
+
+# ------------------------------------------- co-located bucketed join
+# Fact-to-fact join WITHOUT a shuffle: orders and lineitem are written
+# as Hive-bucketed tables hash-clustered on the order key (32 buckets,
+# sorted), so the equi-join matches bucket files pairwise — the plan
+# carries no Exchange on either join input (pinned by
+# test_plans.test_colocated_join_no_exchange).  Building the bucketed
+# tables is one-time ingest ETL (sources/bucketing.py), the analog of
+# the reference's per-series co-location by construction.  The
+# aggregate on top is decimal-exact revenue by priority.
+def _rel_colocated_join(spark, sf):
+    import os
+
+    from stdb_spark.sources import bucketing
+
+    tag = os.path.basename(
+        model.derived_cache_path(sf, "bkt", "orders")
+    ).replace("bkt_", "").replace(".", "_").replace("-", "_")
+    o = bucketing.ensure_bucketed(
+        spark,
+        f"bucketed_orders_{tag}",
+        lambda: model.load_table(spark, sf, "orders"),
+        "o_orderkey",
+    )
+    li = bucketing.ensure_bucketed(
+        spark,
+        f"bucketed_lineitem_{tag}",
+        lambda: model.load_table(spark, sf, "lineitem"),
+        "l_orderkey",
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.expr(f"{sum_spark(DISC_PRICE)}").alias("revenue"),
+        )
+    )
+
+
+_q(
+    "rel_colocated_join",
+    _rel_colocated_join,
+    f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+  {sum_duck(DISC_PRICE)} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)

@@ -417,3 +417,21 @@ def test_knn_grid_bbox_pushes_to_scan(spark, tmp_path):
     assert "GreaterThanOrEqual(lon," in plan, plan
     assert "LessThan(lat," in plan, plan
     assert len(res.collect()) == 7
+
+
+def test_colocated_join_no_exchange(spark):
+    # Bucketed fact-fact join (sources/bucketing.py): both inputs are
+    # hash-clustered on the join key at write time, so the join phase
+    # must carry NO shuffle — the only Exchange allowed in the plan is
+    # the post-join aggregation's.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["rel_colocated_join"](spark, SF)
+        plan = _plan(df)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        # count exchanges BELOW the join operator: bucket co-location
+        # means zero (the agg's exchange sits above the join)
+        below = plan[plan.index("Join"):]
+        assert below.count("Exchange hashpartitioning") == 0, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
