@@ -207,6 +207,7 @@ HEADLINE = [
     "doc_token_budget_plan",
     "doc_curriculum_phases",
     "rel_colocated_join",
+    "sp_trajectory_bbox_zordered",
 ]
 
 

@@ -1848,6 +1848,50 @@ WHERE tu >= {JAN05_US} AND tu < {JAN15_US}
 )
 
 
+# Same bbox query served from a Z-ORDERED layout (sources/zorder.py):
+# the trajectory points are Morton-clustered on (lon, lat) cells at
+# write time, so the bbox predicate prunes row groups on BOTH axes
+# from ordinary parquet min/max stats (R-tree MBR-descent analog —
+# rtree.h:594-712 — as pure layout).  Identical oracle to
+# sp_trajectory_bbox: the layout changes the plan, never the answer.
+def _sp_trajectory_bbox_zordered(spark, sf):
+    import os
+
+    from stdb_spark.sources.zorder import write_zordered
+
+    pts = model.events_as_samples(spark, sf).select(
+        F.concat("metric", F.lit(" user="), F.col("tags")["user"]).alias(
+            "series"
+        ),
+        F.expr("ts div 1000").alias("ts"),
+        (
+            F.lit(116.0)
+            + (F.col("tags")["user"].cast("int") % 40) * F.lit(0.01)
+            + (F.expr("(ts div 1000) % 100")) * F.lit(1e-5)
+        ).alias("lon"),
+        (
+            F.lit(39.0)
+            + F.expr("CAST(tags['user'] AS INT) div 40") * F.lit(0.01)
+        ).alias("lat"),
+    )
+    cache = model.derived_cache_path(sf, "zorder_traj", "events")
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        write_zordered(pts, cache, cell_deg=0.01, n_files=16)
+    return spark.read.parquet(cache).filter(
+        (F.col("ts") >= JAN05_US)
+        & (F.col("ts") < JAN15_US)
+        & F.col("lon").between(116.1, 116.3)
+        & F.col("lat").between(39.0, 39.01)
+    )
+
+
+_q(
+    "sp_trajectory_bbox_zordered",
+    _sp_trajectory_bbox_zordered,
+    ORACLES["sp_trajectory_bbox"],
+)
+
+
 # As-of join (SURVEY §2.3 "missing joins exposed for free"): each click
 # enriched with the user's most recent purchase value at or before it,
 # within a 3-day tolerance.  Oracle = DuckDB's native ASOF LEFT JOIN

@@ -354,3 +354,80 @@ def test_streaming_late_rows_dropped_by_watermark(spark, tmp_path):
     # with the on-time value only
     w1 = [r for r in spark.table("late_sink").collect() if r["min"] == 1.0]
     assert w1 and all(r["max"] == 1.0 and r["count"] == 1 for r in w1)
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """The point of Morton clustering: a box narrow in LAT (full lon
+    span) must touch only a small fraction of a z-ordered layout's
+    files, while the lon-sorted layout's per-file lat ranges span
+    everything.  Checked from the parquet footers themselves (pyarrow
+    min/max), not from Spark — layout is the claim, stats are the
+    mechanism."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F2
+
+    from stdb_spark.sources.zorder import morton_key, write_zordered
+
+    pts = spark.range(120_000).select(
+        (F2.pmod(F2.xxhash64("id"), F2.lit(10_000)) / 100.0).alias("lon"),
+        (F2.pmod(F2.xxhash64("id", F2.lit(1)), F2.lit(10_000)) / 100.0).alias(
+            "lat"
+        ),
+        F2.col("id"),
+    )
+    lon_sorted = str(tmp_path / "lon_sorted")
+    zordered = str(tmp_path / "zordered")
+    pts.repartitionByRange(32, "lon").sortWithinPartitions("lon").write.parquet(
+        lon_sorted
+    )
+    write_zordered(pts, zordered, cell_deg=1.0, n_files=32)
+
+    def files_intersecting(path, lon_rng, lat_rng):
+        hit, total = 0, 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            total += 1
+            md = pq.read_metadata(os.path.join(path, f))
+            mins = {"lon": float("inf"), "lat": float("inf")}
+            maxs = {"lon": float("-inf"), "lat": float("-inf")}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in mins and col.statistics is not None:
+                        mins[name] = min(mins[name], col.statistics.min)
+                        maxs[name] = max(maxs[name], col.statistics.max)
+            if (
+                maxs["lon"] >= lon_rng[0]
+                and mins["lon"] <= lon_rng[1]
+                and maxs["lat"] >= lat_rng[0]
+                and mins["lat"] <= lat_rng[1]
+            ):
+                hit += 1
+        return hit, total
+
+    # narrow-lat box, full lon span: the 1-D layout cannot prune it
+    box_lon, box_lat = (0.0, 100.0), (40.0, 42.0)
+    hit_1d, total_1d = files_intersecting(lon_sorted, box_lon, box_lat)
+    hit_z, total_z = files_intersecting(zordered, box_lon, box_lat)
+    assert total_1d >= 30 and hit_1d == total_1d  # every file intersects
+    assert hit_z <= total_z // 2, (hit_z, total_z)
+
+    # correctness unaffected by layout
+    a = spark.read.parquet(lon_sorted).filter(
+        F2.col("lat").between(*box_lat)
+    )
+    b = spark.read.parquet(zordered).filter(F2.col("lat").between(*box_lat))
+    assert a.count() == b.count()
+
+    # morton key sanity: interleaving is the textbook bit pattern
+    row = (
+        spark.range(1)
+        .select(morton_key(F2.lit(0b101), F2.lit(0b011), bits=3).alias("z"))
+        .first()
+    )
+    # x=101, y=011 -> z bits (y2 x2 y1 x1 y0 x0) = 0 1 1 0 1 1 = 27
+    assert row.z == 0b011011
