@@ -229,3 +229,50 @@ def upsert_latest(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def write_summary(
+    samples: DataFrame, path: str, step_ns: int = NS_PER_DAY, mode: str = "overwrite"
+) -> None:
+    """Materialize the summary table day-partitioned, so incremental
+    maintenance can replace exactly the days an ingest touched."""
+    df = summary_table(samples, step_ns).withColumn(
+        "day", F.expr(f"bucket_ts div {NS_PER_DAY}L").cast("int")
+    )
+    df.write.partitionBy("day").mode(mode).parquet(path)
+
+
+def update_summary_incremental(
+    spark: SparkSession,
+    layout_path: str,
+    summary_path: str,
+    days: list[int],
+    step_ns: int = NS_PER_DAY,
+) -> None:
+    """Incremental SubtreeRef maintenance: after an ingest appends into
+    some day partitions of the layout, recompute summaries for THOSE
+    days only and dynamically overwrite just their partitions of the
+    summary store.  At 100 TB this is the difference between a
+    summary refresh that scans one day (the reference's subtree update
+    on append, nbtree.cc commit path) and a full-table rebuild.
+
+    Correct because the summary's grouping key (series, bucket) never
+    crosses a day boundary when step_ns divides a day — each output
+    day partition is a pure function of the same input day partition.
+    """
+    if NS_PER_DAY % step_ns != 0:
+        raise ValueError("step_ns must divide a day for per-day maintenance")
+    src = (
+        spark.read.parquet(layout_path)
+        .filter(F.col("day").isin([int(d) for d in days]))
+        .select("series_id", "metric", "tags", "ts", "value")
+    )
+    upd = summary_table(src, step_ns).withColumn(
+        "day", F.expr(f"bucket_ts div {NS_PER_DAY}L").cast("int")
+    )
+    (
+        upd.write.partitionBy("day")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(summary_path)
+    )

@@ -431,3 +431,40 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     )
     # x=101, y=011 -> z bits (y2 x2 y1 x1 y0 x0) = 0 1 1 0 1 1 = 27
     assert row.z == 0b011011
+
+
+def test_incremental_summary_matches_full_rebuild(spark, tmp_path):
+    """update_summary_incremental over the touched days must reproduce
+    the full-rebuild summary exactly (decimal sums, struct min/max)."""
+    from pyspark.sql import functions as F2
+
+    from stdb_spark import model
+    from stdb_spark.sources import storage
+
+    samples = model.events_as_samples(spark, "/root/testdata/sf0.001")
+    layout = str(tmp_path / "layout")
+    summary = str(tmp_path / "summary")
+    storage.write_samples(samples, layout)
+    storage.write_summary(
+        spark.read.parquet(layout).select(
+            "series_id", "metric", "tags", "ts", "value"
+        ),
+        summary,
+    )
+    # an ingest appends more rows into two existing days
+    extra = samples.filter(
+        F2.expr(f"ts div {storage.NS_PER_DAY} in (19724, 19725)")
+    ).withColumn("value", F2.col("value") + F2.lit(1.0))
+    storage.write_samples(extra, layout, mode="append")
+    touched = [19724, 19725]
+    storage.update_summary_incremental(spark, layout, summary, touched)
+
+    full = storage.summary_table(
+        spark.read.parquet(layout).select(
+            "series_id", "metric", "tags", "ts", "value"
+        )
+    )
+    got = spark.read.parquet(summary).drop("day")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, full.collect())
+    )
