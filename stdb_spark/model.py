@@ -132,6 +132,10 @@ _SESSION_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # selective fact-fact joins inject a bloom filter into the big
+    # side's scan (runtime row-level filtering) — explicit so injected
+    # bare sessions behave like session.get_spark ones
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Right-size shuffles for the local[32] box: an injected bare
     # session defaults to 200 partitions — pure task overhead at test
     # scale (AQE coalesces batch plans, but streaming state shuffles

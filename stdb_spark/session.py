@@ -55,6 +55,12 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # runtime row-level filtering: a selective filter on one join
+        # side injects a bloom filter into the other side's scan —
+        # at 100 TB this prunes the fact scan of a fact-fact join the
+        # same way broadcast pruning serves dim joins (plan test:
+        # test_plans.test_runtime_bloom_filter_reduces_fact_scan)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("STDB_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -435,3 +435,38 @@ def test_colocated_join_no_exchange(spark):
         assert below.count("Exchange hashpartitioning") == 0, plan
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_runtime_bloom_filter_reduces_fact_scan(spark):
+    # session.py enables runtime bloom-filter injection: a selective
+    # filter on orders must add a might_contain() pre-filter to the
+    # lineitem scan, pruning the big side of a fact-fact join before
+    # the shuffle.  The size thresholds are lowered because the test
+    # tables are far below the production defaults (10 GB application
+    # side); a real deployment keeps the defaults.
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = model.load_table(spark, SF, "lineitem")
+        o = model.load_table(spark, SF, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
