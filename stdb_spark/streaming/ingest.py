@@ -405,3 +405,56 @@ def streaming_counter_rate(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def write_to_parquet_with_summary(
+    samples: DataFrame,
+    path: str,
+    summary_path: str,
+    checkpoint: str,
+    trigger_once: bool = True,
+):
+    """Ingest with SubtreeRef maintenance: each micro-batch appends into
+    the (day, metric)-partitioned layout AND refreshes the summary
+    table for exactly the days the batch touched
+    (storage.update_summary_incremental) — the streaming twin of the
+    reference's on-append subtree aggregate update.  foreachBatch runs
+    the two writes in one transaction scope per batch; the summary
+    refresh reads back only the touched day partitions, so maintenance
+    cost is proportional to the batch's day span, not table size."""
+    from stdb_spark.sources import storage
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        storage.write_samples(batch, path, mode="append")
+        days = [
+            r[0]
+            for r in batch.select(
+                F.expr(f"ts div {storage.NS_PER_DAY}").cast("int").alias("d")
+            )
+            .distinct()
+            .collect()
+        ]
+        import os
+
+        if not os.path.isdir(summary_path):
+            # first batch bootstraps the store (still only its own days)
+            storage.write_summary(
+                spark.read.parquet(path)
+                .filter(F.col("day").isin(days))
+                .select("series_id", "metric", "tags", "ts", "value"),
+                summary_path,
+            )
+        else:
+            storage.update_summary_incremental(spark, path, summary_path, days)
+
+    writer = (
+        samples.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -468,3 +468,39 @@ def test_incremental_summary_matches_full_rebuild(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+def test_streaming_ingest_maintains_summary(spark, tmp_path):
+    """foreachBatch ingest (write_to_parquet_with_summary) must leave
+    the summary store equal to a full rebuild over the final layout."""
+    from pyspark.sql import functions as F2
+
+    from stdb_spark import model
+    from stdb_spark.sources import storage
+    from stdb_spark.streaming import ingest as si
+
+    samples = model.events_as_samples(spark, "/root/testdata/sf0.001")
+    src = str(tmp_path / "src")
+    samples.repartition(6).write.parquet(src)
+    stream = (
+        spark.readStream.schema(samples.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    layout = str(tmp_path / "layout")
+    summary = str(tmp_path / "summary")
+    q = si.write_to_parquet_with_summary(
+        stream, layout, summary, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    full = storage.summary_table(
+        spark.read.parquet(layout).select(
+            "series_id", "metric", "tags", "ts", "value"
+        )
+    )
+    got = spark.read.parquet(summary).drop("day")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    # the layout rows survived intact too
+    assert spark.read.parquet(layout).count() == samples.count()
