@@ -2780,19 +2780,17 @@ def _doc_char_entropy(spark, sf):
     )
     ex = docs.select("doc_id", F.explode(grams).alias("g"))
     counts = ex.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-    tot = counts.groupBy("doc_id").agg(F.sum("c").alias("t"))
-    p = F.col("c").cast("double") / F.col("t")
-    return (
-        counts.join(tot, "doc_id")
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                "CAST(sum(CAST(-(CAST(c AS DOUBLE) / t)"
-                " * ln(CAST(c AS DOUBLE) / t) AS DECIMAL(28,10)))"
-                " AS DOUBLE)"
-            ).alias("bigram_entropy"),
-            F.count("*").cast("long").alias("n_distinct_bigrams"),
-        )
+    # H = ln(t) - sum(c*ln c)/t with t = sum(c): both sums live in ONE
+    # per-doc aggregate, so the old totals join (a third aggregate plus
+    # a doc-keyed shuffle join) disappears; the c*ln(c) terms still sum
+    # through decimal, keeping the result order-independent
+    return counts.groupBy("doc_id").agg(
+        F.expr(
+            "ln(CAST(sum(c) AS DOUBLE))"
+            " - CAST(sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))"
+            " AS DECIMAL(28,10))) AS DOUBLE) / CAST(sum(c) AS DOUBLE)"
+        ).alias("bigram_entropy"),
+        F.count("*").cast("long").alias("n_distinct_bigrams"),
     )
 
 
@@ -2805,14 +2803,14 @@ WITH g AS (
                  i -> substr(text, CAST(i AS BIGINT), 2))) AS g
   FROM documents WHERE len(text) >= 2
 ),
-c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
-t AS (SELECT doc_id, sum(c) AS t FROM c GROUP BY doc_id)
-SELECT c.doc_id,
-  CAST(CAST(sum(CAST(-(CAST(c AS DOUBLE) / t) * ln(CAST(c AS DOUBLE) / t)
-       AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS bigram_entropy,
+c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+SELECT doc_id,
+  ln(CAST(sum(c) AS DOUBLE))
+    - CAST(CAST(sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+        AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+      / CAST(sum(c) AS DOUBLE) AS bigram_entropy,
   CAST(count(*) AS BIGINT) AS n_distinct_bigrams
-FROM c JOIN t USING (doc_id)
-GROUP BY c.doc_id
+FROM c GROUP BY doc_id
 """,
 )
 
