@@ -5596,3 +5596,34 @@ SELECT metric, total,
 FROM m
 """,
 )
+
+
+# Mergeable distinct-count rollup (Datasketches HLL): per-(metric, day)
+# user sketches union into per-metric monthly distincts — the 100 TB
+# rollup pattern where daily sketches are materialized once (summary-
+# table style) and ANY coarser period is a cheap sketch union, never a
+# re-scan of the raw data.  Estimates are sketch-specific, so the gate
+# entry is rows-only; accuracy is pinned in pytest
+# (test_hll_rollup_accuracy: <2% relative error vs exact).
+def _ts_hll_rollup(spark, sf):
+    ev = model.events_raw_ns(spark, sf)
+    daily = ev.groupBy(
+        "event_type", F.expr(f"ts div {D1_US * 1000}").alias("_day")
+    ).agg(F.hll_sketch_agg("user_id").alias("_sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("_sk"))
+            .cast("long")
+            .alias("distinct_users_est"),
+            F.count("*").cast("long").alias("n_days"),
+        )
+        .select(
+            F.col("event_type").alias("metric"),
+            "distinct_users_est",
+            "n_days",
+        )
+    )
+
+
+_q("ts_distinct_users_hll_rollup", _ts_hll_rollup)

@@ -265,3 +265,30 @@ def test_p95_sketch_tracks_exact(spark):
         .toString()
     )
     assert "partial_approx_percentile" in plan or "partial" in plan
+
+
+def test_hll_rollup_accuracy(spark):
+    """The mergeable HLL rollup's estimate must land within 2% of the
+    exact per-metric distinct-user count (Datasketches lgK=12 keeps
+    relative error ~0.8% at any cardinality; the union of daily
+    sketches must not degrade it)."""
+    from stdb_spark.workloads import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r.metric: r.distinct_users_est
+        for r in QUERIES["ts_distinct_users_hll_rollup"](spark, sf).collect()
+    }
+    from stdb_spark import model
+    from pyspark.sql import functions as F2
+
+    exact = {
+        r.event_type: r.n
+        for r in model.events_raw_ns(spark, sf)
+        .groupBy("event_type")
+        .agg(F2.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for m, est in got.items():
+        assert abs(est - exact[m]) <= max(1, 0.02 * exact[m]), (m, est, exact[m])
