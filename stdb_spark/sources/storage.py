@@ -41,11 +41,29 @@ def write_samples(
     target_files_per_partition: int = 1,
 ) -> None:
     """Write the narrow fact table partitioned by (day, metric), sorted
-    by (series_id, ts) within files."""
+    by (series_id, ts) within files.
+
+    The clustering shuffle hashes ON THE PARTITION COLUMNS (plus a
+    series-hash salt when more than one file per partition is
+    requested): every (day, metric) combination lands wholly in one
+    task — one file per combination — while distinct combinations
+    spread across all shuffle partitions, so the write parallelism
+    scales with the data.  (A fixed ``repartition(n, cols)`` would pin
+    the WHOLE write to n tasks regardless of table size — the round-4
+    scale review caught exactly that: n=1 serialized every ingest
+    through a single task.)  AQE coalesces the excess partitions when
+    the batch is small."""
     df = with_day(samples)
-    df = df.repartition(
-        target_files_per_partition, "day", "metric"
-    ).sortWithinPartitions("day", "metric", "series_id", "ts")
+    keys = [F.col("day"), F.col("metric")]
+    if target_files_per_partition > 1:
+        keys.append(
+            F.pmod(
+                F.xxhash64("series_id"), F.lit(int(target_files_per_partition))
+            )
+        )
+    df = df.repartition(*keys).sortWithinPartitions(
+        "day", "metric", "series_id", "ts"
+    )
     df.write.partitionBy("day", "metric").mode(mode).parquet(path)
 
 
@@ -194,10 +212,19 @@ def compact_partitions(
     micro-batches) leaves one file per batch per partition; at 100 TB
     that read amplification dominates scan cost, and nightly compaction
     is the standard fix.  The rewrite is partition-parallel — each
-    (day, metric) group repartitions independently, no global sort."""
+    (day, metric) group lands in its own task (hash on the partition
+    columns + optional series salt, same idiom as write_samples), no
+    global sort and no fixed task count."""
     df = spark.read.parquet(path)
+    keys = [F.col("day"), F.col("metric")]
+    if target_files_per_partition > 1:
+        keys.append(
+            F.pmod(
+                F.xxhash64("series_id"), F.lit(int(target_files_per_partition))
+            )
+        )
     (
-        df.repartition(target_files_per_partition, "day", "metric")
+        df.repartition(*keys)
         .sortWithinPartitions("day", "metric", "series_id", "ts")
         .write.partitionBy("day", "metric")
         .mode("overwrite")
