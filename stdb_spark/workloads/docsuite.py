@@ -2150,7 +2150,12 @@ def _doc_term_lookup(spark, sf):
     if not os.path.isdir(cache):
         idx = inverted_index(model.load_table(spark, sf, "documents"))
         (
-            idx.repartition(8, "term")
+            # range partitioning gives each FILE a disjoint term
+            # range (file-level skip) on top of the in-file sort
+            # (row-group skip); a hash repartition would spread every
+            # file across the whole term alphabet.  Task count scales
+            # with the range partition count, never pinned.
+            idx.repartitionByRange(8, "term")
             .sortWithinPartitions("term")
             .write.mode("overwrite")
             .parquet(cache)
@@ -2243,7 +2248,12 @@ def _doc_phrase(spark, sf):
     if not os.path.isdir(cache):
         idx = positional_index(model.load_table(spark, sf, "documents"))
         (
-            idx.repartition(8, "term")
+            # range partitioning gives each FILE a disjoint term
+            # range (file-level skip) on top of the in-file sort
+            # (row-group skip); a hash repartition would spread every
+            # file across the whole term alphabet.  Task count scales
+            # with the range partition count, never pinned.
+            idx.repartitionByRange(8, "term")
             .sortWithinPartitions("term")
             .write.mode("overwrite")
             .parquet(cache)
