@@ -13,6 +13,12 @@ Scale shape: everything is ONE hash-shuffle on the shard key followed by
 a per-shard window — no global sort, no driver state.  Shards are the
 parallelism unit (a real pipeline writes one output file per shard), so
 skew is bounded by corpus_size / n_shards regardless of document order.
+``n_shards`` is therefore the SCALING KNOB, not a constant: size it to
+the target file count (corpus_tokens / tokens_per_shard-file), the same
+way a 100 TB run picks thousands of shards.  The gate queries pin
+n_shards=8 only so the DuckDB oracle can mirror the modulus — the
+round-4 sf10 rehearsal's 30x wall-clock on doc_pack_sequences is
+exactly the 8-way parallelism ceiling of that fixed oracle setting.
 """
 
 from __future__ import annotations
