@@ -208,6 +208,7 @@ HEADLINE = [
     "doc_curriculum_phases",
     "rel_colocated_join",
     "sp_trajectory_bbox_zordered",
+    "sp_trip_segments",
 ]
 
 

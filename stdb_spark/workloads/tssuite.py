@@ -5627,3 +5627,106 @@ def _ts_hll_rollup(spark, sf):
 
 
 _q("ts_distinct_users_hll_rollup", _ts_hll_rollup)
+
+
+# Trip segmentation over per-sample locations (moving-object surface,
+# basic.h:48-52): a user's point stream splits into trips wherever the
+# time gap exceeds 30 min OR the coordinate jump exceeds 0.05 deg
+# (teleport = data error / new session); per trip: point count, time
+# span, planar path length.  One per-user window (lag + running sum —
+# partitioned, scale-safe) and one hash aggregate.  Every float step is
+# a single-op chain (sub, mul, add, sqrt) and the path-length sum runs
+# through decimal, so the result is engine- and order-independent.
+def _sp_trip_segments(spark, sf):
+    from pyspark.sql import Window as W
+
+    pts = model.events_as_samples(spark, sf).select(
+        F.col("tags")["user"].alias("u"),
+        F.expr("ts div 1000").alias("ts"),
+        (
+            F.lit(116.0)
+            + (F.col("tags")["user"].cast("int") % 40) * F.lit(0.01)
+            + (F.expr("(ts div 1000) % 100")) * F.lit(1e-5)
+        ).alias("lon"),
+        (
+            F.lit(39.0)
+            + F.expr("CAST(tags['user'] AS INT) div 40") * F.lit(0.01)
+            + (F.expr("(ts div 1000) % 7")) * F.lit(1e-4)
+        ).alias("lat"),
+    )
+    w = W.partitionBy("u").orderBy("ts")
+    dx = F.col("lon") - F.lag("lon").over(w)
+    dy = F.col("lat") - F.lag("lat").over(w)
+    step = F.sqrt(dx * dx + dy * dy)
+    gap = F.col("ts") - F.lag("ts").over(w)
+    new_trip = F.when(
+        F.lag("ts").over(w).isNull()
+        | (gap > 30 * 60 * 1000000)
+        | (step > 0.05),
+        1,
+    ).otherwise(0)
+    seg = pts.select(
+        "u",
+        "ts",
+        step.alias("_step"),
+        new_trip.alias("_nt"),
+    ).withColumn(
+        "trip",
+        F.sum("_nt").over(
+            W.partitionBy("u").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return seg.groupBy("u", F.col("trip").cast("int").alias("trip")).agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+        F.expr(
+            "CAST(sum(CASE WHEN _nt = 1 THEN CAST(0.0 AS DECIMAL(28,12))"
+            " ELSE CAST(_step AS DECIMAL(28,12)) END) AS DOUBLE)"
+        ).alias("path_len"),
+    )
+
+
+_q(
+    "sp_trip_segments",
+    _sp_trip_segments,
+    BASE
+    + """
+, pts AS (
+  SELECT u, tu AS ts,
+    CAST(116.0 AS DOUBLE) + (CAST(u AS INT) % 40) * CAST(0.01 AS DOUBLE)
+      + (tu % 100) * CAST(1e-5 AS DOUBLE) AS lon,
+    CAST(39.0 AS DOUBLE) + (CAST(u AS INT) // 40) * CAST(0.01 AS DOUBLE)
+      + (tu % 7) * CAST(1e-4 AS DOUBLE) AS lat
+  FROM base
+),
+lagged AS (
+  SELECT u, ts, lon, lat,
+    lag(ts) OVER w AS pts_,
+    lon - lag(lon) OVER w AS dx,
+    lat - lag(lat) OVER w AS dy
+  FROM pts WINDOW w AS (PARTITION BY u ORDER BY ts)
+),
+flagged AS (
+  SELECT u, ts,
+    sqrt(dx * dx + dy * dy) AS step,
+    CASE WHEN pts_ IS NULL OR ts - pts_ > 30 * 60 * 1000000
+              OR sqrt(dx * dx + dy * dy) > 0.05
+         THEN 1 ELSE 0 END AS nt
+  FROM lagged
+),
+seg AS (
+  SELECT u, ts, step, nt,
+    sum(nt) OVER (PARTITION BY u ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS trip
+  FROM flagged
+)
+SELECT u, CAST(trip AS INT) AS trip,
+  CAST(count(*) AS BIGINT) AS n_points,
+  min(ts) AS t_start, max(ts) AS t_end,
+  CAST(CAST(sum(CASE WHEN nt = 1 THEN CAST(0.0 AS DECIMAL(28,12))
+        ELSE CAST(step AS DECIMAL(28,12)) END) AS VARCHAR) AS DOUBLE)
+    AS path_len
+FROM seg GROUP BY u, trip
+""",
+)
