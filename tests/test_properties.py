@@ -681,3 +681,33 @@ def test_resp_batch_matches_stream(spark, session):
         for r in parse_resp_pdus(df, dictionary=dictionary or None).collect()
     )
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, min_value=-100, max_value=100),
+        min_size=1,
+        max_size=60,
+    ),
+    n_tiles=st.integers(min_value=1, max_value=12),
+)
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_two_phase_ntile_property(spark, vals, n_tiles):
+    """two_phase_ntile == ntile window for arbitrary data (ties, skewed
+    buckets, n < k) under any monotone bucket function."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from stdb_spark.operators.ranks import two_phase_ntile
+
+    df = spark.createDataFrame(
+        [(float(v), i) for i, v in enumerate(vals)], "v double, k long"
+    )
+    order = [F.col("v").asc(), F.col("k").asc()]
+    got = two_phase_ntile(df, n_tiles, order, F.floor(F.col("v") / 7), "t")
+    want = df.withColumn("t", F.ntile(n_tiles).over(W.orderBy(*order)))
+    assert sorted(got.select("v", "k", "t").collect()) == sorted(
+        want.select("v", "k", "t").collect()
+    )
