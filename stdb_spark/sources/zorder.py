@@ -64,12 +64,25 @@ def write_zordered(
     lat: str = "lat",
     cell_deg: float = 0.01,
     n_files: int = 32,
-    bits: int = 16,
+    bits: int | None = None,
 ) -> None:
     """Cluster ``df`` by the Morton code of (lon, lat) and write
     ``n_files`` parquet files, each covering a compact 2-D region.  The
     key is a transient layout column — dropped before write; pruning
-    rides the ordinary lon/lat min/max statistics."""
+    rides the ordinary lon/lat min/max statistics.
+
+    ``bits`` auto-sizes to cover the full coordinate range at
+    ``cell_deg`` resolution — a too-small fixed width would silently
+    alias distant cells onto one code and scatter the clustering."""
+    if bits is None:
+        import math
+
+        bits = max(1, math.ceil(math.log2(360.0 / cell_deg + 1)))
+    if bits > 31:
+        raise ValueError(
+            f"cell_deg={cell_deg} needs {bits} bits/axis (> 31); "
+            "use a coarser clustering cell"
+        )
     cx, cy = zorder_cells(F.col(lon), F.col(lat), cell_deg)
     z = morton_key(cx, cy, bits)
     (
