@@ -209,6 +209,7 @@ HEADLINE = [
     "rel_colocated_join",
     "sp_trajectory_bbox_zordered",
     "sp_trip_segments",
+    "doc_ttr_by_source",
 ]
 
 

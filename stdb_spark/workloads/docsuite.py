@@ -3597,3 +3597,75 @@ SELECT CAST(phase AS INT) AS phase,
 FROM phased GROUP BY phase
 """.replace("{QS}", ORACLES["doc_quality_score"]),
 )
+
+
+# ----------------------------------------------- lexical diversity (TTR)
+# Type-token ratio per source: corpus-level distinct-type share and the
+# mean per-document TTR — the lexical-diversity screen (templated/spun
+# text scores low).  Map-side token explode, two hash aggregates; the
+# mean of per-doc ratios sums through decimal so the result is
+# order-independent.
+def _doc_ttr(spark, sf):
+    docs = model.load_table(spark, sf, "documents")
+    toks = docs.select(
+        "source", "doc_id", F.explode(text.tokens_col("text")).alias("tok")
+    )
+    per_doc = toks.groupBy("source", "doc_id").agg(
+        (
+            F.countDistinct("tok").cast("double")
+            / F.count("*").cast("double")
+        ).alias("ttr")
+    )
+    corpus = toks.groupBy("source").agg(
+        F.countDistinct("tok").cast("long").alias("n_types"),
+        F.count("*").cast("long").alias("n_tokens"),
+    )
+    doc_mean = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr(
+            "CAST(sum(CAST(ttr AS DECIMAL(28,12))) AS DOUBLE) / count(*)"
+        ).alias("mean_doc_ttr"),
+    )
+    return corpus.join(doc_mean, "source").select(
+        "source",
+        "n_docs",
+        "n_types",
+        "n_tokens",
+        (F.col("n_types").cast("double") / F.col("n_tokens")).alias(
+            "corpus_ttr"
+        ),
+        "mean_doc_ttr",
+    )
+
+
+_q(
+    "doc_ttr_by_source",
+    _doc_ttr,
+    """
+WITH t AS (
+  SELECT source, doc_id,
+    unnest(list_filter(string_split_regex(text, '\\s+'),
+                       x -> len(x) > 0)) AS tok
+  FROM documents
+),
+per_doc AS (
+  SELECT source, doc_id,
+    CAST(count(DISTINCT tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS ttr
+  FROM t GROUP BY source, doc_id
+),
+corpus AS (
+  SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM t GROUP BY source
+),
+dm AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(CAST(sum(CAST(ttr AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
+      / count(*) AS mean_doc_ttr
+  FROM per_doc GROUP BY source
+)
+SELECT corpus.source, n_docs, n_types, n_tokens,
+  CAST(n_types AS DOUBLE) / n_tokens AS corpus_ttr, mean_doc_ttr
+FROM corpus JOIN dm ON corpus.source = dm.source
+""",
+)
