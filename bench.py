@@ -210,6 +210,7 @@ HEADLINE = [
     "sp_trajectory_bbox_zordered",
     "sp_trip_segments",
     "doc_ttr_by_source",
+    "doc_exact_dedup_best_quality",
 ]
 
 

@@ -3669,3 +3669,55 @@ SELECT corpus.source, n_docs, n_types, n_tokens,
 FROM corpus JOIN dm ON corpus.source = dm.source
 """,
 )
+
+
+# --------------------------------- exact dedup, best-quality survivor
+# Survivor policy a training pipeline actually ships: within each
+# exact-duplicate class (md5 of normalized text) keep the HIGHEST
+# quality-score copy, doc_id as the deterministic tie-break — not
+# min-id.  The rank window partitions on the (high-cardinality) digest,
+# so parallelism scales with classes; emits one row per kept document
+# of a duplicated class.
+def _doc_dedup_best_quality(spark, sf):
+    from pyspark.sql import Window as W
+
+    scored = text.quality_score(model.load_table(spark, sf, "documents"))
+    d = scored.select(
+        "doc_id",
+        F.md5(dedup.normalized_text()).alias("digest"),
+        "quality_score",
+    )
+    w = W.partitionBy("digest").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    n = W.partitionBy("digest")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .withColumn("dup_count", F.count("*").over(n).cast("long"))
+        .filter((F.col("rk") == 1) & (F.col("dup_count") > 1))
+        .select("digest", "dup_count", F.col("doc_id").alias("keep_id"),
+                "quality_score")
+    )
+
+
+_q(
+    "doc_exact_dedup_best_quality",
+    _doc_dedup_best_quality,
+    f"""
+WITH scored AS ({{QS}}),
+d AS (
+  SELECT s.doc_id, md5({_NORM}) AS digest, s.quality_score
+  FROM documents JOIN scored s USING (doc_id)
+),
+r AS (
+  SELECT digest, doc_id, quality_score,
+    row_number() OVER (PARTITION BY digest
+                       ORDER BY quality_score DESC, doc_id ASC) AS rk,
+    count(*) OVER (PARTITION BY digest) AS dup_count
+  FROM d
+)
+SELECT digest, CAST(dup_count AS BIGINT) AS dup_count,
+       doc_id AS keep_id, quality_score
+FROM r WHERE rk = 1 AND dup_count > 1
+""".replace("{QS}", ORACLES["doc_quality_score"]),
+)
