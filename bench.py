@@ -211,6 +211,7 @@ HEADLINE = [
     "sp_trip_segments",
     "doc_ttr_by_source",
     "doc_exact_dedup_best_quality",
+    "ts_apdex_daily",
 ]
 
 

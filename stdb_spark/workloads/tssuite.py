@@ -5730,3 +5730,62 @@ SELECT u, CAST(trip AS INT) AS trip,
 FROM seg GROUP BY u, trip
 """,
 )
+
+
+# Apdex score per (metric, day): satisfied (v <= T), tolerating
+# (T < v <= 4T), apdex = (sat + tol/2) / n — the SRE user-satisfaction
+# rollup over the latency-like value stream.  Integer counts, one
+# float division at the end; one hash aggregate.
+_APDEX_T = 50.0
+
+
+def _ts_apdex(spark, sf):
+    ev = model.events_raw_ns(spark, sf)
+    sat = F.when(F.col("value") <= _APDEX_T, 1).otherwise(0)
+    tol = F.when(
+        (F.col("value") > _APDEX_T) & (F.col("value") <= 4 * _APDEX_T), 1
+    ).otherwise(0)
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("metric"),
+            F.expr(f"ts div {D1_US * 1000}").alias("day"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(sat).cast("long").alias("n_satisfied"),
+            F.sum(tol).cast("long").alias("n_tolerating"),
+        )
+        .select(
+            "metric",
+            "day",
+            "n",
+            "n_satisfied",
+            "n_tolerating",
+            (
+                (
+                    F.col("n_satisfied").cast("double")
+                    + F.col("n_tolerating").cast("double") / 2
+                )
+                / F.col("n").cast("double")
+            ).alias("apdex"),
+        )
+    )
+
+
+_q(
+    "ts_apdex_daily",
+    _ts_apdex,
+    f"""
+SELECT event_type AS metric, epoch_us(ts) // {D1_US} AS day,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN value <= {_APDEX_T!r} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_satisfied,
+  CAST(sum(CASE WHEN value > {_APDEX_T!r} AND value <= 4 * {_APDEX_T!r}
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_tolerating,
+  (CAST(sum(CASE WHEN value <= {_APDEX_T!r} THEN 1 ELSE 0 END) AS DOUBLE)
+   + CAST(sum(CASE WHEN value > {_APDEX_T!r} AND value <= 4 * {_APDEX_T!r}
+          THEN 1 ELSE 0 END) AS DOUBLE) / 2)
+  / CAST(count(*) AS DOUBLE) AS apdex
+FROM events GROUP BY 1, 2
+""",
+)
