@@ -69,7 +69,12 @@ def two_phase_ntile(
 ) -> DataFrame:
     """Global ``ntile(n_tiles)`` over ``order_cols`` (same contract as
     :func:`two_phase_row_number`) computed from the two-phase rank and
-    the total count — no single-partition window anywhere."""
+    the total count — no single-partition window anywhere.
+
+    The total-count aggregate re-evaluates the input lineage once (a
+    map-side count, the cheapest possible pass); callers stacking
+    several ntiles on an expensive input should cache/checkpoint it
+    first if that pass matters."""
     n = int(n_tiles)
     if n <= 0:
         raise ValueError("n_tiles must be positive")

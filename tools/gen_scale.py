@@ -64,12 +64,6 @@ def main() -> None:
     for t in ("region", "nation", "part", "supplier"):
         write(t, spark.read.parquet(f"{src}/{t}.parquet"))
 
-    def shifted(df, col, span=None):
-        span = span or (df.agg(F.max(col)).first()[0] + 1)
-        return df.crossJoin(copies).withColumn(
-            col, (F.col(col) + F.col("_k") * F.lit(span)).cast("long")
-        ), span
-
     ev = spark.read.parquet(f"{src}/events.parquet")
     u_span = ev.agg(F.max("user_id")).first()[0] + 1
     e_span = ev.agg(F.max("event_id")).first()[0] + 1
