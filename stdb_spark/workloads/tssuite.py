@@ -5789,3 +5789,245 @@ SELECT event_type AS metric, epoch_us(ts) // {D1_US} AS day,
 FROM events GROUP BY 1, 2
 """,
 )
+
+
+# ------------------------------------------------- ordered event funnel
+# windowFunnel analog (absent in the reference — its events are
+# scan/regex-only, stdb/query/queryparser.cc:317-329): per user, how
+# deep into the ordered chain view -> click -> purchase they got, with
+# the WHOLE chain constrained to one day after the first view.  Stage
+# times resolve in a single pass of cumulative windows over ONE user
+# exchange: the running min of view-times at any later row IS the
+# user's first view, so "first click after the first view" is a plain
+# conditional min — no self-joins, no per-user collect.  The final
+# stage histogram and its share divide integer-exact counts; the
+# unpartitioned share window runs over the <=4-row post-aggregate.
+_FUNNEL_W_US = D1_US
+
+
+def _ts_event_funnel(spark, sf):
+    ev = (
+        model.events_raw_ns(spark, sf)
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            F.col("user_id").alias("u"),
+            F.col("event_type").alias("metric"),
+            F.expr("ts div 1000").alias("tu"),
+        )
+    )
+    # Default RANGE frame (unbounded preceding .. current row, peers
+    # included) in BOTH engines — same-instant steps count as ordered.
+    w = Window.partitionBy("u").orderBy("tu")
+    r1 = F.min(F.when(F.col("metric") == "view", F.col("tu"))).over(w)
+    staged = ev.withColumn("r1", r1)
+    cand2 = F.when(
+        (F.col("metric") == "click")
+        & F.col("r1").isNotNull()
+        & (F.col("tu") >= F.col("r1"))
+        & (F.col("tu") <= F.col("r1") + F.lit(_FUNNEL_W_US)),
+        F.col("tu"),
+    )
+    staged = staged.withColumn("cand2", cand2).withColumn(
+        "r2", F.min("cand2").over(w)
+    )
+    cand3 = F.when(
+        (F.col("metric") == "purchase")
+        & F.col("r2").isNotNull()
+        & (F.col("tu") >= F.col("r2"))
+        & (F.col("tu") <= F.col("r1") + F.lit(_FUNNEL_W_US)),
+        F.col("tu"),
+    )
+    per_user = (
+        staged.withColumn("cand3", cand3)
+        .groupBy("u")
+        .agg(
+            F.min(F.when(F.col("metric") == "view", F.col("tu"))).alias("t1"),
+            F.min("cand2").alias("t2"),
+            F.min("cand3").alias("t3"),
+        )
+    )
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    hist = per_user.groupBy(stage.cast("int").alias("stage")).agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    return (
+        hist.select(
+            "stage",
+            "n_users",
+            (
+                F.col("n_users").cast("double")
+                / F.sum("n_users").over(Window.partitionBy()).cast("double")
+            ).alias("pct_users"),
+        )
+        .orderBy("stage")
+    )
+
+
+_q(
+    "ts_event_funnel",
+    _ts_event_funnel,
+    f"""
+WITH e AS (
+  SELECT user_id AS u, event_type AS metric, epoch_us(ts) AS tu
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+), s1 AS (
+  SELECT u, metric, tu,
+    min(CASE WHEN metric = 'view' THEN tu END)
+      OVER (PARTITION BY u ORDER BY tu) AS r1
+  FROM e
+), s2 AS (
+  SELECT *, CASE WHEN metric = 'click' AND r1 IS NOT NULL
+                      AND tu >= r1 AND tu <= r1 + {_FUNNEL_W_US}
+                 THEN tu END AS cand2
+  FROM s1
+), s3 AS (
+  SELECT *, min(cand2) OVER (PARTITION BY u ORDER BY tu) AS r2 FROM s2
+), s4 AS (
+  SELECT *, CASE WHEN metric = 'purchase' AND r2 IS NOT NULL
+                      AND tu >= r2 AND tu <= r1 + {_FUNNEL_W_US}
+                 THEN tu END AS cand3
+  FROM s3
+), per_u AS (
+  SELECT u,
+    min(CASE WHEN metric = 'view' THEN tu END) AS t1,
+    min(cand2) AS t2,
+    min(cand3) AS t3
+  FROM s4 GROUP BY u
+), st AS (
+  SELECT CASE WHEN t3 IS NOT NULL THEN 3
+              WHEN t2 IS NOT NULL THEN 2
+              WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+         count(*) AS n
+  FROM per_u GROUP BY 1
+)
+SELECT CAST(stage AS INT) AS stage, CAST(n AS BIGINT) AS n_users,
+  CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS pct_users
+FROM st ORDER BY stage
+""",
+)
+
+
+# ------------------------------------------------- weekly retention matrix
+# Classic cohort retention: users cohorted by first-active week, the
+# matrix cell (cohort, offset) counts users still active offset weeks
+# later, retention = cell / cohort size.  The user-key repartition is
+# taken ONCE up front: HashPartitioning(u) satisfies the (u, wk)
+# dedup AND the whole-partition min window that resolves each user's
+# cohort (a groupBy+join would scan events twice — the window form
+# keeps ONE scan and ONE fat exchange); the matrix aggregate then
+# exchanges only (cohort, offset) cells.  All-integer counts; the one
+# division is exact-int / exact-int.
+def _ts_retention_matrix(spark, sf):
+    act = (
+        model.events_raw_ns(spark, sf)
+        .select(
+            F.col("user_id").alias("u"),
+            F.expr(f"(ts div 1000 - {JAN01_US}L) div {7 * D1_US}L").alias("wk"),
+        )
+        .repartition("u")
+        .distinct()
+    )
+    cohort = F.min("wk").over(Window.partitionBy("u"))
+    mat = (
+        act.select(
+            cohort.alias("cohort_wk"),
+            (F.col("wk") - cohort).alias("offset_wk"),
+        )
+        .groupBy("cohort_wk", "offset_wk")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+    w0 = Window.partitionBy("cohort_wk")
+    base = F.max(
+        F.when(F.col("offset_wk") == 0, F.col("n_users"))
+    ).over(w0)
+    return mat.select(
+        "cohort_wk",
+        "offset_wk",
+        "n_users",
+        (F.col("n_users").cast("double") / base.cast("double")).alias(
+            "retention"
+        ),
+    ).orderBy("cohort_wk", "offset_wk")
+
+
+_q(
+    "ts_retention_matrix",
+    _ts_retention_matrix,
+    f"""
+WITH a AS (
+  SELECT DISTINCT user_id AS u,
+         (epoch_us(ts) - {JAN01_US}) // {7 * D1_US} AS wk
+  FROM events
+), c AS (SELECT u, min(wk) AS cohort_wk FROM a GROUP BY u),
+m AS (
+  SELECT cohort_wk, wk - cohort_wk AS offset_wk, count(*) AS n
+  FROM a JOIN c USING (u) GROUP BY 1, 2
+)
+SELECT CAST(cohort_wk AS BIGINT) AS cohort_wk,
+  CAST(offset_wk AS BIGINT) AS offset_wk,
+  CAST(n AS BIGINT) AS n_users,
+  CAST(n AS DOUBLE)
+    / CAST(max(CASE WHEN offset_wk = 0 THEN n END)
+             OVER (PARTITION BY cohort_wk) AS DOUBLE) AS retention
+FROM m ORDER BY cohort_wk, offset_wk
+""",
+)
+
+
+# ------------------------------------------------- event-type transitions
+# First-order Markov view of user behavior: count (previous event ->
+# next event) adjacencies per user timeline, and the conditional
+# probability of each next step.  One lag window + one tiny (from, to)
+# aggregate; ties at the same instant break on the metric name in BOTH
+# engines, so the pair multiset is deterministic.  The probability
+# window partitions the <=25-row post-aggregate by from_type.
+def _ts_event_transitions(spark, sf):
+    ev = model.events_raw_ns(spark, sf).select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("metric"),
+        F.expr("ts div 1000").alias("tu"),
+    )
+    w = Window.partitionBy("u").orderBy("tu", "metric")
+    pairs = ev.select(
+        F.lag("metric").over(w).alias("from_type"),
+        F.col("metric").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    t = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wp = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wp).cast("double")).alias(
+            "p"
+        ),
+    ).orderBy("from_type", "to_type")
+
+
+_q(
+    "ts_event_transitions",
+    _ts_event_transitions,
+    """
+WITH e AS (
+  SELECT user_id AS u, event_type AS metric, epoch_us(ts) AS tu FROM events
+), l AS (
+  SELECT lag(metric) OVER (PARTITION BY u ORDER BY tu, metric) AS from_type,
+         metric AS to_type
+  FROM e
+), t AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+  CAST(n AS DOUBLE)
+    / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+FROM t ORDER BY from_type, to_type
+""",
+)
