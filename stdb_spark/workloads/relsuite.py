@@ -1797,3 +1797,52 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """,
 )
+
+
+# --------------------------------------------- revenue rollup (region->nation)
+# Hierarchical subtotal report: revenue at (region, nation), per-region
+# subtotal, and grand total in ONE pass — Spark's ROLLUP lowers to an
+# Expand (each fact row fans to its 3 grouping levels map-side) feeding
+# a single hash aggregate, so the hierarchy costs one exchange of
+# pre-aggregated cells, not three scans.  Dims broadcast; GROUPING()
+# flags disambiguate subtotal rows exactly as in the DuckDB oracle.
+def _rel_revenue_rollup(spark, sf):
+    t = model.load_tables(
+        spark, sf, ("region", "nation", "customer", "orders", "lineitem")
+    )
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.expr(sum_spark(DISC_PRICE)).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+        )
+        .orderBy("g_region", "g_nation", "r_name", "n_name")
+    )
+
+
+_q(
+    "rel_revenue_rollup",
+    _rel_revenue_rollup,
+    f"""
+SELECT r_name, n_name, {sum_duck(DISC_PRICE)} AS revenue,
+  CAST(count(*) AS BIGINT) AS n_items,
+  CAST(GROUPING(r_name) AS INT) AS g_region,
+  CAST(GROUPING(n_name) AS INT) AS g_nation
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY g_region, g_nation, r_name, n_name
+""",
+)

@@ -6031,3 +6031,55 @@ SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
 FROM t ORDER BY from_type, to_type
 """,
 )
+
+
+# ------------------------------------------------- time-hierarchy rollup
+# metric -> week -> day subtotal pyramid in one pass: ROLLUP lowers to
+# an Expand (each sample fans to its 4 grouping levels map-side) into a
+# single hash aggregate — the dashboard's day/week/metric/grand-total
+# cells cost one exchange of aggregated cells instead of four scans.
+# Decimal value sums keep every level exact and order-independent.
+def _ts_time_rollup(spark, sf):
+    ev = model.events_raw_ns(spark, sf).select(
+        F.col("event_type").alias("metric"),
+        F.expr(f"(ts div 1000 - {JAN01_US}L) div {7 * D1_US}L").alias("wk"),
+        F.expr(f"(ts div 1000 - {JAN01_US}L) div {D1_US}L").alias("day"),
+        "value",
+    )
+    return (
+        ev.rollup("metric", "wk", "day")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.expr(
+                "CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)"
+            ).alias("total"),
+            F.grouping("metric").cast("int").alias("g_metric"),
+            F.grouping("wk").cast("int").alias("g_wk"),
+            F.grouping("day").cast("int").alias("g_day"),
+        )
+        .orderBy("g_metric", "g_wk", "g_day", "metric", "wk", "day")
+    )
+
+
+_q(
+    "ts_time_rollup",
+    _ts_time_rollup,
+    f"""
+WITH e AS (
+  SELECT event_type AS metric,
+         (epoch_us(ts) - {JAN01_US}) // {7 * D1_US} AS wk,
+         (epoch_us(ts) - {JAN01_US}) // {D1_US} AS day,
+         value
+  FROM events
+)
+SELECT metric, CAST(wk AS BIGINT) AS wk, CAST(day AS BIGINT) AS day,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+    AS total,
+  CAST(GROUPING(metric) AS INT) AS g_metric,
+  CAST(GROUPING(wk) AS INT) AS g_wk,
+  CAST(GROUPING(day) AS INT) AS g_day
+FROM e GROUP BY ROLLUP(metric, wk, day)
+ORDER BY g_metric, g_wk, g_day, metric, wk, day
+""",
+)

@@ -470,3 +470,44 @@ def test_runtime_bloom_filter_reduces_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_funnel_one_fat_user_exchange(spark):
+    # The funnel's three stage-resolution windows and the per-user
+    # aggregate must all ride ONE hashpartitioning(u) — no self-joins,
+    # no second scan.  The remaining exchanges run over the <=4-row
+    # stage histogram.
+    df = QUERIES["ts_event_funnel"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange hashpartitioning(u#") == 1, plan
+
+
+def test_retention_one_scan_one_fat_exchange(spark):
+    # Cohort resolution via whole-partition min window — NOT a
+    # groupBy+join back, which would scan events twice.
+    df = QUERIES["ts_retention_matrix"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange hashpartitioning(u#") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_transitions_single_lag_exchange(spark):
+    df = QUERIES["ts_event_transitions"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange hashpartitioning(u#") == 1, plan
+
+
+def test_rollup_expand_single_aggregate_exchange(spark):
+    # ROLLUP must lower to one Expand + one hash-aggregate exchange of
+    # cells (map-side partials), never one scan per grouping level.
+    for name in ("rel_revenue_rollup", "ts_time_rollup"):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert plan.count("Expand") >= 1, (name, plan)
+        assert plan.count("partial_count") == 1, (name, plan)
+    # the events-side rollup is a single-scan single-exchange plan
+    plan = _plan(QUERIES["ts_time_rollup"](spark, SF))
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
