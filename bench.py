@@ -212,6 +212,11 @@ HEADLINE = [
     "doc_ttr_by_source",
     "doc_exact_dedup_best_quality",
     "ts_apdex_daily",
+    "ts_event_funnel",
+    "ts_retention_matrix",
+    "ts_event_transitions",
+    "ts_time_rollup",
+    "rel_revenue_rollup",
 ]
 
 
