@@ -164,6 +164,66 @@ def funnel_counts(
     )
 
 
+def funnel_stages_cumulative(
+    events: DataFrame,
+    steps: list,
+    user_col: str = "user",
+    ts_col: str = "ts",
+    type_col: str = "metric",
+    within: int | None = None,
+) -> DataFrame:
+    """Per-user ordered funnel with INCLUSIVE (``>=``) step ordering —
+    the windowFunnel-style twin of :func:`funnel_stages` (which is
+    strict ``>``): a step-k event at the same instant as the earliest
+    step-(k-1) event counts as ordered.  When ``within`` is given the
+    whole chain must land at most ``within`` after the earliest step-1
+    time.  Returns one row per user with ``t1..tN`` qualifying times
+    and ``stage`` = consecutive steps completed.
+
+    Resolution is a single pass of cumulative conditional mins: at any
+    row, the running min of step-(k-1) candidate times over the default
+    RANGE frame (peers included) IS the user's earliest step-(k-1)
+    time whenever one exists at-or-before this instant, so "first
+    step-k event at-or-after it" is a plain conditional min.  One
+    exchange on the user key, one sort, N stacked Window nodes, then
+    the per-user aggregate reuses the partitioning.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    df = events
+    cand_cols = []
+    for i, step in enumerate(steps):
+        if i == 0:
+            cand = F.when(F.col(type_col) == step, F.col(ts_col))
+        else:
+            prev_run = F.col(f"_r{i - 1}")
+            cond = (
+                (F.col(type_col) == step)
+                & prev_run.isNotNull()
+                & (F.col(ts_col) >= prev_run)
+            )
+            if within is not None:
+                cond = cond & (F.col(ts_col) <= F.col("_r0") + int(within))
+            cand = F.when(cond, F.col(ts_col))
+        cname = f"_c{i}"
+        df = df.withColumn(cname, cand).withColumn(
+            f"_r{i}", F.min(cname).over(w)
+        )
+        cand_cols.append(cname)
+    per_user = df.groupBy(user_col).agg(
+        *[F.min(c).alias(f"t{i + 1}") for i, c in enumerate(cand_cols)]
+    )
+    # _c{k} is null wherever _r{k-1} is, so non-null t's form a
+    # consecutive prefix and their count IS the stage.
+    stage = sum(
+        (
+            F.when(F.col(f"t{i + 1}").isNotNull(), 1).otherwise(0)
+            for i in range(len(steps))
+        ),
+        F.lit(0),
+    )
+    return per_user.withColumn("stage", stage)
+
+
 def retention_cohorts(
     events: DataFrame,
     user_col: str = "user",

@@ -5806,6 +5806,8 @@ _FUNNEL_W_US = D1_US
 
 
 def _ts_event_funnel(spark, sf):
+    from stdb_spark.operators import behavior
+
     ev = (
         model.events_raw_ns(spark, sf)
         .filter(F.col("event_type").isin("view", "click", "purchase"))
@@ -5815,44 +5817,14 @@ def _ts_event_funnel(spark, sf):
             F.expr("ts div 1000").alias("tu"),
         )
     )
-    # Default RANGE frame (unbounded preceding .. current row, peers
-    # included) in BOTH engines — same-instant steps count as ordered.
-    w = Window.partitionBy("u").orderBy("tu")
-    r1 = F.min(F.when(F.col("metric") == "view", F.col("tu"))).over(w)
-    staged = ev.withColumn("r1", r1)
-    cand2 = F.when(
-        (F.col("metric") == "click")
-        & F.col("r1").isNotNull()
-        & (F.col("tu") >= F.col("r1"))
-        & (F.col("tu") <= F.col("r1") + F.lit(_FUNNEL_W_US)),
-        F.col("tu"),
+    per_user = behavior.funnel_stages_cumulative(
+        ev,
+        ["view", "click", "purchase"],
+        user_col="u",
+        ts_col="tu",
+        within=_FUNNEL_W_US,
     )
-    staged = staged.withColumn("cand2", cand2).withColumn(
-        "r2", F.min("cand2").over(w)
-    )
-    cand3 = F.when(
-        (F.col("metric") == "purchase")
-        & F.col("r2").isNotNull()
-        & (F.col("tu") >= F.col("r2"))
-        & (F.col("tu") <= F.col("r1") + F.lit(_FUNNEL_W_US)),
-        F.col("tu"),
-    )
-    per_user = (
-        staged.withColumn("cand3", cand3)
-        .groupBy("u")
-        .agg(
-            F.min(F.when(F.col("metric") == "view", F.col("tu"))).alias("t1"),
-            F.min("cand2").alias("t2"),
-            F.min("cand3").alias("t3"),
-        )
-    )
-    stage = (
-        F.when(F.col("t3").isNotNull(), 3)
-        .when(F.col("t2").isNotNull(), 2)
-        .when(F.col("t1").isNotNull(), 1)
-        .otherwise(0)
-    )
-    hist = per_user.groupBy(stage.cast("int").alias("stage")).agg(
+    hist = per_user.groupBy(F.col("stage").cast("int").alias("stage")).agg(
         F.count("*").cast("long").alias("n_users")
     )
     return (

@@ -711,3 +711,64 @@ def test_two_phase_ntile_property(spark, vals, n_tiles):
     assert sorted(got.select("v", "k", "t").collect()) == sorted(
         want.select("v", "k", "t").collect()
     )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # user
+            st.sampled_from(["a", "b", "c", "x"]),  # event type
+            st.integers(min_value=0, max_value=50),  # ts (dups ACROSS
+            # rows allowed — same-instant ordering is the point here)
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    within=st.one_of(st.none(), st.integers(min_value=1, max_value=30)),
+)
+def test_funnel_cumulative_matches_inclusive_greedy_model(spark, evs, within):
+    from stdb_spark.operators import behavior
+
+    steps = ["a", "b", "c"]
+    df = spark.createDataFrame(
+        [(f"u{u}", m, t) for u, m, t in evs], "u string, metric string, tu long"
+    )
+    got = {
+        r.u: (r.stage, r.t1, r.t2, r.t3)
+        for r in behavior.funnel_stages_cumulative(
+            df, steps, user_col="u", ts_col="tu", within=within
+        ).collect()
+    }
+    # greedy model, INCLUSIVE ordering (>=), whole chain within
+    # `within` of the earliest step-1 time
+    by_user = {}
+    for u, m, t in evs:
+        by_user.setdefault(f"u{u}", []).append((m, t))
+    want = {}
+    for u, events in by_user.items():
+        prev = None
+        first = None
+        ts = []
+        for step in steps:
+            cands = [
+                t
+                for m, t in events
+                if m == step
+                and (prev is None or t >= prev)
+                and (within is None or first is None or t <= first + within)
+            ]
+            if not cands:
+                break
+            prev = min(cands)
+            if first is None:
+                first = prev
+            ts.append(prev)
+        ts += [None] * (3 - len(ts))
+        want[u] = (len([t for t in ts if t is not None]), *ts)
+    assert got == want
