@@ -407,6 +407,97 @@ def streaming_counter_rate(
     )
 
 
+def greedy_funnel_resolve(evs, n_steps: int, within: int | None) -> list:
+    """Greedy inclusive (``>=``) funnel chain over (ts, step_idx)
+    pairs — the per-user model `behavior.funnel_stages_cumulative`'s
+    property test pins, shared by the streaming state fold so both
+    engines resolve identically from ANY arrival order.  Returns the
+    qualifying timestamps of the completed consecutive prefix."""
+    evs = sorted(evs)
+    t: list = []
+    prev = first = None
+    for k in range(n_steps):
+        cands = [
+            tu
+            for tu, si in evs
+            if si == k
+            and (prev is None or tu >= prev)
+            and (within is None or first is None or tu <= first + within)
+        ]
+        if not cands:
+            return t
+        prev = min(cands)
+        if first is None:
+            first = prev
+        t.append(prev)
+    return t
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: list,
+    user_col: str = "u",
+    ts_col: str = "tu",
+    type_col: str = "metric",
+    within: int | None = None,
+) -> DataFrame:
+    """Stateful streaming funnel — the continuous twin of the batch
+    `behavior.funnel_stages_cumulative` (inclusive ``>=`` ordering,
+    whole chain within ``within`` of the earliest step-1 time).
+
+    Unlike hysteresis/counter-rate, the funnel is NOT a forward fold:
+    a late-arriving EARLIER step-1 event moves the conversion window
+    backwards and can disqualify a previously-counted later step, so
+    the state keeps the user's funnel-relevant events (filter to the
+    step types BEFORE the shuffle) and the greedy chain re-resolves
+    per batch.  Emits one row per (user, batch) carrying ``n_seen`` —
+    strictly increasing per user, so the stream's final answer is each
+    user's max-``n_seen`` row.  At scale the state stays bounded by
+    the lateness horizon: once the watermark passes t1 + within + L,
+    the resolved prefix can collapse to the (t1..tk) scalars; the
+    replay demo keeps the unpruned list (30-day corpus).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    step_index = {s: i for i, s in enumerate(steps)}
+    n_steps = len(steps)
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        tus, tps = state.get if state.exists else ((), ())
+        tus, tps = list(tus), list(tps)
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            tus.extend(int(t) for t in pdf[ts_col])
+            tps.extend(step_index[m] for m in pdf[type_col])
+        t = greedy_funnel_resolve(zip(tus, tps), n_steps, within)
+        stage = len(t)
+        t = list(t) + [None] * (n_steps - stage)
+        state.update((tus, tps))
+        yield pd.DataFrame(
+            [key + (len(tus), stage, *t)],
+            columns=[
+                user_col,
+                "n_seen",
+                "stage",
+                *[f"t{i + 1}" for i in range(n_steps)],
+            ],
+        )
+
+    t_schema = ", ".join(f"t{i + 1} long" for i in range(n_steps))
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            f"{user_col} string, n_seen long, stage int, {t_schema}"
+        ),
+        stateStructType="tus array<long>, tps array<int>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def write_to_parquet_with_summary(
     samples: DataFrame,
     path: str,

@@ -6055,3 +6055,56 @@ FROM e GROUP BY ROLLUP(metric, wk, day)
 ORDER BY g_metric, g_wk, g_day, metric, wk, day
 """,
 )
+
+
+# ------------------------------------------------- streaming funnel
+# Continuous funnel over the replayed layout: per-user event state +
+# per-batch greedy re-resolution (late-arriving earlier views legally
+# shrink the conversion window, so the fold is NOT forward-only — see
+# streaming/ingest.py::streaming_funnel).  n_seen is strictly
+# increasing per user, so max-n_seen selects each user's final state;
+# the oracle is the SAME batch SQL as ts_event_funnel.
+def _stream_funnel(spark, sf):
+    from stdb_spark.streaming.ingest import streaming_funnel
+
+    def tf(sdf):
+        ev = sdf.filter(
+            F.col("metric").isin("view", "click", "purchase")
+        ).select(
+            F.col("tags")["user"].alias("u"),
+            F.col("metric"),
+            F.expr("ts div 1000").alias("tu"),
+        )
+        return streaming_funnel(
+            ev,
+            ["view", "click", "purchase"],
+            user_col="u",
+            ts_col="tu",
+            type_col="metric",
+            within=_FUNNEL_W_US,
+        )
+
+    # Coarser micro-batches than the default 8-file replay: each
+    # stateful batch pays python-worker + state-store startup, and 6
+    # batches already exercise cross-batch (and out-of-order) state
+    # handoff — which per-user greedy re-resolution makes order-proof.
+    sink = _replay_stream(
+        spark, sf, tf, "stream_funnel_sink", "update", files_per_trigger=25
+    )
+    per_user = sink.groupBy("u").agg(
+        F.max(F.struct("n_seen", "stage")).alias("m")
+    )
+    hist = per_user.groupBy(
+        F.col("m.stage").cast("int").alias("stage")
+    ).agg(F.count("*").cast("long").alias("n_users"))
+    return hist.select(
+        "stage",
+        "n_users",
+        (
+            F.col("n_users").cast("double")
+            / F.sum("n_users").over(Window.partitionBy()).cast("double")
+        ).alias("pct_users"),
+    ).orderBy("stage")
+
+
+_q("stream_funnel", _stream_funnel, ORACLES["ts_event_funnel"])

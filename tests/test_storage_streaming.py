@@ -504,3 +504,23 @@ def test_streaming_ingest_maintains_summary(spark, tmp_path):
     )
     # the layout rows survived intact too
     assert spark.read.parquet(layout).count() == samples.count()
+
+
+def test_greedy_funnel_resolve_order_proof_and_nonmonotone():
+    from stdb_spark.streaming.ingest import greedy_funnel_resolve
+
+    # in-order chain within window
+    assert greedy_funnel_resolve([(100, 0), (105, 1)], 3, 10) == [100, 105]
+    # a LATE earlier step-1 event shrinks the window and disqualifies
+    # the previously-counted click — stage legally drops from 2 to 1
+    assert greedy_funnel_resolve(
+        [(100, 0), (105, 1), (50, 0)], 3, 10
+    ) == [50]
+    # arrival order never matters: the resolve sorts first
+    assert greedy_funnel_resolve(
+        [(50, 0), (100, 0), (105, 1)], 3, 10
+    ) == greedy_funnel_resolve([(105, 1), (50, 0), (100, 0)], 3, 10)
+    # inclusive ordering: same-instant step counts
+    assert greedy_funnel_resolve([(5, 0), (5, 1), (5, 2)], 3, None) == [5, 5, 5]
+    # consecutive-prefix rule: missing middle step stops the chain
+    assert greedy_funnel_resolve([(1, 0), (9, 2)], 3, None) == [1]
