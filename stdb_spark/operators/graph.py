@@ -1,0 +1,126 @@
+"""Graph analytics over DataFrame edge lists: exact fixed-point
+PageRank.
+
+The reference has no graph operators at all; its nearest neighbor is
+the dedup suite's connected components (functions/dedup.py), which
+iterates hash-min label propagation.  PageRank is the other canonical
+iterative graph kernel a data-curation pipeline reaches for (source
+authority for quality weighting, influence ranking over interaction
+graphs), and it showcases the second iterative-algorithm shape: a
+per-round join + aggregate instead of CC's per-round min-fold.
+
+Exactness: floating-point PageRank is order-dependent (float sums), so
+cross-engine bit parity is impossible.  This implementation runs in
+INTEGER fixed point instead — ranks are BIGINT multiples of 1/SCALE,
+every contribution is one floor division `(pr * dampN) div (dampD *
+outdeg)`, and sums are exact BIGINT adds.  Truncation deliberately
+leaks a little mass per round (each floor drops < 1 unit); that loss
+IS the spec, identically reproducible in any engine with integer
+division — which is what makes a full SQL oracle possible (unrolled
+CTE iterations in DuckDB match bit-for-bit).
+
+Scale shape (per iteration): one co-partitioned join of the
+(src-partitioned, persisted) degree-annotated edge list against the
+rank table, one groupBy(dst) aggregate — i.e. one shuffle of the rank
+updates per round, the same per-round cost envelope as dedup's CC.
+Ranks are localCheckpointed every round so the plan stays flat; at
+cluster scale use a reliable checkpoint dir.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000_000  # ranks are BIGINT multiples of 1e-12
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    iterations: int = 5,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Exact integer fixed-point PageRank over a directed edge list.
+
+    Returns (node, pr) with ``pr`` in BIGINT SCALE units.  Every node
+    appearing as a source or destination participates; dangling nodes
+    (no out-edges) simply contribute nothing (their mass evaporates,
+    again deterministically).  ``damp_num/damp_den`` is the damping
+    factor as an exact rational (default 85/100).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = nodes.persist()
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # src-partitioned once; every iteration's join reuses this layout
+    ed = e.join(deg, "src").repartition("src").persist()
+    n = nodes.count()  # one scalar — bounded driver work by design
+    teleport = (SCALE * (damp_den - damp_num)) // (damp_den * n)
+    pr = nodes.withColumn("pr", F.lit(SCALE // n))
+    for _ in range(int(iterations)):
+        contribs = (
+            ed.join(pr, ed.src == pr.node)
+            .select(
+                "dst",
+                F.expr(f"(pr * {damp_num}L) div ({damp_den}L * outdeg)").alias(
+                    "c"
+                ),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (F.lit(teleport) + F.coalesce(F.col("s"), F.lit(0))).alias(
+                    "pr"
+                ),
+            )
+        )
+        if checkpoint:
+            pr = pr.localCheckpoint(eager=False)
+    return pr
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    iterations: int = 5,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> str:
+    """The DuckDB oracle for :func:`pagerank_exact`: unrolled CTE
+    iterations over ``edges_cte`` (a CTE body yielding (src, dst))
+    reproducing the same integer floor arithmetic bit-for-bit."""
+    parts = [
+        f"WITH e AS ({edges_cte})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"p0 AS (SELECT node, {SCALE} // (SELECT n FROM nn) AS pr FROM nodes)",
+    ]
+    tele = (
+        f"(SELECT ({SCALE} * {damp_den - damp_num}) // ({damp_den} * n) "
+        "FROM nn)"
+    )
+    for k in range(1, int(iterations) + 1):
+        parts.append(
+            f"p{k} AS (SELECT n.node, {tele} + coalesce(c.s, 0) AS pr "
+            "FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS node, sum((p.pr * {damp_num}) // "
+            f"({damp_den} * d.outdeg)) AS s "
+            f"FROM e JOIN deg d ON e.src = d.src "
+            f"JOIN p{k - 1} p ON p.node = e.src GROUP BY e.dst"
+            ") c ON n.node = c.node)"
+        )
+    return ",\n".join(parts) + f"\nSELECT node, CAST(pr AS BIGINT) AS pr FROM p{int(iterations)}"

@@ -1854,3 +1854,55 @@ GROUP BY ROLLUP(r_name, n_name)
 ORDER BY g_region, g_nation, r_name, n_name
 """,
 )
+
+
+# ----------------------------------------- supplier/customer PageRank
+# Exact integer fixed-point PageRank over the customer<->supplier
+# interaction graph (who-bought-from-whom, both directions so rank
+# flows back and forth across the bipartite structure) — source
+# authority for quality weighting.  Floating-point PageRank can't be
+# oracle-checked bit-for-bit (order-dependent float sums); the integer
+# formulation's floor divisions reproduce identically in any engine,
+# so the 5-iteration unrolled-CTE DuckDB oracle matches exactly.  See
+# operators/graph.py for the per-iteration scale shape.
+_PR_EDGES_SPARK = None  # built inline below
+
+
+def _rel_pagerank(spark, sf):
+    from stdb_spark.operators import graph
+
+    t = model.load_tables(spark, sf, ("orders", "lineitem"))
+    pairs = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = graph.pagerank_exact(edges, iterations=5)
+    return pr.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(20)
+
+
+_PR_PAIRS = """SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
+
+
+def _pagerank_oracle() -> str:
+    from stdb_spark.operators.graph import pagerank_oracle_sql
+
+    edges = (
+        f"SELECT src, dst FROM ({_PR_PAIRS}) b "
+        f"UNION ALL SELECT dst, src FROM ({_PR_PAIRS}) b2"
+    )
+    return (
+        pagerank_oracle_sql(edges, iterations=5)
+        + "\nORDER BY pr DESC, node ASC LIMIT 20"
+    )
+
+
+_q("rel_supplier_pagerank", _rel_pagerank, _pagerank_oracle())

@@ -605,3 +605,36 @@ def test_sliding_group_aggregate_overlap(spark):
     assert got[10] == (2, 8.0, 3.0, 5.0)
     assert got[20] == (1, 5.0, 5.0, 5.0)
     assert set(got) == {0, 10, 20}
+
+
+def test_pagerank_exact_matches_integer_model(spark):
+    from stdb_spark.operators import graph
+
+    edges = [
+        ("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
+        ("b", "c"), ("d", "a"),
+    ]
+    got = {
+        r.node: r.pr
+        for r in graph.pagerank_exact(
+            spark.createDataFrame(edges, "src string, dst string"),
+            iterations=4,
+        ).collect()
+    }
+    # pure-Python replica of the integer fixed-point spec
+    S = graph.SCALE
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    tele = (S * 15) // (100 * n)
+    pr = {v: S // n for v in nodes}
+    for _ in range(4):
+        nxt = {v: tele for v in nodes}
+        for s, d in edges:
+            nxt[d] += (pr[s] * 85) // (100 * outdeg[s])
+        pr = nxt
+    assert got == pr
+    # 'd' is dangling-fed only by teleport after its mass drains
+    assert pr["a"] == max(pr.values())
