@@ -217,6 +217,7 @@ HEADLINE = [
     "ts_event_transitions",
     "ts_time_rollup",
     "rel_revenue_rollup",
+    "rel_supplier_pagerank",
 ]
 
 
