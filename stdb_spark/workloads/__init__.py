@@ -106,15 +106,20 @@ _PRIORITY = [
     "ts_interval_join",         # §2.3 interval join
     "ts_pivot_by_tag",          # §2.4 pivot-by-tag
     "sp_knn",                   # §2.9 KNN
-    "ts_select_backward_limit",
-    "ts_select_where",
-    "ts_select_events_regex",
-    "ts_meta_names",
+    # r4 continuation: the six families added this session (behavioral
+    # funnel/retention/transitions, grouping-sets rollup, graph
+    # PageRank, stateful streaming funnel) take the window slots of r3
+    # driver-green select/meta variants, which stay proven by the r3
+    # record + the full local gate.
+    "ts_event_funnel",          # windowFunnel analog (cumulative windows)
+    "ts_retention_matrix",      # weekly cohort retention
+    "ts_event_transitions",     # Markov transition matrix
+    "rel_revenue_rollup",       # ROLLUP/GROUPING subtotal pyramid
+    "rel_supplier_pagerank",    # exact integer PageRank (graph family)
+    "stream_funnel",            # stateful streaming funnel
     "ts_aggregate_summary_pushdown",
     "ts_group_aggregate_having",
     "ts_group_by_tag_agg",
-    "ts_join_filter_any",
-    "ts_gaj_eval",
     "ts_rate",
     "doc_pack_sequences",       # training-batch prep family
     "ingest_jsonl_roundtrip",   # corpus source family
