@@ -1,0 +1,162 @@
+"""Versioned table storage with time travel — a minimal commit log
+over parquet snapshots.
+
+The reference's durability story is WAL + volumes + recovery
+(stdb/storage/volume.cc, input log replay); the lakehouse analog this
+package ships instead is immutable parquet + a tiny manifest head, the
+same commit-protocol shape as Delta's ``_delta_log``:
+
+    <root>/v=<k>/part-*.parquet    immutable data files of version k
+    <root>/_manifest.json          {"current": k, "versions": [...]}
+
+A writer stages the new version directory COMPLETELY, then atomically
+replaces the manifest (``os.replace``) as the last step — a concurrent
+reader resolves the manifest once and reads either the old snapshot or
+the new one, never a torn mix.  Readers pin a version at resolve time,
+so long queries are snapshot-isolated even across a concurrent commit
+and a vacuum that respects ``keep_last``.
+
+Versions here are full snapshots: the package's delta/merge path is
+``storage.upsert_latest`` (merge-on-read) — compose the two by
+committing the collapsed result of an upsert as the next version.
+At 100 TB a snapshot commit is still one parallel parquet write of the
+changed table, and time travel costs nothing at read time (the as-of
+resolve touches one JSON head, then scans exactly one version's
+files — no log replay).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class VersionNotFound(LookupError):
+    pass
+
+
+def _manifest_path(root: str) -> str:
+    return os.path.join(root, "_manifest.json")
+
+
+def _read_manifest(root: str) -> dict:
+    p = _manifest_path(root)
+    if not os.path.exists(p):
+        return {"current": 0, "versions": []}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _commit_manifest(root: str, manifest: dict) -> None:
+    """Atomic head swap: stage to a temp file in the same directory,
+    then ``os.replace`` (POSIX-atomic) onto the manifest path."""
+    tmp = _manifest_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(root))
+
+
+def write_version(df: DataFrame, root: str, note: str = "") -> int:
+    """Commit ``df`` as the next version of the table at ``root``.
+    Returns the committed version number (1-based).  The data write
+    completes before the manifest moves, so a crash mid-write leaves an
+    orphan ``v=<k>`` directory (re-written by the retried commit) and
+    an intact previous head — never a corrupt table."""
+    os.makedirs(root, exist_ok=True)
+    m = _read_manifest(root)
+    v = int(m["current"]) + 1
+    vdir = os.path.join(root, f"v={v}")
+    df.write.mode("overwrite").parquet(vdir)
+    n_rows = df.sparkSession.read.parquet(vdir).count()
+    m["versions"].append(
+        {"v": v, "n_rows": int(n_rows), "note": note, "ts": time.time()}
+    )
+    m["current"] = v
+    _commit_manifest(root, m)
+    return v
+
+
+def versions(root: str) -> list[dict]:
+    return list(_read_manifest(root)["versions"])
+
+
+def read_version(
+    spark: SparkSession, root: str, as_of: int | None = None
+) -> DataFrame:
+    """Snapshot read: latest version, or time travel to ``as_of``."""
+    m = _read_manifest(root)
+    v = int(m["current"]) if as_of is None else int(as_of)
+    live = {e["v"] for e in m["versions"]}
+    if v not in live:
+        raise VersionNotFound(
+            f"version {v} not in table at {root} (have {sorted(live)})"
+        )
+    return spark.read.parquet(os.path.join(root, f"v={v}"))
+
+
+def vacuum(root: str, keep_last: int = 2) -> list[int]:
+    """Drop all but the newest ``keep_last`` versions: manifest first
+    (so no reader can resolve a version about to disappear), then the
+    data directories.  Returns the dropped version numbers."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    m = _read_manifest(root)
+    keep = sorted((e["v"] for e in m["versions"]))[-keep_last:]
+    dropped = [e["v"] for e in m["versions"] if e["v"] not in keep]
+    m["versions"] = [e for e in m["versions"] if e["v"] in keep]
+    _commit_manifest(root, m)
+    for v in dropped:
+        shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)
+    return dropped
+
+
+def diff_versions(
+    spark: SparkSession,
+    root: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Row-level change feed between two snapshots: full outer join on
+    the key, each row classified added / removed / changed / unchanged
+    (changed = any non-key column differs, null-safe).  One key
+    exchange; at scale both sides prune to the compared versions'
+    files only."""
+    from pyspark.sql import functions as F
+
+    a = read_version(spark, root, v_from)
+    b = read_version(spark, root, v_to)
+    val_cols = [c for c in a.columns if c not in key_cols]
+    a2 = a.select(
+        *[F.col(c).alias(f"_a_{c}") for c in a.columns]
+    )
+    b2 = b.select(
+        *[F.col(c).alias(f"_b_{c}") for c in b.columns]
+    )
+    cond = [
+        a2[f"_a_{k}"].eqNullSafe(b2[f"_b_{k}"]) for k in key_cols
+    ]
+    j = a2.join(b2, cond, "full_outer")
+    in_a = F.col(f"_a_{key_cols[0]}").isNotNull()
+    in_b = F.col(f"_b_{key_cols[0]}").isNotNull()
+    same_vals = None
+    for c in val_cols:
+        eq = F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
+        same_vals = eq if same_vals is None else (same_vals & eq)
+    if same_vals is None:
+        same_vals = F.lit(True)
+    change = (
+        F.when(in_a & ~in_b, "removed")
+        .when(~in_a & in_b, "added")
+        .when(same_vals, "unchanged")
+        .otherwise("changed")
+    )
+    key_out = [
+        F.coalesce(F.col(f"_a_{k}"), F.col(f"_b_{k}")).alias(k)
+        for k in key_cols
+    ]
+    return j.select(*key_out, change.alias("change"))

@@ -6108,3 +6108,77 @@ def _stream_funnel(spark, sf):
 
 
 _q("stream_funnel", _stream_funnel, ORACLES["ts_event_funnel"])
+
+
+# ------------------------------------------------- versioned time travel
+# Durable snapshot versioning with time travel (sources/versioned.py:
+# immutable v=<k> parquet dirs + an atomically-replaced manifest head,
+# the Delta-_delta_log commit shape replacing the reference's
+# WAL/volume recovery, stdb/storage/volume.cc).  v1 = the corpus, v2 =
+# a deterministic curation pass (drops, field rewrites, additions);
+# the query time-travels BOTH versions back off disk and classifies the
+# row-level change feed.  The oracle rebuilds the same two snapshots
+# straight from the shipped table — a hash match proves the
+# write/commit/as-of-read roundtrip is lossless.
+def _ingest_versioned(spark, sf):
+    import os
+
+    from stdb_spark.sources import versioned
+
+    docs = model.load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    root = model.derived_cache_path(sf, "versioned_docs", "documents")
+    if not os.path.isdir(os.path.join(root, "v=2")):
+        versioned.write_version(docs, root, note="initial snapshot")
+        v2 = docs.filter(F.col("doc_id") % 13 != 0).withColumn(
+            "lang",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.upper("lang")
+            ).otherwise(F.col("lang")),
+        )
+        added = docs.filter(F.col("doc_id") % 17 == 0).select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        versioned.write_version(
+            v2.unionByName(added), root, note="curation pass"
+        )
+    d = versioned.diff_versions(spark, root, 1, 2, ["doc_id"])
+    return (
+        d.groupBy("change")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("change")
+    )
+
+
+_q(
+    "ingest_versioned_timetravel",
+    _ingest_versioned,
+    """
+WITH v1 AS (SELECT doc_id, lang, source, n_chars FROM documents),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN upper(lang) ELSE lang END AS lang,
+         source, n_chars
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000, lang, source, n_chars
+  FROM documents WHERE doc_id % 17 = 0
+),
+j AS (
+  SELECT CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NULL THEN 'removed'
+              WHEN a.doc_id IS NULL AND b.doc_id IS NOT NULL THEN 'added'
+              WHEN a.lang IS NOT DISTINCT FROM b.lang
+                   AND a.source IS NOT DISTINCT FROM b.source
+                   AND a.n_chars IS NOT DISTINCT FROM b.n_chars
+                THEN 'unchanged'
+              ELSE 'changed' END AS change
+  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+)
+SELECT change, CAST(count(*) AS BIGINT) AS n
+FROM j GROUP BY change ORDER BY change
+""",
+)
