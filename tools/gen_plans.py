@@ -64,6 +64,11 @@ PICK = [
     ("doc_curriculum_phases", "curriculum quartiles: two-phase ntile over quality scores at corpus scale"),
     ("sp_knn_grid", "grid KNN phase 2: bbox predicates reach PushedFilters, TakeOrdered(k)"),
     ("ingest_resp_roundtrip", "RESP parse: JVM split/slice/arrays_zip/explode — row-protocol zip, no Python"),
+    ("ts_event_funnel", "windowed funnel: cumulative conditional-min windows stack on ONE user exchange, tiny stage histogram"),
+    ("ts_retention_matrix", "retention matrix: one scan, one user exchange — cohort via whole-partition min window, no self-join"),
+    ("ts_time_rollup", "time-hierarchy ROLLUP: single Expand into one partial->final cell aggregate"),
+    ("rel_revenue_rollup", "region/nation ROLLUP: facts pre-aggregated to 25 cells BEFORE Expand; dims broadcast"),
+    ("rel_supplier_pagerank", "exact PageRank: per-round co-partitioned edge join + rank exchange, checkpointed flat plan"),
 ]
 
 
