@@ -123,14 +123,23 @@ def diff_versions(
 ) -> DataFrame:
     """Row-level change feed between two snapshots: full outer join on
     the key, each row classified added / removed / changed / unchanged
-    (changed = any non-key column differs, null-safe).  One key
+    (changed = any SHARED non-key column differs, null-safe).  Keys
+    must be non-null.  Versions may have evolved schemas: columns
+    present in only one side are ignored by the value comparison (a
+    pure column addition with unchanged shared values reads as
+    unchanged — schema evolution is not a row rewrite).  One key
     exchange; at scale both sides prune to the compared versions'
     files only."""
     from pyspark.sql import functions as F
 
     a = read_version(spark, root, v_from)
     b = read_version(spark, root, v_to)
-    val_cols = [c for c in a.columns if c not in key_cols]
+    missing = [k for k in key_cols if k not in a.columns or k not in b.columns]
+    if missing:
+        raise ValueError(f"key columns absent in a compared version: {missing}")
+    val_cols = [
+        c for c in a.columns if c not in key_cols and c in b.columns
+    ]
     a2 = a.select(
         *[F.col(c).alias(f"_a_{c}") for c in a.columns]
     )

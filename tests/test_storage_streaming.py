@@ -571,3 +571,28 @@ def test_versioned_vacuum_drops_old_and_protects_current(spark, tmp_path):
 
     with _pt.raises(versioned.VersionNotFound):
         versioned.read_version(spark, root, as_of=1)
+
+
+def test_versioned_schema_evolution_diff_on_shared_columns(spark, tmp_path):
+    from stdb_spark.sources import versioned
+
+    root = str(tmp_path / "vt3")
+    versioned.write_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), root
+    )
+    # v2 adds a column and changes one shared value
+    versioned.write_version(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "B", 20)], "k long, v string, extra long"
+        ),
+        root,
+    )
+    # per-version schema is preserved on time travel
+    assert versioned.read_version(spark, root, as_of=1).columns == ["k", "v"]
+    assert versioned.read_version(spark, root).columns == ["k", "v", "extra"]
+    # pure column addition is NOT a row rewrite; shared-value change is
+    ch = {
+        r.k: r.change
+        for r in versioned.diff_versions(spark, root, 1, 2, ["k"]).collect()
+    }
+    assert ch == {1: "unchanged", 2: "changed"}
