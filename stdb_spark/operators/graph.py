@@ -67,6 +67,7 @@ def pagerank_exact(
     n = nodes.count()  # one scalar — bounded driver work by design
     teleport = (SCALE * (damp_den - damp_num)) // (damp_den * n)
     pr = nodes.withColumn("pr", F.lit(SCALE // n))
+    prev = None
     for _ in range(int(iterations)):
         contribs = (
             ed.join(pr, ed.src == pr.node)
@@ -89,7 +90,19 @@ def pagerank_exact(
             )
         )
         if checkpoint:
-            pr = pr.localCheckpoint(eager=False)
+            # eager: materialize THIS round, then release the previous
+            # round's blocks — otherwise every invocation pins
+            # iterations x |nodes| of storage for the session's life
+            # (same discipline as dedup's CC, functions/dedup.py:492)
+            pr = pr.localCheckpoint(eager=True)
+            if prev is not None:
+                prev.unpersist()
+            prev = pr
+    if checkpoint:
+        # final ranks are materialized in the checkpoint, so the edge
+        # and node caches can be dropped before returning
+        ed.unpersist()
+        nodes.unpersist()
     return pr
 
 

@@ -10,11 +10,14 @@ same commit-protocol shape as Delta's ``_delta_log``:
     <root>/_manifest.json          {"current": k, "versions": [...]}
 
 A writer stages the new version directory COMPLETELY, then atomically
-replaces the manifest (``os.replace``) as the last step — a concurrent
-reader resolves the manifest once and reads either the old snapshot or
-the new one, never a torn mix.  Readers pin a version at resolve time,
-so long queries are snapshot-isolated even across a concurrent commit
-and a vacuum that respects ``keep_last``.
+replaces the manifest (``os.replace``, fsync'd) as the last step — a
+concurrent reader resolves the manifest once and reads either the old
+snapshot or the new one, never a torn mix.  Readers pin a version at
+resolve time, so long queries are snapshot-isolated across concurrent
+COMMITS; vacuum, however, deletes dropped versions' data immediately
+after trimming the manifest, so a reader pinned to a version outside
+``keep_last`` can fail mid-scan — run vacuum with a retention horizon
+longer than your slowest reader, exactly as lakehouse vacuums do.
 
 Versions here are full snapshots: the package's delta/merge path is
 ``storage.upsert_latest`` (merge-on-read) — compose the two by
@@ -39,25 +42,69 @@ class VersionNotFound(LookupError):
     pass
 
 
+class CorruptManifest(RuntimeError):
+    pass
+
+
+class ConcurrentWrite(RuntimeError):
+    pass
+
+
 def _manifest_path(root: str) -> str:
     return os.path.join(root, "_manifest.json")
 
 
-def _read_manifest(root: str) -> dict:
+def _read_head(root: str) -> dict:
+    """Parse the manifest head; missing file -> empty head (the caller
+    decides whether that is acceptable), unparseable -> raise."""
     p = _manifest_path(root)
     if not os.path.exists(p):
         return {"current": 0, "versions": []}
     with open(p) as f:
-        return json.load(f)
+        raw = f.read()
+    try:
+        return json.loads(raw)
+    except ValueError as exc:
+        raise CorruptManifest(
+            f"unparseable manifest at {p!r}: {exc}"
+        ) from exc
+
+
+def _read_manifest(root: str) -> dict:
+    """A missing manifest is an empty table ONLY when no version data
+    exists yet; a manifest that is missing or unparseable next to
+    existing ``v=*`` directories raises instead of silently resetting
+    history (a reset head would let the next commit overwrite v=1 —
+    the dirs may also be a crashed first commit's orphans, which the
+    caller resolves by clearing the table root)."""
+    p = _manifest_path(root)
+    if not os.path.exists(p):
+        if os.path.isdir(root) and any(
+            e.startswith("v=") for e in os.listdir(root)
+        ):
+            raise CorruptManifest(
+                f"{root} has version data but no readable manifest head"
+            )
+        return {"current": 0, "versions": []}
+    return _read_head(root)
 
 
 def _commit_manifest(root: str, manifest: dict) -> None:
-    """Atomic head swap: stage to a temp file in the same directory,
-    then ``os.replace`` (POSIX-atomic) onto the manifest path."""
+    """Atomic durable head swap: stage to a temp file in the same
+    directory, fsync its data, ``os.replace`` (POSIX-atomic) onto the
+    manifest path, then fsync the directory so the rename itself is
+    durable before the commit is reported."""
     tmp = _manifest_path(root) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, _manifest_path(root))
+    dfd = os.open(root, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def write_version(df: DataFrame, root: str, note: str = "") -> int:
@@ -65,18 +112,41 @@ def write_version(df: DataFrame, root: str, note: str = "") -> int:
     Returns the committed version number (1-based).  The data write
     completes before the manifest moves, so a crash mid-write leaves an
     orphan ``v=<k>`` directory (re-written by the retried commit) and
-    an intact previous head — never a corrupt table."""
+    an intact previous head.
+
+    Single-writer protocol: the staged version directory is claimed
+    with an exclusive ``mkdir`` and the head is re-read immediately
+    before the swap — a racing committer that claimed the same number
+    or already advanced the head raises :class:`ConcurrentWrite`
+    instead of silently clobbering data (Delta detects the same
+    conflict via create-if-absent of the next log entry; serialize
+    writers externally to avoid the abort)."""
     os.makedirs(root, exist_ok=True)
     m = _read_manifest(root)
     v = int(m["current"]) + 1
     vdir = os.path.join(root, f"v={v}")
+    try:
+        os.mkdir(vdir)  # exclusive claim of this version number
+    except FileExistsError:
+        raise ConcurrentWrite(
+            f"v={v} directory already exists at {root}: either another "
+            "writer is staging it, or a crashed commit left an orphan — "
+            "remove the directory (or clear the table root) to retry"
+        ) from None
     df.write.mode("overwrite").parquet(vdir)
     n_rows = df.sparkSession.read.parquet(vdir).count()
-    m["versions"].append(
+    # relaxed head re-read: OUR staged v-dir would trip the strict
+    # missing-manifest heuristic on a first commit
+    head = _read_head(root)
+    if int(head["current"]) != v - 1:
+        raise ConcurrentWrite(
+            f"head moved to {head['current']} while staging v={v} at {root}"
+        )
+    head["versions"].append(
         {"v": v, "n_rows": int(n_rows), "note": note, "ts": time.time()}
     )
-    m["current"] = v
-    _commit_manifest(root, m)
+    head["current"] = v
+    _commit_manifest(root, head)
     return v
 
 
@@ -100,8 +170,11 @@ def read_version(
 
 def vacuum(root: str, keep_last: int = 2) -> list[int]:
     """Drop all but the newest ``keep_last`` versions: manifest first
-    (so no reader can resolve a version about to disappear), then the
-    data directories.  Returns the dropped version numbers."""
+    (so no NEW reader can resolve a version about to disappear), then
+    the data directories.  Deletion is immediate — an already-pinned
+    reader of a dropped version fails mid-scan, so schedule vacuum
+    beyond the slowest reader's horizon.  Returns the dropped version
+    numbers."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     m = _read_manifest(root)

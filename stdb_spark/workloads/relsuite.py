@@ -1865,9 +1865,6 @@ ORDER BY g_region, g_nation, r_name, n_name
 # formulation's floor divisions reproduce identically in any engine,
 # so the 5-iteration unrolled-CTE DuckDB oracle matches exactly.  See
 # operators/graph.py for the per-iteration scale shape.
-_PR_EDGES_SPARK = None  # built inline below
-
-
 def _rel_pagerank(spark, sf):
     from stdb_spark.operators import graph
 

@@ -6121,7 +6121,7 @@ _q("stream_funnel", _stream_funnel, ORACLES["ts_event_funnel"])
 # straight from the shipped table — a hash match proves the
 # write/commit/as-of-read roundtrip is lossless.
 def _ingest_versioned(spark, sf):
-    import os
+    import shutil
 
     from stdb_spark.sources import versioned
 
@@ -6129,7 +6129,16 @@ def _ingest_versioned(spark, sf):
         "doc_id", "lang", "source", "n_chars"
     )
     root = model.derived_cache_path(sf, "versioned_docs", "documents")
-    if not os.path.isdir(os.path.join(root, "v=2")):
+    # Idempotence gate on the module's own source of truth (the
+    # manifest), not on directory existence: a run interrupted between
+    # the two commits — or a torn/unreadable head — rebuilds from
+    # scratch instead of committing the initial snapshot twice.
+    try:
+        ready = len(versioned.versions(root)) >= 2
+    except versioned.CorruptManifest:
+        ready = False
+    if not ready:
+        shutil.rmtree(root, ignore_errors=True)
         versioned.write_version(docs, root, note="initial snapshot")
         v2 = docs.filter(F.col("doc_id") % 13 != 0).withColumn(
             "lang",

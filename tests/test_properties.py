@@ -745,30 +745,22 @@ def test_funnel_cumulative_matches_inclusive_greedy_model(spark, evs, within):
             df, steps, user_col="u", ts_col="tu", within=within
         ).collect()
     }
-    # greedy model, INCLUSIVE ordering (>=), whole chain within
-    # `within` of the earliest step-1 time
+    # the model IS the streaming state fold's resolver — asserting the
+    # batch windows against it transitively proves batch == streaming
+    # resolution (greedy inclusive >=, whole chain within `within` of
+    # the earliest step-1 time)
+    from stdb_spark.streaming.ingest import greedy_funnel_resolve
+
+    step_idx = {s: i for i, s in enumerate(steps)}
     by_user = {}
     for u, m, t in evs:
-        by_user.setdefault(f"u{u}", []).append((m, t))
+        by_user.setdefault(f"u{u}", []).append((t, step_idx.get(m, -1)))
     want = {}
     for u, events in by_user.items():
-        prev = None
-        first = None
-        ts = []
-        for step in steps:
-            cands = [
-                t
-                for m, t in events
-                if m == step
-                and (prev is None or t >= prev)
-                and (within is None or first is None or t <= first + within)
-            ]
-            if not cands:
-                break
-            prev = min(cands)
-            if first is None:
-                first = prev
-            ts.append(prev)
-        ts += [None] * (3 - len(ts))
-        want[u] = (len([t for t in ts if t is not None]), *ts)
+        ts = greedy_funnel_resolve(
+            [(t, si) for t, si in events if si >= 0], 3, within
+        )
+        stage = len(ts)
+        ts = list(ts) + [None] * (3 - stage)
+        want[u] = (stage, *ts)
     assert got == want

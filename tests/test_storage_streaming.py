@@ -596,3 +596,32 @@ def test_versioned_schema_evolution_diff_on_shared_columns(spark, tmp_path):
         for r in versioned.diff_versions(spark, root, 1, 2, ["k"]).collect()
     }
     assert ch == {1: "unchanged", 2: "changed"}
+
+
+def test_versioned_conflict_and_corruption_detection(spark, tmp_path):
+    import os
+    import shutil
+
+    from stdb_spark.sources import versioned
+
+    root = str(tmp_path / "vt4")
+    d = spark.createDataFrame([(1,)], "k long")
+    versioned.write_version(d, root)
+    # a competing (or crashed) writer's staged dir aborts, not clobbers
+    os.mkdir(os.path.join(root, "v=2"))
+    import pytest as _pt
+
+    with _pt.raises(versioned.ConcurrentWrite):
+        versioned.write_version(d, root)
+    shutil.rmtree(os.path.join(root, "v=2"))
+    assert versioned.write_version(d, root) == 2  # recoverable retry
+    # torn head -> explicit corruption error, never a silent reset
+    with open(os.path.join(root, "_manifest.json"), "w") as f:
+        f.write("{")
+    with _pt.raises(versioned.CorruptManifest):
+        versioned.versions(root)
+    # lost head next to committed data -> same, so v=1 can't be
+    # silently overwritten by a fresh history
+    os.remove(os.path.join(root, "_manifest.json"))
+    with _pt.raises(versioned.CorruptManifest):
+        versioned.read_version(spark, root)
