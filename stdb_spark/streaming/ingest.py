@@ -498,6 +498,51 @@ def streaming_funnel(
     )
 
 
+def stream_commit_snapshots(
+    agg_df: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_versioned_commit",
+):
+    """Commit a streaming aggregate's COMPLETE-mode result as one
+    versioned-table snapshot per epoch (sources/versioned.py) — time
+    travel over stream progress: version k is exactly what the
+    dashboard showed after micro-batch k.
+
+    Exactly-once without a transactional sink: foreachBatch may replay
+    an epoch after a failure/restart, so the commit is made idempotent
+    by tagging each version's note with the epoch id and skipping
+    epochs already present in the manifest.  A replayed epoch therefore
+    commits zero new versions; a genuinely new epoch commits one.
+    Returns the started StreamingQuery (availableNow-agnostic — the
+    caller picks the trigger via ``agg_df``'s upstream options and
+    awaits termination)."""
+    from stdb_spark.sources import versioned
+
+    def sink(batch_df, batch_id):
+        note = f"epoch={batch_id}"
+        if any(
+            e.get("note") == note for e in versioned.versions(root)
+        ):
+            # Replayed epoch after restart: already committed — but the
+            # batch must still be CONSUMED: Spark's state-store commit
+            # validation requires every stateful partition processed,
+            # so an early return fails the query.  A noop sink runs the
+            # aggregate and discards the rows.
+            batch_df.write.format("noop").mode("overwrite").save()
+            return
+        versioned.write_version(batch_df, root, note=note)
+
+    return (
+        agg_df.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def write_to_parquet_with_summary(
     samples: DataFrame,
     path: str,

@@ -625,3 +625,67 @@ def test_versioned_conflict_and_corruption_detection(spark, tmp_path):
     os.remove(os.path.join(root, "_manifest.json"))
     with _pt.raises(versioned.CorruptManifest):
         versioned.read_version(spark, root)
+
+
+def test_stream_commit_snapshots_exactly_once(spark, tmp_path):
+    import os
+
+    from stdb_spark.sources import versioned
+    from stdb_spark.streaming.ingest import stream_commit_snapshots
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long").coalesce(
+        1
+    ).write.parquet(src + "/f1")
+    spark.createDataFrame([("a", 3)], "k string, v long").coalesce(
+        1
+    ).write.parquet(src + "/f2")
+    # flatten into one dir of two files -> two 1-file micro-batches
+    import glob
+    import shutil
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, f in enumerate(sorted(glob.glob(src + "/f*/part-*.parquet"))):
+        shutil.copy(f, os.path.join(flat, f"{i}.parquet"))
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k string, v long"
+
+    def run():
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(flat)
+        )
+        agg = sdf.groupBy("k").agg(F.sum("v").alias("total"))
+        q = stream_commit_snapshots(agg, root, ckpt)
+        q.awaitTermination()
+
+    run()
+    vs = versioned.versions(root)
+    assert len(vs) == 2 and [e["note"] for e in vs] == ["epoch=0", "epoch=1"]
+    final = {
+        r.k: r.total for r in versioned.read_version(spark, root).collect()
+    }
+    assert final == {"a": 4, "b": 2}
+    # time travel to mid-stream state: only what epoch 0 had seen
+    mid = {
+        r.k: r.total
+        for r in versioned.read_version(spark, root, as_of=1).collect()
+    }
+    assert len(mid) >= 1 and all(mid[k] <= final[k] for k in mid)
+    # restart with the SAME checkpoint: no new data -> no new versions
+    run()
+    assert len(versioned.versions(root)) == 2
+    # restart with a FRESH checkpoint replays both epochs; the epoch
+    # notes make the commits idempotent -> still no duplicates
+    import shutil as _sh
+
+    _sh.rmtree(ckpt)
+    run()
+    assert len(versioned.versions(root)) == 2
