@@ -399,8 +399,16 @@ def autocorrelation(
         F.expr(f"CAST(sum(CAST(CAST(_x AS {d}) * CAST(_x AS {d}) AS {d2})) AS DOUBLE)").alias("sxx"),
         F.expr(f"CAST(sum(CAST(CAST(_y AS {d}) * CAST(_y AS {d}) AS {d2})) AS DOUBLE)").alias("syy"),
     )
+    # the variance terms are mathematically >= 0 but computed by
+    # cancellation (n*sxx - sx^2) in double — at large n they can round
+    # below zero (and a constant series makes them exactly 0).  Guard
+    # BOTH engines identically: the sums are bit-equal, so the same
+    # IEEE comparisons select the same rows (Spark would return NaN on
+    # sqrt(<0), DuckDB raises — the guard replaces both with NULL).
     acf = F.expr(
-        "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+        "CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 "
+        "THEN (n * sxy - sx * sy) "
+        "/ (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END"
     )
     return sums.select(*series_cols, "lag", "n", acf.alias("acf"))
 

@@ -65,6 +65,29 @@ def write_samples(
         "day", "metric", "series_id", "ts"
     )
     df.write.partitionBy("day", "metric").mode(mode).parquet(path)
+    stamp_replay_order(path)
+
+
+def stamp_replay_order(path: str) -> None:
+    """Restamp data-file mtimes monotonically in (day, metric) path
+    order.  File-stream replay (`readStream.parquet` over the layout)
+    orders files by modification time, and a PARALLEL write commits
+    files in task-completion order — at larger SFs that interleaves
+    days, which silently breaks every streaming consumer whose state
+    fold or watermark assumes in-event-time-order arrival (the sf0.1
+    full-registry gate caught 4 stream queries diverging from their
+    sf0.01-green results exactly this way).  O(#files) utime calls
+    restore a deterministic, day-ordered replay at any scale."""
+    import glob
+    import os
+    import time
+
+    files = sorted(
+        glob.glob(os.path.join(path, "day=*", "metric=*", "*.parquet"))
+    )
+    base = int(time.time()) - len(files) - 10
+    for i, f in enumerate(files):
+        os.utime(f, (base + i, base + i))
 
 
 def read_samples(spark: SparkSession, path: str) -> DataFrame:
@@ -230,6 +253,7 @@ def compact_partitions(
         .mode("overwrite")
         .parquet(out_path)
     )
+    stamp_replay_order(out_path)
 
 
 def upsert_latest(

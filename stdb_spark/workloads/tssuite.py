@@ -3241,8 +3241,9 @@ _q(
     + """
 )
 SELECT series, CAST(lag AS BIGINT) AS lag, n,
-       (n * sxy - sx * sy)
-         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS acf
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN (n * sxy - sx * sy)
+              / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END AS acf
 FROM s
 """,
 )
