@@ -2272,10 +2272,15 @@ def _ts_corr(spark, sf):
             f"CAST(sum(CAST(CAST(view AS {d}) * CAST(view AS {d}) AS {d2})) AS DOUBLE)"
         ).alias("syy"),
     )
+    # same cancellation guard as behavior.autocorrelation: the variance
+    # terms round below zero at large n; identical IEEE comparisons on
+    # bit-equal sums keep the engines in lockstep (NULL, not NaN/raise)
     return sums.select(
         "n",
         F.expr(
-            "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+            "CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 "
+            "THEN (n * sxy - sx * sy) "
+            "/ (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END"
         ).alias("corr"),
     )
 
@@ -2300,8 +2305,10 @@ _q(
     CAST(CAST(sum(CAST(CAST(view AS DECIMAL(28,10)) * CAST(view AS DECIMAL(28,10)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS syy
   FROM p WHERE click IS NOT NULL AND view IS NOT NULL
 )
-SELECT n, (n * sxy - sx * sy)
-         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+SELECT n, CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+               THEN (n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END
+            AS corr
 FROM s
 """,
 )
@@ -4934,8 +4941,12 @@ def _ts_weekend_effect(spark, sf):
         ).alias("v2"),
     )
     j = wd.join(we, "metric")
-    t = (F.col("m2") - F.col("m1")) / F.sqrt(
-        F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    # cancellation guard (see behavior.autocorrelation): the sample
+    # variances can round below zero; identical comparisons on
+    # bit-equal doubles keep both engines at NULL instead of NaN/raise
+    pooled = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    t = F.when(
+        pooled > 0, (F.col("m2") - F.col("m1")) / F.sqrt(pooled)
     )
     return j.select(
         "metric",
@@ -4972,7 +4983,8 @@ we AS (SELECT metric, n AS n2, sx / n AS m2,
          (sxx - sx * sx / n) / (n - 1) AS v2 FROM m WHERE g = 'weekend')
 SELECT metric, CAST(n1 AS BIGINT) AS n_weekday, CAST(n2 AS BIGINT) AS n_weekend,
   m1, m2,
-  (m2 - m1) / sqrt(v1 / n1 + v2 / n2) AS welch_t
+  CASE WHEN v1 / n1 + v2 / n2 > 0
+       THEN (m2 - m1) / sqrt(v1 / n1 + v2 / n2) END AS welch_t
 FROM wd JOIN we USING (metric)
 """,
 )
