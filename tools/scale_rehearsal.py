@@ -44,6 +44,15 @@ DEFAULT = [
     "ts_ewma",
     "ts_holt_winters",
     "rel_q1_pricing_summary",
+    # r4 continuation additions (behavioral/rollup/graph/streaming)
+    "ts_event_funnel",
+    "ts_retention_matrix",
+    "ts_event_transitions",
+    "ts_time_rollup",
+    "rel_revenue_rollup",
+    "rel_supplier_pagerank",
+    "stream_funnel",
+    "ingest_versioned_timetravel",
 ]
 
 
