@@ -689,3 +689,25 @@ def test_stream_commit_snapshots_exactly_once(spark, tmp_path):
     _sh.rmtree(ckpt)
     run()
     assert len(versioned.versions(root)) == 2
+
+
+def test_write_samples_stamps_day_ordered_replay_mtimes(spark, tmp_path):
+    import glob
+    import os
+
+    from tests.conftest import make_samples
+
+    rows = []
+    for day in (2, 0, 1):  # written out of order on purpose
+        for m in ("cpu", "mem"):
+            rows.append((m, {"host": "a"}, day * 86400 * 10**9, 1.0))
+    path = str(tmp_path / "layout")
+    storage.write_samples(make_samples(spark, rows), path)
+    files = glob.glob(path + "/day=*/metric=*/*.parquet")
+    by_mtime = sorted(files, key=lambda f: (os.stat(f).st_mtime_ns, f))
+    days = [f.split("/")[-3] for f in by_mtime]
+    # file-stream replay order (mtime) must follow event-time order —
+    # a parallel write commits in task-completion order otherwise
+    assert days == sorted(days), days
+    mtimes = [os.stat(f).st_mtime_ns for f in by_mtime]
+    assert len(set(mtimes)) == len(mtimes)  # strict total order
