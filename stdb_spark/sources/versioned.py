@@ -168,17 +168,25 @@ def read_version(
     return spark.read.parquet(os.path.join(root, f"v={v}"))
 
 
-def vacuum(root: str, keep_last: int = 2) -> list[int]:
+def vacuum(
+    root: str, keep_last: int = 2, older_than_s: float | None = None
+) -> list[int]:
     """Drop all but the newest ``keep_last`` versions: manifest first
     (so no NEW reader can resolve a version about to disappear), then
-    the data directories.  Deletion is immediate — an already-pinned
-    reader of a dropped version fails mid-scan, so schedule vacuum
-    beyond the slowest reader's horizon.  Returns the dropped version
-    numbers."""
+    the data directories.  Deletion is immediate for the versions it
+    drops — an already-pinned reader of a dropped version fails
+    mid-scan — so pass ``older_than_s`` as the retention horizon
+    (lakehouse-vacuum style): versions committed within the last
+    ``older_than_s`` seconds are retained even beyond ``keep_last``,
+    which protects any reader that resolved its snapshot within the
+    horizon.  Returns the dropped version numbers."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     m = _read_manifest(root)
-    keep = sorted((e["v"] for e in m["versions"]))[-keep_last:]
+    keep = set(sorted((e["v"] for e in m["versions"]))[-keep_last:])
+    if older_than_s is not None:
+        horizon = time.time() - float(older_than_s)
+        keep |= {e["v"] for e in m["versions"] if e.get("ts", 0) > horizon}
     dropped = [e["v"] for e in m["versions"] if e["v"] not in keep]
     m["versions"] = [e for e in m["versions"] if e["v"] in keep]
     _commit_manifest(root, m)

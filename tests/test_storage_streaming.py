@@ -711,3 +711,17 @@ def test_write_samples_stamps_day_ordered_replay_mtimes(spark, tmp_path):
     assert days == sorted(days), days
     mtimes = [os.stat(f).st_mtime_ns for f in by_mtime]
     assert len(set(mtimes)) == len(mtimes)  # strict total order
+
+
+def test_versioned_vacuum_retention_horizon(spark, tmp_path):
+    from stdb_spark.sources import versioned
+
+    root = str(tmp_path / "vt5")
+    for i in range(4):
+        versioned.write_version(spark.createDataFrame([(i,)], "k long"), root)
+    # every version was committed "just now": a 1-hour horizon protects
+    # all of them regardless of keep_last
+    assert versioned.vacuum(root, keep_last=1, older_than_s=3600) == []
+    assert len(versioned.versions(root)) == 4
+    # horizon 0 = pure keep_last semantics
+    assert versioned.vacuum(root, keep_last=2, older_than_s=0) == [1, 2]
