@@ -52,18 +52,30 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    # BARE session: exactly what the driver hands us.
-    spark = (
+    # BARE session: exactly what the driver hands us.  For LOCAL scale
+    # replicas (sf1+) the default 1g driver heap of a bare local JVM is
+    # the binding constraint, not the plans — DRIVER_CHECK_MEM sizes it
+    # (must be set before the first session of the process).
+    builder = (
         SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
         .appName("driver-mirror")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    mem = os.environ.get("DRIVER_CHECK_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
 
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata ships single-file tables; locally generated
+        # scale replicas (tools/gen_scale.py) are Spark-written
+        # DIRECTORIES — glob their part files for DuckDB
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
 
     import __spark_entry__ as entry
