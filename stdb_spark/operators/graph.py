@@ -43,6 +43,7 @@ def pagerank_exact(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint: bool = True,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Exact integer fixed-point PageRank over a directed edge list.
 
@@ -68,7 +69,7 @@ def pagerank_exact(
     teleport = (SCALE * (damp_den - damp_num)) // (damp_den * n)
     pr = nodes.withColumn("pr", F.lit(SCALE // n))
     prev = None
-    for _ in range(int(iterations)):
+    for it in range(int(iterations)):
         contribs = (
             ed.join(pr, ed.src == pr.node)
             .select(
@@ -89,11 +90,17 @@ def pagerank_exact(
                 ),
             )
         )
-        if checkpoint:
-            # eager: materialize THIS round, then release the previous
-            # round's blocks — otherwise every invocation pins
+        if checkpoint and (
+            (it + 1) % int(checkpoint_every) == 0
+            or it + 1 == int(iterations)
+        ):
+            # eager: materialize up to here, then release the previous
+            # checkpoint's blocks — otherwise every invocation pins
             # iterations x |nodes| of storage for the session's life
-            # (same discipline as dedup's CC, functions/dedup.py:492)
+            # (same discipline as dedup's CC, functions/dedup.py:492).
+            # Checkpointing every `checkpoint_every` rounds instead of
+            # every round halves the sequential materialization jobs
+            # while keeping at most that many rounds of lineage live.
             pr = pr.localCheckpoint(eager=True)
             if prev is not None:
                 prev.unpersist()
