@@ -218,6 +218,7 @@ HEADLINE = [
     "ts_time_rollup",
     "rel_revenue_rollup",
     "rel_supplier_pagerank",
+    "ingest_versioned_timetravel",
 ]
 
 
