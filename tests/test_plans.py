@@ -511,3 +511,19 @@ def test_rollup_expand_single_aggregate_exchange(spark):
     plan = _plan(QUERIES["ts_time_rollup"](spark, SF))
     assert plan.count("FileScan") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_versioned_read_pushes_filters_to_scan(spark, tmp_path):
+    # time travel resolves to a plain parquet scan — predicate pushdown
+    # and column pruning must survive the indirection
+    from stdb_spark.sources import versioned
+
+    root = str(tmp_path / "vt")
+    versioned.write_version(
+        spark.range(100).selectExpr("id AS k", "id * 2 AS v", "'x' AS pad"),
+        root,
+    )
+    df = versioned.read_version(spark, root).filter("k > 50").select("k", "v")
+    plan = _plan_formatted(df)
+    assert "PushedFilters: [IsNotNull(k), GreaterThan(k,50)]" in plan, plan
+    assert "pad" not in plan.split("ReadSchema:")[1][:120], plan
