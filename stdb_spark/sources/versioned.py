@@ -195,6 +195,24 @@ def vacuum(
     return dropped
 
 
+def optimize(
+    spark: SparkSession, root: str, target_files: int = 1
+) -> int:
+    """Small-file compaction as a COMMIT (the Delta OPTIMIZE shape):
+    read the current snapshot, rewrite it into ``target_files`` files,
+    and commit the rewrite as the next version.  Readers keep snapshot
+    isolation (the old version's files are untouched until vacuum);
+    content is byte-identical rows, only the file layout changes.
+    Streaming ingest via :func:`stream_commit_snapshots` leaves one
+    small snapshot per epoch — a nightly optimize + vacuum keeps the
+    table's read amplification bounded."""
+    cur = read_version(spark, root)
+    v = write_version(
+        cur.coalesce(int(target_files)), root, note="optimize"
+    )
+    return v
+
+
 def diff_versions(
     spark: SparkSession,
     root: str,

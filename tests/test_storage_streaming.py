@@ -725,3 +725,21 @@ def test_versioned_vacuum_retention_horizon(spark, tmp_path):
     assert len(versioned.versions(root)) == 4
     # horizon 0 = pure keep_last semantics
     assert versioned.vacuum(root, keep_last=2, older_than_s=0) == [1, 2]
+
+
+def test_versioned_optimize_compacts_preserving_content(spark, tmp_path):
+    import glob
+
+    from stdb_spark.sources import versioned
+
+    root = str(tmp_path / "vt6")
+    versioned.write_version(
+        spark.range(1000).selectExpr("id AS k").repartition(8), root
+    )
+    assert len(glob.glob(root + "/v=1/*.parquet")) == 8
+    v = versioned.optimize(spark, root)
+    assert v == 2
+    assert len(glob.glob(root + "/v=2/*.parquet")) == 1
+    a = sorted(r.k for r in versioned.read_version(spark, root, as_of=1).collect())
+    b = sorted(r.k for r in versioned.read_version(spark, root).collect())
+    assert a == b  # same rows, different file layout
