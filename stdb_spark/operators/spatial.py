@@ -139,3 +139,39 @@ def grid_density(
         points.groupBy(cell_x.alias("cell_x"), cell_y.alias("cell_y"))
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+def point_in_polygon_sql(
+    polygon: list, lon_col: str = "lon", lat_col: str = "lat"
+) -> str:
+    """Ray-casting containment test as ONE portable SQL boolean — the
+    identical fragment executes in Spark SQL and DuckDB, so the oracle
+    shares it verbatim (the repo's cross-engine determinism idiom).
+    Odd number of polygon-edge crossings of the point's rightward ray
+    => inside.  All literals are CAST to DOUBLE (DuckDB parses bare
+    decimals as DECIMAL, whose exact arithmetic diverges from IEEE);
+    every operation is single-op IEEE double, hence bit-deterministic.
+    Horizontal edges are skipped by the strict (yi > y) != (yj > y)
+    guard before the slope division; boundary points follow the
+    standard strict-inequality convention identically in both engines.
+    The reference's spatial index answers only rectangles and KNN
+    (stdb/index/rtree.h) — polygon containment is an exposed extra.
+    Map-side expression: zero exchanges, pushdown-friendly.
+    """
+    if len(polygon) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+
+    def d(x):
+        return f"CAST({x!r} AS DOUBLE)"
+
+    terms = []
+    n = len(polygon)
+    for i in range(n):
+        xi, yi = polygon[i]
+        xj, yj = polygon[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({d(yi)} > {lat_col}) != ({d(yj)} > {lat_col}))"
+            f" AND ({lon_col} < ({d(xj)} - {d(xi)}) * ({lat_col} - {d(yi)})"
+            f" / ({d(yj)} - {d(yi)}) + {d(xi)}) THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2) = 1"

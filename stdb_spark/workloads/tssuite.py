@@ -6204,3 +6204,45 @@ SELECT change, CAST(count(*) AS BIGINT) AS n
 FROM j GROUP BY change ORDER BY change
 """,
 )
+
+
+# ------------------------------------------------- point in polygon
+# Polygon containment over the deterministic user grid — the spatial
+# extra the reference's R-tree can't answer (rectangles + KNN only,
+# stdb/index/rtree.h).  ONE ray-casting SQL fragment (IEEE-double
+# term-for-term) is shared verbatim by the Spark plan and the DuckDB
+# oracle; the test is a map-side expression, zero exchanges.
+_PIP_POLY = [
+    (116.05, 39.000),
+    (116.25, 39.011),
+    (116.35, 39.029),
+    (116.15, 39.041),
+    (116.02, 39.022),
+]
+
+
+def _sp_point_in_polygon(spark, sf):
+    from stdb_spark.operators.spatial import point_in_polygon_sql
+
+    return (
+        _user_points(spark, sf)
+        .filter(F.expr(point_in_polygon_sql(_PIP_POLY)))
+        .select("user_id", "lon", "lat")
+        .orderBy("user_id")
+    )
+
+
+def _pip_oracle() -> str:
+    from stdb_spark.operators.spatial import point_in_polygon_sql
+
+    return (
+        _SP_BASE
+        + f"""
+SELECT user_id, lon, lat FROM pts
+WHERE {point_in_polygon_sql(_PIP_POLY)}
+ORDER BY user_id
+"""
+    )
+
+
+_q("sp_point_in_polygon", _sp_point_in_polygon, _pip_oracle())

@@ -1137,3 +1137,38 @@ def test_assign_cells_matmul_matches_expr(spark):
 
     expr_cells = df.withColumn("cell", _assign_cells_expr("embedding", cents))
     assert expr_cells.filter(F.col("cell") != F.col("want")).count() == 0
+
+
+def test_point_in_polygon_ray_casting(spark):
+    from pyspark.sql import functions as F
+
+    from stdb_spark.operators.spatial import point_in_polygon_sql
+
+    square = [(0.0, 0.0), (2.0, 0.0001), (2.0, 2.0), (0.0001, 2.0)]
+    pts = spark.createDataFrame(
+        [
+            (1, 1.0, 1.0),     # inside
+            (2, 3.0, 1.0),     # right of polygon
+            (3, -1.0, 1.0),    # left
+            (4, 1.0, 2.5),     # above
+            (5, 1.0, -0.5),    # below
+            (6, 1.9999, 1.9999),  # inside, near corner
+        ],
+        "id long, lon double, lat double",
+    )
+    got = sorted(
+        r.id
+        for r in pts.filter(F.expr(point_in_polygon_sql(square))).collect()
+    )
+    assert got == [1, 6]
+    # concave polygon: the notch is outside despite bbox containment
+    concave = [(0.0, 0.0), (4.0, 0.0001), (4.0, 3.0), (2.0, 1.0), (0.0001, 3.0)]
+    pts2 = spark.createDataFrame(
+        [(1, 2.0, 2.0), (2, 1.0, 1.0), (3, 3.0, 1.0)],
+        "id long, lon double, lat double",
+    )
+    got2 = sorted(
+        r.id
+        for r in pts2.filter(F.expr(point_in_polygon_sql(concave))).collect()
+    )
+    assert got2 == [2, 3]  # the notch point (2,2) is excluded
