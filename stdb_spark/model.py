@@ -142,6 +142,13 @@ _SESSION_CONFS = {
     # run all 200).  Runtime-settable; a real cluster deployment would
     # size this to executors × cores.
     "spark.sql.shuffle.partitions": "32",
+    # Ingest parsers build tag maps with map_from_entries; a malformed
+    # wire line repeating a tag key ('put cpu 1 1 host=a host=a') must
+    # degrade per the parsers' drop-don't-crash contract, not kill the
+    # whole job with Spark's default EXCEPTION dedup policy.  LAST_WIN
+    # keeps the final occurrence — the tolerant choice for replayed /
+    # at-least-once wire traffic.
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
 }
 
 

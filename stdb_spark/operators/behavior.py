@@ -335,9 +335,14 @@ def peak_concurrency(
         )
         .withColumn("bkt", F.expr(f"t div {int(bucket)}"))
     )
+    # -1 lands at end+1 ("no longer active at this instant"), so at a
+    # shared instant the -1 must fold BEFORE the +1 of an interval
+    # starting there — delta ASC.  (+1-first transiently counted a
+    # just-expired interval together with a just-started one: [0,10]
+    # and [11,20] reported peak 2 instead of 1.)
     w_in = (
         Window.partitionBy("bkt")
-        .orderBy(F.col("t").asc(), F.col("delta").desc())
+        .orderBy(F.col("t").asc(), F.col("delta").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     per_bucket = d.groupBy("bkt").agg(F.sum("delta").alias("_tot"))

@@ -105,11 +105,12 @@ def pagerank_exact(
             if prev is not None:
                 prev.unpersist()
             prev = pr
-    if checkpoint:
-        # final ranks are materialized in the checkpoint, so the edge
-        # and node caches can be dropped before returning
-        ed.unpersist()
-        nodes.unpersist()
+    # release the edge/node caches unconditionally: with checkpointing
+    # the final ranks are already materialized; without it the caller's
+    # first action recomputes the (cheap) edge projection instead of
+    # pinning two DataFrames for the session's lifetime
+    ed.unpersist()
+    nodes.unpersist()
     return pr
 
 

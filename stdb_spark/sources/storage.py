@@ -65,7 +65,14 @@ def write_samples(
         "day", "metric", "series_id", "ts"
     )
     df.write.partitionBy("day", "metric").mode(mode).parquet(path)
-    stamp_replay_order(path)
+    # Bulk (overwrite) writes are task-parallel, so file commit order —
+    # and therefore file-stream replay order — is arbitrary: restamp
+    # the whole table once.  Append batches need no restamp: their new
+    # files already carry the newest mtimes, so arrival order IS replay
+    # order (and a per-batch full restamp would cost O(batches x
+    # total_files) utime calls on a streaming ingest path).
+    if mode != "append":
+        stamp_replay_order(path)
 
 
 def stamp_replay_order(path: str) -> None:
@@ -82,8 +89,16 @@ def stamp_replay_order(path: str) -> None:
     import os
     import time
 
+    def key(f: str) -> tuple:
+        # NUMERIC day order — lexicographic path order would interleave
+        # day ids of different digit counts (day=10 before day=9)
+        parts = f.split(os.sep)
+        day = int(parts[-3].split("=", 1)[1])
+        return (day, parts[-2], parts[-1])
+
     files = sorted(
-        glob.glob(os.path.join(path, "day=*", "metric=*", "*.parquet"))
+        glob.glob(os.path.join(path, "day=*", "metric=*", "*.parquet")),
+        key=key,
     )
     base = int(time.time()) - len(files) - 10
     for i, f in enumerate(files):

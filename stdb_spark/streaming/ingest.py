@@ -38,7 +38,7 @@ def with_late_data_policy(samples: DataFrame, max_lateness: str = "1 minute") ->
     """Watermark on event time: the declarative FAIL_LATE_WRITE analog —
     rows older than the watermark are dropped by stateful operators."""
     return samples.withColumn(
-        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
     ).withWatermark("event_time", max_lateness)
 
 
@@ -49,7 +49,7 @@ def write_to_parquet(
     (day, metric) gives time pruning + metric pruning on read — the
     storage layout the query engine's filters are designed against."""
     day = F.date_format(
-        F.timestamp_micros((F.col("ts") / 1000).cast("long")), "yyyy-MM-dd"
+        F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd"
     )
     writer = (
         samples.withColumn("day", day)
@@ -257,7 +257,7 @@ def streaming_interval_self_join(
             F.col("user").alias("l_user"),
             F.col("ts").alias("l_ts"),
             F.col("value").alias("l_value"),
-            F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("l_time"),
+            F.timestamp_micros(F.expr("ts div 1000")).alias("l_time"),
         )
         .withWatermark("l_time", max_lateness)
     )
@@ -267,7 +267,7 @@ def streaming_interval_self_join(
             F.col("user").alias("r_user"),
             F.col("ts").alias("r_ts"),
             F.col("value").alias("r_value"),
-            F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("r_time"),
+            F.timestamp_micros(F.expr("ts div 1000")).alias("r_time"),
         )
         .withWatermark("r_time", max_lateness)
     )
@@ -487,6 +487,10 @@ def streaming_funnel(
         )
 
     t_schema = ", ".join(f"t{i + 1} long" for i in range(n_steps))
+    # enforce the step-type contract here rather than trusting callers:
+    # an unexpected type would KeyError inside the state fold and kill
+    # the query; filtering map-side also shrinks the shuffled state
+    events = events.filter(F.col(type_col).isin(list(steps)))
     return events.groupBy(user_col).applyInPandasWithState(
         fn,
         outputStructType=(
@@ -554,27 +558,45 @@ def write_to_parquet_with_summary(
     the (day, metric)-partitioned layout AND refreshes the summary
     table for exactly the days the batch touched
     (storage.update_summary_incremental) — the streaming twin of the
-    reference's on-append subtree aggregate update.  foreachBatch runs
-    the two writes in one transaction scope per batch; the summary
+    reference's on-append subtree aggregate update.  The summary
     refresh reads back only the touched day partitions, so maintenance
-    cost is proportional to the batch's day span, not table size."""
+    cost is proportional to the batch's day span, not table size.
+
+    foreachBatch is at-least-once: a crash between the fact append and
+    the checkpoint commit replays the batch, so each epoch is guarded
+    by a marker file written AFTER both writes — a replayed epoch whose
+    marker exists is skipped, and a replayed epoch that died mid-way
+    re-runs both writes over the same day partitions (the summary
+    rewrite is idempotent per day; the fact append of a half-committed
+    epoch is the one non-idempotent step, narrowed to the crash window
+    between append and marker)."""
+    import os
+
     from stdb_spark.sources import storage
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        if not batch.take(1):
-            return
-        spark = batch.sparkSession
-        storage.write_samples(batch, path, mode="append")
-        days = [
-            r[0]
-            for r in batch.select(
-                F.expr(f"ts div {storage.NS_PER_DAY}").cast("int").alias("d")
-            )
-            .distinct()
-            .collect()
-        ]
-        import os
-
+        marker_dir = os.path.join(checkpoint, "_epoch_markers")
+        marker = os.path.join(marker_dir, f"epoch-{batch_id}")
+        if os.path.exists(marker):
+            return  # replayed epoch after restart: already fully applied
+        # one evaluation of the batch lineage serves the emptiness
+        # probe, the fact write, and the day census
+        batch = batch.persist()
+        try:
+            if not batch.take(1):
+                return
+            spark = batch.sparkSession
+            storage.write_samples(batch, path, mode="append")
+            days = [
+                r[0]
+                for r in batch.select(
+                    F.expr(f"ts div {storage.NS_PER_DAY}").cast("int").alias("d")
+                )
+                .distinct()
+                .collect()
+            ]
+        finally:
+            batch.unpersist()
         if not os.path.isdir(summary_path):
             # first batch bootstraps the store (still only its own days)
             storage.write_summary(
@@ -585,6 +607,9 @@ def write_to_parquet_with_summary(
             )
         else:
             storage.update_summary_incremental(spark, path, summary_path, days)
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("done")
 
     writer = (
         samples.writeStream.foreachBatch(handle)

@@ -3071,7 +3071,7 @@ _q(
   UNION ALL
   SELECT e + 1 AS t, -1 AS delta FROM iv
 ), r AS (
-  SELECT t, CAST(sum(delta) OVER (ORDER BY t, delta DESC
+  SELECT t, CAST(sum(delta) OVER (ORDER BY t, delta ASC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
   FROM d
 )

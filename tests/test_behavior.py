@@ -259,7 +259,7 @@ def test_peak_concurrency_matches_bruteforce(spark):
     # peak per bucket of the boundary instant
     deltas = sorted(
         [(s, 1) for _, s, e in iv] + [(e + 1, -1) for _, s, e in iv],
-        key=lambda p: (p[0], -p[1]),
+        key=lambda p: (p[0], p[1]),
     )
     run, want = 0, {}
     for t, d in deltas:
@@ -638,3 +638,14 @@ def test_pagerank_exact_matches_integer_model(spark):
     assert got == pr
     # 'd' is dangling-fed only by teleport after its mass drains
     assert pr["a"] == max(pr.values())
+
+
+def test_peak_concurrency_adjacent_intervals_not_concurrent(spark):
+    # A=[0,10] is inclusive through 10, B=[11,20] starts as A expires:
+    # never simultaneously active — the -1 at t=11 folds before B's +1
+    df = spark.createDataFrame(
+        [(1, 0, 10), (2, 11, 20)],
+        "id long, session_start long, session_end long",
+    )
+    out = behavior.peak_concurrency(df, bucket=100).collect()
+    assert {(r.bucket_start, r.peak) for r in out} == {(0, 1)}

@@ -220,3 +220,16 @@ def test_upsert_latest_keeps_highest_version(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Join" not in plan
+
+
+def test_duplicate_tag_key_does_not_crash_parsers(spark):
+    from stdb_spark import model
+
+    model.ensure_session_confs(spark)
+    # a malformed wire line repeating a tag key must degrade (LAST_WIN
+    # dedup), not kill the job with Spark's default EXCEPTION policy
+    lines = spark.createDataFrame(
+        [("put cpu 1700000000 1.5 host=a host=b",)], "value string"
+    )
+    rows = parse_opentsdb_lines(lines).collect()
+    assert len(rows) == 1 and rows[0].tags["host"] == "b"

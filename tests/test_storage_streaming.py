@@ -743,3 +743,25 @@ def test_versioned_optimize_compacts_preserving_content(spark, tmp_path):
     a = sorted(r.k for r in versioned.read_version(spark, root, as_of=1).collect())
     b = sorted(r.k for r in versioned.read_version(spark, root).collect())
     assert a == b  # same rows, different file layout
+
+
+def test_stamp_replay_order_numeric_day_order(tmp_path):
+    import os
+
+    from stdb_spark.sources.storage import stamp_replay_order
+
+    # day ids crossing a digit boundary: lexicographic order would put
+    # day=10 before day=9
+    root = str(tmp_path / "layout")
+    for day in (9, 10, 100):
+        d = os.path.join(root, f"day={day}", "metric=cpu")
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "w") as fh:
+            fh.write("x")
+    stamp_replay_order(root)
+    import glob
+
+    files = glob.glob(root + "/day=*/metric=*/*.parquet")
+    by_mtime = sorted(files, key=lambda f: os.stat(f).st_mtime_ns)
+    days = [int(f.split("/")[-3].split("=")[1]) for f in by_mtime]
+    assert days == [9, 10, 100], days
