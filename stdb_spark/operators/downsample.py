@@ -35,7 +35,7 @@ def m4(
     like the engine's group-aggregate."""
     ts, v = F.col(ts_col), F.col(value_col)
     s = samples.filter((ts >= begin) & (ts < end))
-    bk = ((ts - begin) / F.lit(step)).cast("long")
+    bk = F.expr(f"({ts_col} - {int(begin)}L) div {int(step)}L")
     tv = F.struct(ts.alias("t"), v.alias("v"))
     vt = F.struct(v.alias("v"), ts.alias("t"))
     agg = (

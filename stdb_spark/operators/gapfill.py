@@ -41,7 +41,7 @@ def _anchors_with_next(
     s = samples.filter((F.col(ts_col) >= begin) & (F.col(ts_col) < end))
     tv = F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("v"))
     bucketed = (
-        s.withColumn("_bk", ((F.col(ts_col) - begin) / step).cast("long"))
+        s.withColumn("_bk", F.expr(f"({ts_col} - {int(begin)}L) div {int(step)}L"))
         .groupBy(series_col, "_bk")
         .agg(F.min(tv).alias("_first"), F.max(tv).alias("_last"))
     )

@@ -42,17 +42,20 @@ def interval_join(
     ``by``).  A point inside k overlapping intervals yields k rows.
     """
     by = list(by)
-    w = F.lit(bucket_width)
+    # integer `div`, never float division: ns epochs exceed 2^53, where
+    # double rounding can misbucket a boundary point and silently drop
+    # a contained pair from the equi-join (repo rule, behavior.py)
+    wd = int(bucket_width)
     iv = intervals.withColumn(
         "_bk",
         F.explode(
             F.sequence(
-                F.floor(F.col(begin) / w),
-                F.floor((F.col(end) - F.lit(1)) / w),
+                F.expr(f"{begin} div {wd}L"),
+                F.expr(f"({end} - 1) div {wd}L"),
             )
         ),
     )
-    pt = points.withColumn("_bk", F.floor(F.col(ts) / w))
+    pt = points.withColumn("_bk", F.expr(f"{ts} div {wd}L"))
     icols = [c for c in intervals.columns if c not in by]
     out = (
         pt.join(iv, [*by, "_bk"])
