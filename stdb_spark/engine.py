@@ -251,19 +251,23 @@ class Engine:
         system level."""
         if req.begin is None:
             return df
+        # widen BOTH ends by the slack: the contract is the symmetric
+        # |ts - ts_raw| <= ts_slack_ns, so a transform that can move ts
+        # ABOVE ts_raw (round-to-nearest, negative-epoch truncation)
+        # must not lose boundary rows to a one-sided bound
         g = self.ts_slack_ns
         if req.backward:
-            lo, hi = req.end, req.begin + g
+            lo, hi = req.end - g, req.begin + g
             cond = (F.col("ts") <= req.begin) & (F.col("ts") > req.end)
             if "ts_raw" in df.columns:
                 cond = cond & (F.col("ts_raw") <= req.begin + g) & (
-                    F.col("ts_raw") > req.end
+                    F.col("ts_raw") > req.end - g
                 )
         else:
-            lo, hi = req.begin, req.end + g
+            lo, hi = req.begin - g, req.end + g
             cond = (F.col("ts") >= req.begin) & (F.col("ts") < req.end)
             if "ts_raw" in df.columns:
-                cond = cond & (F.col("ts_raw") >= req.begin) & (
+                cond = cond & (F.col("ts_raw") >= req.begin - g) & (
                     F.col("ts_raw") < req.end + g
                 )
         # Physical-column bounds: ts/ts_raw are *derived* (timestamp
@@ -336,6 +340,13 @@ class Engine:
         df = self._range(df, req)
         df = self._group_remap(df, req)
         if req.filters:
+            # reject unknown keys loudly instead of KeyError-crashing /
+            # silently dropping extra named filters
+            unknown = [k for k in req.filters if k not in req.metrics]
+            if unknown:
+                raise QueryParseError(
+                    f"filter key {unknown[0]!r} matches no selected metric"
+                )
             df = df.filter(_vf_condition(F.col("value"), req.filters[req.metrics[0]]))
         out = df.select(
             _series_name(F.col("metric")).alias("series"),
@@ -528,8 +539,19 @@ class Engine:
             gb = df.groupBy(
                 "metric", _tags_suffix().alias("_tags_s"), self._bucket_col(req)
             ).agg(*[agg_expr(f, req.backward, exact=self.exact_sums).alias(f) for f in funcs])
-        # HAVING over bucket components, keyed by function name
-        gb = self._value_filters(gb, req, {f: f for f in funcs})
+        # HAVING over bucket components, keyed by function name — plus
+        # the parser's other accepted spellings: the pre-canonical
+        # 'cnt' alias, and the metric key the bare {"gt": x} shorthand
+        # emits (unambiguous only when ONE func is requested; with
+        # several, a metric-keyed filter falls through to the clear
+        # "matches no output column" rejection).
+        cols = {f: f for f in funcs}
+        if "count" in funcs:
+            cols.setdefault("cnt", "count")
+        if len(funcs) == 1:
+            for m in req.metrics:
+                cols.setdefault(m, funcs[0])
+        gb = self._value_filters(gb, req, cols)
         label = "|".join(f"{{m}}:{f}" for f in funcs)
         sname = F.when(
             F.length("_tags_s") > 0,

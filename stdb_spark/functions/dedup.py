@@ -155,9 +155,31 @@ def minhash_lsh_candidates(
     (c ~ 10^6) that is the quadratic blowup again.  The standard
     pipeline order is exact-dedup first (``exact_duplicates``), then
     LSH over survivors; the cap is the backstop when that invariant is
-    violated.  Default None keeps exact recall (and oracle parity)."""
+    violated.  Default None keeps exact recall (and oracle parity).
+
+    ``bands * rows_per_band`` must not exceed the signature length:
+    an out-of-range slice would return EMPTY arrays, hashing every doc
+    into one shared md5('') bucket per excess band — the silent
+    all-pairs quadratic blowup this check exists to prevent."""
     nb = bands
     r = rows_per_band
+    # in-plan guard (no extra job — the lineage may be the whole
+    # minhash computation): any row with a too-short signature aborts
+    # the action instead of silently mass-bucketing
+    sigs = sigs.withColumn(
+        "sig",
+        F.when(
+            F.size("sig") >= nb * r, F.col("sig")
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"bands*rows_per_band = {nb * r} exceeds the minhash "
+                    "signature length — excess bands would slice empty "
+                    "and bucket ALL docs together"
+                )
+            )
+        ),
+    )
     banded = sigs.select(
         key,
         F.explode(
@@ -517,7 +539,10 @@ def paragraph_dedup(
     with partial aggregation — boilerplate paragraphs are exactly the
     high-count keys, and the pre-aggregated keeper table is tiny, so
     the join back is skew-free; one final exchange on the doc key
-    reassembles.  Returns (key, text) with duplicates removed.
+    reassembles.  Returns ONE row per input document (duplicates
+    removed): a doc whose every paragraph deduplicated away comes back
+    with empty text rather than vanishing — downstream metadata joins
+    must not silently lose documents.
     """
     paras = docs.select(
         F.col(key),
@@ -537,9 +562,16 @@ def paragraph_dedup(
         F.array_sort(F.collect_list(F.struct("idx", "para"))),
         lambda s: s.getField("para"),
     )
+    assembled = kept.groupBy(key).agg(
+        F.array_join(ordered, sep).alias(text_col)
+    )
     return (
-        kept.groupBy(key)
-        .agg(F.array_join(ordered, sep).alias(text_col))
+        docs.select(key)
+        .join(assembled, key, "left")
+        .select(
+            F.col(key),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        )
     )
 
 

@@ -327,6 +327,11 @@ def parse_query(query: str | dict) -> QueryRequest:
         node = q["aggregate"]
         if not isinstance(node, dict) or not node:
             raise QueryParseError("`aggregate` must be {metric: func, ...}")
+        if q.get("filter") is not None:
+            # never consumed by the whole-range aggregate path: reject
+            # loudly rather than validate-then-ignore (a silently
+            # unapplied threshold is a wrong-result generator)
+            raise QueryParseError("`filter` is not supported for `aggregate`")
         metrics, funcs = [], []
         for metric, fn in node.items():
             for one in _as_list(fn):

@@ -1185,11 +1185,16 @@ WITH p AS (
          min(struct_pack(d := doc_id, i := idx)) AS keeper
   FROM p WHERE trim(para) <> '' GROUP BY para
 )
-SELECT p.doc_id,
-       string_agg(p.para, chr(10) ORDER BY p.idx) AS text
-FROM p LEFT JOIN k ON p.para = k.para
-WHERE trim(p.para) = '' OR (k.keeper.d = p.doc_id AND k.keeper.i = p.idx)
-GROUP BY p.doc_id ORDER BY p.doc_id
+, assembled AS (
+  SELECT p.doc_id,
+         string_agg(p.para, chr(10) ORDER BY p.idx) AS text
+  FROM p LEFT JOIN k ON p.para = k.para
+  WHERE trim(p.para) = '' OR (k.keeper.d = p.doc_id AND k.keeper.i = p.idx)
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id, coalesce(a.text, '') AS text
+FROM documents d LEFT JOIN assembled a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id
 """,
 )
 

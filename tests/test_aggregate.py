@@ -292,3 +292,42 @@ def test_hll_rollup_accuracy(spark):
     assert set(got) == set(exact)
     for m, est in got.items():
         assert abs(est - exact[m]) <= max(1, 0.02 * exact[m]), (m, est, exact[m])
+
+
+def test_group_aggregate_bare_and_alias_filters_execute(eng):
+    from stdb_spark.query.parser import QueryParseError
+
+    # bare {"gt": x} shorthand — parser keys it by the METRIC; must
+    # apply to the single requested func, not die in the engine
+    df = eng.query(
+        {
+            "group-aggregate": {"metric": "test", "func": "max", "step": 100},
+            "range": {"from": 100, "to": 1000},
+            "filter": {"gt": 50.0},
+        }
+    )
+    rows = df.collect()
+    assert rows and all(r["max"] > 50.0 for r in rows)
+    # the pre-canonical 'cnt' alias as a HAVING key
+    df2 = eng.query(
+        {
+            "group-aggregate": {"metric": "test", "func": ["cnt"], "step": 100},
+            "range": {"from": 100, "to": 1000},
+            "filter": {"cnt": {"ge": 100}},
+        }
+    )
+    assert df2.count() > 0
+    # select with a filter key naming a non-selected metric: clean error
+    import pytest as _pt
+
+    with _pt.raises(QueryParseError, match="matches no selected metric"):
+        eng.query(
+            {
+                "select": "test",
+                "range": {"from": 100, "to": 1000},
+                "filter": {"other": {"gt": 1.0}},
+            }
+        )
+    # aggregate ignores no filters — it rejects them
+    with _pt.raises(QueryParseError, match="not supported for `aggregate`"):
+        eng.query({"aggregate": {"test": "max"}, "filter": {"gt": 0}})

@@ -1172,3 +1172,16 @@ def test_point_in_polygon_ray_casting(spark):
         for r in pts2.filter(F.expr(point_in_polygon_sql(concave))).collect()
     )
     assert got2 == [2, 3]  # the notch point (2,2) is excluded
+
+
+def test_paragraph_dedup_keeps_fully_deduped_docs(spark):
+    from stdb_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in dedup.paragraph_dedup(docs).collect()}
+    # doc 2's only paragraph loses the keeper race: it must come back
+    # with EMPTY text, not vanish from the output
+    assert out == {1: "hello world", 2: "", 3: "other text"}

@@ -37,14 +37,17 @@ def test_select_pushes_filters_to_scan(spark):
     # (NB+tree time-descent parity, stdb/storage/nbtree.cc:471-616).
     # The physical ts column has shipped as int64-ns and TIMESTAMP(MICROS)
     # across testdata generations; accept the pushed form of either.
+    # The coarse bounds are SYMMETRICALLY slack-widened (|ts - ts_raw|
+    # <= ts_slack_ns), so the pushed literals sit one slack below
+    # 2024-01-05 / above 2024-01-15.
     assert "PushedFilters:" in plan
     assert (
-        "GreaterThanOrEqual(ts,170441280" in plan
-        or "GreaterThanOrEqual(ts,2024-01-05T00:00" in plan
+        "GreaterThanOrEqual(ts,170441279" in plan
+        or "GreaterThanOrEqual(ts,2024-01-04T23:59:59" in plan
     ), plan
     assert (
-        "LessThan(ts,170527680" in plan
-        or "LessThanOrEqual(ts,2024-01-15T00:00" in plan
+        "LessThan" in plan
+        and ("(ts,170527680" in plan or "(ts,2024-01-15T00:00:00" in plan)
     ), plan
     assert "EqualTo(event_type,click)" in plan, plan
 
