@@ -186,11 +186,15 @@ def image_phash(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 img = _fake_decode(bytes(payload), N, N).astype(np.float64)
                 coeffs = basis @ img @ basis.T
                 block = coeffs[:8, :8].flatten()
-                med = float(np.median(block[1:]))  # skip DC term
+                # threshold = median of the 63 AC terms (DC excluded:
+                # it tracks brightness, not structure) but ALL 64
+                # coefficients contribute a bit — a full 64-bit hash,
+                # bit i from block[i]
+                med = float(np.median(block[1:]))
                 bits = 0
                 for i, c in enumerate(block):
-                    if i and c > med:
-                        bits |= 1 << (i - 1)
+                    if c > med:
+                        bits |= 1 << i
                 # two's-complement into signed 64-bit (bit 63 = sign)
                 if bits >= 1 << 63:
                     bits -= 1 << 64

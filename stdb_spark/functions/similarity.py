@@ -464,6 +464,12 @@ def kmeans_fit(
         .collect()
     )
     cents = [list(map(float, r[vec_col])) for r in seed_rows]
+    # fewer rows than k: clamp rather than IndexError in the
+    # empty-cell fallback below (every row its own centroid is the
+    # exact solution at that size)
+    k = min(k, len(cents))
+    if k == 0:
+        raise ValueError("kmeans_fit needs a non-empty input")
     for _ in range(iters):
         assign = (
             _assign_cells_pandas(vec_col, cents)

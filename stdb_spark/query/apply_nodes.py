@@ -501,6 +501,12 @@ def apply_pipeline(
                 run = F.sum(c).over(w.rowsBetween(Window.unboundedPreceding, 0))
                 df = df.withColumn(c, F.when(F.col(c).isNotNull(), run))
         elif name in ("sma", "sma-error"):
+            # NOTE on join gaps: the frame is PHYSICAL rows, and the
+            # warm-up rule (short frame sums coalesce to 0, divisor
+            # stays n) is oracle-pinned — so a NULL slot inside the
+            # frame also contributes 0, unlike the ewma/holt pandas
+            # kernels where NaN rows are invisible.  On gap-bearing
+            # join output prefer ewma, or gapfill before smoothing.
             n = int(step.get("window-width", 0))
             if n <= 0:
                 raise ApplyError("`sma` requires positive `window-width`")
@@ -541,14 +547,18 @@ def apply_pipeline(
             n = int(step.get("window-width", 0))
             if n <= 0 or n % 2 == 0:
                 raise ApplyError("`median` requires positive odd `window-width`")
-            rn = F.row_number().over(w)
             for c in value_cols:
-                med = F.expr(f"percentile(`{c}`, 0.5)").over(
-                    w.rowsBetween(-(n - 1), 0)
-                )
+                frame = w.rowsBetween(-(n - 1), 0)
+                med = F.expr(f"percentile(`{c}`, 0.5)").over(frame)
+                # gate on the NON-NULL count in the frame, not the
+                # physical row number: join gaps put NULL slots in the
+                # frame, percentile would see an even sample count and
+                # emit an interpolated midpoint — breaking the
+                # lands-on-a-sample guarantee above
+                cnt = F.count(c).over(frame)
                 df = df.withColumn(
                     c,
-                    F.when(F.col(c).isNotNull() & (rn >= n), med),
+                    F.when(F.col(c).isNotNull() & (cnt >= n), med),
                 )
         elif name == "wma":
             # linearly-weighted moving average (exposed extra): the most

@@ -458,3 +458,27 @@ def test_holt_lockstep_bitexact_vs_scalar():
                 )
                 got = OUT[r, :n]
                 assert np.array_equal(got, want), (delta, m, n)
+
+
+def test_median_null_frames_emit_null_not_interpolation(spark):
+    from pyspark.sql import functions as F
+
+    from stdb_spark.query.apply_nodes import apply_pipeline
+
+    # a NULL slot in the window (join gap) must yield NULL, never an
+    # interpolated midpoint of the remaining even sample count
+    rows = [(i, [1.0, 5.0, None, 9.0, 3.0][i]) for i in range(5)]
+    df = spark.createDataFrame(rows, "ts long, value double").withColumn(
+        "series", F.lit("s")
+    )
+    out, _, _ = apply_pipeline(
+        df, [{"name": "median", "window-width": 3}], ["value"], False
+    )
+    got = {r.ts: r.value for r in out.collect()}
+    # ts=3: frame (5.0, None, 9.0) -> only 2 samples -> NULL (the old
+    # row_number gate emitted percentile([5,9]) = 7.0, not a sample)
+    assert got[3] is None
+    # ts=4: frame (None, 9.0, 3.0) -> 2 samples -> NULL
+    assert got[4] is None
+    # full frames still produce exact element selection
+    assert got[2] is None  # the row itself is NULL
