@@ -223,8 +223,10 @@ HEADLINE = [
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from stdb_spark import model as _m
     from stdb_spark.session import get_spark
+
+    sf_dir = _m.default_sf_dir()
     from stdb_spark.workloads import QUERIES
 
     spark = get_spark("stdb-bench")
@@ -260,10 +262,18 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
+    failed: list[str] = []
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — one broken query must
+            # not abort the whole benchmark after minutes of warm-up
+            # (and unlike the warm passes, the failure is REPORTED)
+            failed.append(name)
+            print(f"  {name}: FAILED {exc}", file=sys.stderr, flush=True)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
@@ -300,6 +310,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
+        "failed": failed,
     }
     print(json.dumps(detail), file=sys.stderr, flush=True)
     detail_path = os.path.join(
@@ -322,6 +333,7 @@ def main() -> None:
                 "queries": slowest,
                 "sf": detail["sf"],
                 "n_queries": len(timings),
+                "n_failed": len(failed),
                 "detail": "BENCH_DETAIL.json",
             },
             separators=(",", ":"),

@@ -306,9 +306,20 @@ class Engine:
             return df
         ts = F.col("ts").desc() if req.backward else F.col("ts").asc()
         sr = F.col("series").desc() if req.backward else F.col("series").asc()
+        # (series, ts) is not guaranteed unique (duplicate same-µs
+        # samples after the adapter truncation); break the final tie on
+        # the payload so ORDER BY + LIMIT cuts are a deterministic
+        # function of the DATA (the reference's within-tie order is
+        # storage-order, i.e. unspecified — any fixed refinement is a
+        # valid parity choice, and the suite's oracles mirror this one)
+        tiebreaks = [
+            (F.col(c).desc() if req.backward else F.col(c).asc())
+            for c in ("value", "body")
+            if c in df.columns
+        ]
         if req.order_by == "series":
-            return df.orderBy(sr, ts)
-        return df.orderBy(ts, sr)
+            return df.orderBy(sr, ts, *tiebreaks)
+        return df.orderBy(ts, sr, *tiebreaks)
 
     @staticmethod
     def _limit(df: DataFrame, req: QueryRequest) -> DataFrame:

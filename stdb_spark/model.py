@@ -136,12 +136,16 @@ _SESSION_CONFS = {
     # side's scan (runtime row-level filtering) — explicit so injected
     # bare sessions behave like session.get_spark ones
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
-    # Right-size shuffles for the local[32] box: an injected bare
-    # session defaults to 200 partitions — pure task overhead at test
-    # scale (AQE coalesces batch plans, but streaming state shuffles
-    # run all 200).  Runtime-settable; a real cluster deployment would
-    # size this to executors × cores.
-    "spark.sql.shuffle.partitions": "32",
+    # Right-size shuffles for the local box: an injected bare session
+    # defaults to 200 partitions — pure task overhead at test scale
+    # (AQE coalesces batch plans, but streaming state shuffles run all
+    # 200).  Sized from the SAME cpu count session.get_spark uses, so
+    # the two never fight; and ensure_session_confs only replaces the
+    # BARE default (see below) so an explicit get_spark(
+    # shuffle_partitions=...) choice survives.
+    "spark.sql.shuffle.partitions": str(
+        max(int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)), 8)
+    ),
     # Ingest parsers build tag maps with map_from_entries; a malformed
     # wire line repeating a tag key ('put cpu 1 1 host=a host=a') must
     # degrade per the parsers' drop-don't-crash contract, not kill the
@@ -154,14 +158,36 @@ _SESSION_CONFS = {
 
 def ensure_session_confs(spark: SparkSession) -> SparkSession:
     """Idempotently apply the engine's required runtime confs to any
-    injected session (driver harness, bare notebook, tests)."""
+    injected session (driver harness, bare notebook, tests).
+
+    ``spark.sql.shuffle.partitions`` is special-cased: it is only
+    replaced when the session still carries Spark's bare default (200)
+    — a deliberate choice made at session build time (get_spark's
+    parameter, a cluster deployment's sizing) must not be silently
+    reset by the first registered query."""
     for k, v in _SESSION_CONFS.items():
         try:
-            if spark.conf.get(k, None) != v:
-                spark.conf.set(k, v)
+            cur = spark.conf.get(k, None)
         except Exception:
+            cur = None
+        if k == "spark.sql.shuffle.partitions" and cur not in (None, "200"):
+            continue
+        if cur != v:
             spark.conf.set(k, v)
     return spark
+
+
+def cache_ready(path: str) -> bool:
+    """True iff ``path`` holds a COMPLETED Spark write — the _SUCCESS
+    marker the committer drops as its final act.  A run killed mid-write
+    leaves the directory WITHOUT the marker; a bare isdir guard would
+    mistake that partial cache for a built one forever (every consumer
+    erroring or mis-counting until manual .cache surgery).  All cache
+    builds use mode("overwrite"), so callers simply rebuild over the
+    partial dir when not ready."""
+    return os.path.isdir(path) and os.path.exists(
+        os.path.join(path, "_SUCCESS")
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

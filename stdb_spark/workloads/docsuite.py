@@ -526,7 +526,7 @@ def _hamming_presigned(spark, sf):
     import os
 
     cache = model.derived_cache_path(sf, "doc_simhash", "documents")
-    if not os.path.isdir(cache):
+    if not model.cache_ready(cache):
         dedup.simhash(model.load_table(spark, sf, "documents")).coalesce(
             4
         ).write.mode("overwrite").parquet(cache)
@@ -669,7 +669,7 @@ def _emb_ann_lsh_presigned(spark, sf):
     import os
 
     cache = model.derived_cache_path(sf, "emb_lsh", "embeddings")
-    if not os.path.isdir(cache):
+    if not model.cache_ready(cache):
         signed = similarity.with_lsh_signatures(
             model.load_table(spark, sf, "embeddings"),
             dim=_DIM,
@@ -2152,7 +2152,7 @@ def _doc_term_lookup(spark, sf):
     from stdb_spark.functions.text import inverted_index, term_lookup
 
     cache = model.derived_cache_path(sf, "inverted_index", "documents")
-    if not os.path.isdir(cache):
+    if not model.cache_ready(cache):
         idx = inverted_index(model.load_table(spark, sf, "documents"))
         (
             # range partitioning gives each FILE a disjoint term
@@ -2250,7 +2250,7 @@ def _doc_phrase(spark, sf):
     from stdb_spark.functions.text import phrase_query, positional_index
 
     cache = model.derived_cache_path(sf, "positional_index", "documents")
-    if not os.path.isdir(cache):
+    if not model.cache_ready(cache):
         idx = positional_index(model.load_table(spark, sf, "documents"))
         (
             # range partitioning gives each FILE a disjoint term
@@ -3183,11 +3183,18 @@ FROM est GROUP BY 1
 # emb_pca_spectrum with a full oracle.
 def _emb_cosine_hist(spark, sf):
     emb = model.load_table(spark, sf, "embeddings")
-    n = emb.count()
-    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    # n rides along as a broadcast scalar column (the _ts_freq idiom)
+    # instead of an eager .count() — building this DataFrame costs no
+    # driver job, and the bench's timed pass measures only the plan
+    a = (
+        emb.crossJoin(F.broadcast(emb.agg(F.count("*").alias("_n"))))
+        .select(
+            F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"), "_n"
+        )
+    )
     b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
     pairs = a.join(
-        b, ((F.col("ia") * 7 + 3) % F.lit(int(n))) == F.col("ib")
+        b, ((F.col("ia") * 7 + 3) % F.col("_n")) == F.col("ib")
     ).filter(F.col("ia") != F.col("ib"))
     cos = similarity.cosine_expr(F.col("ea"), F.col("eb"))
     band = (
@@ -3311,11 +3318,14 @@ FROM m
 # space (companion to silhouette, with a full oracle).
 def _emb_label_margin(spark, sf):
     emb = model.load_table(spark, sf, "embeddings")
-    n = emb.count()
-    a = emb.select(
-        F.col("vec_id").alias("ia"),
-        F.col("embedding").alias("ea"),
-        F.col("label").alias("la"),
+    a = (
+        emb.crossJoin(F.broadcast(emb.agg(F.count("*").alias("_n"))))
+        .select(
+            F.col("vec_id").alias("ia"),
+            F.col("embedding").alias("ea"),
+            F.col("label").alias("la"),
+            "_n",
+        )
     )
     b = emb.select(
         F.col("vec_id").alias("ib"),
@@ -3323,7 +3333,7 @@ def _emb_label_margin(spark, sf):
         F.col("label").alias("lb"),
     )
     pairs = a.join(
-        b, ((F.col("ia") * 7 + 3) % F.lit(int(n))) == F.col("ib")
+        b, ((F.col("ia") * 7 + 3) % F.col("_n")) == F.col("ib")
     ).filter(F.col("ia") != F.col("ib"))
     cos = similarity.cosine_expr(F.col("ea"), F.col("eb"))
     grp = F.when(F.col("la") == F.col("lb"), "intra").otherwise("inter")

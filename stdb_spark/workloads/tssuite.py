@@ -144,7 +144,7 @@ _q(
     + f"""
 SELECT metric || ' user=' || u AS series, tu AS ts, value
 FROM base WHERE metric = 'view' AND tu > {JAN01_US} AND tu <= {FEB01_US}
-ORDER BY tu DESC, series DESC LIMIT 500
+ORDER BY tu DESC, series DESC, value DESC LIMIT 500
 """,
 )
 
@@ -178,7 +178,7 @@ def _layout_path(spark: SparkSession, sf_dir: str) -> str:
     from stdb_spark.sources import storage
 
     cache = model.derived_cache_path(sf_dir, "layout", "events")
-    if not os.path.isdir(cache):
+    if not model.cache_ready(cache):
         storage.write_samples(model.events_as_samples(spark, sf_dir), cache)
     return cache
 
@@ -350,7 +350,7 @@ def _stream_resp_dict(spark, sf):
     dictionary = {i + 1: n for i, n in enumerate(names)}
     inv = {n: i for i, n in dictionary.items()}
     wire = model.derived_cache_path(sf, "resp_wire", "events")
-    if not os.path.isdir(wire):
+    if not model.cache_ready(wire):
         mdf = spark.createDataFrame(
             list(inv.items()), "_n string, _id long"
         )
@@ -552,11 +552,11 @@ def _engine_with_summaries(spark: SparkSession, sf_dir: str) -> Engine:
     reg_path = model.derived_cache_path(sf_dir, "registry", "events")
     # coalesce: both artifacts are ~#series(*days) rows — tiny at any sf
     # here; a real deployment sizes files to row-group targets instead
-    if not os.path.isdir(summ_path):
+    if not model.cache_ready(summ_path):
         storage.summary_table(samples, step_ns=D1).coalesce(4).write.mode(
             "overwrite"
         ).parquet(summ_path)
-    if not os.path.isdir(reg_path):
+    if not model.cache_ready(reg_path):
         model.series_registry(samples).coalesce(1).write.mode("overwrite").parquet(
             reg_path
         )
@@ -1707,7 +1707,7 @@ _q(
 SELECT '!' || metric || ' user=' || u AS series, tu AS ts, props AS body
 FROM base WHERE metric = 'signup' AND u IN ('1', '4', '9', '16', '25')
   AND tu > {JAN01_US} AND tu <= {FEB01_US}
-ORDER BY tu DESC, series DESC LIMIT 40
+ORDER BY tu DESC, series DESC, body DESC LIMIT 40
 """,
 )
 
@@ -5238,7 +5238,7 @@ def _ingest_csv_roundtrip(spark, sf):
     from pyspark.sql import types as T
 
     cache = model.derived_cache_path(sf, "csv_export", "events")
-    if not os.path.isdir(cache):
+    if not model.cache_ready(cache):
         (
             model.load_table(spark, sf, "events")
             .select("event_id", "event_type", "value")

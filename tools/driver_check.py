@@ -36,12 +36,27 @@ def _hash(df: pd.DataFrame) -> str:
     import hashlib
 
     df = _canon(df.copy())
+
+    def norm(v):
+        # scalar-only isna: bare pd.isna(list/ndarray) raises the
+        # ambiguous-truth ValueError, misreporting array-column queries
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return "NULL"
+        if isinstance(v, (list, tuple)):
+            return repr([norm(x) for x in v])
+        try:
+            import numpy as np
+
+            if isinstance(v, np.ndarray):
+                return repr([norm(x) for x in v.tolist()])
+        except ImportError:
+            pass
+        if not isinstance(v, (str, bytes)) and pd.api.types.is_scalar(v) and pd.isna(v):
+            return "NULL"
+        return repr(round(v, 6)) if isinstance(v, float) else repr(v)
+
     for c in df.columns:
-        df[c] = df[c].map(
-            lambda v: "NULL"
-            if v is None or (isinstance(v, float) and pd.isna(v)) or pd.isna(v)
-            else (repr(round(v, 6)) if isinstance(v, float) else repr(v))
-        )
+        df[c] = df[c].map(norm)
     payload = "\n".join(",".join(r) for r in df.itertuples(index=False))
     return hashlib.md5(payload.encode()).hexdigest()
 

@@ -64,7 +64,9 @@ def _time(fn, spark, sf_dir):
 
 def main() -> None:
     names = sys.argv[1:] or DEFAULT
-    base = "/root/testdata/sf0.1"
+    from stdb_spark import model
+
+    base = model.default_sf_dir()
     big = os.environ.get("SPARK_SCALE_BIG") or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".cache",
