@@ -345,6 +345,45 @@ class Engine:
             conds.append(_vf_condition(F.col(cols[key]), vf))
         return df.filter(_and_all(conds) if req.filter_rule == "all" else _or_all(conds))
 
+    def _group_aggregate_filters(
+        self,
+        df: DataFrame,
+        req: QueryRequest,
+        cols: dict[str, str],
+        metric_keys: dict[str, str],
+    ) -> DataFrame:
+        """HAVING for group-aggregate. Func-keyed conditions apply to
+        every bucket row; metric-keyed conditions are strictly
+        per-metric (queryparser.cc:1868,
+        plan/query_plan_builder.cc:58-109): a row of a DIFFERENT metric
+        is unaffected by them — it passes under "all" and is not
+        rescued/rejected by them under "any"."""
+        if not req.filters:
+            return df
+        global_conds, per_metric = [], {}
+        for key, vf in req.filters.items():
+            if key in cols:
+                global_conds.append(_vf_condition(F.col(cols[key]), vf))
+            elif key in metric_keys:
+                per_metric[key] = _vf_condition(F.col(metric_keys[key]), vf)
+            else:
+                raise QueryParseError(f"filter key {key!r} matches no output column")
+        if req.filter_rule == "all":
+            conds = global_conds + [
+                (F.col("metric") != F.lit(m)) | c for m, c in per_metric.items()
+            ]
+            return df.filter(_and_all(conds))
+        # "any": a row passes if any condition APPLICABLE to it holds;
+        # rows whose metric carries no filter (and no func-keyed
+        # condition exists) have an empty applicable set and pass.
+        conds = global_conds + [
+            (F.col("metric") == F.lit(m)) & c for m, c in per_metric.items()
+        ]
+        if per_metric and not global_conds:
+            unfiltered = ~F.col("metric").isin(list(per_metric))
+            return df.filter(_or_all(conds + [unfiltered]))
+        return df.filter(_or_all(conds))
+
     # ------------------------------------------------------------------
     def _select(self, req: QueryRequest) -> DataFrame:
         df = self._bind(self.samples, req)
@@ -552,17 +591,21 @@ class Engine:
             ).agg(*[agg_expr(f, req.backward, exact=self.exact_sums).alias(f) for f in funcs])
         # HAVING over bucket components, keyed by function name — plus
         # the parser's other accepted spellings: the pre-canonical
-        # 'cnt' alias, and the metric key the bare {"gt": x} shorthand
-        # emits (unambiguous only when ONE func is requested; with
-        # several, a metric-keyed filter falls through to the clear
-        # "matches no output column" rejection).
+        # 'cnt' alias, and metric keys (queryparser.cc:1868 parses
+        # group-aggregate filters per METRIC, never globally): a
+        # metric-keyed threshold gates ONLY the named metric's bucket
+        # rows; rows of other metrics pass untouched. The metric
+        # spelling is unambiguous only when ONE func is requested; with
+        # several, it falls to the "matches no output column" rejection.
         cols = {f: f for f in funcs}
         if "count" in funcs:
             cols.setdefault("cnt", "count")
+        metric_keys: dict[str, str] = {}
         if len(funcs) == 1:
             for m in req.metrics:
-                cols.setdefault(m, funcs[0])
-        gb = self._value_filters(gb, req, cols)
+                if m not in cols:
+                    metric_keys[m] = funcs[0]
+        gb = self._group_aggregate_filters(gb, req, cols, metric_keys)
         label = "|".join(f"{{m}}:{f}" for f in funcs)
         sname = F.when(
             F.length("_tags_s") > 0,

@@ -26,11 +26,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: sentinel buckets for NULL sort keys; far outside any real bucket
+#: image (floor(price/1000) etc.), still safely inside long range
+_NULL_FIRST, _NULL_LAST = -(1 << 62), 1 << 62
+
+
 def two_phase_row_number(
     df: DataFrame,
     order_cols: Sequence[Column],
     bucket: Column,
     out_col: str = "rn",
+    nulls: str = "error",
 ) -> DataFrame:
     """Global 1-based row_number over ``order_cols`` without a
     single-partition window.
@@ -40,8 +46,32 @@ def two_phase_row_number(
     of the order prefix — e.g. ``floor(price/1000)`` for an ascending
     price order, ``-count`` for a descending count order — so that
     bucket order equals global order between buckets.
+
+    ``nulls`` says where a NULL bucket (i.e. NULL sort key) ranks:
+    ``"first"``/``"last"`` route those rows into a sentinel bucket at
+    the matching end — pick the one your window form would use (Spark
+    default: NULLS FIRST for asc, NULLS LAST for desc) — while
+    ``"error"`` (default) fails the job instead of silently dropping
+    them through the null-unsafe histogram join (ADVICE r4 #2).
     """
-    d = df.withColumn("_tpr_bkt", bucket.cast("long"))
+    bkt = bucket.cast("long")
+    if nulls == "first":
+        bkt = F.coalesce(bkt, F.lit(_NULL_FIRST))
+    elif nulls == "last":
+        bkt = F.coalesce(bkt, F.lit(_NULL_LAST))
+    elif nulls == "error":
+        # assert_true returns NULL on success, so the when() always
+        # takes the first branch — unless a NULL bucket aborts the job
+        bkt = F.when(
+            F.assert_true(
+                bkt.isNotNull(),
+                F.lit("two_phase rank: NULL bucket (NULL sort key); pass nulls='first'/'last'"),
+            ).isNull(),
+            bkt,
+        )
+    else:
+        raise ValueError(f"nulls must be first|last|error, got {nulls!r}")
+    d = df.withColumn("_tpr_bkt", bkt)
     w_in = Window.partitionBy("_tpr_bkt").orderBy(*order_cols)
     per = d.groupBy("_tpr_bkt").agg(F.count("*").alias("_tpr_c"))
     # cumulative offsets over the bucket histogram: #buckets rows,
@@ -66,6 +96,7 @@ def two_phase_ntile(
     order_cols: Sequence[Column],
     bucket: Column,
     out_col: str = "tile",
+    nulls: str = "error",
 ) -> DataFrame:
     """Global ``ntile(n_tiles)`` over ``order_cols`` (same contract as
     :func:`two_phase_row_number`) computed from the two-phase rank and
@@ -78,7 +109,9 @@ def two_phase_ntile(
     n = int(n_tiles)
     if n <= 0:
         raise ValueError("n_tiles must be positive")
-    ranked = two_phase_row_number(df, order_cols, bucket, out_col="_tpn_rank")
+    ranked = two_phase_row_number(
+        df, order_cols, bucket, out_col="_tpn_rank", nulls=nulls
+    )
     total = df.agg(F.count("*").cast("long").alias("_tpn_n"))
     # SQL ntile: with N rows and k tiles, tiles 1..(N%k) hold
     # (N div k)+1 rows, the rest hold N div k.

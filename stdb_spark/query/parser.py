@@ -206,9 +206,16 @@ def _parse_filter(q: dict, metrics: list[str]) -> tuple[dict[str, ValueFilter], 
     if not isinstance(node, dict):
         raise QueryParseError("`filter` must be an object")
     rule = str(node.get("require", "all"))
+    # the reference combiner spelling: {"=": {"require": "any"}}
+    # (queryparser.cc:812-836); unknown meta keys are loud errors there
+    meta = node.get("=")
+    if meta is not None:
+        if not isinstance(meta, dict) or set(meta) - {"require"}:
+            raise QueryParseError(f"unknown filter meta key in {meta!r}")
+        rule = str(meta.get("require", rule))
     if rule not in ("all", "any"):
         raise QueryParseError(f"bad filter require rule {rule!r}")
-    body = {k: v for k, v in node.items() if k != "require"}
+    body = {k: v for k, v in node.items() if k not in ("require", "=")}
     # form 2 shorthand: {"filter": {"gt": 100}} for single-metric queries
     if set(body) & {"gt", "ge", "lt", "le"}:
         if len(metrics) != 1:

@@ -507,6 +507,7 @@ def stream_commit_snapshots(
     root: str,
     checkpoint_dir: str,
     query_name: str = "stream_versioned_commit",
+    trigger: dict | None = None,
 ):
     """Commit a streaming aggregate's COMPLETE-mode result as one
     versioned-table snapshot per epoch (sources/versioned.py) — time
@@ -518,16 +519,29 @@ def stream_commit_snapshots(
     by tagging each version's note with the epoch id and skipping
     epochs already present in the manifest.  A replayed epoch therefore
     commits zero new versions; a genuinely new epoch commits one.
-    Returns the started StreamingQuery (availableNow-agnostic — the
-    caller picks the trigger via ``agg_df``'s upstream options and
-    awaits termination)."""
+    The committed-epoch set is indexed ONCE at (re)start and maintained
+    in memory afterwards — no per-batch manifest rescan.
+
+    ``trigger`` picks the trigger as ``writeStream.trigger`` kwargs
+    (e.g. ``{"processingTime": "5 seconds"}`` for continuous
+    micro-batches); the default ``None`` means drain-and-stop
+    ``{"availableNow": True}``."""
     from stdb_spark.sources import versioned
 
+    committed: set[int] | None = None
+
     def sink(batch_df, batch_id):
-        note = f"epoch={batch_id}"
-        if any(
-            e.get("note") == note for e in versioned.versions(root)
-        ):
+        nonlocal committed
+        if committed is None:
+            committed = set()
+            for e in versioned.versions(root):
+                note = e.get("note") or ""
+                if note.startswith("epoch="):
+                    try:
+                        committed.add(int(note.split("=", 1)[1]))
+                    except ValueError:
+                        pass
+        if batch_id in committed:
             # Replayed epoch after restart: already committed — but the
             # batch must still be CONSUMED: Spark's state-store commit
             # validation requires every stateful partition processed,
@@ -535,16 +549,88 @@ def stream_commit_snapshots(
             # aggregate and discards the rows.
             batch_df.write.format("noop").mode("overwrite").save()
             return
-        versioned.write_version(batch_df, root, note=note)
+        versioned.write_version(batch_df, root, note=f"epoch={batch_id}")
+        committed.add(batch_id)
 
-    return (
+    writer = (
         agg_df.writeStream.outputMode("complete")
         .foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
     )
+    writer = writer.trigger(**(trigger if trigger else {"availableNow": True}))
+    return writer.start()
+
+
+def commit_epoch_idempotent(
+    batch: DataFrame,
+    batch_id: int,
+    path: str,
+    summary_path: str,
+    checkpoint: str,
+) -> None:
+    """One epoch of the stage-scrub-move-refresh-marker commit protocol
+    (see write_to_parquet_with_summary).  Module-level so the replay
+    path is directly testable: calling it twice with the same batch_id
+    must leave the fact table and summaries byte-identical to one
+    call."""
+    import glob
+    import os
+    import time
+
+    from stdb_spark.sources import storage
+
+    marker_dir = os.path.join(checkpoint, "_epoch_markers")
+    marker = os.path.join(marker_dir, f"epoch-{batch_id}")
+    if os.path.exists(marker):
+        return  # replayed epoch after restart: already fully applied
+    if not batch.take(1):
+        return
+    spark = batch.sparkSession
+    # 1. stage the epoch (overwrite => replay-safe), same layout +
+    #    within-file sort as the table itself
+    stage_dir = os.path.join(checkpoint, "_epoch_stage", f"epoch-{batch_id}")
+    storage.write_samples(batch, stage_dir, mode="overwrite")
+    staged = sorted(
+        glob.glob(os.path.join(stage_dir, "day=*", "metric=*", "*.parquet"))
+    )
+    # 2. scrub any files a crashed previous attempt of this epoch
+    #    already moved (same epoch == same source offsets == same
+    #    (day, metric) set, so scrubbing the staged dirs suffices)
+    part_dirs = sorted({os.path.dirname(f) for f in staged})
+    for d in part_dirs:
+        rel = os.path.relpath(d, stage_dir)
+        scrub = os.path.join(glob.escape(os.path.join(path, rel)), f"e{batch_id}-*")
+        for old in glob.glob(scrub):
+            os.remove(old)
+    # 3. move staged files in under epoch-prefixed names, restamped to
+    #    fresh monotone mtimes: file-stream replay orders by mtime, and
+    #    the staged copies carry stage-relative stamps that could sort
+    #    BEFORE already-committed table files
+    base = time.time()
+    for i, f in enumerate(staged):
+        rel_dir = os.path.relpath(os.path.dirname(f), stage_dir)
+        dst_dir = os.path.join(path, rel_dir)
+        os.makedirs(dst_dir, exist_ok=True)
+        dst = os.path.join(dst_dir, f"e{batch_id}-{os.path.basename(f)}")
+        os.replace(f, dst)
+        # ms spacing: ordered within the batch, never ahead of the
+        # next batch's stamps (which start at ITS wall-clock)
+        os.utime(dst, (base + i * 0.001, base + i * 0.001))
+    days = sorted({int(d.split(os.sep)[-2].split("=", 1)[1]) for d in part_dirs})
+    if not os.path.isdir(summary_path):
+        # first batch bootstraps the store (still only its own days)
+        storage.write_summary(
+            spark.read.parquet(path)
+            .filter(F.col("day").isin(days))
+            .select("series_id", "metric", "tags", "ts", "value"),
+            summary_path,
+        )
+    else:
+        storage.update_summary_incremental(spark, path, summary_path, days)
+    os.makedirs(marker_dir, exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write("done")
 
 
 def write_to_parquet_with_summary(
@@ -563,53 +649,27 @@ def write_to_parquet_with_summary(
     cost is proportional to the batch's day span, not table size.
 
     foreachBatch is at-least-once: a crash between the fact append and
-    the checkpoint commit replays the batch, so each epoch is guarded
-    by a marker file written AFTER both writes — a replayed epoch whose
-    marker exists is skipped, and a replayed epoch that died mid-way
-    re-runs both writes over the same day partitions (the summary
-    rewrite is idempotent per day; the fact append of a half-committed
-    epoch is the one non-idempotent step, narrowed to the crash window
-    between append and marker)."""
-    import os
+    the checkpoint commit replays the batch, so every step of the
+    epoch is idempotent end-to-end:
 
-    from stdb_spark.sources import storage
+    1. the batch is STAGED into an epoch-keyed directory in overwrite
+       mode (a replay simply re-stages);
+    2. any table files left by a previous attempt of THIS epoch are
+       scrubbed (files carry an ``e<epoch>-`` name prefix, so a
+       half-moved attempt is fully identifiable);
+    3. staged files are moved into the (day, metric) layout under
+       their epoch-prefixed names;
+    4. the summary refresh rewrites exactly the touched day partitions
+       (idempotent per day);
+    5. the epoch marker is written LAST.
 
+    A crash anywhere in 1-5 replays the whole epoch with zero
+    duplicate fact rows — the previous r4 protocol appended directly,
+    so a crash inside the (long) summary-refresh window re-appended
+    the batch on replay and permanently poisoned the summaries
+    (ADVICE r4 #3)."""
     def handle(batch: DataFrame, batch_id: int) -> None:
-        marker_dir = os.path.join(checkpoint, "_epoch_markers")
-        marker = os.path.join(marker_dir, f"epoch-{batch_id}")
-        if os.path.exists(marker):
-            return  # replayed epoch after restart: already fully applied
-        # one evaluation of the batch lineage serves the emptiness
-        # probe, the fact write, and the day census
-        batch = batch.persist()
-        try:
-            if not batch.take(1):
-                return
-            spark = batch.sparkSession
-            storage.write_samples(batch, path, mode="append")
-            days = [
-                r[0]
-                for r in batch.select(
-                    F.expr(f"ts div {storage.NS_PER_DAY}").cast("int").alias("d")
-                )
-                .distinct()
-                .collect()
-            ]
-        finally:
-            batch.unpersist()
-        if not os.path.isdir(summary_path):
-            # first batch bootstraps the store (still only its own days)
-            storage.write_summary(
-                spark.read.parquet(path)
-                .filter(F.col("day").isin(days))
-                .select("series_id", "metric", "tags", "ts", "value"),
-                summary_path,
-            )
-        else:
-            storage.update_summary_incremental(spark, path, summary_path, days)
-        os.makedirs(marker_dir, exist_ok=True)
-        with open(marker, "w") as fh:
-            fh.write("done")
+        commit_epoch_idempotent(batch, batch_id, path, summary_path, checkpoint)
 
     writer = (
         samples.writeStream.foreachBatch(handle)

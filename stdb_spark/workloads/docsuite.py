@@ -3581,6 +3581,9 @@ def _curriculum_phases(spark, sf):
         [F.col("quality_score").desc(), F.col("doc_id").asc()],
         F.floor(-F.col("quality_score") * 100),
         out_col="phase",
+        # a NULL quality_score (e.g. NULL text) ranks where the DESC
+        # window form would put it: NULLS LAST — not silently dropped
+        nulls="last",
     )
     return phased.groupBy("phase").agg(
         F.count("*").cast("long").alias("n_docs"),

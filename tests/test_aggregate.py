@@ -331,3 +331,38 @@ def test_group_aggregate_bare_and_alias_filters_execute(eng):
     # aggregate ignores no filters — it rejects them
     with _pt.raises(QueryParseError, match="not supported for `aggregate`"):
         eng.query({"aggregate": {"test": "max"}, "filter": {"gt": 0}})
+
+
+def test_group_aggregate_metric_keyed_filter_is_per_metric(spark, multi_metric):
+    """A metric-keyed HAVING gates ONLY the named metric's bucket rows
+    (queryparser.cc:1868 parses group-aggregate filters per metric);
+    the other metric's rows must pass untouched (ADVICE r4 #1)."""
+    eng2 = Engine(spark, samples=multi_metric)
+    q = {
+        "group-aggregate": {"metric": ["m1", "m2"], "func": "max", "step": 100},
+        "range": {"from": 100, "to": 400},
+        "filter": {"m1": {"gt": 25.0}},
+    }
+    rows = eng2.query(q).collect()
+    m1_rows = [r for r in rows if r.series.startswith("m1")]
+    m2_rows = [r for r in rows if r.series.startswith("m2")]
+    # m1 bucket maxes per host: 19.9, 29.9, 39.9 -> gt 25 keeps 2 of 3
+    assert len(m1_rows) == 2 * 5
+    assert all(r["max"] > 25.0 for r in m1_rows)
+    # m2 is NOT named by the filter: all 3 buckets x 5 hosts survive
+    # (its first bucket's max 19.96 would FAIL a gt-25 check — proof
+    # the threshold didn't leak across metrics)
+    assert len(m2_rows) == 3 * 5
+    # "any" rule with two per-metric filters: each row judged only by
+    # the filter naming ITS metric
+    q2 = {
+        "group-aggregate": {"metric": ["m1", "m2"], "func": "max", "step": 100},
+        "range": {"from": 100, "to": 400},
+        "filter": {"m1": {"gt": 25.0}, "m2": {"lt": 70.0}, "=": {"require": "any"}},
+    }
+    rows2 = eng2.query(q2).collect()
+    m1_2 = [r for r in rows2 if r.series.startswith("m1")]
+    m2_2 = [r for r in rows2 if r.series.startswith("m2")]
+    assert len(m1_2) == 2 * 5 and all(r["max"] > 25.0 for r in m1_2)
+    # m2 bucket maxes: 39.8, 59.8, 79.6 -> lt 70 keeps 2 of 3
+    assert len(m2_2) == 2 * 5 and all(r["max"] < 70.0 for r in m2_2)

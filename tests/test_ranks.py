@@ -81,3 +81,41 @@ def test_top_k_ranked(spark):
     ]
     plan = top_k_ranked(df, order, 5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_two_phase_null_bucket_policies(spark):
+    """NULL sort keys: default errors loudly; 'first'/'last' match the
+    window form's NULLS FIRST/LAST (ADVICE r4 #2 — no silent drops)."""
+    import pytest
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import PythonException
+
+    from stdb_spark.operators.ranks import two_phase_ntile, two_phase_row_number
+
+    rows = [(1.0, 0), (None, 1), (5.0, 2), (None, 3), (9.0, 4), (2.0, 5)]
+    df = spark.createDataFrame(rows, "v double, k long")
+
+    # default policy: job aborts instead of dropping the NULL rows
+    with pytest.raises(Exception, match="NULL bucket|ASSERT|assert"):
+        two_phase_row_number(
+            df, [F.col("v").asc(), F.col("k").asc()], F.floor(F.col("v"))
+        ).collect()
+
+    # asc + nulls-first == the plain window form (Spark asc default)
+    order = [F.col("v").asc(), F.col("k").asc()]
+    got = two_phase_row_number(
+        df, order, F.floor(F.col("v")), out_col="rn", nulls="first"
+    )
+    want = df.withColumn("rn", F.row_number().over(W.orderBy(*order)).cast("long"))
+    key = lambda r: r.k
+    assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
+    assert got.count() == len(rows)  # nothing dropped
+
+    # desc + nulls-last == the plain window form (Spark desc default)
+    order_d = [F.col("v").desc(), F.col("k").asc()]
+    got_d = two_phase_ntile(
+        df, 3, order_d, -F.floor(F.col("v")), out_col="t", nulls="last"
+    )
+    want_d = df.withColumn("t", F.ntile(3).over(W.orderBy(*order_d)))
+    assert sorted(got_d.collect(), key=key) == sorted(want_d.collect(), key=key)

@@ -765,3 +765,49 @@ def test_stamp_replay_order_numeric_day_order(tmp_path):
     by_mtime = sorted(files, key=lambda f: os.stat(f).st_mtime_ns)
     days = [int(f.split("/")[-3].split("=")[1]) for f in by_mtime]
     assert days == [9, 10, 100], days
+
+
+def test_commit_epoch_replay_is_idempotent(spark, tmp_path):
+    """Replaying an epoch — fully, or after a simulated crash at any
+    cut point of the protocol — must leave the fact table and the
+    summary store identical to a single clean run (ADVICE r4 #3: the
+    old append-based path duplicated rows on replay)."""
+    import os
+
+    from stdb_spark import model
+    from stdb_spark.sources import storage
+    from stdb_spark.streaming import ingest as si
+
+    samples = model.events_as_samples(spark, "/root/testdata/sf0.001").limit(500)
+    batch = samples.cache()
+    n = batch.count()
+    layout = str(tmp_path / "layout")
+    summary = str(tmp_path / "summary")
+    ckpt = str(tmp_path / "ckpt")
+
+    # clean run
+    si.commit_epoch_idempotent(batch, 0, layout, summary, ckpt)
+    base_rows = sorted(map(tuple, spark.read.parquet(layout).collect()))
+    base_sum = sorted(map(tuple, spark.read.parquet(summary).collect()))
+    assert len(base_rows) == n
+
+    # full replay with marker present: no-op
+    si.commit_epoch_idempotent(batch, 0, layout, summary, ckpt)
+    assert sorted(map(tuple, spark.read.parquet(layout).collect())) == base_rows
+
+    # crash simulation: files moved but marker missing (crash during
+    # summary refresh) -> replay must scrub + re-move, not duplicate
+    os.remove(os.path.join(ckpt, "_epoch_markers", "epoch-0"))
+    si.commit_epoch_idempotent(batch, 0, layout, summary, ckpt)
+    assert sorted(map(tuple, spark.read.parquet(layout).collect())) == base_rows
+    assert sorted(map(tuple, spark.read.parquet(summary).collect())) == base_sum
+
+    # second epoch still appends (prefix scrub is epoch-scoped)
+    batch2 = batch.withColumn("ts", F.col("ts") + F.lit(1))
+    si.commit_epoch_idempotent(batch2, 1, layout, summary, ckpt)
+    assert spark.read.parquet(layout).count() == 2 * n
+    # and replaying epoch 1 after its marker is gone doesn't touch epoch 0
+    os.remove(os.path.join(ckpt, "_epoch_markers", "epoch-1"))
+    si.commit_epoch_idempotent(batch2, 1, layout, summary, ckpt)
+    assert spark.read.parquet(layout).count() == 2 * n
+    batch.unpersist()
