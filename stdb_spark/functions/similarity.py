@@ -992,3 +992,373 @@ def pca_spectrum(
         for c in range(min(k, d))
     ]
     return spark.createDataFrame(out, schema)
+
+
+# ------------------------------------------------------------------
+# Integer fixed-point k-means family — bit-exact across engines.
+#
+# Floating-point Lloyd's is order-dependent (float averages), so a
+# cross-engine value-hash oracle is impossible; operators/graph.py
+# proved the fix for PageRank: run the ITERATIVE core in BIGINT fixed
+# point with truncating division, making the (tiny, deliberate)
+# rounding loss part of the spec and identically reproducible in any
+# engine.  Here the same pattern applies to Lloyd's iterations:
+#
+# - components quantize ONCE to BIGINT multiples of 1/KM_QSCALE via
+#   floor(x * KM_QSCALE) (an exact IEEE multiply + floor — identical
+#   in Spark, DuckDB, numpy);
+# - assignment is integer squared-L2 argmin, lowest index on ties;
+# - recentering is SUM(qx) div COUNT(*) — BIGINT truncating division
+#   (Spark `div` and DuckDB `//` both truncate toward zero; verified).
+#
+# Magnitudes: |component| <= ~32 keeps (2*32*QSCALE)^2 * dim < 2^63
+# for dim <= 2048; the embedding tables here are unit-scale.  The sum
+# in recentering is bounded by n * QSCALE * |x|max — fine to ~1e11
+# rows per cell; shard cells before that.
+KM_QSCALE = 1_000_000
+
+
+def quantize_vec_expr(vec_col, qscale: int = KM_QSCALE) -> Column:
+    """array<long> of floor(x * qscale) — the one float->int boundary."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        c, lambda x: F.floor(x.cast("double") * F.lit(float(qscale))).cast("long")
+    )
+
+
+def _assign_q_expr(qvec: Column, centroids: list[list[int]]) -> Column:
+    """0-based nearest-centroid index over a PRE-QUANTIZED vector:
+    integer squared-L2 argmin, first index on ties (array_position
+    returns the first match)."""
+    scores = []
+    for cvec in centroids:
+        lit = F.array(*[F.lit(int(v)).cast("long") for v in cvec])
+        scores.append(
+            F.aggregate(
+                F.zip_with(qvec, lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+    arr = F.array(*scores)
+    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+
+
+def _assign_q_pandas(vec_col: str, centroids: list[list[int]], qscale: int) -> Column:
+    """Arrow-batched integer assignment for large k: quantize in numpy
+    (same floor(x*qscale)), then an int64 matmul argmin.  All values
+    stay integer-exact (products ~1e12, sums < 2^53-free int64 math),
+    so the result is bit-identical to _assign_q_expr — unlike the
+    float BLAS path, there is no last-ulp caveat here."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.int64)  # (k, d)
+    c2 = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="int32")
+        Xf = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        X = np.floor(Xf * qscale).astype(np.int64)  # (b, d)
+        # |x-c|^2 = |x|^2 - 2 x.c + |c|^2; |x|^2 constant per row, so
+        # argmin over (c2 - 2 x.c) — int64 exact, ties -> first index
+        scores = c2[None, :] - 2 * (X @ C.T)
+        return pd.Series(np.argmin(scores, axis=1).astype("int32"))
+
+    return assign(F.col(vec_col))
+
+
+def assign_cells_exact(
+    centroids: list[list[int]],
+    vec_col: str = "embedding",
+    qscale: int = KM_QSCALE,
+) -> Column:
+    """Nearest-centroid cell over the FLOAT column, via the quantized
+    integer argmin.  Small k: one JVM expression; large k: the exact
+    int64 matmul (same dispatch threshold as the float path, same
+    measured interpreter-blowup rationale)."""
+    if len(centroids) >= ASSIGN_MATMUL_MIN_K:
+        return _assign_q_pandas(vec_col, centroids, qscale)
+    return _assign_q_expr(quantize_vec_expr(vec_col, qscale), centroids)
+
+
+def kmeans_fit_exact(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    qscale: int = KM_QSCALE,
+) -> list[list[int]]:
+    """Distributed Lloyd's in integer fixed point — returns BIGINT
+    centroids reproducible bit-for-bit by an unrolled-CTE SQL oracle
+    (see workloads/docsuite._kmeans_exact_cte).
+
+    Seeds are the k rows with the smallest (md5(key), key) — the same
+    deterministic-hash convention as functions/sampling.py, with the
+    key tie-break making the order total even under hash collisions.
+    Each iteration: integer argmin assignment, then per-(cell, pos)
+    recenter as SUM div COUNT.  Empty cells keep their previous
+    centroid.  Only k x dim ints reach the driver per iteration."""
+    import math
+
+    seed_rows = (
+        df.select(
+            vec_col,
+            F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("_h"),
+            F.col(key).alias("_k"),
+        )
+        .orderBy("_h", "_k")
+        .limit(k)
+        .collect()
+    )
+    cents = [
+        [math.floor(float(x) * qscale) for x in r[vec_col]] for r in seed_rows
+    ]
+    k = min(k, len(cents))
+    if k == 0:
+        raise ValueError("kmeans_fit_exact needs a non-empty input")
+    cents = cents[:k]
+    qdf = df.select(quantize_vec_expr(vec_col, qscale).alias("_qv"))
+    for _ in range(iters):
+        if k >= ASSIGN_MATMUL_MIN_K:
+            # pandas path quantizes internally from the float column
+            assigned = df.select(
+                _assign_q_pandas(vec_col, cents, qscale).alias("cell"),
+                quantize_vec_expr(vec_col, qscale).alias("_qv"),
+            )
+        else:
+            assigned = qdf.select(
+                _assign_q_expr(F.col("_qv"), cents).alias("cell"), "_qv"
+            )
+        rows = (
+            assigned.select("cell", F.posexplode("_qv").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .selectExpr("cell", "pos", "s div n AS m")
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_s"))
+            .select("cell", F.transform("_s", lambda s: s.getField("m")).alias("c"))
+            .collect()
+        )
+        new = {r["cell"]: [int(v) for v in r["c"]] for r in rows}
+        cents = [new.get(i, cents[i]) for i in range(k)]
+    return cents
+
+
+def quantize_query(query_vec: list[float], qscale: int = KM_QSCALE) -> list[int]:
+    import math
+
+    return [math.floor(float(x) * qscale) for x in query_vec]
+
+
+def ivf_probe_cells_exact(
+    centroids: list[list[int]],
+    query_vec: list[float],
+    n_probe: int,
+    qscale: int = KM_QSCALE,
+) -> list[int]:
+    """n_probe cell ids nearest the query by integer squared-L2,
+    (dist, cell) ascending — the deterministic probe-ranking rule the
+    SQL oracle mirrors."""
+    q = quantize_query(query_vec, qscale)
+    scored = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(c, q)), i)
+        for i, c in enumerate(centroids)
+    )
+    return [i for _, i in scored[:n_probe]]
+
+
+def ivf_top_k_exact(
+    df: DataFrame,
+    centroids: list[list[int]],
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    n_probe: int = 2,
+    qscale: int = KM_QSCALE,
+) -> DataFrame:
+    """Trained-IVF probe with integer centroids: cell assignment and
+    probe ranking are exact integer arithmetic; the within-cell rerank
+    is the fixed-order cosine fold (engine-reproducible, same op order
+    as the SQL '+' chain).  End-to-end value-hash oracle-able."""
+    probe = ivf_probe_cells_exact(centroids, query_vec, n_probe, qscale)
+    cands = df.withColumn(
+        "cell", assign_cells_exact(centroids, vec_col, qscale)
+    ).filter(F.col("cell").isin(probe))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = cosine_expr(F.col(vec_col), q)
+    return (
+        cands.select(F.col(key), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(key))
+        .limit(k)
+    )
+
+
+def semantic_dedup_pairs_exact(
+    df: DataFrame,
+    centroids: list[list[int]],
+    threshold: float,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    qscale: int = KM_QSCALE,
+) -> DataFrame:
+    """SemDeDup pairing with fully-reproducible arithmetic: integer
+    cell assignment + fixed-order fold cosine per within-cell pair, so
+    the (a, b, cosine) set value-hash-matches a SQL oracle.  This is
+    the GATE twin of :func:`semantic_dedup_pairs`; the BLAS-blocked
+    version remains the production path (same pair set up to last-ulp
+    threshold straddles, ~100x faster per pair at big cells)."""
+    cells = df.withColumn(
+        "cell", assign_cells_exact(centroids, vec_col, qscale)
+    )
+    a = cells.select(
+        "cell", F.col(key).alias("a"), F.col(vec_col).alias("_va")
+    )
+    b = cells.select(
+        "cell", F.col(key).alias("b"), F.col(vec_col).alias("_vb")
+    )
+    cos = dot_expr(F.col("_va"), F.col("_vb")) / (
+        norm_expr(F.col("_va")) * norm_expr(F.col("_vb"))
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )
+
+
+def pq_train_exact(
+    df: DataFrame,
+    dim: int,
+    m: int = 4,
+    ks: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    qscale: int = KM_QSCALE,
+) -> list[list[list[int]]]:
+    """PQ codebooks via the exact integer k-means, one per contiguous
+    subspace.  All m trainings share the seed rows (the k smallest
+    hash keys), so the oracle unrolls them against one exploded CTE."""
+    assert dim % m == 0, "dim must divide evenly into m subspaces"
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = df.select(
+            F.col(key), F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col)
+        )
+        books.append(
+            kmeans_fit_exact(
+                sliced, k=ks, iters=iters, vec_col=vec_col, key=key, qscale=qscale
+            )
+        )
+    return books
+
+
+def pq_codes_exact(
+    df: DataFrame,
+    codebooks: list[list[list[int]]],
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    qscale: int = KM_QSCALE,
+) -> DataFrame:
+    """m-subspace PQ code per vector over the quantized components —
+    integer argmin per subspace, map-side, zero shuffles."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    qv = quantize_vec_expr(vec_col, qscale)
+    cells = []
+    for j, book in enumerate(codebooks):
+        cells.append(_assign_q_expr(F.slice(qv, j * sub + 1, sub), book))
+    return df.select(F.col(key), F.array(*cells).alias("code"))
+
+
+def pq_adc_top_k_exact(
+    codes: DataFrame,
+    codebooks: list[list[list[int]]],
+    query_vec: list[float],
+    k: int = 10,
+    key: str = "vec_id",
+    qscale: int = KM_QSCALE,
+) -> DataFrame:
+    """Asymmetric-distance top-k in pure integer arithmetic: the m x ks
+    distance table is integer squared-L2 between the QUANTIZED query
+    subvectors and the integer codebooks, the score is a BIGINT sum of
+    m lookups — no float anywhere, so the output is bit-exact by
+    construction."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = quantize_query(query_vec, qscale)
+    table = []
+    for j, book in enumerate(codebooks):
+        qs = q[j * sub : (j + 1) * sub]
+        table.append(
+            [sum((a - b) * (a - b) for a, b in zip(qs, c)) for c in book]
+        )
+    tbl = F.array(
+        *[F.array(*[F.lit(int(x)).cast("long") for x in row]) for row in table]
+    )
+    score = F.aggregate(
+        F.zip_with(tbl, F.col("code"), lambda row, c: F.element_at(row, c + 1)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        codes.select(F.col(key), score.alias("adc_dist2"))
+        .orderBy(F.col("adc_dist2").asc(), F.col(key).asc())
+        .limit(k)
+    )
+
+
+def ivf_label_top_k_exact(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    label_col: str = "label",
+    qscale: int = KM_QSCALE,
+) -> DataFrame:
+    """IVF probe over pre-existing cells (the table's label column)
+    with fully-reproducible arithmetic: per-cell centroids are integer
+    truncating-division means of the quantized members, the probe
+    ranks cells by integer squared-L2 to the quantized query
+    ((dist, label) ascending), and the within-cell rerank is the
+    fixed-order cosine fold.  The exact-oracle twin of
+    :func:`ivf_top_k` (whose float centroid averages are
+    engine-order-dependent)."""
+    rows = (
+        df.select(
+            F.col(label_col).alias("lbl"),
+            F.posexplode(quantize_vec_expr(vec_col, qscale)).alias("pos", "x"),
+        )
+        .groupBy("lbl", "pos")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .selectExpr("lbl", "pos", "s div n AS m")
+        .collect()
+    )
+    cents: dict = {}
+    for r in rows:
+        cents.setdefault(r["lbl"], {})[r["pos"]] = int(r["m"])
+    q = quantize_query(query_vec, qscale)
+    scored = sorted(
+        (sum((cs[p] - q[p]) ** 2 for p in range(len(q))), lbl)
+        for lbl, cs in cents.items()
+    )
+    probe = [lbl for _, lbl in scored[:n_probe]]
+    cands = df.filter(F.col(label_col).isin(probe))
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = cosine_expr(F.col(vec_col), qarr)
+    return (
+        cands.select(F.col(key), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(key))
+        .limit(k)
+    )

@@ -773,17 +773,101 @@ def _mm_audio(spark, sf):
 _q("mm_audio_features", _mm_audio)
 
 
-# IVF-style ANN: probes the 2 nearest cells (label column = cell id),
-# exact re-rank inside.  Centroids are float averages (engine-order
-# dependent), so rows-only here; the exactness-within-probed-cells
-# property is pinned in pytest.
+# ------------------------------------------- exact-arithmetic k-means
+# Oracle plumbing for the integer fixed-point k-means family
+# (similarity.kmeans_fit_exact — the PageRank pattern from
+# operators/graph.py applied to Lloyd's iterations): components
+# quantize to BIGINT millionths, assignment is integer argmin with
+# lowest-cell ties, recentering is truncating BIGINT division.  Every
+# step reproduces bit-for-bit in DuckDB, so the whole IVF / SemDeDup /
+# PQ family carries full value-hash oracles (VERDICT r4 #1).
+_KMQ = similarity.KM_QSCALE
+
+
+def _km_x_cte(src: str = "embeddings") -> str:
+    """Exploded quantized components: (vec_id, pos 1-based, qx)."""
+    return f"""x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_KMQ}.0) AS BIGINT) AS qx
+  FROM {src})"""
+
+
+def _km_seeds_cte(k_sql: str, src: str = "embeddings") -> str:
+    """k smallest (md5-hash, key) rows -> 0-based cell ids (the
+    deterministic seeding rule of kmeans_fit_exact)."""
+    return f"""seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS cell
+  FROM (SELECT vec_id,
+               ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM {src})
+  ORDER BY h LIMIT {k_sql})"""
+
+
+def _km_iters_cte(iters: int, p: str = "", pos_filter: str = "") -> str:
+    """Unrolled Lloyd's iterations against the shared x/seeds CTEs.
+    ``p`` prefixes CTE names (PQ trains one chain per subspace);
+    ``pos_filter`` restricts to a subspace's component range."""
+    w = f" WHERE {pos_filter}" if pos_filter else ""
+    blocks = [
+        f"""{p}c0 AS (
+  SELECT s.cell, x.pos, x.qx AS c FROM seeds s JOIN x ON s.vec_id = x.vec_id{w})"""
+    ]
+    for i in range(1, iters + 1):
+        blocks.append(f"""{p}d{i} AS (
+  SELECT x.vec_id, c.cell, SUM((x.qx - c.c) * (x.qx - c.c)) AS dist
+  FROM x JOIN {p}c{i-1} c USING (pos) GROUP BY 1, 2),
+{p}a{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM {p}d{i}) WHERE rn = 1),
+{p}s{i} AS (
+  SELECT a.cell, x.pos, CAST(SUM(x.qx) AS BIGINT) // COUNT(*) AS m
+  FROM {p}a{i} a JOIN x USING (vec_id){w} GROUP BY 1, 2),
+{p}c{i} AS (
+  SELECT pr.cell, pr.pos, COALESCE(s.m, pr.c) AS c
+  FROM {p}c{i-1} pr LEFT JOIN {p}s{i} s ON pr.cell = s.cell AND pr.pos = s.pos)""")
+    return ",\n".join(blocks)
+
+
+def _km_query_cte(name: str = "qv") -> str:
+    """The quantized query vector as (pos 1-based, qq) rows."""
+    qq = similarity.quantize_query(_QVEC, _KMQ)
+    vals = ", ".join(f"({i + 1}, {v})" for i, v in enumerate(qq))
+    return f"{name} AS (SELECT * FROM (VALUES {vals}) AS t(pos, qq))"
+
+
+# IVF-style ANN over the table's label column as cell ids: probe the 2
+# cells whose INTEGER centroid (truncating-division mean of quantized
+# members) is squared-L2 nearest the quantized query, exact fold-cosine
+# rerank inside.  Full value-hash oracle — centroid, probe ranking, and
+# rerank all reproduce bit-for-bit.
 def _emb_ann_ivf(spark, sf):
-    return similarity.ivf_top_k(
+    return similarity.ivf_label_top_k_exact(
         model.load_table(spark, sf, "embeddings"), _QVEC, k=10, n_probe=2
     )
 
 
-_q("emb_ann_ivf", _emb_ann_ivf)
+_q(
+    "emb_ann_ivf",
+    _emb_ann_ivf,
+    f"""
+WITH {_km_x_cte()},
+{_km_query_cte()},
+cent AS (
+  SELECT label, pos, CAST(SUM(qx) AS BIGINT) // COUNT(*) AS c
+  FROM x JOIN embeddings USING (vec_id) GROUP BY 1, 2),
+pd AS (
+  SELECT label, SUM((c - qq) * (c - qq)) AS dist
+  FROM cent JOIN qv USING (pos) GROUP BY 1),
+probe AS (SELECT label FROM pd ORDER BY dist, label LIMIT 2)
+SELECT vec_id,
+  ({_qvec_dot('embedding')}) / ({_norm_chain('embedding')} * {_QNORM}) AS cosine
+FROM embeddings
+WHERE label IN (SELECT label FROM probe)
+ORDER BY cosine DESC, vec_id LIMIT 10
+""",
+)
 
 
 # ------------------------------------------------------------- PII scrub
@@ -994,30 +1078,60 @@ GROUP BY c.doc_id, b.doc_id
 )
 
 
-# Trained IVF: k-means centroids fitted once (deterministic hash-seeded
-# Lloyd's) and cached as a write-time artifact; the probe filters to the
-# 2 nearest of 8 cells and exact-reranks inside.  Float centroids are
-# engine-order dependent -> rows-only; recall-vs-bruteforce and the
-# n_probe=k == exact property are pinned in pytest.
+# Trained IVF: integer fixed-point k-means centroids (k=8, 4 Lloyd's
+# iterations) fitted once and cached as a write-time artifact; the
+# probe filters to the 2 cells integer-nearest the quantized query and
+# exact-reranks by fold cosine inside.  The oracle re-trains the SAME
+# centroids in unrolled SQL CTEs — full value-hash parity end-to-end
+# (graduated from rows-only, VERDICT r4 #1).
+_IVF_K, _IVF_ITERS = 8, 4
+
+
 def _emb_ann_ivf_trained(spark, sf):
     import json
     import os
 
     docs = model.load_table(spark, sf, "embeddings")
-    cache = model.derived_cache_path(sf, "ivf_centroids", "embeddings")
+    cache = model.derived_cache_path(sf, "ivf_centroids_exact", "embeddings")
     cfile = os.path.join(cache, "centroids.json")
     if os.path.exists(cfile):
         with open(cfile) as f:
             cents = json.load(f)
     else:
-        cents = similarity.kmeans_fit(docs, k=8, iters=4)
+        cents = similarity.kmeans_fit_exact(docs, k=_IVF_K, iters=_IVF_ITERS)
         os.makedirs(cache, exist_ok=True)
         with open(cfile, "w") as f:
             json.dump(cents, f)
-    return similarity.ivf_top_k_trained(docs, cents, _QVEC, k=10, n_probe=2)
+    return similarity.ivf_top_k_exact(docs, cents, _QVEC, k=10, n_probe=2)
 
 
-_q("emb_ann_ivf_trained", _emb_ann_ivf_trained)
+_q(
+    "emb_ann_ivf_trained",
+    _emb_ann_ivf_trained,
+    f"""
+WITH {_km_x_cte()},
+{_km_seeds_cte(str(_IVF_K))},
+{_km_iters_cte(_IVF_ITERS)},
+{_km_query_cte()},
+pd AS (
+  SELECT c.cell, SUM((c.c - q.qq) * (c.c - q.qq)) AS dist
+  FROM c{_IVF_ITERS} c JOIN qv q USING (pos) GROUP BY 1),
+probe AS (SELECT cell FROM pd ORDER BY dist, cell LIMIT 2),
+fd AS (
+  SELECT x.vec_id, c.cell, SUM((x.qx - c.c) * (x.qx - c.c)) AS dist
+  FROM x JOIN c{_IVF_ITERS} c USING (pos) GROUP BY 1, 2),
+fa AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM fd) WHERE rn = 1)
+SELECT e.vec_id,
+  ({_qvec_dot('e.embedding')}) / ({_norm_chain('e.embedding')} * {_QNORM}) AS cosine
+FROM embeddings e JOIN fa ON e.vec_id = fa.vec_id
+WHERE fa.cell IN (SELECT cell FROM probe)
+ORDER BY cosine DESC, e.vec_id LIMIT 10
+""",
+)
 
 
 # ------------------------------------------- Gopher-style quality signals
@@ -1442,11 +1556,17 @@ FROM documents
 
 # ----------------------------------------------- semantic dedup (SemDeDup)
 # Cluster-pruned embedding near-dup: k-means cells bound the quadratic
-# pairing (Abbas et al. 2023).  Centroids come from the same cached
-# deterministic training as emb_ann_ivf_trained; float k-means means
-# rows-only at the gate — recall on planted duplicates is pinned in
-# pytest instead.
-def _emb_semantic_dedup(spark, sf):
+# pairing (Abbas et al. 2023).  GATE variant: integer fixed-point
+# training + fold-cosine pairs — full value-hash oracle (the SQL
+# re-trains the same centroids with k computed from the corpus size by
+# the same rule).  The BLAS-blocked semantic_dedup_pairs stays the
+# production kernel (emb_semantic_dedup_blas below) — identical pair
+# set up to last-ulp threshold straddles, ~100x faster per pair.
+_SEMDEDUP_ITERS = 4
+_SEMDEDUP_T = 0.35  # ~99th pct of intra-cell cosine on the synthetic corpus
+
+
+def _semdedup_centroids(spark, sf):
     import json
     import os
 
@@ -1458,23 +1578,68 @@ def _emb_semantic_dedup(spark, sf):
     # centroids — different operator, different k, own artifact.
     n = emb.count()
     k = max(8, min(256, n // 200))
-    cache = model.derived_cache_path(sf, f"semdedup_centroids_k{k}", "embeddings")
+    cache = model.derived_cache_path(
+        sf, f"semdedup_centroids_exact_k{k}", "embeddings"
+    )
     cfile = os.path.join(cache, "centroids.json")
     if os.path.exists(cfile):
         with open(cfile) as f:
             cents = json.load(f)
     else:
-        cents = similarity.kmeans_fit(emb, k=k, iters=4)
+        cents = similarity.kmeans_fit_exact(emb, k=k, iters=_SEMDEDUP_ITERS)
         os.makedirs(cache, exist_ok=True)
         with open(cfile, "w") as f:
             json.dump(cents, f)
-    # synthetic embeddings are near-orthogonal (intra-cell cosine tops
-    # out ~0.47 at sf0.01); 0.35 sits at the ~99th percentile so the
-    # query emits a real (but pruned) pair set
-    return similarity.semantic_dedup_pairs(emb, cents, threshold=0.35)
+    return emb, cents
 
 
-_q("emb_semantic_dedup", _emb_semantic_dedup)
+def _emb_semantic_dedup(spark, sf):
+    emb, cents = _semdedup_centroids(spark, sf)
+    return similarity.semantic_dedup_pairs_exact(emb, cents, threshold=_SEMDEDUP_T)
+
+
+# the k-by-corpus-size rule, in SQL (mirrors max(8, min(256, n//200)))
+_SEMDEDUP_K_SQL = (
+    "(SELECT GREATEST(8, LEAST(256, COUNT(*) // 200)) FROM embeddings)"
+)
+
+_q(
+    "emb_semantic_dedup",
+    _emb_semantic_dedup,
+    f"""
+WITH {_km_x_cte()},
+{_km_seeds_cte(_SEMDEDUP_K_SQL)},
+{_km_iters_cte(_SEMDEDUP_ITERS)},
+fd AS (
+  SELECT x.vec_id, c.cell, SUM((x.qx - c.c) * (x.qx - c.c)) AS dist
+  FROM x JOIN c{_SEMDEDUP_ITERS} c USING (pos) GROUP BY 1, 2),
+fa AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM fd) WHERE rn = 1)
+SELECT a.vec_id AS a, b.vec_id AS b,
+  ({_dot_chain('ea.embedding', 'eb.embedding')})
+    / ({_norm_chain('ea.embedding')} * {_norm_chain('eb.embedding')}) AS cosine
+FROM fa a JOIN fa b ON a.cell = b.cell AND a.vec_id < b.vec_id
+JOIN embeddings ea ON ea.vec_id = a.vec_id
+JOIN embeddings eb ON eb.vec_id = b.vec_id
+WHERE ({_dot_chain('ea.embedding', 'eb.embedding')})
+    / ({_norm_chain('ea.embedding')} * {_norm_chain('eb.embedding')}) >= {_SEMDEDUP_T}
+""",
+)
+
+
+# the production-scale BLAS twin (rows-only: BLAS summation order is
+# platform-dependent in the last ulp — see semantic_dedup_pairs)
+def _emb_semantic_dedup_blas(spark, sf):
+    emb, cents = _semdedup_centroids(spark, sf)
+    return similarity.semantic_dedup_pairs(
+        emb, [[c / _KMQ for c in cc] for cc in cents], threshold=_SEMDEDUP_T
+    )
+
+
+_q("emb_semantic_dedup_blas", _emb_semantic_dedup_blas)
 
 
 # Decontamination end-to-end: the corpus that SURVIVES the 4-gram
@@ -2015,30 +2180,77 @@ FROM f
 # ------------------------------------------------- product quantization
 # PQ ANN (Jégou et al. TPAMI'11): 4 subspace codebooks × 16 centroids,
 # m-byte codes, asymmetric-distance top-k via a broadcast m×ks lookup
-# table.  Float k-means -> rows-only at the gate; exactness properties
-# (self-match at distance ~0, recall vs brute force) are pinned in
-# pytest.  Codebooks are a cached write-time artifact like the IVF
-# centroids.
+# table.  Integer fixed-point codebooks + integer ADC distances — the
+# entire pipeline (training, codes, scores) is BIGINT arithmetic, so
+# the oracle re-derives it bit-for-bit: 4 unrolled trainings sharing
+# one exploded CTE (graduated from rows-only, VERDICT r4 #1).
+_PQ_M, _PQ_KS, _PQ_ITERS = 4, 16, 3
+_PQ_SUB = _DIM // _PQ_M
+
+
 def _emb_ann_pq(spark, sf):
     import json
     import os
 
     emb = model.load_table(spark, sf, "embeddings")
-    cache = model.derived_cache_path(sf, "pq_codebooks_m4k16", "embeddings")
+    cache = model.derived_cache_path(sf, "pq_codebooks_exact_m4k16", "embeddings")
     cfile = os.path.join(cache, "codebooks.json")
     if os.path.exists(cfile):
         with open(cfile) as f:
             books = json.load(f)
     else:
-        books = similarity.pq_train(emb, dim=_DIM, m=4, ks=16, iters=4)
+        books = similarity.pq_train_exact(
+            emb, dim=_DIM, m=_PQ_M, ks=_PQ_KS, iters=_PQ_ITERS
+        )
         os.makedirs(cache, exist_ok=True)
         with open(cfile, "w") as f:
             json.dump(books, f)
-    codes = similarity.pq_codes(emb, books)
-    return similarity.pq_adc_top_k(codes, books, _QVEC, k=10)
+    codes = similarity.pq_codes_exact(emb, books)
+    return similarity.pq_adc_top_k_exact(codes, books, _QVEC, k=10)
 
 
-_q("emb_ann_pq", _emb_ann_pq)
+def _pq_oracle_sql() -> str:
+    trains, codes, qdists = [], [], []
+    for j in range(_PQ_M):
+        lo, hi = j * _PQ_SUB + 1, (j + 1) * _PQ_SUB
+        trains.append(
+            _km_iters_cte(_PQ_ITERS, p=f"p{j}", pos_filter=f"pos BETWEEN {lo} AND {hi}")
+        )
+        codes.append(f"""cd{j} AS (
+  SELECT x.vec_id, c.cell, SUM((x.qx - c.c) * (x.qx - c.c)) AS dist
+  FROM x JOIN p{j}c{_PQ_ITERS} c USING (pos) GROUP BY 1, 2),
+co{j} AS (
+  SELECT vec_id, cell AS code FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM cd{j}) WHERE rn = 1)""")
+        qdists.append(f"""qd{j} AS (
+  SELECT c.cell, SUM((c.c - q.qq) * (c.c - q.qq)) AS dist
+  FROM p{j}c{_PQ_ITERS} c JOIN qv q USING (pos) GROUP BY 1)""")
+    joins = "\n".join(
+        f"JOIN co{j} ON co{j}.vec_id = co0.vec_id\nJOIN qd{j} ON qd{j}.cell = co{j}.code"
+        for j in range(1, _PQ_M)
+    )
+    score = " + ".join(f"qd{j}.dist" for j in range(_PQ_M))
+    trains_sql = ",\n".join(trains)
+    codes_sql = ",\n".join(codes)
+    qdists_sql = ",\n".join(qdists)
+    return f"""
+WITH {_km_x_cte()},
+{_km_seeds_cte(str(_PQ_KS))},
+{_km_query_cte()},
+{trains_sql},
+{codes_sql},
+{qdists_sql}
+SELECT co0.vec_id, CAST({score} AS BIGINT) AS adc_dist2
+FROM co0
+JOIN qd0 ON qd0.cell = co0.code
+{joins}
+ORDER BY adc_dist2, co0.vec_id LIMIT 10
+"""
+
+
+_q("emb_ann_pq", _emb_ann_pq, _pq_oracle_sql())
 
 
 # ------------------------------------------- exact substring scrub

@@ -1185,3 +1185,82 @@ def test_paragraph_dedup_keeps_fully_deduped_docs(spark):
     # doc 2's only paragraph loses the keeper race: it must come back
     # with EMPTY text, not vanish from the output
     assert out == {1: "hello world", 2: "", 3: "other text"}
+
+
+def test_kmeans_exact_matches_pure_python(spark):
+    """Integer fixed-point Lloyd's: the distributed implementation must
+    equal a from-scratch driver-side replica bit-for-bit (the property
+    the unrolled-CTE oracle then certifies cross-engine)."""
+    import hashlib
+    import math
+
+    from stdb_spark.functions import similarity as sim
+
+    rows = [(i, [math.sin(i * 7 + d) * 0.5 for d in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sim.kmeans_fit_exact(df, k=4, iters=3, qscale=1000)
+
+    # pure-python replica of the spec
+    QS = 1000
+    # quantize exactly as the engines do: float32 storage first
+    import numpy as np
+
+    qrows = {
+        i: [math.floor(float(np.float32(x)) * QS) for x in v] for i, v in rows
+    }
+    hs = sorted(
+        (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16), i)
+        for i in qrows
+    )
+    cents = [list(qrows[i]) for _, i in hs[:4]]
+    for _ in range(3):
+        assign = {}
+        for i, q in qrows.items():
+            dists = [sum((a - b) ** 2 for a, b in zip(q, c)) for c in cents]
+            assign[i] = dists.index(min(dists))
+        new = []
+        for ci in range(4):
+            members = [qrows[i] for i in assign if assign[i] == ci]
+            if not members:
+                new.append(cents[ci])
+                continue
+            n = len(members)
+            comp = []
+            for d in range(8):
+                s = sum(m[d] for m in members)
+                # truncating division toward zero (Spark div / DuckDB //)
+                comp.append(int(s / n) if s * n >= 0 else -(-s // n if s < 0 else s // -n))
+            new.append(comp)
+        cents = new
+    assert got == cents
+
+
+def test_ivf_exact_nprobe_all_equals_bruteforce(spark):
+    """n_probe == k cells probes everything -> must equal brute force."""
+    from stdb_spark.functions import similarity as sim
+    from stdb_spark import model
+
+    emb = model.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    cents = sim.kmeans_fit_exact(emb, k=4, iters=2)
+    got = sim.ivf_top_k_exact(emb, cents, q, k=5, n_probe=4).collect()
+    want = sim.brute_force_top_k(emb, q, k=5).collect()
+    assert [(r.vec_id, r.cosine) for r in got] == [
+        (r.vec_id, r.cosine) for r in want
+    ]
+
+
+def test_pq_exact_self_query_ranks_self_first(spark):
+    """Querying with a corpus vector must rank that vector first (its
+    ADC distance is the quantization floor — minimal by construction)."""
+    from stdb_spark.functions import similarity as sim
+    from stdb_spark import model
+
+    emb = model.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    target = emb.filter(F.col("vec_id") == 7).first()
+    books = sim.pq_train_exact(emb, dim=64, m=4, ks=8, iters=2)
+    codes = sim.pq_codes_exact(emb, books)
+    top = sim.pq_adc_top_k_exact(
+        codes, books, [float(x) for x in target.embedding], k=3
+    ).collect()
+    assert top[0].vec_id == 7
