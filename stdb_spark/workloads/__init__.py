@@ -92,39 +92,36 @@ _PRIORITY = [
     "emb_ann_bruteforce",           # similarity: ANN baseline
     "mm_manifest_stats",            # multimodal binary plumbing (full oracle)
     # Tier 2 (27-49): rotated each round toward never-driver-proven
-    # families (VERDICT r3 #3) — r4 swaps second variants of r3-green
-    # families (range_iso, partitioned_layout, gapfill, set ops,
-    # suggest, trajectory, paragraph dedup, ann_lsh) for the §2
-    # operators only the local gate had proven: sma/cusum/cma/
-    # top-timeweighted/filter-value/knn/interval-join/pivot-by-tag.
-    "ingest_resp_roundtrip",    # r4: row-protocol *N semantics re-proven
-    "ts_select_filter_value",   # §2.2 value filter gt/ge/lt/le
-    "ts_sma",                   # §2.5 simple moving average
-    "ts_cusum",                 # §2.5 accumulate/cusum
-    "ts_cma",                   # §2.5 cumulative moving average
-    "ts_top_timeweighted",      # §2.5 time-weighted top
-    "ts_interval_join",         # §2.3 interval join
-    "ts_pivot_by_tag",          # §2.4 pivot-by-tag
-    "sp_knn",                   # §2.9 KNN
-    # r4 continuation: the six families added this session (behavioral
-    # funnel/retention/transitions, grouping-sets rollup, graph
-    # PageRank, stateful streaming funnel) take the window slots of r3
-    # driver-green select/meta variants, which stay proven by the r3
-    # record + the full local gate.
-    "ts_event_funnel",          # windowFunnel analog (cumulative windows)
-    "ts_retention_matrix",      # weekly cohort retention
-    "ts_event_transitions",     # Markov transition matrix
-    "rel_revenue_rollup",       # ROLLUP/GROUPING subtotal pyramid
-    "rel_supplier_pagerank",    # exact integer PageRank (graph family)
-    "stream_funnel",            # stateful streaming funnel
-    "ts_aggregate_summary_pushdown",
-    "ts_group_aggregate_having",
-    "ts_group_by_tag_agg",
-    "ts_rate",
-    "doc_pack_sequences",       # training-batch prep family
-    "ingest_jsonl_roundtrip",   # corpus source family
-    "stream_enrich_join",       # stream-join class
-    "stream_resp_dictionary_ingest",  # r4: wire dictionary over streaming
+    # families (VERDICT r3 #3, r4 #2).  r5 swaps ALL r4-driver-green
+    # tier-2 slots (filter-value/sma/cusum/cma/top-timeweighted/
+    # interval-join/pivot-by-tag/knn/funnel/retention/transitions/
+    # rollup/pagerank/stream-funnel/... — each stays proven by the r4
+    # record + the full local gate) for flagships of families no driver
+    # round has yet hashed, including the four freshly-oracled exact
+    # k-means entries.
+    "ts_gapfill_interpolate",        # gapfill/interpolation family
+    "ingest_versioned_timetravel",   # versioned store / time travel
+    "sp_trajectory_bbox_zordered",   # Z-order trajectory pruning
+    "doc_bm25_search",               # retrieval (BM25 ranking)
+    "emb_ann_lsh_presigned",         # ANN presigned-LSH (100 TB shape)
+    "ts_sliding_group_aggregate",    # sliding windows
+    "rel_salted_skew_join",          # skew mitigation family
+    "doc_winnowing",                 # document fingerprinting
+    "emb_ann_ivf",                   # r5: exact integer IVF (new oracle)
+    "emb_ann_ivf_trained",           # r5: exact k-means IVF (new oracle)
+    "emb_semantic_dedup",            # r5: exact SemDeDup (new oracle)
+    "emb_ann_pq",                    # r5: exact PQ/ADC (new oracle)
+    "ts_search_fuzzy",               # §2.8 fuzzy-prefix search
+    "ts_suggest_metric_names",       # §2.8 suggest
+    "sp_knn_grid",                   # §2.9 grid-pruned KNN (ring probes)
+    "ts_group_aggregate_backward",   # §2.4 backward buckets
+    "ts_holt_winters",               # lane-lockstep numpy kernel family
+    "rel_q18_large_volume_customers",  # TPC-H breadth
+    "stream_sessionize",             # streaming session windows
+    "ingest_upsert_merge",           # storage upsert/compaction
+    "ts_set_intersect",              # set ops family
+    "doc_dup_span_scrub",            # exact-substring scrub (Lee et al.)
+    "sp_point_in_polygon",           # spatial predicate family
 ]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
 QUERIES = {
