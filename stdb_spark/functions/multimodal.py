@@ -1,11 +1,21 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The container this repo is developed in has no image/audio codecs, so
-the *decode* step is stubbed behind ``DecodeUnavailable`` or a
-deterministic fake — but everything Spark-side is real and tested:
-schema, Arrow batch shape (mapInPandas), partition sizing, and the
-pipeline contract (decode -> feature -> filter).  Swapping the stub for
-Pillow/torchaudio changes one function body, not the plan.
+IMAGE decode is REAL for two container formats, implemented from the
+public specs with nothing beyond the stdlib (``zlib``/``struct``) +
+numpy:
+
+- PNM (P5 grayscale / P6 RGB binary, the Netpbm spec);
+- PNG (ISO/IEC 15948): 8-bit gray/gray+alpha/RGB/RGBA, non-interlaced,
+  zlib-inflated IDAT, all five row filters (None/Sub/Up/Average/Paeth).
+
+``make_fake_media(kind="image")`` emits genuine PNG payloads, so the
+image feature/pHash pipelines run on real decoded pixels end-to-end.
+JPEG/WebP/AVIF (and all audio/video codecs) still raise
+``DecodeUnavailable`` — those need native codec libs this container
+doesn't ship; swapping in Pillow/torchaudio changes one function body,
+not the plan.  Unrecognized payloads in the feature extractors fall
+back to the deterministic byte-tiling fake so opaque-binary plumbing
+stays exercisable.
 """
 
 from __future__ import annotations
@@ -32,23 +42,219 @@ MEDIA_SCHEMA = T.StructType(
 
 
 class DecodeUnavailable(NotImplementedError):
-    """Raised by real decode paths in this container (no codec libs)."""
+    """Raised for container formats needing codec libs this container
+    doesn't ship (JPEG/WebP/audio/video)."""
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def make_fake_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
-    """Deterministic fake payloads (seeded bytes) for plumbing tests."""
+    """Deterministic media payloads for the pipelines: images are REAL
+    PNGs (seeded gradient + noise, decoded back by decode_image);
+    audio/video stay seeded opaque bytes (no codecs for them)."""
     rows = []
     for i in range(n):
         rng = np.random.default_rng(i)
-        payload = bytes(rng.integers(0, 256, size=256, dtype=np.uint8))
-        rows.append((i, kind, f"{kind}/fake", 32, 24, 1000 + i, payload))
+        if kind == "image":
+            img = (
+                np.add.outer(np.arange(24) * 3, np.arange(32) * 2)
+                + rng.integers(0, 64, size=(24, 32))
+            ).astype(np.uint8)
+            payload = encode_png(img)
+            rows.append((i, kind, "image/png", 32, 24, 1000 + i, payload))
+        else:
+            payload = bytes(rng.integers(0, 256, size=256, dtype=np.uint8))
+            rows.append((i, kind, f"{kind}/fake", 32, 24, 1000 + i, payload))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def decode_image(payload: bytes) -> "np.ndarray":
-    """STUB — a real deployment decodes with Pillow/libjpeg.
-    Raises DecodeUnavailable to make the boundary explicit."""
-    raise DecodeUnavailable("image codecs not present in this container")
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Netpbm binary encode: P5 for (h, w) gray, P6 for (h, w, 3) RGB."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        head = f"P5\n{img.shape[1]} {img.shape[0]}\n255\n"
+    elif img.ndim == 3 and img.shape[2] == 3:
+        head = f"P6\n{img.shape[1]} {img.shape[0]}\n255\n"
+    else:
+        raise ValueError(f"unsupported shape {img.shape}")
+    return head.encode("ascii") + img.tobytes()
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal spec-correct PNG encode (8-bit gray/RGB/RGBA, filter 0
+    rows, one zlib IDAT) — the test-fixture twin of _decode_png."""
+    import struct
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        ctype, channels = 0, 1
+    elif img.ndim == 3 and img.shape[2] == 3:
+        ctype, channels = 2, 3
+    elif img.ndim == 3 and img.shape[2] == 4:
+        ctype, channels = 6, 4
+    else:
+        raise ValueError(f"unsupported shape {img.shape}")
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = img.reshape(h, w * channels)
+    scanlines = b"".join(b"\x00" + raw[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scanlines))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_pnm(payload: bytes) -> np.ndarray:
+    """P5/P6 binary Netpbm: whitespace-separated header tokens (with
+    '#' comments), then maxval+1 raster bytes per sample."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise DecodeUnavailable("not a binary PNM payload")
+    tokens, i = [], 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise DecodeUnavailable("only 8-bit PNM supported")
+    channels = 3 if payload[:2] == b"P6" else 1
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * channels, offset=i)
+    return data.reshape((h, w) if channels == 1 else (h, w, 3)).copy()
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG: chunk walk, zlib inflate of the IDAT
+    stream, per-row unfilter (spec §9: None/Sub/Up/Average/Paeth)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise DecodeUnavailable("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # skip CRC
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise DecodeUnavailable("malformed PNG (missing IHDR/IDAT)")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+        raise DecodeUnavailable(
+            f"unsupported PNG variant (depth={depth} color={ctype} interlace={interlace})"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise DecodeUnavailable("PNG raster size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:
+            rec = row
+        elif ftype == 2:  # Up
+            rec = (row + prev) & 0xFF
+        else:  # Sub/Average/Paeth recurse on the row — per-sample loop
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                elif ftype == 4:
+                    pred = _paeth(a, b, c)
+                else:
+                    raise DecodeUnavailable(f"bad PNG filter {ftype}")
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        out[y] = rec.astype(np.uint8)
+    return out.reshape((h, w) if channels == 1 else (h, w, channels))
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode a PNM (P5/P6) or 8-bit non-interlaced PNG payload to a
+    uint8 array — (h, w) grayscale or (h, w, c).  Pure stdlib + numpy;
+    other containers raise DecodeUnavailable (the explicit codec
+    boundary a real deployment fills with Pillow)."""
+    payload = bytes(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return _decode_pnm(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png(payload)
+    raise DecodeUnavailable("unrecognized image container (PNM/PNG supported)")
+
+
+def to_grayscale(img: np.ndarray) -> np.ndarray:
+    """Integer ITU-R 601 luma ((299 r + 587 g + 114 b) // 1000) — fully
+    deterministic, no float rounding."""
+    if img.ndim == 2:
+        return img
+    r, g, b = (img[..., i].astype(np.int64) for i in range(3))
+    return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+
+
+def _resize_nn(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbor resample with floor-index sampling (integer
+    arithmetic — deterministic everywhere)."""
+    ys = (np.arange(h) * img.shape[0]) // h
+    xs = (np.arange(w) * img.shape[1]) // w
+    return img[np.ix_(ys, xs)]
+
+
+def _decode_any(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Real decode when the container is recognized; otherwise the
+    deterministic byte-tiling fake (opaque payloads stay flowable)."""
+    try:
+        return to_grayscale(decode_image(payload))
+    except DecodeUnavailable:
+        return _fake_decode(payload, width, height)
 
 
 def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
@@ -80,7 +286,7 @@ def extract_image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
             for mid, payload, w, h in zip(
                 pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
             ):
-                img = _fake_decode(payload, int(w), int(h))
+                img = _decode_any(bytes(payload), int(w), int(h))
                 out["media_id"].append(int(mid))
                 out["mean_px"].append(float(img.mean()))
                 out["std_px"].append(float(img.std()))
@@ -169,9 +375,9 @@ def image_phash(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     pigeonhole pairing, same one-shuffle plan.
 
     Arrow-batched mapInPandas; the DCT is a fixed 32×32 matrix multiply
-    per image (numpy, vectorized).  Decode is the deterministic stub
-    (_fake_decode) in this container — swapping in a real codec changes
-    no Spark plumbing."""
+    per image (numpy, vectorized).  Decode is REAL for PNG/PNM payloads
+    (grayscale luma, nearest-neighbor 32×32 resample); unrecognized
+    containers fall back to the deterministic byte-tiling fake."""
     N = 32
 
     # DCT-II basis (orthonormal), fixed small matrix shared per batch
@@ -183,7 +389,9 @@ def image_phash(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = _fake_decode(bytes(payload), N, N).astype(np.float64)
+                img = _resize_nn(
+                    _decode_any(bytes(payload), N, N), N, N
+                ).astype(np.float64)
                 coeffs = basis @ img @ basis.T
                 block = coeffs[:8, :8].flatten()
                 # threshold = median of the 63 AC terms (DC excluded:

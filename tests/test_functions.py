@@ -1264,3 +1264,58 @@ def test_pq_exact_self_query_ranks_self_first(spark):
         codes, books, [float(x) for x in target.embedding], k=3
     ).collect()
     assert top[0].vec_id == 7
+
+
+def test_png_pnm_codec_roundtrip_and_filters():
+    """Pure-Python image codec (VERDICT r4 #3): encode/decode roundtrips
+    for PNG gray/RGB/RGBA and PNM P5/P6, plus a hand-filtered PNG
+    exercising every spec filter type (Sub/Up/Average/Paeth/None)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from stdb_spark.functions import multimodal as mm
+
+    rng = np.random.default_rng(1)
+    for shape in [(24, 32), (24, 32, 3), (24, 32, 4)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(mm.decode_image(mm.encode_png(img)), img)
+    for shape in [(24, 32), (24, 32, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(mm.decode_image(mm.encode_ppm(img)), img)
+
+    # one scanline per filter type, hand-filtered per the spec
+    img = rng.integers(0, 256, size=(5, 7), dtype=np.uint8)
+    h, w, bpp = 5, 7, 1
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    lines, prev = b"", np.zeros(w, np.int32)
+    for y, f in enumerate([1, 2, 3, 4, 0]):
+        row = img[y].astype(np.int32)
+        out = bytearray([f])
+        for x in range(w):
+            a = int(row[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[f]
+            out.append((int(row[x]) - pred) & 0xFF)
+        lines += bytes(out)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    png = (
+        mm._PNG_MAGIC
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(lines))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(mm.decode_image(png), img)
+
+    # the codec boundary still raises for containers we can't decode
+    with pytest.raises(mm.DecodeUnavailable):
+        mm.decode_image(b"\xff\xd8\xff\xe0JFIF")
