@@ -35,6 +35,13 @@ from pyspark.sql import functions as F
 SCALE = 1_000_000_000_000  # ranks are BIGINT multiples of 1e-12
 
 
+#: below this node count the rank table rides each iteration's join as
+#: an explicit broadcast (~30 MB at 1M nodes x ~30 B/row) — the edge
+#: side then never exchanges; above it, ranks hash-join against the
+#: src-partitioned edge list (the cluster-scale shape)
+BROADCAST_RANKS_MAX_NODES = 1_000_000
+
+
 def pagerank_exact(
     edges: DataFrame,
     iterations: int = 5,
@@ -52,63 +59,89 @@ def pagerank_exact(
     (no out-edges) simply contribute nothing (their mass evaporates,
     again deterministically).  ``damp_num/damp_den`` is the damping
     factor as an exact rational (default 85/100).
+
+    Wall-time shape (r4 review: rounds x scheduling latency dominated
+    locally): the caller's edge lineage is evaluated EXACTLY ONCE (the
+    r4 version evaluated it twice — once for nodes, once for the
+    degree join); the loop's exchanges are sized to the rank table
+    (#nodes div 64k partitions, not the session's corpus-scale
+    setting); and when the graph is small enough the ranks broadcast,
+    so each round touches the cached edge list with zero edge-side
+    exchange.  At cluster scale (n > BROADCAST_RANKS_MAX_NODES) the
+    per-round shape is unchanged from r4: one co-partitioned join +
+    one rank exchange.
     """
+    spark = edges.sparkSession
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    nodes = nodes.persist()
-    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # src-partitioned once; every iteration's join reuses this layout
-    ed = e.join(deg, "src").repartition("src").persist()
-    n = nodes.count()  # one scalar — bounded driver work by design
-    teleport = (SCALE * (damp_den - damp_num)) // (damp_den * n)
-    pr = nodes.withColumn("pr", F.lit(SCALE // n))
-    prev = None
-    for it in range(int(iterations)):
-        contribs = (
-            ed.join(pr, ed.src == pr.node)
-            .select(
-                "dst",
-                F.expr(f"(pr * {damp_num}L) div ({damp_den}L * outdeg)").alias(
-                    "c"
-                ),
+    ).persist()
+    n_edges = e.count()  # materializes the caller lineage exactly once
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # graph-scale exchanges: ~1M edges per reduce task, floor of 4
+    parts = max(4, min(int(old_parts), n_edges // 1_000_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        ).persist()
+        n = nodes.count()  # one scalar — bounded driver work by design
+        deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+        broadcast_ranks = n <= BROADCAST_RANKS_MAX_NODES
+        ed = e.join(deg, "src")
+        if not broadcast_ranks:
+            # src-partitioned once; every iteration's hash join reuses
+            # this layout (broadcast mode needs no layout at all)
+            ed = ed.repartition("src")
+        ed = ed.persist()
+        teleport = (SCALE * (damp_den - damp_num)) // (damp_den * n)
+        pr = nodes.withColumn("pr", F.lit(SCALE // n))
+        prev = None
+        for it in range(int(iterations)):
+            rank_side = F.broadcast(pr) if broadcast_ranks else pr
+            contribs = (
+                ed.join(rank_side, ed.src == pr.node)
+                .select(
+                    "dst",
+                    F.expr(
+                        f"(pr * {damp_num}L) div ({damp_den}L * outdeg)"
+                    ).alias("c"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
             )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        pr = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
-            .select(
-                "node",
-                (F.lit(teleport) + F.coalesce(F.col("s"), F.lit(0))).alias(
-                    "pr"
-                ),
+            pr = (
+                nodes.join(contribs, nodes.node == contribs.dst, "left")
+                .select(
+                    "node",
+                    (F.lit(teleport) + F.coalesce(F.col("s"), F.lit(0))).alias(
+                        "pr"
+                    ),
+                )
             )
-        )
-        if checkpoint and (
-            (it + 1) % int(checkpoint_every) == 0
-            or it + 1 == int(iterations)
-        ):
-            # eager: materialize up to here, then release the previous
-            # checkpoint's blocks — otherwise every invocation pins
-            # iterations x |nodes| of storage for the session's life
-            # (same discipline as dedup's CC, functions/dedup.py:492).
-            # Checkpointing every `checkpoint_every` rounds instead of
-            # every round halves the sequential materialization jobs
-            # while keeping at most that many rounds of lineage live.
-            pr = pr.localCheckpoint(eager=True)
-            if prev is not None:
-                prev.unpersist()
-            prev = pr
+            if checkpoint and (
+                (it + 1) % int(checkpoint_every) == 0
+                or it + 1 == int(iterations)
+            ):
+                # eager: materialize up to here, then release the previous
+                # checkpoint's blocks — otherwise every invocation pins
+                # iterations x |nodes| of storage for the session's life
+                # (same discipline as dedup's CC, functions/dedup.py:492).
+                # Checkpointing every `checkpoint_every` rounds instead of
+                # every round halves the sequential materialization jobs
+                # while keeping at most that many rounds of lineage live.
+                pr = pr.localCheckpoint(eager=True)
+                if prev is not None:
+                    prev.unpersist()
+                prev = pr
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     # release the edge/node caches unconditionally: with checkpointing
     # the final ranks are already materialized; without it the caller's
     # first action recomputes the (cheap) edge projection instead of
     # pinning two DataFrames for the session's lifetime
+    e.unpersist()
     ed.unpersist()
     nodes.unpersist()
     return pr
