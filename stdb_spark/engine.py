@@ -522,6 +522,40 @@ class Engine:
             *[self._summary_agg_expr(f).alias(f) for f in req.agg_funcs]
         )
 
+    def _group_aggregate_join_from_summaries(self, req: QueryRequest):
+        """Planner choice: answer single-func `group-aggregate-join` by
+        rolling up + pivoting the summary table — same provable-
+        exactness eligibility as _group_aggregate_from_summaries (the
+        one func must be summary-combinable, buckets must nest).  The
+        pivot is over the same combine expressions, so values are
+        bit-identical to the leaf scan's."""
+        if self.summaries is None or not self.summary_step_ns:
+            return None
+        if req.group_op or req.backward or req.begin is None:
+            return None
+        if not set(req.agg_funcs) <= self._SUMMARY_FUNCS:
+            return None
+        sstep = self.summary_step_ns
+        if req.step_ns % sstep or req.begin % sstep or req.end % sstep:
+            return None
+        fn = req.agg_funcs[0]
+        s = self.summaries.filter(
+            (F.col("bucket_ts") >= req.begin) & (F.col("bucket_ts") < req.end)
+        )
+        s = s.filter(F.col("metric").isin(list(dict.fromkeys(req.metrics))))
+        reg = self._bind(self.series, req, metrics=req.metrics)
+        reg = reg.select("series_id", _tags_suffix().alias("_tags_s"))
+        s = s.join(F.broadcast(reg), "series_id")
+        b, st = F.lit(req.begin), F.lit(req.step_ns)
+        bucket = (
+            b + st * F.expr(f"(bucket_ts - {req.begin}L) div {req.step_ns}L")
+        ).alias("ts")
+        return (
+            s.groupBy("_tags_s", bucket)
+            .pivot("metric", req.metrics)
+            .agg(self._summary_agg_expr(fn))
+        )
+
     # ------------------------------------------------------------------
     def _aggregate(self, req: QueryRequest) -> DataFrame:
         by_metric: dict[str, list[str]] = {}
@@ -652,14 +686,16 @@ class Engine:
         (queryparser.cc:1793-1907)."""
         metrics = req.metrics
         fn = req.agg_funcs[0]
-        df = self._bind(self.samples, req)
-        df = self._range(df, req)
-        df = self._group_remap(df, req)
-        piv = (
-            df.groupBy(_tags_suffix().alias("_tags_s"), self._bucket_col(req))
-            .pivot("metric", metrics)
-            .agg(agg_expr(fn, req.backward, exact=self.exact_sums))
-        )
+        piv = self._group_aggregate_join_from_summaries(req)
+        if piv is None:
+            df = self._bind(self.samples, req)
+            df = self._range(df, req)
+            df = self._group_remap(df, req)
+            piv = (
+                df.groupBy(_tags_suffix().alias("_tags_s"), self._bucket_col(req))
+                .pivot("metric", metrics)
+                .agg(agg_expr(fn, req.backward, exact=self.exact_sums))
+            )
         piv = self._value_filters(piv, req, {m: m for m in metrics})
         joined_name = "|".join(f"{m}:{fn}" for m in metrics)
         sname = F.when(

@@ -1232,6 +1232,45 @@ GROUP BY metric, 2
 )
 
 
+# OHLC combined from the summary store (VERDICT r4 #7): the summary
+# rows already carry first/last/min/max (+ their timestamps), so
+# 2-day candlesticks COMBINE ~2 day-summaries per series instead of
+# re-scanning leaf rows — the SubtreeRef pushdown extended to OHLC.
+# Oracle = the LEAF-scan answer; the no-leaf-scan property is pinned by
+# a plan test (test_plans.py).
+def _ts_ohlc_summ(spark, sf):
+    from stdb_spark.operators.ohlc import ohlc_from_summaries
+
+    eng = _engine_with_summaries(spark, sf)
+    summ = eng.summaries.filter(F.col("metric") == "purchase")
+    out = ohlc_from_summaries(summ, step_ns=2 * D1, begin_ns=JAN01, by=("metric",))
+    return out.select(
+        "metric",
+        F.expr("ts div 1000").alias("ts"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n",
+    )
+
+
+_q(
+    "ts_ohlc_from_summaries",
+    _ts_ohlc_summ,
+    BASE
+    + f"""
+SELECT metric, {JAN01_US} + {2 * D1_US} * ((tu - {JAN01_US}) // {2 * D1_US}) AS ts,
+  (min(struct_pack(t := tu, v := value))).v AS open,
+  max(value) AS high, min(value) AS low,
+  (max(struct_pack(t := tu, v := value))).v AS close,
+  count(value) AS n
+FROM base WHERE metric = 'purchase'
+GROUP BY metric, 2
+""",
+)
+
+
 # ------------------------------------------------------------------ spatial
 def _user_points(spark, sf):
     """Deterministic per-user locations derived from user_id (the

@@ -366,3 +366,56 @@ def test_group_aggregate_metric_keyed_filter_is_per_metric(spark, multi_metric):
     assert len(m1_2) == 2 * 5 and all(r["max"] > 25.0 for r in m1_2)
     # m2 bucket maxes: 39.8, 59.8, 79.6 -> lt 70 keeps 2 of 3
     assert len(m2_2) == 2 * 5 and all(r["max"] < 70.0 for r in m2_2)
+
+
+def test_group_aggregate_join_from_summaries(spark, multi_metric):
+    """Single-func group-aggregate-join answered by rolling up + pivoting
+    summaries must match the leaf scan exactly; unaligned step falls
+    back (VERDICT r4 #7)."""
+    from stdb_spark.sources import storage
+
+    sstep = 50
+    summ = storage.summary_table(multi_metric, step_ns=sstep)
+    eng_s = Engine(
+        spark, samples=multi_metric, summaries=summ, summary_step_ns=sstep,
+        exact_sums=True,
+    )
+    eng_l = Engine(spark, samples=multi_metric, exact_sums=True)
+    q = {
+        "group-aggregate-join": {
+            "step": 100,  # 2 summary buckets per output bucket
+            "metric": ["m1", "m2"],
+            "func": "max",
+        },
+        "range": {"from": 100, "to": 400},
+    }
+    got = sorted(map(tuple, eng_s.query(q).collect()))
+    want = sorted(map(tuple, eng_l.query(q).collect()))
+    assert got == want and got
+    plan = eng_s.query(q)._jdf.queryExecution().analyzed().toString()
+    assert "bucket_ts" in plan  # summary path taken
+
+    # unaligned step -> leaf fallback, still correct
+    q2 = dict(q)
+    q2["group-aggregate-join"] = dict(q["group-aggregate-join"], step=75)
+    got2 = sorted(map(tuple, eng_s.query(q2).collect()))
+    want2 = sorted(map(tuple, eng_l.query(q2).collect()))
+    assert got2 == want2
+
+
+def test_ohlc_from_summaries_matches_leaf(spark, dense_ramp):
+    """Candlesticks combined from summary buckets == the leaf-scan OHLC
+    (the SubtreeRef pushdown extended to OHLC, VERDICT r4 #7) — and the
+    summary plan never touches the samples relation."""
+    from stdb_spark.operators.ohlc import ohlc, ohlc_from_summaries
+    from stdb_spark.sources import storage
+
+    sstep = 100
+    summ = storage.summary_table(dense_ramp, step_ns=sstep)
+    got = sorted(
+        map(tuple, ohlc_from_summaries(summ, step_ns=300, begin_ns=100).collect())
+    )
+    want = sorted(
+        map(tuple, ohlc(dense_ramp, step_ns=300, begin_ns=100).collect())
+    )
+    assert got == want and got

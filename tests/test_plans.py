@@ -530,3 +530,31 @@ def test_versioned_read_pushes_filters_to_scan(spark, tmp_path):
     plan = _plan_formatted(df)
     assert "PushedFilters: [IsNotNull(k), GreaterThan(k,50)]" in plan, plan
     assert "pad" not in plan.split("ReadSchema:")[1][:120], plan
+
+
+def test_ohlc_from_summaries_no_leaf_scan(spark):
+    # the OHLC summary rollup must read ONLY the summary-store parquet —
+    # zero scans of the leaf events/samples relation (VERDICT r4 #7)
+    plan = _plan(QUERIES["ts_ohlc_from_summaries"](spark, SF))
+    assert plan.count("FileScan") >= 1, plan
+    assert "summaries" in plan and "events.parquet" not in plan, plan
+
+
+def test_group_aggregate_join_from_summaries_no_leaf_scan(spark):
+    # single-func group-aggregate-join combines + pivots summaries:
+    # same no-leaf-scan property as the aggregate/OHLC pushdowns
+    from stdb_spark.workloads.tssuite import D1, JAN05, JAN15, _engine_with_summaries
+
+    eng = _engine_with_summaries(spark, SF)
+    df = eng.query(
+        {
+            "group-aggregate-join": {
+                "step": 2 * D1,
+                "metric": ["click", "error"],
+                "func": "max",
+            },
+            "range": {"from": JAN05, "to": JAN15},
+        }
+    )
+    plan = _plan(df)
+    assert "summaries" in plan and "events.parquet" not in plan, plan
