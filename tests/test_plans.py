@@ -321,13 +321,19 @@ def test_dup_spans_no_pair_blowup_shape(spark):
 
 
 def test_semantic_dedup_single_cell_exchange(spark):
-    # the matmul rewrite: ONE exchange (hash by cell) into the Arrow
-    # applyInPandas — the old self-join had join build/probe exchanges
-    df = QUERIES["emb_semantic_dedup"](spark, SF)
+    # the PRODUCTION (BLAS) twin keeps the matmul rewrite: ONE exchange
+    # (hash by cell) into the Arrow applyInPandas — the old self-join
+    # had join build/probe exchanges
+    df = QUERIES["emb_semantic_dedup_blas"](spark, SF)
     plan = _plan(df)
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+    # the GATE (exact-oracle) twin pairs within cells via a cell-keyed
+    # join of two branches — its exchanges stay keyed by cell, never a
+    # cross join
+    plan2 = _plan(QUERIES["emb_semantic_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan2 and "BroadcastNestedLoop" not in plan2
 
 
 def test_term_lookup_pushes_term_filter_to_scan(spark):
