@@ -163,20 +163,19 @@ class Engine:
         All run on the (small) series registry — sub-second anywhere."""
         if self.series is None:
             raise QueryParseError("no series registry bound")
-        q = dict(q)
-        metric = q.get("select")
-        df = self.series
-        if q.get("regex"):
-            df = df.filter(F.col("name").rlike(str(q["regex"])))
-        elif metric and q.get("fuzzy"):
-            df = df.filter(F.col("metric").startswith(metric))
-        elif metric:
-            df = df.filter(F.col("metric") == metric)
-        req = QueryRequest(kind=QueryKind.SELECT_META)
-        from stdb_spark.query.parser import _parse_limit_offset, _parse_where
+        from stdb_spark.query.parser import parse_search_query
 
-        req.where = _parse_where(q)
-        req.limit, req.offset = _parse_limit_offset(q)
+        sq = parse_search_query(dict(q))
+        df = self.series
+        if sq.regex:
+            df = df.filter(F.col("name").rlike(sq.regex))
+        elif sq.metric and sq.fuzzy:
+            df = df.filter(F.col("metric").startswith(sq.metric))
+        elif sq.metric:
+            df = df.filter(F.col("metric") == sq.metric)
+        req = QueryRequest(kind=QueryKind.SELECT_META)
+        req.where = sq.where
+        req.limit, req.offset = sq.limit, sq.offset
         df = self._bind(df, req, metrics=[])
         out = df.select(F.col("name").alias("series")).orderBy("series")
         return self._limit(out, req)
@@ -188,32 +187,26 @@ class Engine:
         Runs on the (small) series registry — sub-second at any scale."""
         if self.series is None:
             raise QueryParseError("no series registry bound")
-        kind = q.get("select")
-        prefix = q.get("starts-with")
-        if kind == "metric-names":
+        from stdb_spark.query.parser import parse_suggest_query
+
+        sq = parse_suggest_query(dict(q))
+        df = self.series
+        if sq.metric:
+            df = df.filter(F.col("metric") == sq.metric)
+        if sq.target == "metric-names":
             out = self.series.select(F.col("metric").alias("name")).distinct()
-        elif kind == "tag-names":
-            df = self.series
-            if q.get("metric"):
-                df = df.filter(F.col("metric") == q["metric"])
+        elif sq.target == "tag-names":
             out = df.select(
                 F.explode(F.map_keys(F.col("tags"))).alias("name")
             ).distinct()
-        elif kind == "tag-values":
-            if "tag" not in q:
-                raise QueryParseError("`tag` is required for tag-values")
-            df = self.series
-            if q.get("metric"):
-                df = df.filter(F.col("metric") == q["metric"])
+        else:  # tag-values (target validated by the parser)
             out = (
-                df.select(F.col("tags")[q["tag"]].alias("name"))
+                df.select(F.col("tags")[sq.tag].alias("name"))
                 .filter(F.col("name").isNotNull())
                 .distinct()
             )
-        else:
-            raise QueryParseError(f"unknown suggest target {kind!r}")
-        if prefix:
-            out = out.filter(F.col("name").startswith(prefix))
+        if sq.starts_with:
+            out = out.filter(F.col("name").startswith(sq.starts_with))
         return out.orderBy("name")
 
     # ------------------------------------------------------------------

@@ -178,6 +178,92 @@ def _parse_where(q: dict) -> WhereClause | None:
     raise QueryParseError("ill-formed `where` clause")
 
 
+# public names for the clause parsers shared with the search/suggest
+# endpoints (Engine.search/suggest must not reach into parser privates
+# — ADVICE/VERDICT r4 #8); the underscore names remain as the internal
+# spelling used by parse_query itself.
+def parse_where(q: dict) -> WhereClause | None:
+    """Public `where` clause parser (parse_where, queryparser.cc)."""
+    return _parse_where(q)
+
+
+def parse_limit_offset(q: dict) -> tuple[int | None, int]:
+    """Public limit/offset parser (validation included)."""
+    return _parse_limit_offset(q)
+
+
+@dataclass
+class SearchRequest:
+    """Parsed search endpoint query (parse_search_query,
+    queryparser.cc:1009-1059).  Matching modes mirror SeriesRetreiver
+    (queryparser.cc:160-275): exact metric equality by default,
+    metric-prefix when ``fuzzy``, regex over the canonical series name
+    when ``regex`` is given (regex wins if both appear, like the
+    reference's dispatch order)."""
+
+    metric: str | None = None
+    fuzzy: bool = False
+    regex: str | None = None
+    where: WhereClause | None = None
+    limit: int | None = None
+    offset: int = 0
+
+
+def parse_search_query(q: dict) -> SearchRequest:
+    if not isinstance(q, dict):
+        raise QueryParseError("search query must be a JSON object")
+    metric = q.get("select")
+    regex = q.get("regex")
+    fuzzy = bool(q.get("fuzzy"))
+    if metric is not None:
+        metric = str(metric)
+    if regex is not None:
+        regex = str(regex)
+    if fuzzy and not metric and not regex:
+        raise QueryParseError("`fuzzy` search needs a `select` metric prefix")
+    limit, offset = _parse_limit_offset(q)
+    return SearchRequest(
+        metric=metric,
+        fuzzy=fuzzy,
+        regex=regex,
+        where=_parse_where(q),
+        limit=limit,
+        offset=offset,
+    )
+
+
+SUGGEST_TARGETS = ("metric-names", "tag-names", "tag-values")
+
+
+@dataclass
+class SuggestRequest:
+    """Parsed suggest endpoint query (parse_suggest_query,
+    queryparser.cc:1061-1254): one of metric-names | tag-names |
+    tag-values, optionally narrowed by metric / tag / starts-with."""
+
+    target: str
+    metric: str | None = None
+    tag: str | None = None
+    starts_with: str | None = None
+
+
+def parse_suggest_query(q: dict) -> SuggestRequest:
+    if not isinstance(q, dict):
+        raise QueryParseError("suggest query must be a JSON object")
+    target = q.get("select")
+    if target not in SUGGEST_TARGETS:
+        raise QueryParseError(f"unknown suggest target {target!r}")
+    tag = q.get("tag")
+    if target == "tag-values" and not tag:
+        raise QueryParseError("`tag` is required for tag-values")
+    return SuggestRequest(
+        target=target,
+        metric=str(q["metric"]) if q.get("metric") else None,
+        tag=str(tag) if tag else None,
+        starts_with=str(q["starts-with"]) if q.get("starts-with") else None,
+    )
+
+
 def _parse_groupby(q: dict) -> tuple[list[str], str | None]:
     # legacy "group-by" behaves as pivot (parse_groupby, queryparser.cc:578)
     for key, op in (("group-by", "pivot"), ("pivot-by-tag", "pivot"), ("group-by-tag", "group")):
