@@ -116,7 +116,7 @@ _PRIORITY = [
     "sp_knn_grid",                   # §2.9 grid-pruned KNN (ring probes)
     "ts_group_aggregate_backward",   # §2.4 backward buckets
     "ts_holt_winters",               # lane-lockstep numpy kernel family
-    "rel_q18_large_volume_customers",  # TPC-H breadth
+    "ingest_tcp_resp_live",          # r5: live TCP socket ingest (new)
     "stream_sessionize",             # streaming session windows
     "ingest_upsert_merge",           # storage upsert/compaction
     "ts_set_intersect",              # set ops family

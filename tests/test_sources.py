@@ -233,3 +233,101 @@ def test_duplicate_tag_key_does_not_crash_parsers(spark):
     )
     rows = parse_opentsdb_lines(lines).collect()
     assert len(rows) == 1 and rows[0].tags["host"] == "b"
+
+
+def test_tcp_ingest_server_resp_and_opentsdb(spark, tmp_path):
+    """Live TCP front door (dataserver/tcp_server.h analog): real
+    sockets, all three RESP layers + OpenTSDB telnet, samples landing
+    in the queryable layout."""
+    import socket
+    import time
+
+    from stdb_spark.sources.tcp import TcpIngestServer
+
+    layout = str(tmp_path / "resp_layout")
+    srv = TcpIngestServer(spark, layout, protocol="resp")
+    host, port = srv.start()
+    c = socket.create_connection((host, port))
+    c.sendall(b"*2\r\n+cpu.real|cpu.user host=m1\r\n:7\r\n")          # dictionary
+    c.sendall(b"+mem.free host=m1\r\n+20240101T000000\r\n+42.5\r\n")  # data point
+    c.sendall(b":7\r\n+20240101T000001\r\n*2\r\n+1.5\r\n+2.5\r\n")    # row protocol
+    c.close()
+    time.sleep(0.5)
+    srv.stop()
+    rows = sorted(
+        (r.metric, r.ts, r.value, dict(r.tags))
+        for r in spark.read.parquet(layout).collect()
+    )
+    assert rows == [
+        ("cpu.real", 1704067201000000000, 1.5, {"host": "m1"}),
+        ("cpu.user", 1704067201000000000, 2.5, {"host": "m1"}),
+        ("mem.free", 1704067200000000000, 42.5, {"host": "m1"}),
+    ]
+
+    layout2 = str(tmp_path / "tsdb_layout")
+    srv2 = TcpIngestServer(spark, layout2, protocol="opentsdb")
+    h2, p2 = srv2.start()
+    c2 = socket.create_connection((h2, p2))
+    c2.sendall(b"put sys.cpu 1704067200 3.25 host=web1\n"
+               b"put sys.cpu 1704067201 4.5 host=web1\n")
+    c2.close()
+    time.sleep(0.5)
+    srv2.stop()
+    got = sorted(
+        (r.metric, r.value) for r in spark.read.parquet(layout2).collect()
+    )
+    assert got == [("sys.cpu", 3.25), ("sys.cpu", 4.5)]
+
+
+def test_spark_socket_source_opentsdb_stream(spark, tmp_path):
+    """The fully Spark-native socket path: a one-shot TCP server feeds
+    OpenTSDB lines to readStream.format('socket') -> line parser ->
+    memory sink (line protocols work on the raw socket source; RESP's
+    multi-line PDUs go through the TcpIngestServer instead)."""
+    import socketserver
+    import threading
+    import time
+
+    lines = (
+        b"put sock.m 1704067200 1.5 host=a\n"
+        b"put sock.m 1704067260 2.5 host=a\n"
+    )
+
+    class H(socketserver.BaseRequestHandler):
+        def handle(self):
+            self.request.sendall(lines)
+            time.sleep(8)  # hold the connection while the stream polls
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), H)
+    srv.daemon_threads = True
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    host, port = srv.server_address
+    try:
+        from stdb_spark.streaming.ingest import stream_from_socket
+
+        samples = stream_from_socket(spark, host, port)
+        q = (
+            samples.writeStream.format("memory")
+            .queryName("sock_sink")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if spark.sql("SELECT * FROM sock_sink").count() >= 2:
+                    break
+                time.sleep(0.5)
+            got = sorted(
+                (r.metric, r.ts, r.value, dict(r.tags))
+                for r in spark.sql("SELECT * FROM sock_sink").collect()
+            )
+            assert got == [
+                ("sock.m", 1704067200000000000, 1.5, {"host": "a"}),
+                ("sock.m", 1704067260000000000, 2.5, {"host": "a"}),
+            ]
+        finally:
+            q.stop()
+    finally:
+        srv.shutdown()
+        srv.server_close()
