@@ -1076,12 +1076,14 @@ def assign_cells_exact(
     qscale: int = KM_QSCALE,
 ) -> Column:
     """Nearest-centroid cell over the FLOAT column, via the quantized
-    integer argmin.  Small k: one JVM expression; large k: the exact
-    int64 matmul (same dispatch threshold as the float path, same
-    measured interpreter-blowup rationale)."""
-    if len(centroids) >= ASSIGN_MATMUL_MIN_K:
-        return _assign_q_pandas(vec_col, centroids, qscale)
-    return _assign_q_expr(quantize_vec_expr(vec_col, qscale), centroids)
+    integer argmin — always the Arrow int64-matmul path.  The
+    expression form (_assign_q_expr) inlines the quantize transform
+    into EVERY centroid's fold when its input is not already a bound
+    attribute, so a k-cell assignment re-quantizes the vector k times
+    per row through the HOF interpreter (measured 2-3x the whole query
+    at k=25); the pandas path quantizes once per batch and is
+    bit-identical by construction (int64 exact, first-index ties)."""
+    return _assign_q_pandas(vec_col, centroids, qscale)
 
 
 def kmeans_fit_exact(
@@ -1270,14 +1272,31 @@ def pq_codes_exact(
     qscale: int = KM_QSCALE,
 ) -> DataFrame:
     """m-subspace PQ code per vector over the quantized components —
-    integer argmin per subspace, map-side, zero shuffles."""
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
-    qv = quantize_vec_expr(vec_col, qscale)
-    cells = []
-    for j, book in enumerate(codebooks):
-        cells.append(_assign_q_expr(F.slice(qv, j * sub + 1, sub), book))
-    return df.select(F.col(key), F.array(*cells).alias("code"))
+    ONE Arrow batch pass computing all m integer argmins (quantize
+    once, int64 matmul per subspace; the expression form re-quantized
+    the vector m*ks times per row through the HOF interpreter).
+    Map-side, zero shuffles, bit-identical to the integer spec."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    books = [np.asarray(b, dtype=np.int64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def codes(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="object")
+        Xf = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        X = np.floor(Xf * qscale).astype(np.int64)
+        out = np.empty((len(X), m), dtype=np.int32)
+        for j, C in enumerate(books):
+            Xj = X[:, j * sub : (j + 1) * sub]
+            d = (C * C).sum(axis=1)[None, :] - 2 * (Xj @ C.T)
+            out[:, j] = np.argmin(d, axis=1).astype(np.int32)
+        return pd.Series(list(out))
+
+    return df.select(F.col(key), codes(F.col(vec_col)).alias("code"))
 
 
 def pq_adc_top_k_exact(
