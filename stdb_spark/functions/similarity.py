@@ -1125,18 +1125,16 @@ def kmeans_fit_exact(
     if k == 0:
         raise ValueError("kmeans_fit_exact needs a non-empty input")
     cents = cents[:k]
-    qdf = df.select(quantize_vec_expr(vec_col, qscale).alias("_qv"))
     for _ in range(iters):
-        if k >= ASSIGN_MATMUL_MIN_K:
-            # pandas path quantizes internally from the float column
-            assigned = df.select(
-                _assign_q_pandas(vec_col, cents, qscale).alias("cell"),
-                quantize_vec_expr(vec_col, qscale).alias("_qv"),
-            )
-        else:
-            assigned = qdf.select(
-                _assign_q_expr(F.col("_qv"), cents).alias("cell"), "_qv"
-            )
+        # always the Arrow assignment: Catalyst collapses a projected
+        # _qv back into the consumer, so the expression argmin would
+        # re-quantize the vector k times per row (see
+        # assign_cells_exact); the pandas path quantizes once per batch
+        # and is bit-identical
+        assigned = df.select(
+            _assign_q_pandas(vec_col, cents, qscale).alias("cell"),
+            quantize_vec_expr(vec_col, qscale).alias("_qv"),
+        )
         rows = (
             assigned.select("cell", F.posexplode("_qv").alias("pos", "x"))
             .groupBy("cell", "pos")
