@@ -117,6 +117,11 @@ HEADLINE = [
     "ts_slo_burn",
     "doc_winnowing",
     "emb_ann_pq",
+    "emb_ann_ivf",
+    "emb_ann_ivf_trained",
+    "emb_semantic_dedup_blas",
+    "ts_ohlc_from_summaries",
+    "ingest_tcp_resp_live",
     "doc_dup_span_scrub",
     "ts_group_aggregate_p95_sketch",
     "ingest_upsert_merge",

@@ -631,6 +631,11 @@ def commit_epoch_idempotent(
     os.makedirs(marker_dir, exist_ok=True)
     with open(marker, "w") as fh:
         fh.write("done")
+    # stage leftovers (empty partition dirs, _SUCCESS) are dead weight
+    # once the marker is durable; a crash here merely leaves them
+    import shutil
+
+    shutil.rmtree(stage_dir, ignore_errors=True)
 
 
 def write_to_parquet_with_summary(
