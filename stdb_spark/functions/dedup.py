@@ -481,43 +481,58 @@ def connected_components(
     float/overflow wobble).  Lineage is cut per round with an eager
     localCheckpoint, otherwise the iterated join plan grows without
     bound (at cluster scale use a reliable checkpoint dir instead)."""
+    spark = pairs.sparkSession
     e_fwd = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # persist the doubled edge list: without it every round's join (and
+    # the init fold) re-executes the CALLER's pair lineage — for the
+    # dedup suites that lineage is the whole MinHash-LSH banding
+    # pipeline, re-run once per propagation round (r5 perf review)
     edges = e_fwd.union(
         pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
-    )
-    # init folds the first propagation round in: label(v) = min(v, N(v))
-    # (one groupBy instead of a distinct + a full join round)
-    labels = (
-        edges.groupBy("src")
-        .agg(F.min("dst").alias("_m"))
-        .select(F.col("src").alias("id"), F.least("src", "_m").alias("lbl"))
-        .localCheckpoint(eager=True)
-    )
-    prev_sum = labels.agg(
-        F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
-    for _ in range(max_iter):
-        prop = edges.join(labels, edges.src == labels.id).select(
-            F.col("dst").alias("id"), F.col("lbl")
-        )
-        prev = labels
+    ).persist()
+    n_edges = edges.count()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # graph-scale exchanges (same sizing rule as pagerank_exact): the
+    # per-round shuffles carry label rows, not the corpus
+    parts = max(4, min(int(old_parts), n_edges // 1_000_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        # init folds the first propagation round in: label(v) = min(v, N(v))
+        # (one groupBy instead of a distinct + a full join round)
         labels = (
-            labels.select("id", "lbl")
-            .union(prop)
-            .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
+            edges.groupBy("src")
+            .agg(F.min("dst").alias("_m"))
+            .select(F.col("src").alias("id"), F.least("src", "_m").alias("lbl"))
             .localCheckpoint(eager=True)
         )
-        # the new checkpoint is materialized, so the previous round's
-        # blocks can be dropped — otherwise every round leaks executor
-        # storage memory for the life of the session
-        prev.unpersist()
-        cur_sum = labels.agg(
+        prev_sum = labels.agg(
             F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        for _ in range(max_iter):
+            prop = edges.join(labels, edges.src == labels.id).select(
+                F.col("dst").alias("id"), F.col("lbl")
+            )
+            prev = labels
+            labels = (
+                labels.select("id", "lbl")
+                .union(prop)
+                .groupBy("id")
+                .agg(F.min("lbl").alias("lbl"))
+                .localCheckpoint(eager=True)
+            )
+            # the new checkpoint is materialized, so the previous round's
+            # blocks can be dropped — otherwise every round leaks executor
+            # storage memory for the life of the session
+            prev.unpersist()
+            cur_sum = labels.agg(
+                F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    edges.unpersist()
     return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
 
 
