@@ -800,7 +800,7 @@ def _km_seeds_cte(k_sql: str, src: str = "embeddings") -> str:
   FROM (SELECT vec_id,
                ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
         FROM {src})
-  ORDER BY h LIMIT {k_sql})"""
+  ORDER BY h, vec_id LIMIT {k_sql})"""
 
 
 def _km_iters_cte(iters: int, p: str = "", pos_filter: str = "") -> str:
