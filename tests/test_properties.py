@@ -764,3 +764,25 @@ def test_funnel_cumulative_matches_inclusive_greedy_model(spark, evs, within):
         ts = list(ts) + [None] * (3 - stage)
         want[u] = (stage, *ts)
     assert got == want
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    channels=st.sampled_from([1, 3, 4]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_png_codec_roundtrip_property(w, h, channels, seed):
+    """decode(encode(img)) == img for arbitrary sizes/channels — the
+    pure-Python PNG codec is lossless over its supported domain."""
+    import numpy as np
+
+    from stdb_spark.functions import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if channels == 1 else (h, w, channels)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    assert np.array_equal(mm.decode_image(mm.encode_png(img)), img)
+    if channels in (1, 3):
+        assert np.array_equal(mm.decode_image(mm.encode_ppm(img)), img)
