@@ -8,6 +8,8 @@ concatenation ("click user=42").
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -5758,6 +5760,119 @@ def _ts_hll_rollup(spark, sf):
 
 
 _q("ts_distinct_users_hll_rollup", _ts_hll_rollup)
+
+
+# PORTABLE HLL twin with a FULL value-hash oracle (r5): the same
+# daily-sketch -> monthly-union rollup shape, but the sketch is OUR
+# deterministic spec instead of an engine library: md5-derived 60-bit
+# hash, 256 registers (bucket = h % 256, rank = leading zeros of the
+# remaining 52 bits + 1 = 53 - bitlength), register merge = integer
+# MAX (order-free), harmonic sum as EXACT integer 2^(60-r) adds, and
+# the estimate one double division K / S (K precomputed in python, S
+# correctly-rounded from the same integer in both engines).  No libm
+# in the output path — everything reproduces bit-for-bit in DuckDB.
+# The small-range (linear-counting) correction is part of the spec but
+# carries NO libm into either engine: ln appears only in a python-
+# precomputed 255-entry integer lookup keyed by the zero-register
+# count (floor(m ln(m/v)) — both engines just select literals), so the
+# whole estimate stays bit-reproducible.  pytest pins the accuracy.
+_HLL_M = 256
+_HLL_K = 0.7213 / (1.0 + 1.079 / _HLL_M) * (_HLL_M * _HLL_M) * float(2**60)
+_HLL_LC = [
+    int(math.floor(_HLL_M * math.log(_HLL_M / v))) for v in range(1, _HLL_M)
+]
+_HLL_SMALL = int(2.5 * _HLL_M)  # raw-estimate threshold for the correction
+
+
+def _ts_hll_portable(spark, sf):
+    ev = model.events_raw_ns(spark, sf)
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    d = ev.select(
+        F.col("event_type").alias("metric"),
+        F.expr(f"ts div {D1_US * 1000}").alias("_day"),
+        (h % _HLL_M).alias("b"),
+        F.shiftright(h, 8).alias("w"),
+    ).withColumn(
+        "r",
+        F.when(F.col("w") > 0, F.lit(53) - F.length(F.expr("bin(w)"))).otherwise(
+            F.lit(53)
+        ),
+    )
+    daily = d.groupBy("metric", "_day", "b").agg(F.max("r").alias("r"))
+    merged = daily.groupBy("metric", "b").agg(F.max("r").alias("r"))
+    days = daily.select("metric", "_day").distinct().groupBy("metric").agg(
+        F.count("*").cast("long").alias("n_days")
+    )
+    agg = merged.groupBy("metric").agg(
+        F.sum(F.expr("CAST(shiftleft(1L, 60 - r) AS DECIMAL(38,0))")).alias("_sp"),
+        F.count("*").alias("_present"),
+    )
+    s_total = F.expr(
+        f"_sp + CAST({_HLL_M} - _present AS DECIMAL(38,0))"
+        f" * CAST({2**60} AS DECIMAL(38,0))"
+    )
+    raw = F.floor(F.lit(_HLL_K) / s_total.cast("double")).cast("long")
+    v = (F.lit(_HLL_M) - F.col("_present")).cast("long")
+    lc = F.element_at(
+        F.array(*[F.lit(int(x)) for x in _HLL_LC]), v.cast("int")
+    ).cast("long")
+    est = F.when((v > 0) & (raw <= _HLL_SMALL), lc).otherwise(raw)
+    out = agg.select(
+        "metric",
+        est.alias("distinct_users_est"),
+        v.alias("v_zero_registers"),
+    )
+    return out.join(days, "metric").select(
+        "metric", "distinct_users_est", "v_zero_registers", "n_days"
+    )
+
+
+_q(
+    "ts_distinct_users_hll_portable",
+    _ts_hll_portable,
+    f"""
+WITH hv AS (
+  SELECT event_type AS metric, epoch_us(ts) // {D1_US} AS _day,
+         h % {_HLL_M} AS b, h // {_HLL_M} AS w
+  FROM (SELECT event_type, ts,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM events)
+),
+rk AS (
+  SELECT metric, _day, b,
+         CASE WHEN w > 0 THEN 53 - length(bin(w)) ELSE 53 END AS r
+  FROM hv
+),
+daily AS (SELECT metric, _day, b, max(r) AS r FROM rk GROUP BY 1, 2, 3),
+merged AS (SELECT metric, b, max(r) AS r FROM daily GROUP BY 1, 2),
+days AS (SELECT metric, CAST(count(DISTINCT _day) AS BIGINT) AS n_days
+         FROM daily GROUP BY 1),
+agg AS (
+  SELECT metric,
+         SUM(CAST(1 AS BIGINT) << (60 - r)) AS _sp,
+         count(*) AS _present
+  FROM merged GROUP BY 1
+),
+est AS (
+  SELECT metric,
+    CAST(floor({_HLL_K!r} /
+      CAST(_sp + ({_HLL_M} - _present) * (CAST(1 AS HUGEINT) << 60) AS DOUBLE)
+    ) AS BIGINT) AS raw,
+    CAST({_HLL_M} - _present AS BIGINT) AS v
+  FROM agg
+)
+SELECT metric,
+  CAST(CASE WHEN v > 0 AND raw <= {_HLL_SMALL}
+       THEN ([{", ".join(str(x) for x in _HLL_LC)}])[v]
+       ELSE raw END AS BIGINT) AS distinct_users_est,
+  v AS v_zero_registers,
+  n_days
+FROM est JOIN days USING (metric)
+""",
+)
 
 
 # Trip segmentation over per-sample locations (moving-object surface,

@@ -1319,3 +1319,28 @@ def test_png_pnm_codec_roundtrip_and_filters():
     # the codec boundary still raises for containers we can't decode
     with pytest.raises(mm.DecodeUnavailable):
         mm.decode_image(b"\xff\xd8\xff\xe0JFIF")
+
+
+def test_portable_hll_accuracy_vs_exact(spark):
+    """The deterministic portable HLL (ts_distinct_users_hll_portable):
+    raw harmonic estimate within 12% of the exact distinct count at
+    n/m >= 2 (no small-range correction by spec — v_zero is exposed
+    for consumers who want it)."""
+    from stdb_spark import model
+    from stdb_spark.workloads import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    est = {
+        r.metric: r.distinct_users_est
+        for r in QUERIES["ts_distinct_users_hll_portable"](spark, sf).collect()
+    }
+    ev = model.events_raw_ns(spark, sf)
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for m, e in est.items():
+        assert abs(e - exact[m]) <= 0.12 * exact[m], (m, e, exact[m])
