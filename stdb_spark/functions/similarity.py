@@ -1217,18 +1217,34 @@ def semantic_dedup_pairs_exact(
     cells = df.withColumn(
         "cell", assign_cells_exact(centroids, vec_col, qscale)
     )
+    # norms precompute per VECTOR, not per pair: the values are
+    # identical (norm_expr of the same array is the same double
+    # whenever it runs), so the oracle's per-pair norm chains still
+    # match, at a third of the fold work
     a = cells.select(
-        "cell", F.col(key).alias("a"), F.col(vec_col).alias("_va")
+        "cell",
+        F.col(key).alias("a"),
+        F.col(vec_col).alias("_va"),
+        norm_expr(F.col(vec_col)).alias("_na"),
     )
     b = cells.select(
-        "cell", F.col(key).alias("b"), F.col(vec_col).alias("_vb")
+        "cell",
+        F.col(key).alias("b"),
+        F.col(vec_col).alias("_vb"),
+        norm_expr(F.col(vec_col)).alias("_nb"),
     )
-    cos = dot_expr(F.col("_va"), F.col("_vb")) / (
-        norm_expr(F.col("_va")) * norm_expr(F.col("_vb"))
-    )
+    cos = dot_expr(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    pairs = a.join(b, "cell").filter(F.col("a") < F.col("b"))
+    # The join INPUT is tiny (two projections of the vector table), so
+    # AQE coalesces its shuffle to ~1 partition — but the OUTPUT is the
+    # quadratic-within-cell pair set, and the interpreted cosine fold
+    # would then run on one core (caught live at sf1: a single task
+    # pinning one CPU for the whole pairing).  An explicit round-robin
+    # repartition between the join and the fold spreads the pair rows
+    # over the cluster; AQE leaves user repartitions alone.
+    n_parts = int(df.sparkSession.sparkContext.defaultParallelism)
     return (
-        a.join(b, "cell")
-        .filter(F.col("a") < F.col("b"))
+        pairs.repartition(n_parts)
         .select("a", "b", cos.alias("cosine"))
         .filter(F.col("cosine") >= F.lit(float(threshold)))
     )
