@@ -1344,3 +1344,27 @@ def test_portable_hll_accuracy_vs_exact(spark):
     assert set(est) == set(exact)
     for m, e in est.items():
         assert abs(e - exact[m]) <= 0.12 * exact[m], (m, e, exact[m])
+
+
+def test_assign_q_expr_equals_pandas_path(spark):
+    """The expression-form integer argmin (the executable spec) and the
+    Arrow int64-matmul path must agree exactly — including ties, which
+    both resolve to the first index."""
+    from stdb_spark.functions import similarity as sim
+
+    rows = [(i, [((i * 13 + d * 7) % 21 - 10) / 10.0 for d in range(6)])
+            for i in range(40)]
+    # duplicate a vector so at least one assignment involves a tie
+    rows.append((100, rows[3][1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = sim.kmeans_fit_exact(df, k=3, iters=2, qscale=1000)
+    got_pd = df.select(
+        "vec_id", sim._assign_q_pandas("embedding", cents, 1000).alias("c")
+    ).collect()
+    got_ex = df.select(
+        "vec_id",
+        sim._assign_q_expr(
+            sim.quantize_vec_expr("embedding", 1000), cents
+        ).alias("c"),
+    ).collect()
+    assert sorted(map(tuple, got_pd)) == sorted(map(tuple, got_ex))
