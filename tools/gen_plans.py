@@ -51,7 +51,10 @@ PICK = [
     ("ts_bollinger", "Bollinger bands: decimal moment sums in a row frame, one series exchange"),
     ("doc_dup_spans", "dup spans: md5 gram digests map-side, count + rollup exchanges — no pair blowup"),
     ("doc_winnowing", "winnowing: sliding min-hash selection as pure array exprs — zero exchanges"),
-    ("emb_semantic_dedup", "SemDeDup: ONE cell exchange into a blocked-BLAS matmul applyInPandas"),
+    ("emb_semantic_dedup_blas", "SemDeDup (production): ONE cell exchange into a blocked-BLAS matmul applyInPandas"),
+    ("emb_semantic_dedup", "SemDeDup (exact gate twin): integer cell assignment, pair join re-spread by explicit repartition before the fold"),
+    ("ts_ohlc_from_summaries", "OHLC rollup from the summary store: combine-only aggregate, ZERO leaf scans"),
+    ("ts_distinct_users_hll_portable", "portable HLL: md5 registers, integer MAX merge + exact harmonic sum — all JVM exprs"),
     ("emb_ann_pq", "PQ ADC: byte codes + broadcast distance table, TakeOrderedAndProject"),
     ("doc_dup_span_scrub", "substring scrub: gram min/count agg + covered-position anti-join — linear, no pairs"),
     ("ingest_upsert_merge", "upsert: union + one key-window keep-latest, no join"),
@@ -68,7 +71,7 @@ PICK = [
     ("ts_retention_matrix", "retention matrix: one scan, one user exchange — cohort via whole-partition min window, no self-join"),
     ("ts_time_rollup", "time-hierarchy ROLLUP: single Expand into one partial->final cell aggregate"),
     ("rel_revenue_rollup", "region/nation ROLLUP: facts pre-aggregated to 25 cells BEFORE Expand; dims broadcast"),
-    ("rel_supplier_pagerank", "exact PageRank: per-round co-partitioned edge join + rank exchange, checkpointed flat plan"),
+    ("rel_supplier_pagerank", "exact PageRank: single edge-lineage eval, graph-scaled exchanges, broadcast ranks below 1M nodes (co-partitioned join above)"),
 ]
 
 
