@@ -1234,17 +1234,20 @@ def semantic_dedup_pairs_exact(
         norm_expr(F.col(vec_col)).alias("_nb"),
     )
     cos = dot_expr(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-    pairs = a.join(b, "cell").filter(F.col("a") < F.col("b"))
-    # The join INPUT is tiny (two projections of the vector table), so
-    # AQE coalesces its shuffle to ~1 partition — but the OUTPUT is the
-    # quadratic-within-cell pair set, and the interpreted cosine fold
-    # would then run on one core (caught live at sf1: a single task
-    # pinning one CPU for the whole pairing).  An explicit round-robin
-    # repartition between the join and the fold spreads the pair rows
-    # over the cluster; AQE leaves user repartitions alone.
+    # Catalyst pushes the cosine threshold INTO the join condition —
+    # desirable (only surviving pairs ever leave the join) — which
+    # means the whole quadratic fold executes inside the join stage.
+    # That stage's parallelism is the STREAM side's partitioning, and a
+    # compact embeddings file scans as ~1 partition, pinning the entire
+    # pairing on one core (caught live during the sf1 full gate).  A
+    # round-robin repartition of the stream side BEFORE the join
+    # spreads the fold cluster-wide; the build side broadcasts (or
+    # hash-joins on cell at sizes past the broadcast threshold).
     n_parts = int(df.sparkSession.sparkContext.defaultParallelism)
     return (
-        pairs.repartition(n_parts)
+        a.repartition(n_parts)
+        .join(b, "cell")
+        .filter(F.col("a") < F.col("b"))
         .select("a", "b", cos.alias("cosine"))
         .filter(F.col("cosine") >= F.lit(float(threshold)))
     )
