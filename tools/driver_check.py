@@ -82,6 +82,13 @@ def main() -> int:
     spark = builder.getOrCreate()
 
     con = duckdb.connect()
+    # DuckDB's default buffer pool is 80% of RAM; alongside a sized-up
+    # JVM (DRIVER_CHECK_MEM) a long multi-query run can OOM the box —
+    # the sf1 full-registry run died exactly this way at query 232.
+    # DUCKDB_MEM caps it (the driver's own sf0.01 gate never needs to).
+    ddb_mem = os.environ.get("DUCKDB_MEM")
+    if ddb_mem:
+        con.execute(f"SET memory_limit='{ddb_mem}'")
     for t in TABLES:
         # driver testdata ships single-file tables; locally generated
         # scale replicas (tools/gen_scale.py) are Spark-written
