@@ -13,6 +13,12 @@ on one wire format:
   N>1 metrics is an error ("array expected"), and an array whose size
   differs from N is an error (protocolparser.cc:468-479) — the values
   are NEVER fanned out.
+- EVENT bodies: a series whose metric starts with ``!`` is an event
+  stream; its value line is a raw STRING body (< 4096 bytes,
+  basic.h:32) instead of a double — ``parse_event_value``
+  (protocolparser.cc:409-422), dispatched per bound series sign at
+  :450 (scalar) and per array element at :508 (row protocol, where a
+  non-string value for an event column is "unexpected event format").
 - DICTIONARY prelude: zero or more RESP arrays BEFORE the first message
   (protocolparser.cc:219-309), each holding an even number of elements
   alternating ``+<series-name>`` / ``:<id>``; later messages may start
@@ -38,7 +44,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from stdb_spark.common.seriesparser import parse_series_name
+from stdb_spark.common.seriesparser import (
+    MAX_EVENT_BODY,
+    is_event_metric,
+    parse_series_name,
+)
 from stdb_spark.common.timeutil import parse_timestamp_ns
 from stdb_spark.model import series_id_col
 
@@ -51,7 +61,8 @@ class RESPError(ValueError):
 class Sample:
     series: str
     ts: int
-    value: float
+    value: float | None
+    body: str | None = None
 
 
 class RESPStream:
@@ -107,11 +118,21 @@ class RESPStream:
                 self._dict_pending_name = None
             self._dict_remaining -= 1
             return
-        # collecting a row-protocol value array
+        # collecting a row-protocol value array: dispatch per element on
+        # the bound metric's kind (protocolparser.cc:480-520 — positive
+        # ids take INTEGER/STRING-as-double, event ids take only a
+        # STRING body, else "unexpected event format")
         if self._values_expected is not None:
-            if kind not in "+:":
-                raise RESPError(f"unexpected parameter value format: {line!r}")
-            self._values.append(float(body))
+            if is_event_metric(self._metrics()[len(self._values)]):
+                if kind != "+":
+                    raise RESPError(f"unexpected event format: {line!r}")
+                self._values.append(self._event_body(body))
+            else:
+                if kind not in "+:":
+                    raise RESPError(
+                        f"unexpected parameter value format: {line!r}"
+                    )
+                self._values.append(float(body))
             if len(self._values) == self._values_expected:
                 self._emit(self._values)
             return
@@ -170,14 +191,32 @@ class RESPStream:
                 "array expected (bulk format), scalar found for"
                 f" {len(self._metrics())}-metric row series"
             )
-        self._emit([float(body)])
+        if is_event_metric(self._metrics()[0]):
+            # STRING -> event body (protocolparser.cc:443-455 dispatches
+            # on the bound id's sign).  The reference's scalar INTEGER
+            # branch (:430-441) parses a double without that sign check
+            # — a latent path the (stubbed) session glue never writes;
+            # we mirror the row branch's explicit rejection instead.
+            if kind != "+":
+                raise RESPError(f"unexpected event format: {line!r}")
+            self._emit([self._event_body(body)])
+        else:
+            self._emit([float(body)])
 
     def define(self, sid: int, series: str) -> None:
         """Out-of-band dictionary entry (same map the in-stream
         dictionary prelude fills)."""
         self._dict[sid] = series
 
-    def _emit(self, values: list[float]) -> None:
+    @staticmethod
+    def _event_body(body: str) -> str:
+        # parse_event_value rejects bytes_read >= STDB_LIMITS_MAX_EVENT_LEN
+        # (protocolparser.cc:415-419, basic.h:32)
+        if len(body.encode("utf-8")) >= MAX_EVENT_BODY:
+            raise RESPError("event value is too big")
+        return body
+
+    def _emit(self, values: list[float | str]) -> None:
         series, ts = self._series, self._ts
         self._series = self._ts = None
         self._values_expected = None
@@ -187,24 +226,32 @@ class RESPStream:
         for m, v in zip(metrics, values):
             name = f"{m} {tags_part}".strip()
             parse_series_name(name)  # validates
-            self.out.append(Sample(name, ts, v))
+            if is_event_metric(m):
+                self.out.append(Sample(name, ts, None, v))
+            else:
+                self.out.append(Sample(name, ts, v))
 
 
-def parse_resp_pdus(
+def _parse_resp_full(
     pdus: DataFrame,
     value_col: str = "value",
     dictionary: dict[int, str] | None = None,
 ) -> DataFrame:
-    """Pre-framed PDU strings -> narrow samples, all JVM-side.
+    """Pre-framed PDU strings -> exploded per-metric rows, all JVM-side:
+    ``(metric, tags, ts, value double, body string)`` where exactly one
+    of value/body is set, dispatched on the metric's kind (``!`` prefix
+    = event stream, parse_event_value protocolparser.cc:409-422,450,508).
 
     A PDU is either the data-point form ``+series\\n+ts\\n+value`` or
     the row form ``+m1|m2 tags\\n+ts\\n*2\\n+v1\\n+v2`` — each metric is
     zipped with ITS value (protocolparser.cc:462-533), never fanned.
     Malformed PDUs (scalar value for a multi-metric series, array size
-    mismatch, unresolvable id) are dropped, mirroring the batch-source
-    contract of the OpenTSDB parser.  ``dictionary`` maps the session's
-    integer ids to (possibly compound) series names; id-addressed PDUs
-    (``:7\\n...``) resolve through a broadcast join.
+    mismatch, unresolvable id, non-STRING value for an event column,
+    body >= 4096 bytes) are dropped WHOLE, mirroring the batch-source
+    contract of the OpenTSDB parser (the wire parser errors the whole
+    message).  ``dictionary`` maps the session's integer ids to
+    (possibly compound) series names; id-addressed PDUs (``:7\\n...``)
+    resolve through a broadcast join.
     """
     strip = lambda c: F.regexp_replace(c, r"^[+:]", "")  # noqa: E731
     df = pdus.select(
@@ -234,29 +281,53 @@ def parse_resp_pdus(
         df.select(
             series.alias("_series"),
             strip(F.col("_l")[1]).cast("long").alias("ts"),
+            # raw value lines, prefix kept — the per-element dispatch
+            # below needs both the prefix kind and the metric kind
             F.when(
                 is_arr,
-                F.transform(
-                    F.slice(
-                        F.col("_l"),
-                        F.lit(4),
-                        F.regexp_extract(arr_hdr, r"^\*(\d+)$", 1).cast("int"),
-                    ),
-                    lambda v: F.regexp_replace(v, r"^[+:]", "").cast("double"),
+                F.slice(
+                    F.col("_l"),
+                    F.lit(4),
+                    F.regexp_extract(arr_hdr, r"^\*(\d+)$", 1).cast("int"),
                 ),
             )
-            .otherwise(F.array(strip(arr_hdr).cast("double")))
-            .alias("_vs"),
+            .otherwise(F.array(arr_hdr))
+            .alias("_raw"),
         )
         .withColumn(
             "_ms", F.split(F.split(F.col("_series"), " ")[0], r"\|")
+        )
+        .withColumn(
+            # element i parsed against metric i's kind: metric columns
+            # take +/-prefixed numerics (STRING/INTEGER as double,
+            # protocolparser.cc:480-506); event columns take only a
+            # STRING body < 4096 bytes (:409-422,508-520)
+            "_vs",
+            F.zip_with(
+                "_ms",
+                "_raw",
+                lambda m, r: F.struct(
+                    F.when(
+                        ~m.startswith("!") & r.rlike(r"^[+:]"),
+                        F.regexp_replace(r, r"^[+:]", "").cast("double"),
+                    ).alias("value"),
+                    F.when(
+                        m.startswith("!")
+                        & r.startswith("+")
+                        & (F.octet_length(r) - 1 < MAX_EVENT_BODY),
+                        F.substring(r, 2, MAX_EVENT_BODY),
+                    ).alias("body"),
+                ),
+            ),
         )
         .filter(
             F.col("_series").isNotNull()
             & F.col("ts").isNotNull()
             # row-protocol contract: exactly one value per metric
-            & (F.size("_ms") == F.size("_vs"))
-            & ~F.exists("_vs", lambda v: v.isNull())
+            & (F.size("_ms") == F.size("_raw"))
+            & ~F.exists(
+                "_vs", lambda v: v["value"].isNull() & v["body"].isNull()
+            )
         )
     )
     tags_part = F.array_join(F.slice(F.split(F.col("_series"), " "), 2, 32), " ")
@@ -274,9 +345,40 @@ def parse_resp_pdus(
     ).select(
         F.col("_z._ms").alias("metric"),
         "ts",
-        F.col("_z._vs").alias("value"),
+        F.col("_z._vs.value").alias("value"),
+        F.col("_z._vs.body").alias("body"),
         "tags",
     )
     return df.withColumn("series_id", series_id_col()).select(
+        "series_id", "metric", "tags", "ts", "value", "body"
+    )
+
+
+def parse_resp_pdus(
+    pdus: DataFrame,
+    value_col: str = "value",
+    dictionary: dict[int, str] | None = None,
+) -> DataFrame:
+    """Numeric samples from pre-framed RESP PDUs (see _parse_resp_full):
+    ``(series_id, metric, tags, ts, value)``.  Event columns riding the
+    same wire (``!``-metrics) are routed to :func:`parse_resp_events`,
+    never coerced to doubles."""
+    full = _parse_resp_full(pdus, value_col, dictionary)
+    return full.filter(~F.col("metric").startswith("!")).select(
         "series_id", "metric", "tags", "ts", "value"
+    )
+
+
+def parse_resp_events(
+    pdus: DataFrame,
+    value_col: str = "value",
+    dictionary: dict[int, str] | None = None,
+) -> DataFrame:
+    """Event-stream rows from pre-framed RESP PDUs: ``(series_id,
+    metric, tags, ts, body)`` for ``!``-metric columns — the wire write
+    path for annotations/logs (parse_event_value,
+    protocolparser.cc:409-422; row-branch wiring :450,508)."""
+    full = _parse_resp_full(pdus, value_col, dictionary)
+    return full.filter(F.col("metric").startswith("!")).select(
+        "series_id", "metric", "tags", "ts", "body"
     )

@@ -24,6 +24,7 @@ job.
 
 from __future__ import annotations
 
+import codecs
 import socketserver
 import threading
 
@@ -59,6 +60,31 @@ def raw_samples_to_narrow(spark: SparkSession, rows: list) -> DataFrame:
     )
 
 
+def raw_events_to_narrow(spark: SparkSession, rows: list) -> DataFrame:
+    """(series, ts, body) triples -> the narrow event schema (same
+    metric/tags split; the value column is the string body instead of a
+    double — parse_event_value, protocolparser.cc:409-422)."""
+    df = spark.createDataFrame(rows, "series string, ts long, body string")
+    tags_part = F.array_join(F.slice(F.split(F.col("series"), " "), 2, 32), " ")
+    df = df.select(
+        F.split(F.col("series"), " ")[0].alias("metric"),
+        "ts",
+        "body",
+        F.map_from_entries(
+            F.transform(
+                F.filter(F.split(tags_part, " "), lambda t: t.contains("=")),
+                lambda t: F.struct(
+                    F.split(t, "=")[0].alias("key"),
+                    F.split(t, "=")[1].alias("value"),
+                ),
+            )
+        ).alias("tags"),
+    )
+    return df.withColumn("series_id", series_id_col()).select(
+        "series_id", "metric", "tags", "ts", "body"
+    )
+
+
 class TcpIngestServer:
     """Threaded TCP acceptor feeding parsed samples into a parquet
     layout.  ``protocol`` is ``"resp"`` (full three-layer RESP:
@@ -80,16 +106,22 @@ class TcpIngestServer:
         host: str = "127.0.0.1",
         port: int = 0,
         flush_every: int = 10_000,
+        events_path: str | None = None,
     ):
         if protocol not in ("resp", "opentsdb"):
             raise ValueError(f"unknown protocol {protocol!r}")
         self.spark = spark
         self.layout_path = layout_path
+        # `!`-metric samples carry string bodies and land in a sibling
+        # event layout (the reference keeps events in the same column
+        # store under negative ids; two schemas = two directories here)
+        self.events_path = events_path or layout_path + "_events"
         self.protocol = protocol
         self._addr = (host, port)
         self.flush_every = int(flush_every)
         self._lock = threading.Lock()
         self._samples: list[tuple[str, int, float]] = []
+        self._events: list[tuple[str, int, str]] = []
         self._lines: list[str] = []
         self._server: socketserver.ThreadingTCPServer | None = None
         self._thread: threading.Thread | None = None
@@ -98,16 +130,23 @@ class TcpIngestServer:
     # ------------------------------------------------------------ wire
     def _handle_resp(self, rfile) -> None:
         stream = RESPStream()
+        # incremental decoder: a multi-byte UTF-8 character split across
+        # a 64 KB read boundary carries over instead of raising (and
+        # ThreadingTCPServer would swallow that raise, silently dropping
+        # the rest of the connection's samples)
+        decoder = codecs.getincrementaldecoder("utf-8")()
         while True:
             chunk = rfile.read1(65536)
             if not chunk:
                 break
-            stream.feed(chunk.decode("utf-8"))
+            stream.feed(decoder.decode(chunk))
             if stream.out:
                 with self._lock:
-                    self._samples.extend(
-                        (s.series, s.ts, s.value) for s in stream.out
-                    )
+                    for s in stream.out:
+                        if s.body is not None:
+                            self._events.append((s.series, s.ts, s.body))
+                        else:
+                            self._samples.append((s.series, s.ts, s.value))
                 stream.out.clear()
                 self._maybe_flush()
 
@@ -122,15 +161,15 @@ class TcpIngestServer:
     # --------------------------------------------------------- storage
     def _maybe_flush(self) -> None:
         with self._lock:
-            pending = len(self._samples) + len(self._lines)
+            pending = len(self._samples) + len(self._events) + len(self._lines)
         if pending >= self.flush_every:
             self.flush()
 
     def pending_count(self) -> int:
-        """Samples/lines buffered but not yet flushed (for callers that
-        want to await a known payload before stopping)."""
+        """Samples/events/lines buffered but not yet flushed (for
+        callers that want to await a known payload before stopping)."""
         with self._lock:
-            return len(self._samples) + len(self._lines)
+            return len(self._samples) + len(self._events) + len(self._lines)
 
     def flush(self) -> int:
         """Append everything buffered to the layout; returns row count."""
@@ -139,12 +178,19 @@ class TcpIngestServer:
 
         with self._lock:
             samples, self._samples = self._samples, []
+            events, self._events = self._events, []
             lines, self._lines = self._lines, []
         n = 0
         if samples:
             df = raw_samples_to_narrow(self.spark, samples)
             storage.write_samples(df, self.layout_path, mode="append")
             n += len(samples)
+        if events:
+            edf = raw_events_to_narrow(self.spark, events)
+            # same (day, metric)-partitioned writer — the sort/cluster
+            # keys exist on both schemas; only the payload column differs
+            storage.write_samples(edf, self.events_path, mode="append")
+            n += len(events)
         if lines:
             ldf = self.spark.createDataFrame([(l,) for l in lines], "value string")
             df = parse_opentsdb_lines(ldf)

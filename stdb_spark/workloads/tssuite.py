@@ -1906,6 +1906,75 @@ FROM events WHERE user_id % 2 = 1
 )
 
 
+# RESP EVENT-body ingest round-trip (parse_event_value,
+# protocolparser.cc:409-422; scalar wiring :450, row-branch :508):
+# string values for `!`-metric series ride the same wire as numerics.
+# Even users send a data-point event PDU (``+!type tags / :ts /
+# +body``); odd users send a ROW PDU mixing one numeric metric and one
+# event column (``+type|!type tags / :ts / *2 / +value / +body``) — the
+# per-element dispatch the reference does by id sign.  The parsed wire
+# must reproduce the events table exactly: every row lands as an event
+# body, odd rows also land as the numeric sample.
+def _ingest_resp_events(spark, sf):
+    from stdb_spark.sources.resp import parse_resp_events, parse_resp_pdus
+
+    ev = model.events_raw_ns(spark, sf)
+    pdus = ev.select(
+        F.when(
+            F.col("user_id") % 2 == 0,
+            F.format_string(
+                "+!%s user=%s\n:%d\n+%s",
+                F.col("event_type"),
+                F.col("user_id").cast("string"),
+                F.col("ts").cast("long"),
+                F.col("props"),
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                "+%s|!%s user=%s\n:%d\n*2\n+%s\n+%s",
+                F.col("event_type"),
+                F.col("event_type"),
+                F.col("user_id").cast("string"),
+                F.col("ts").cast("long"),
+                F.col("value").cast("string"),
+                F.col("props"),
+            )
+        )
+        .alias("value")
+    )
+    _sel = lambda df, val, body: df.select(  # noqa: E731
+        F.concat("metric", F.lit(" user="), F.col("tags")["user"]).alias(
+            "series"
+        ),
+        F.expr("ts div 1000").alias("ts"),
+        val.alias("value"),
+        body.alias("body"),
+    )
+    events = _sel(
+        parse_resp_events(pdus), F.lit(None).cast("double"), F.col("body")
+    )
+    samples = _sel(
+        parse_resp_pdus(pdus), F.col("value"), F.lit(None).cast("string")
+    )
+    return events.unionByName(samples)
+
+
+_q(
+    "ingest_resp_events_roundtrip",
+    _ingest_resp_events,
+    """
+SELECT '!' || event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
+       epoch_us(ts) AS ts, CAST(NULL AS DOUBLE) AS value, props AS body
+FROM events
+UNION ALL
+SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
+       epoch_us(ts) AS ts, value, CAST(NULL AS VARCHAR) AS body
+FROM events WHERE user_id % 2 = 1
+""",
+)
+
+
 # Moving-object surface (basic.h:48-52,90: per-sample LOCATION_BIT):
 # deterministic per-sample lon/lat from (user, ts), bbox + time range.
 _q(

@@ -49,6 +49,94 @@ def test_resp_row_protocol_rejects_scalar_and_size_mismatch():
         RESPStream().feed("+cpu|mem host=h1\r\n:5\r\n*3\r\n:1\r\n:2\r\n:3\r\n")
 
 
+def test_resp_event_body_data_point():
+    # parse_event_value (protocolparser.cc:409-422, scalar wiring :450):
+    # a `!`-metric series takes a raw STRING body instead of a double
+    p = RESPStream()
+    p.feed('+!app.log host=h0\r\n:1000\r\n+error: disk full {"c": 7}\r\n')
+    s = p.out[0]
+    assert (s.series, s.ts, s.value, s.body) == (
+        "!app.log host=h0",
+        1000,
+        None,
+        'error: disk full {"c": 7}',
+    )
+
+
+def test_resp_event_body_row_protocol_mixed():
+    # row-branch wiring (protocolparser.cc:508-520): per-element
+    # dispatch — numeric column parses a double, event column takes the
+    # raw string, zipped in order, never fanned
+    p = RESPStream()
+    p.feed("+cpu|!note host=h1\r\n:2000\r\n*2\r\n+0.5\r\n+deploy v2\r\n")
+    assert [(s.series, s.value, s.body) for s in p.out] == [
+        ("cpu host=h1", 0.5, None),
+        ("!note host=h1", None, "deploy v2"),
+    ]
+
+
+def test_resp_event_body_rejections():
+    # row branch: non-STRING value for an event column -> "unexpected
+    # event format" (protocolparser.cc:514-519); mirrored in the scalar
+    # branch (the reference's scalar-INTEGER path has no sign check, a
+    # latent path its stubbed session glue never writes)
+    p = RESPStream()
+    p.feed("+m|!e t=1\r\n:5\r\n*2\r\n+1.5\r\n")
+    with pytest.raises(RESPError, match="unexpected event format"):
+        p.feed(":9\r\n")
+    with pytest.raises(RESPError, match="unexpected event format"):
+        RESPStream().feed("+!e t=1\r\n:5\r\n:42\r\n")
+    # bytes_read >= STDB_LIMITS_MAX_EVENT_LEN=4096 -> "event value is
+    # too big" (protocolparser.cc:415-419, basic.h:32); 4095 fits
+    with pytest.raises(RESPError, match="event value is too big"):
+        RESPStream().feed("+!e t=1\r\n:5\r\n+" + "x" * 4096 + "\r\n")
+    ok = RESPStream()
+    ok.feed("+!e t=1\r\n:5\r\n+" + "x" * 4095 + "\r\n")
+    assert len(ok.out[0].body) == 4095
+
+
+def test_resp_event_dictionary_compound():
+    # dictionary names may bind compound row names including event
+    # columns; id-addressed row PDUs dispatch per element
+    p = RESPStream()
+    p.feed("*2\r\n+cpu|!log host=a\r\n:7\r\n")
+    p.feed(":7\r\n:2000\r\n*2\r\n+1.25\r\n+restarted\r\n")
+    assert [(s.series, s.value, s.body) for s in p.out] == [
+        ("cpu host=a", 1.25, None),
+        ("!log host=a", None, "restarted"),
+    ]
+
+
+def test_parse_resp_events_dataframe(spark):
+    from stdb_spark.sources.resp import parse_resp_events
+
+    pdus = spark.createDataFrame(
+        [
+            ('+!log host=a\n:1000\n+disk full',),
+            ("+cpu|!log host=b\n:2000\n*2\n+0.5\n+deploy v2",),
+            # malformed: integer line for the event column -> PDU dropped
+            ("+cpu|!log host=c\n:3000\n*2\n+0.5\n:9",),
+            # malformed: body over 4096 bytes -> PDU dropped
+            ("+!log host=d\n:4000\n+" + "x" * 4096,),
+        ],
+        "value string",
+    )
+    events = sorted(
+        (r.metric, r.tags["host"], r.ts, r.body)
+        for r in parse_resp_events(pdus).collect()
+    )
+    assert events == [
+        ("!log", "a", 1000, "disk full"),
+        ("!log", "b", 2000, "deploy v2"),
+    ]
+    # the numeric column of the mixed PDU still lands as a sample, and
+    # no event body is ever coerced into the samples output
+    samples = sorted(
+        (r.metric, r.ts, r.value) for r in parse_resp_pdus(pdus).collect()
+    )
+    assert samples == [("cpu", 2000, 0.5)]
+
+
 def test_resp_dictionary():
     p = RESPStream()
     p.define(7, "cpu host=h9")
@@ -277,6 +365,73 @@ def test_tcp_ingest_server_resp_and_opentsdb(spark, tmp_path):
         (r.metric, r.value) for r in spark.read.parquet(layout2).collect()
     )
     assert got == [("sys.cpu", 3.25), ("sys.cpu", 4.5)]
+
+
+def test_tcp_ingest_server_event_bodies(spark, tmp_path):
+    """Event PDUs over the live socket land in the sibling event layout
+    (parse_event_value wire path through the TCP front door)."""
+    import socket
+    import time
+
+    from stdb_spark.sources.tcp import TcpIngestServer
+
+    layout = str(tmp_path / "layout")
+    srv = TcpIngestServer(spark, layout, protocol="resp")
+    host, port = srv.start()
+    c = socket.create_connection((host, port))
+    c.sendall(b"+!deploy host=m1\r\n:1704067200000000000\r\n+rollout 42%\r\n")
+    c.sendall(b"+cpu|!log host=m1\r\n:1704067201000000000\r\n*2\r\n+1.5\r\n+oom killed\r\n")
+    c.close()
+    deadline = time.time() + 10
+    while srv.pending_count() < 3 and time.time() < deadline:
+        time.sleep(0.05)
+    srv.stop()
+    events = sorted(
+        (r.metric, r.ts, r.body)
+        for r in spark.read.parquet(srv.events_path).collect()
+    )
+    assert events == [
+        ("!deploy", 1704067200000000000, "rollout 42%"),
+        ("!log", 1704067201000000000, "oom killed"),
+    ]
+    samples = [
+        (r.metric, r.value) for r in spark.read.parquet(layout).collect()
+    ]
+    assert samples == [("cpu", 1.5)]
+
+
+def test_tcp_ingest_server_multibyte_chunk_boundary(spark, tmp_path):
+    """A multi-byte UTF-8 character split across the server's 64 KB
+    read boundary must carry over (incremental decoder), not kill the
+    connection handler mid-stream."""
+    import socket
+    import time
+
+    from stdb_spark.sources.tcp import TcpIngestServer
+
+    layout = str(tmp_path / "layout")
+    srv = TcpIngestServer(spark, layout, protocol="resp")
+    host, port = srv.start()
+    c = socket.create_connection((host, port))
+    # pad so the 3-byte "€" in the event body straddles the 65536-byte
+    # read1 boundary, then keep writing samples that must still land
+    body = "x" * 100 + "€" * 40
+    pdu = f"+!pad host=p\r\n:1\r\n+{body}\r\n".encode()
+    filler = b"+m host=f\r\n:2\r\n+1.0\r\n"
+    blob = (pdu + filler) * 600  # ~ several read1 windows, odd byte phase
+    c.sendall(blob)
+    c.sendall(b"+tail host=t\r\n:3\r\n+9.5\r\n")
+    c.close()
+    deadline = time.time() + 30
+    while srv.pending_count() < 1201 and time.time() < deadline:
+        time.sleep(0.05)
+    srv.stop()
+    samples = spark.read.parquet(layout)
+    assert samples.filter("metric = 'tail'").count() == 1
+    assert samples.count() == 601
+    ev = spark.read.parquet(srv.events_path)
+    assert ev.count() == 600
+    assert ev.select("body").distinct().collect()[0].body == body
 
 
 def test_spark_socket_source_opentsdb_stream(spark, tmp_path):
