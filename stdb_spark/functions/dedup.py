@@ -492,8 +492,15 @@ def connected_components(
     ).persist()
     n_edges = edges.count()
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    # graph-scale exchanges (same sizing rule as pagerank_exact): the
-    # per-round shuffles carry label rows, not the corpus
+    # graph-scale exchanges: the per-round shuffles carry label rows,
+    # not the corpus.  SINGLE-WRITER ASSUMPTION: this narrows the
+    # session-global shuffle width for the duration of the loop (and
+    # restores it in finally) — a query running CONCURRENTLY on the
+    # same SparkSession during propagation would inherit the
+    # graph-scale width.  The engine's execution model is one query at
+    # a time per session (the reference's session is equally
+    # single-threaded, cursor.h:42-86); callers that multiplex a
+    # session should clone it (spark.newSession()) for dedup runs.
     parts = max(4, min(int(old_parts), n_edges // 1_000_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
@@ -532,7 +539,10 @@ def connected_components(
             prev_sum = cur_sum
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    edges.unpersist()
+        # inside finally: an exception mid-propagation must not leave
+        # the doubled (persisted) edge list pinned in executor storage
+        # for the session's life
+        edges.unpersist()
     return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
 
 

@@ -23,8 +23,10 @@ Scale shape (per iteration): one co-partitioned join of the
 (src-partitioned, persisted) degree-annotated edge list against the
 rank table, one groupBy(dst) aggregate — i.e. one shuffle of the rank
 updates per round, the same per-round cost envelope as dedup's CC.
-Ranks are localCheckpointed every round so the plan stays flat; at
-cluster scale use a reliable checkpoint dir.
+Below BROADCAST_RANKS_MAX_NODES the loop is a single lineage evaluated
+in one job (zero per-round driver barriers); above it, ranks are
+localCheckpointed every few rounds so the plan stays flat — at cluster
+scale use a reliable checkpoint dir.
 """
 
 from __future__ import annotations
@@ -41,6 +43,55 @@ SCALE = 1_000_000_000_000  # ranks are BIGINT multiples of 1e-12
 #: src-partitioned edge list (the cluster-scale shape)
 BROADCAST_RANKS_MAX_NODES = 1_000_000
 
+#: below this EDGE count the whole graph fits comfortably in one task
+#: (~20M edges x ~40 B of string pair + int64 working set ≈ 1-2 GB,
+#: within a normal executor core's memory) and the iteration runs as a
+#: single Arrow-batched numpy kernel — zero per-round exchanges or
+#: driver barriers, same size-dispatch philosophy as Spark's own
+#: broadcast-join threshold.  Above it, the distributed per-round
+#: join+aggregate loop runs.  The arithmetic is identical either way
+#: (int64 floor divisions and sums), so results are bit-equal.
+SINGLE_TASK_MAX_EDGES = 20_000_000
+
+
+def _pagerank_single_task_kernel(
+    iterations: int, damp_num: int, damp_den: int, early_exit: bool
+):
+    """mapInPandas kernel: the full integer PageRank loop over one
+    task's (src, dst) edge batch.  int64 throughout — products bounded
+    by SCALE * damp_num ≈ 8.5e13 << 2^63, sums bounded by total mass.
+    Consecutive-round bit equality (exact in fixed point) short-cuts
+    the loop when ``early_exit``: every later round would be identical."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches):
+        dfs = list(batches)
+        if not dfs:
+            return
+        df = pd.concat(dfs, ignore_index=True)
+        codes, nodes = pd.factorize(
+            pd.concat([df["src"], df["dst"]], ignore_index=True), sort=True
+        )
+        m = len(df)
+        sid = codes[:m].astype(np.int64)
+        did = codes[m:].astype(np.int64)
+        n = len(nodes)
+        outdeg = np.bincount(sid, minlength=n).astype(np.int64)
+        teleport = (SCALE * (damp_den - damp_num)) // (damp_den * n)
+        pr = np.full(n, SCALE // n, dtype=np.int64)
+        for _ in range(int(iterations)):
+            contrib = (pr[sid] * damp_num) // (damp_den * outdeg[sid])
+            s = np.zeros(n, dtype=np.int64)
+            np.add.at(s, did, contrib)
+            new_pr = teleport + s
+            if early_exit and np.array_equal(new_pr, pr):
+                break
+            pr = new_pr
+        yield pd.DataFrame({"node": np.asarray(nodes), "pr": pr})
+
+    return fn
+
 
 def pagerank_exact(
     edges: DataFrame,
@@ -51,6 +102,9 @@ def pagerank_exact(
     dst_col: str = "dst",
     checkpoint: bool = True,
     checkpoint_every: int = 2,
+    early_exit: bool = True,
+    single_task_max_edges: int = SINGLE_TASK_MAX_EDGES,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Exact integer fixed-point PageRank over a directed edge list.
 
@@ -60,87 +114,148 @@ def pagerank_exact(
     again deterministically).  ``damp_num/damp_den`` is the damping
     factor as an exact rational (default 85/100).
 
-    Wall-time shape (r4 review: rounds x scheduling latency dominated
-    locally): the caller's edge lineage is evaluated EXACTLY ONCE (the
-    r4 version evaluated it twice — once for nodes, once for the
-    degree join); the loop's exchanges are sized to the rank table
-    (#nodes div 64k partitions, not the session's corpus-scale
-    setting); and when the graph is small enough the ranks broadcast,
-    so each round touches the cached edge list with zero edge-side
-    exchange.  At cluster scale (n > BROADCAST_RANKS_MAX_NODES) the
-    per-round shape is unchanged from r4: one co-partitioned join +
-    one rank exchange.
+    Wall-time shape (r5 review: rounds x scheduling latency dominated
+    locally).  Three size-dispatched regimes:
+
+    - edges <= ``single_task_max_edges``: ONE Arrow-batched numpy task
+      runs the whole loop (``_pagerank_single_task_kernel``) — no
+      per-round exchanges, no driver barriers, no broadcast jobs.  One
+      dispatch action (e.count, which also fills the edge cache) + one
+      materialization.  This is worker-side mapInPandas, not a driver
+      collect; the threshold bounds the task's memory exactly like a
+      broadcast-join threshold does.
+    - nodes <= BROADCAST_RANKS_MAX_NODES: distributed loop, rank table
+      broadcast each round, so the cached edge list never exchanges.
+    - else: cluster scale — one co-partitioned join + one rank exchange
+      per round, eager localCheckpoints every ``checkpoint_every``
+      rounds to keep the plan flat.  Shuffle widths are scoped per-plan
+      via explicit repartition (the session-global shuffle.partitions
+      is never touched — concurrent queries on a shared session are
+      unaffected).
+
+    ``early_exit``: integer fixed point makes rank equality exact, so
+    when round k+1 equals round k bit-for-bit every later round is
+    identical and the loop stops — the dedup-CC convergence pattern
+    (functions/dedup.py:500-530).  The check compares CONSECUTIVE
+    rounds only: a gap-k comparison would certify a k-cycle, not a
+    fixed point, and truncated integer maps can in principle cycle.
+    In-kernel it is a free numpy comparison per round; in the
+    distributed loop it runs only where consecutive rounds are both
+    materialized (``checkpoint_every == 1``).  ``stats``, when given,
+    records ``rounds_run`` (distributed path only — the kernel's round
+    count stays worker-side).
     """
     spark = edges.sparkSession
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).persist()
-    n_edges = e.count()  # materializes the caller lineage exactly once
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    # graph-scale exchanges: ~1M edges per reduce task, floor of 4
-    parts = max(4, min(int(old_parts), n_edges // 1_000_000 + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
-        nodes = (
-            e.select(F.col("src").alias("node"))
-            .union(e.select(F.col("dst").alias("node")))
-            .distinct()
-        ).persist()
-        n = nodes.count()  # one scalar — bounded driver work by design
-        deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-        broadcast_ranks = n <= BROADCAST_RANKS_MAX_NODES
-        ed = e.join(deg, "src")
-        if not broadcast_ranks:
-            # src-partitioned once; every iteration's hash join reuses
-            # this layout (broadcast mode needs no layout at all)
-            ed = ed.repartition("src")
-        ed = ed.persist()
-        teleport = (SCALE * (damp_den - damp_num)) // (damp_den * n)
-        pr = nodes.withColumn("pr", F.lit(SCALE // n))
-        prev = None
-        for it in range(int(iterations)):
-            rank_side = F.broadcast(pr) if broadcast_ranks else pr
-            contribs = (
-                ed.join(rank_side, ed.src == pr.node)
-                .select(
-                    "dst",
-                    F.expr(
-                        f"(pr * {damp_num}L) div ({damp_den}L * outdeg)"
-                    ).alias("c"),
-                )
-                .groupBy("dst")
-                .agg(F.sum("c").alias("s"))
+    # one scalar action: size dispatch + cache fill
+    n_edges = e.count()
+    if n_edges <= int(single_task_max_edges):
+        pr = e.repartition(1).mapInPandas(
+            _pagerank_single_task_kernel(
+                iterations, damp_num, damp_den, early_exit
+            ),
+            "node string, pr long",
+        )
+        if checkpoint:
+            # materialize the single kernel task so the edge cache can
+            # be released without the caller's action recomputing it
+            pr = pr.localCheckpoint(eager=True)
+        if stats is not None:
+            stats["rounds_run"] = None
+        e.unpersist()
+        return pr
+    nodes = (
+        e.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
+        ).distinct()
+    ).persist()
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    broadcast_ranks = n <= BROADCAST_RANKS_MAX_NODES
+    ed = e.join(deg, "src")
+    if not broadcast_ranks:
+        # src-partitioned once, sized to the graph (~1M edges/task,
+        # floor 4) with an EXPLICIT width — not the session conf;
+        # every iteration's hash join reuses this layout
+        parts = max(
+            4,
+            min(
+                int(spark.conf.get("spark.sql.shuffle.partitions")),
+                n_edges // 1_000_000 + 1,
+            ),
+        )
+        ed = ed.repartition(parts, "src")
+    ed = ed.persist()
+    teleport = (SCALE * (damp_den - damp_num)) // (damp_den * n)
+    pr = nodes.withColumn("pr", F.lit(SCALE // n))
+    prev_ckpt = None
+    rounds_run = int(iterations)
+    for it in range(int(iterations)):
+        rank_side = F.broadcast(pr) if broadcast_ranks else pr
+        contribs = (
+            ed.join(rank_side, ed.src == pr.node)
+            .select(
+                "dst",
+                F.expr(
+                    f"(pr * {damp_num}L) div ({damp_den}L * outdeg)"
+                ).alias("c"),
             )
-            pr = (
-                nodes.join(contribs, nodes.node == contribs.dst, "left")
-                .select(
-                    "node",
-                    (F.lit(teleport) + F.coalesce(F.col("s"), F.lit(0))).alias(
-                        "pr"
-                    ),
-                )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        new_pr = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (F.lit(teleport) + F.coalesce(F.col("s"), F.lit(0))).alias(
+                    "pr"
+                ),
             )
-            if checkpoint and (
+        )
+        if (
+            checkpoint
+            and not broadcast_ranks
+            and (
                 (it + 1) % int(checkpoint_every) == 0
                 or it + 1 == int(iterations)
-            ):
-                # eager: materialize up to here, then release the previous
-                # checkpoint's blocks — otherwise every invocation pins
-                # iterations x |nodes| of storage for the session's life
-                # (same discipline as dedup's CC, functions/dedup.py:492).
-                # Checkpointing every `checkpoint_every` rounds instead of
-                # every round halves the sequential materialization jobs
-                # while keeping at most that many rounds of lineage live.
-                pr = pr.localCheckpoint(eager=True)
-                if prev is not None:
-                    prev.unpersist()
-                prev = pr
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    # release the edge/node caches unconditionally: with checkpointing
-    # the final ranks are already materialized; without it the caller's
-    # first action recomputes the (cheap) edge projection instead of
-    # pinning two DataFrames for the session's lifetime
+            )
+        ):
+            # eager: materialize up to here, then release the previous
+            # checkpoint's blocks — otherwise every invocation pins
+            # iterations x |nodes| of storage for the session's life
+            # (same discipline as dedup's CC, functions/dedup.py:492)
+            new_pr = new_pr.localCheckpoint(eager=True)
+            converged = (
+                early_exit
+                and int(checkpoint_every) == 1
+                and it + 1 < int(iterations)
+                and new_pr.join(
+                    pr.withColumnRenamed("pr", "_prev"), "node"
+                )
+                .filter(F.col("pr") != F.col("_prev"))
+                .isEmpty()
+            )
+            if prev_ckpt is not None:
+                prev_ckpt.unpersist()
+            prev_ckpt = new_pr
+            if converged:
+                pr = new_pr
+                rounds_run = it + 1
+                break
+        pr = new_pr
+    if broadcast_ranks and checkpoint:
+        # ONE materialization job runs every round of the single
+        # lineage back-to-back (each round's BroadcastExchange computes
+        # inline), so the caches can be released below without the
+        # caller's later action recomputing the edge join per round
+        pr = pr.localCheckpoint(eager=True)
+    if stats is not None:
+        stats["rounds_run"] = rounds_run
+    # release the edge/node caches unconditionally: the final ranks are
+    # already materialized (checkpointed in both modes), so nothing is
+    # recomputed and nothing stays pinned for the session's life
     e.unpersist()
     ed.unpersist()
     nodes.unpersist()

@@ -574,8 +574,10 @@ def commit_epoch_idempotent(
     path is directly testable: calling it twice with the same batch_id
     must leave the fact table and summaries byte-identical to one
     call."""
+    import errno
     import glob
     import os
+    import shutil
     import time
 
     from stdb_spark.sources import storage
@@ -584,13 +586,21 @@ def commit_epoch_idempotent(
     marker = os.path.join(marker_dir, f"epoch-{batch_id}")
     if os.path.exists(marker):
         return  # replayed epoch after restart: already fully applied
-    if not batch.take(1):
-        return
-    spark = batch.sparkSession
-    # 1. stage the epoch (overwrite => replay-safe), same layout +
-    #    within-file sort as the table itself
-    stage_dir = os.path.join(checkpoint, "_epoch_stage", f"epoch-{batch_id}")
-    storage.write_samples(batch, stage_dir, mode="overwrite")
+    # pin the batch once: the emptiness probe and the staging write
+    # below would otherwise each evaluate the full source lineage
+    batch = batch.persist()
+    try:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        # 1. stage the epoch (overwrite => replay-safe), same layout +
+        #    within-file sort as the table itself
+        stage_dir = os.path.join(
+            checkpoint, "_epoch_stage", f"epoch-{batch_id}"
+        )
+        storage.write_samples(batch, stage_dir, mode="overwrite")
+    finally:
+        batch.unpersist()
     staged = sorted(
         glob.glob(os.path.join(stage_dir, "day=*", "metric=*", "*.parquet"))
     )
@@ -606,17 +616,42 @@ def commit_epoch_idempotent(
     # 3. move staged files in under epoch-prefixed names, restamped to
     #    fresh monotone mtimes: file-stream replay orders by mtime, and
     #    the staged copies carry stage-relative stamps that could sort
-    #    BEFORE already-committed table files
-    base = time.time()
+    #    BEFORE already-committed table files.  Monotonicity across
+    #    epochs comes from a PERSISTED stamp cursor, not wall-clock
+    #    alone — an epoch moving many files (or epochs arriving
+    #    sub-second apart) must not stamp ahead of the next epoch's
+    #    base.
+    cursor_file = os.path.join(marker_dir, "_stamp_cursor")
+    cursor = 0.0
+    if os.path.exists(cursor_file):
+        try:
+            with open(cursor_file) as fh:
+                cursor = float(fh.read().strip() or 0.0)
+        except (ValueError, OSError):
+            cursor = 0.0
+    base = max(time.time(), cursor + 0.001)
+    last = base
     for i, f in enumerate(staged):
         rel_dir = os.path.relpath(os.path.dirname(f), stage_dir)
         dst_dir = os.path.join(path, rel_dir)
         os.makedirs(dst_dir, exist_ok=True)
         dst = os.path.join(dst_dir, f"e{batch_id}-{os.path.basename(f)}")
-        os.replace(f, dst)
-        # ms spacing: ordered within the batch, never ahead of the
-        # next batch's stamps (which start at ITS wall-clock)
-        os.utime(dst, (base + i * 0.001, base + i * 0.001))
+        try:
+            os.replace(f, dst)
+        except OSError as exc:
+            # the checkpoint stage dir and the table may live on
+            # different filesystems — os.replace raises EXDEV there
+            if exc.errno != errno.EXDEV:
+                raise
+            shutil.move(f, dst)
+        # ms spacing: ordered within the batch
+        last = base + i * 0.001
+        os.utime(dst, (last, last))
+    os.makedirs(marker_dir, exist_ok=True)
+    tmp_cursor = cursor_file + ".tmp"
+    with open(tmp_cursor, "w") as fh:
+        fh.write(repr(last))
+    os.replace(tmp_cursor, cursor_file)
     days = sorted({int(d.split(os.sep)[-2].split("=", 1)[1]) for d in part_dirs})
     if not os.path.isdir(summary_path):
         # first batch bootstraps the store (still only its own days)
@@ -633,8 +668,6 @@ def commit_epoch_idempotent(
         fh.write("done")
     # stage leftovers (empty partition dirs, _SUCCESS) are dead weight
     # once the marker is durable; a crash here merely leaves them
-    import shutil
-
     shutil.rmtree(stage_dir, ignore_errors=True)
 
 

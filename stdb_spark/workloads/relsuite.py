@@ -1898,9 +1898,19 @@ def _rel_pagerank(spark, sf):
         )
         .distinct()
     )
-    edges = pairs.unionAll(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # both directions via explode — ONE evaluation of the expensive
+    # join+distinct subtree (a unionAll of pairs + swapped pairs plants
+    # that subtree twice in the plan and computes it twice)
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     pr = graph.pagerank_exact(edges, iterations=5)
     return pr.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(20)
 

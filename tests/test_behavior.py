@@ -640,6 +640,58 @@ def test_pagerank_exact_matches_integer_model(spark):
     assert pr["a"] == max(pr.values())
 
 
+def test_pagerank_single_task_and_distributed_bit_equal(spark):
+    """The size-dispatched regimes (single-task numpy kernel vs the
+    distributed join+aggregate loop) share one integer spec — outputs
+    must be bit-equal on the same graph."""
+    from stdb_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a"),
+         ("b", "a"), ("e", "a")],
+        "src string, dst string",
+    )
+    kernel = {
+        r.node: r.pr
+        for r in graph.pagerank_exact(edges, iterations=6).collect()
+    }
+    dist = {
+        r.node: r.pr
+        for r in graph.pagerank_exact(
+            edges, iterations=6, single_task_max_edges=0
+        ).collect()
+    }
+    assert kernel == dist and len(kernel) == 5
+
+
+def test_pagerank_early_exit_is_exact(spark):
+    """Early exit fires only on consecutive-round bit equality (a true
+    integer fixed point), so high-iteration runs with and without it
+    are identical — and both equal the converged fixed point."""
+    from stdb_spark.operators import graph
+
+    # a 4-ring converges to an exact uniform fixed point quickly
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src string, dst string",
+    )
+    fast = {
+        r.node: r.pr
+        for r in graph.pagerank_exact(
+            edges, iterations=200, early_exit=True
+        ).collect()
+    }
+    slow = {
+        r.node: r.pr
+        for r in graph.pagerank_exact(
+            edges, iterations=200, early_exit=False
+        ).collect()
+    }
+    assert fast == slow
+    # converged value: pr = tele + 85*pr//100 fixed point, uniform
+    assert len(set(fast.values())) == 1
+
+
 def test_peak_concurrency_adjacent_intervals_not_concurrent(spark):
     # A=[0,10] is inclusive through 10, B=[11,20] starts as A expires:
     # never simultaneously active — the -1 at t=11 folds before B's +1

@@ -811,3 +811,34 @@ def test_commit_epoch_replay_is_idempotent(spark, tmp_path):
     si.commit_epoch_idempotent(batch2, 1, layout, summary, ckpt)
     assert spark.read.parquet(layout).count() == 2 * n
     batch.unpersist()
+
+
+def test_commit_epoch_stamp_cursor_is_monotone(spark, tmp_path):
+    """Replay-order mtimes must never regress across epochs, even when
+    a previous epoch stamped far ahead of wall-clock (many files, or
+    epochs arriving sub-second apart): the persisted stamp cursor, not
+    wall-clock, is the floor for the next epoch's base."""
+    import glob
+    import os
+    import time
+
+    from stdb_spark import model
+    from stdb_spark.streaming import ingest as si
+
+    batch = model.events_as_samples(spark, "/root/testdata/sf0.001").limit(50)
+    layout = str(tmp_path / "layout")
+    summary = str(tmp_path / "summary")
+    ckpt = str(tmp_path / "ckpt")
+    si.commit_epoch_idempotent(batch, 0, layout, summary, ckpt)
+    # simulate epoch 0 having stamped 100 s ahead of wall-clock
+    cursor_file = os.path.join(ckpt, "_epoch_markers", "_stamp_cursor")
+    future = time.time() + 100.0
+    with open(cursor_file, "w") as fh:
+        fh.write(repr(future))
+    batch2 = batch.withColumn("ts", F.col("ts") + F.lit(1))
+    si.commit_epoch_idempotent(batch2, 1, layout, summary, ckpt)
+    e1 = glob.glob(os.path.join(layout, "day=*", "metric=*", "e1-*.parquet"))
+    assert e1 and all(os.stat(f).st_mtime > future for f in e1)
+    # and the cursor advanced past everything epoch 1 stamped
+    with open(cursor_file) as fh:
+        assert float(fh.read()) >= max(os.stat(f).st_mtime for f in e1) - 1e-6
