@@ -128,6 +128,83 @@ def lttb(
     return tagged.groupBy("_pg").applyInPandas(_pick, schema=out_schema)
 
 
+def lttb_exact_int(
+    samples: DataFrame,
+    n_out: int,
+    series_col: str = "series",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    qscale: int = 1_000_000,
+) -> DataFrame:
+    """Cross-engine-exact LTTB twin of :func:`lttb` (the SemDeDup /
+    PageRank fixed-point pattern): the greedy selection runs on
+    INTEGER coordinates — ts as-is, value quantized to
+    ``trunc(value * qscale)`` — with the triangle-area comparison
+    cleared of the centroid division::
+
+        area(P) ∝ |(t_a*c - St)*(w_P - w_a) - (t_a - t_P)*(Sw - w_a*c)|
+
+    (c, St, Sw = next bucket's count and coordinate sums), evaluated in
+    arbitrary-precision Python ints, argmax ties broken by first index.
+    Bucket edges are the integer analog of the float linspace:
+    ``e_k = 1 + (k*(n-2)) // (n_out-2)``.  Every quantity is an exact
+    integer, so a DuckDB recursive CTE replays the identical selection
+    (HUGEINT arithmetic) — which is what buys the full value-hash
+    oracle; the float :func:`lttb` remains the production operator.
+    Output rows carry the ORIGINAL values of the selected samples.
+
+    Same scale shape as :func:`lttb`: one hash exchange, the
+    sequential kernel per series inside an Arrow frame."""
+    import pandas as pd
+
+    out_schema = f"{series_col} string, {ts_col} long, {value_col} double"
+
+    def _pick_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        # (ts, value) order: deterministic arrays even when timestamps
+        # repeat — the SQL twin's row_number uses the same key
+        pdf = pdf.sort_values([ts_col, value_col])
+        n = len(pdf)
+        if n <= n_out:
+            return pdf[[series_col, ts_col, value_col]]
+        t = [int(x) for x in pdf[ts_col]]
+        # one IEEE multiply then truncation toward zero — the exact
+        # spec DuckDB's trunc(value * qscale) reproduces
+        w = [int(v * qscale) for v in pdf[value_col]]
+        edges = [1 + (k * (n - 2)) // (n_out - 2) for k in range(n_out - 1)]
+        keep = [0]
+        for i in range(n_out - 2):
+            lo, hi = edges[i], edges[i + 1]
+            nlo = edges[i + 1]
+            nhi = n if i == n_out - 3 else edges[i + 2]
+            c = nhi - nlo
+            st = sum(t[nlo:nhi])
+            sw = sum(w[nlo:nhi])
+            a = keep[-1]
+            best_j, best_area = lo, -1
+            for j in range(lo, hi):
+                area = abs(
+                    (t[a] * c - st) * (w[j] - w[a])
+                    - (t[a] - t[j]) * (sw - w[a] * c)
+                )
+                if area > best_area:
+                    best_j, best_area = j, area
+            keep.append(best_j)
+        keep.append(n - 1)
+        return pdf.iloc[keep][[series_col, ts_col, value_col]]
+
+    def _pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = [
+            _pick_one(g) for _, g in pdf.groupby(series_col, sort=False)
+        ]
+        return pd.concat(parts, ignore_index=True)
+
+    n_pg = int(samples.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    tagged = samples.select(series_col, ts_col, value_col).withColumn(
+        "_pg", F.pmod(F.xxhash64(series_col), F.lit(n_pg))
+    )
+    return tagged.groupBy("_pg").applyInPandas(_pick, schema=out_schema)
+
+
 def decimate(
     samples: DataFrame,
     n: int,

@@ -2704,18 +2704,115 @@ GROUP BY event_type ORDER BY metric
 
 
 def _ts_lttb(spark, sf):
-    """LTTB shape-preserving downsample to 16 points per click series.
-    Rows-only check: the selection is sequential per series (each pick
-    depends on the previous), genuinely non-SQL-expressible."""
+    """LTTB shape-preserving downsample to 16 points per click series —
+    the EXACT-integer twin (downsample.lttb_exact_int): greedy picks on
+    integer coordinates with division-free triangle areas, so the
+    sequential selection replays bit-for-bit in a DuckDB recursive CTE
+    (r5 VERDICT #4 — the same fixed-point trick that oracled k-means).
+    The float production operator (downsample.lttb) stays pytest-pinned."""
     from stdb_spark.operators import downsample
 
-    df = _samples(spark, sf, "click", JAN01_US, FEB01_US).withColumn(
-        "ts", F.expr("ts div 1000")
+    df = model.events_as_samples(spark, sf, keep_src=True).filter(
+        (F.col("metric") == "click")
+        & (F.col("ts") >= JAN01)
+        & (F.col("ts") < FEB01)
     )
-    return downsample.lttb(df, 16, series_col="series").orderBy("series", "ts")
+    src = model.ts_src_bounds(df, JAN01, FEB01)
+    if src is not None:
+        df = df.filter(src)
+    # cohort series (user % 10): long-enough series that every greedy
+    # bucket holds many candidates — the selection path, not the
+    # n <= n_out passthrough, is what the oracle certifies
+    df = df.select(
+        F.concat(
+            F.lit("click cohort="),
+            F.expr("CAST(CAST(tags['user'] AS INT) % 10 AS STRING)"),
+        ).alias("series"),
+        F.expr("ts div 1000").alias("ts"),
+        "value",
+    )
+    return downsample.lttb_exact_int(df, 16, series_col="series").orderBy(
+        "series", "ts"
+    )
 
 
-_q("ts_lttb", _ts_lttb)  # rows-only: sequential selection, no SQL analog
+# The oracle replays the greedy selection per series: plain CTEs build
+# the per-series (ts, quantized-value) arrays, integer bucket edges
+# e_k = 1 + (k*(n-2)) // 14, and the recursion carries (bucket i, last
+# pick a), computing each bucket's division-free HUGEINT areas with a
+# list comprehension and taking the first argmax (strict > in the
+# kernel == first max position here).  Series with n <= 16 pass
+# through whole.
+_q(
+    "ts_lttb",
+    _ts_lttb,
+    f"""
+WITH RECURSIVE pts AS (
+  SELECT 'click cohort=' || CAST(user_id % 10 AS VARCHAR) AS series,
+         epoch_us(ts) AS t, value,
+         CAST(trunc(value * 1000000.0) AS BIGINT) AS w,
+         row_number() OVER (
+           PARTITION BY user_id % 10 ORDER BY epoch_us(ts), value
+         ) - 1 AS rn
+  FROM events
+  WHERE event_type = 'click'
+    AND epoch_us(ts) >= {JAN01_US} AND epoch_us(ts) < {FEB01_US}
+),
+arrs AS (
+  SELECT series,
+         count(*) AS n,
+         list(t ORDER BY rn) AS ts_l,
+         list(w ORDER BY rn) AS w_l,
+         list(CAST(rn + 1 AS BIGINT) ORDER BY rn)
+           AS _chk,  -- defensive: rn dense 1..n
+         list_transform(generate_series(0, 14),
+                        k -> 1 + (k * (count(*) - 2)) // 14) AS e
+  FROM pts GROUP BY series
+),
+big AS (SELECT * FROM arrs WHERE n > 16),
+r AS (
+  SELECT series, n, ts_l, w_l, e, 0 AS i, CAST(0 AS BIGINT) AS a,
+         [CAST(0 AS BIGINT)] AS kept
+  FROM big
+  UNION ALL
+  SELECT series, n, ts_l, w_l, e, i + 1, pick, list_append(kept, pick)
+  FROM (
+    SELECT *,
+      e[i + 2] AS nlo,
+      CASE WHEN i = 13 THEN n ELSE e[i + 3] END AS nhi
+    FROM r WHERE i < 14
+  ) s,
+  LATERAL (
+    SELECT CAST(nhi - nlo AS HUGEINT) AS c,
+      list_aggregate(ts_l[nlo + 1 : nhi], 'sum')::HUGEINT AS st,
+      list_aggregate(w_l[nlo + 1 : nhi], 'sum')::HUGEINT AS sw
+  ) cen,
+  LATERAL (
+    SELECT list_transform(
+      generate_series(e[i + 1], e[i + 2] - 1), j ->
+        abs((ts_l[a + 1]::HUGEINT * c - st)
+              * (w_l[j + 1] - w_l[a + 1])::HUGEINT
+            - (ts_l[a + 1] - ts_l[j + 1])::HUGEINT
+              * (sw - w_l[a + 1]::HUGEINT * c))
+    ) AS areas
+  ) ar,
+  LATERAL (
+    SELECT e[i + 1] + list_position(areas, list_aggregate(areas, 'max')) - 1
+           AS pick
+  ) pk
+),
+picked AS (
+  SELECT series, unnest(list_append(kept, n - 1)) AS rn
+  FROM r WHERE i = 14
+  UNION ALL
+  SELECT series, unnest(list_transform(generate_series(1, n), x -> x - 1))
+  FROM arrs WHERE n <= 16
+)
+SELECT p.series, pts.t AS ts, pts.value
+FROM picked p JOIN pts ON pts.series = p.series AND pts.rn = p.rn
+ORDER BY 1, 2
+""",
+)
 
 
 def _ts_median_filter(spark, sf):
@@ -4090,7 +4187,59 @@ def _ts_dtw(spark, sf):
     return dtw_pairs(series_profiles(daily), band=7)
 
 
-_q("ts_dtw_metrics", _ts_dtw)  # rows-only: sequential DP kernel
+# Full value-hash oracle (r5 VERDICT #4): the banded DP is a FIXED
+# sequence of IEEE ops per cell (abs diff, 3-way min, add — no
+# reassociation anywhere), so a DuckDB recursive CTE marching the
+# anti-diagonal wavefront (cells of diagonal i+j depend only on the
+# two previous diagonals, carried as DOUBLE lists) reproduces the
+# numpy kernel bit-for-bit on the bit-equal decimal-summed profiles.
+# NULL list slots = outside band/grid (read back as +inf, exactly the
+# kernel's untouched-initialization semantics).
+_q(
+    "ts_dtw_metrics",
+    _ts_dtw,
+    f"""
+WITH RECURSIVE d AS (
+  SELECT event_type AS series,
+         (epoch_us(ts) - {JAN01_US}) // {D1_US} AS b,
+         CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS value
+  FROM events
+  WHERE epoch_us(ts) >= {JAN01_US} AND epoch_us(ts) < {FEB01_US}
+  GROUP BY 1, 2
+),
+seq AS (
+  SELECT series, list(value ORDER BY b) AS xs, count(*) AS n
+  FROM d GROUP BY series
+),
+pairs AS (
+  SELECT l.series AS a, r.series AS b, l.xs AS x, r.xs AS y,
+         l.n AS n, r.n AS m, greatest(7, abs(l.n - r.n)) AS r
+  FROM seq l JOIN seq r ON l.series < r.series
+),
+w AS (
+  SELECT a, b, x, y, n, m, r, 2 AS dg,
+    list_transform(generate_series(1, n), i ->
+      CASE WHEN i = 1 AND m >= 1
+           THEN abs(x[1] - y[1]) END)::DOUBLE[] AS cur,
+    list_transform(generate_series(1, n),
+                   i -> CAST(NULL AS DOUBLE)) AS prev
+  FROM pairs
+  UNION ALL
+  SELECT a, b, x, y, n, m, r, dg + 1,
+    list_transform(generate_series(1, n), i ->
+      CASE WHEN dg + 1 - i BETWEEN 1 AND m
+            AND abs(2 * i - (dg + 1)) <= r
+           THEN abs(x[i] - y[dg + 1 - i]) + least(
+                  coalesce(cur[i - 1], 'infinity'::DOUBLE),
+                  coalesce(cur[i], 'infinity'::DOUBLE),
+                  coalesce(prev[i - 1], 'infinity'::DOUBLE))
+      END)::DOUBLE[] AS cur,
+    cur AS prev
+  FROM w WHERE dg < n + m
+)
+SELECT a, b, cur[n] AS dtw FROM w WHERE dg = n + m
+""",
+)
 
 
 # --------------------------------------------- lagged cross-correlation
