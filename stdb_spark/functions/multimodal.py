@@ -8,14 +8,17 @@ numpy:
 - PNG (ISO/IEC 15948): 8-bit gray/gray+alpha/RGB/RGBA, non-interlaced,
   zlib-inflated IDAT, all five row filters (None/Sub/Up/Average/Paeth).
 
-``make_fake_media(kind="image")`` emits genuine PNG payloads, so the
-image feature/pHash pipelines run on real decoded pixels end-to-end.
-JPEG/WebP/AVIF (and all audio/video codecs) still raise
-``DecodeUnavailable`` — those need native codec libs this container
-doesn't ship; swapping in Pillow/torchaudio changes one function body,
-not the plan.  Unrecognized payloads in the feature extractors fall
-back to the deterministic byte-tiling fake so opaque-binary plumbing
-stays exercisable.
+AUDIO decode is REAL for RIFF/WAV PCM (8/16-bit, any channel count,
+chunk-walking per the Microsoft/IBM WAVE spec) via ``decode_wav`` —
+pure ``struct`` + numpy.  ``make_fake_media(kind="image"|"audio")``
+emits genuine PNG / WAV payloads, so the image feature/pHash and audio
+feature pipelines run on real decoded samples end-to-end.
+JPEG/WebP/AVIF and compressed audio/video codecs (MP3/AAC/H.264...)
+still raise ``DecodeUnavailable`` — those need native codec libs this
+container doesn't ship; swapping in Pillow/torchaudio changes one
+function body, not the plan.  Unrecognized payloads in the feature
+extractors fall back to the deterministic byte-tiling/-centering fake
+so opaque-binary plumbing stays exercisable.
 """
 
 from __future__ import annotations
@@ -43,7 +46,7 @@ MEDIA_SCHEMA = T.StructType(
 
 class DecodeUnavailable(NotImplementedError):
     """Raised for container formats needing codec libs this container
-    doesn't ship (JPEG/WebP/audio/video)."""
+    doesn't ship (JPEG/WebP/compressed audio/video)."""
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -51,8 +54,9 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 def make_fake_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
     """Deterministic media payloads for the pipelines: images are REAL
-    PNGs (seeded gradient + noise, decoded back by decode_image);
-    audio/video stay seeded opaque bytes (no codecs for them)."""
+    PNGs (seeded gradient + noise, decoded back by decode_image), audio
+    payloads are REAL RIFF/WAV PCM (seeded tone + noise, decoded back
+    by decode_wav); video stays seeded opaque bytes (no codec)."""
     rows = []
     for i in range(n):
         rng = np.random.default_rng(i)
@@ -63,6 +67,14 @@ def make_fake_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
             ).astype(np.uint8)
             payload = encode_png(img)
             rows.append((i, kind, "image/png", 32, 24, 1000 + i, payload))
+        elif kind == "audio":
+            t = np.arange(400, dtype=np.float64)
+            pcm = (
+                3000 * np.sin(2 * np.pi * t * (110 + 13 * i) / 8000)
+                + rng.integers(-200, 200, size=t.size)
+            ).astype(np.int16)
+            payload = encode_wav(pcm, rate=8000)
+            rows.append((i, kind, "audio/wav", 32, 24, 1000 + i, payload))
         else:
             payload = bytes(rng.integers(0, 256, size=256, dtype=np.uint8))
             rows.append((i, kind, f"{kind}/fake", 32, 24, 1000 + i, payload))
@@ -118,6 +130,90 @@ def encode_png(img: np.ndarray) -> bytes:
         + _png_chunk(b"IDAT", zlib.compress(scanlines))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def encode_wav(pcm: np.ndarray, rate: int = 8000) -> bytes:
+    """Minimal RIFF/WAVE writer (pure struct/stdlib): 16-bit little-
+    endian PCM, mono or (n, channels).  Canonical 44-byte header —
+    the exact layout every WAV reader understands."""
+    import struct
+
+    pcm = np.asarray(pcm, dtype="<i2")
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    channels = pcm.shape[1]
+    data = pcm.tobytes()
+    block_align = channels * 2
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(data),
+        b"WAVE",
+        b"fmt ",
+        16,
+        1,  # PCM
+        channels,
+        int(rate),
+        int(rate) * block_align,
+        block_align,
+        16,
+        b"data",
+        len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Minimal RIFF/WAVE PCM reader (pure struct/stdlib — no codec
+    libs): walks the chunk list (any order, unknown chunks skipped,
+    odd sizes padded per spec), accepts uncompressed PCM at 8 or 16
+    bits.  Returns (samples, sample_rate) with samples int16 — 8-bit
+    unsigned is centered to signed ((x - 128) << 8 is NOT applied;
+    values are kept at their native scale, just centered) — shaped
+    (n,) for mono, (n, channels) otherwise.  Anything that is not a
+    RIFF/WAVE PCM container raises DecodeUnavailable (compressed
+    codecs stay the declared boundary)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise DecodeUnavailable("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise DecodeUnavailable("malformed WAV (missing fmt/data chunk)")
+    audio_format, channels, rate, _, _, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if audio_format != 1 or channels < 1:
+        raise DecodeUnavailable(
+            f"unsupported WAV format {audio_format} (PCM only)"
+        )
+    if bits == 16:
+        samples = np.frombuffer(
+            data[: (len(data) // (2 * channels)) * 2 * channels], dtype="<i2"
+        ).astype(np.int16)
+    elif bits == 8:
+        samples = (
+            np.frombuffer(
+                data[: (len(data) // channels) * channels], dtype=np.uint8
+            ).astype(np.int16)
+            - 128
+        )
+    else:
+        raise DecodeUnavailable(f"unsupported WAV bit depth {bits}")
+    if channels > 1:
+        samples = samples.reshape(-1, channels)
+    return samples, int(rate)
 
 
 def _decode_pnm(payload: bytes) -> np.ndarray:
@@ -310,11 +406,16 @@ AUDIO_FEATURE_SCHEMA = T.StructType(
 
 
 def extract_audio_features(df: DataFrame) -> DataFrame:
-    """mapInPandas audio features over the fake-PCM decode: RMS level and
-    zero-crossing count — the standard cheap audio-quality signals a
-    training pipeline filters on.  Same Arrow-batch contract as
-    extract_image_features; a real deployment swaps the decode for
-    torchaudio/ffmpeg without touching the plan."""
+    """mapInPandas audio features over REAL PCM: RIFF/WAV payloads are
+    decoded by the stdlib parser (decode_wav — genuine samples, mono
+    mixdown by first channel), and only opaque non-WAV payloads fall
+    back to the documented byte-reinterpretation fake so compressed
+    codecs (the declared DecodeUnavailable boundary) still flow through
+    the plan.  Features: RMS level and zero-crossing count — the
+    standard cheap audio-quality signals a training pipeline filters
+    on.  Same Arrow-batch contract as extract_image_features; a real
+    deployment swaps the fallback for torchaudio/ffmpeg without
+    touching the plan."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -325,8 +426,17 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
             for mid, payload, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
-                # fake PCM: payload bytes centered to [-128, 127]
-                pcm = np.frombuffer(payload, dtype=np.uint8).astype(np.int16) - 128
+                try:
+                    pcm, _rate = decode_wav(bytes(payload))
+                    if pcm.ndim > 1:
+                        pcm = pcm[:, 0]
+                except DecodeUnavailable:
+                    # opaque codec: byte reinterpretation keeps the
+                    # plumbing testable without codec libs
+                    pcm = (
+                        np.frombuffer(payload, dtype=np.uint8).astype(np.int16)
+                        - 128
+                    )
                 out["media_id"].append(int(mid))
                 out["duration_ms"].append(int(dur))
                 out["rms"].append(float(np.sqrt(np.mean(pcm.astype("f8") ** 2))))

@@ -764,6 +764,11 @@ _q("mm_video_frame_sample", _mm_frames)
 
 
 def _mm_audio(spark, sf):
+    """RMS / zero-crossing features over GENUINE PCM: the payloads are
+    real RIFF/WAV containers decoded by the stdlib parser
+    (multimodal.decode_wav); rows-only because sample decode has no SQL
+    analog, with the feature math pinned against direct numpy in
+    test_functions.test_audio_features."""
     from stdb_spark.functions import multimodal
 
     media = multimodal.make_fake_media(spark, n=32, kind="audio")

@@ -308,16 +308,44 @@ def test_embedding_neardup_guard(spark):
 
 
 def test_audio_features(spark):
-    from stdb_spark.functions.multimodal import extract_audio_features, make_fake_media
+    """Features run on GENUINE decoded PCM: make_fake_media emits real
+    RIFF/WAV payloads and the extractor's numbers must equal a direct
+    numpy computation over decode_wav's samples."""
+    import numpy as np
+
+    from stdb_spark.functions.multimodal import (
+        decode_wav,
+        extract_audio_features,
+        make_fake_media,
+    )
 
     media = make_fake_media(spark, n=4, kind="audio")
     out = extract_audio_features(media).collect()
     assert len(out) == 4
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
     for r in out:
-        assert r.n_samples == 256 and r.rms > 0 and r.zero_crossings >= 0
+        pcm, rate = decode_wav(payloads[r.media_id])
+        assert rate == 8000 and r.n_samples == pcm.size == 400
+        assert r.rms == float(np.sqrt(np.mean(pcm.astype("f8") ** 2))) > 0
+        assert r.zero_crossings == int(
+            np.count_nonzero(np.diff(np.signbit(pcm)))
+        )
     # deterministic across runs (seeded payloads)
     again = {r.media_id: r.rms for r in extract_audio_features(media).collect()}
     assert again == {r.media_id: r.rms for r in out}
+
+
+def test_audio_features_opaque_fallback(spark):
+    """Non-WAV payloads still flow through the plan via the documented
+    byte-reinterpretation fallback (the compressed-codec boundary)."""
+    from stdb_spark.functions.multimodal import MEDIA_SCHEMA, extract_audio_features
+
+    media = spark.createDataFrame(
+        [(0, "audio", "audio/mpeg", 0, 0, 1000, bytes(range(256)))],
+        MEDIA_SCHEMA,
+    )
+    r = extract_audio_features(media).collect()[0]
+    assert r.n_samples == 256 and r.rms > 0
 
 
 def test_connected_components_transitive(spark):

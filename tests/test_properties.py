@@ -786,3 +786,61 @@ def test_png_codec_roundtrip_property(w, h, channels, seed):
     assert np.array_equal(mm.decode_image(mm.encode_png(img)), img)
     if channels in (1, 3):
         assert np.array_equal(mm.decode_image(mm.encode_ppm(img)), img)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=2000),
+    channels=st.sampled_from([1, 2]),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_wav_codec_roundtrip_property(n, channels, rate, seed):
+    """decode_wav(encode_wav(pcm)) == pcm for arbitrary int16 PCM —
+    the stdlib RIFF/WAV parser is lossless over its domain, and the
+    sample rate survives the container."""
+    import numpy as np
+
+    from stdb_spark.functions import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    shape = (n,) if channels == 1 else (n, channels)
+    pcm = rng.integers(-(2**15), 2**15, size=shape).astype(np.int16)
+    got, got_rate = mm.decode_wav(mm.encode_wav(pcm, rate=rate))
+    assert got_rate == rate
+    assert got.shape == shape and np.array_equal(got, pcm)
+
+
+def test_wav_decoder_chunk_walking_and_rejections():
+    """Spec coverage the roundtrip can't reach: unknown chunks with odd
+    sizes are skipped word-aligned, 8-bit PCM centers to signed, and
+    non-PCM / non-RIFF payloads raise the declared boundary error."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from stdb_spark.functions import multimodal as mm
+
+    pcm = np.array([0, 1000, -1000, 32767], dtype=np.int16)
+    wav = mm.encode_wav(pcm, rate=8000)
+    # splice an odd-sized LIST chunk between fmt and data
+    head, data_chunk = wav[:36], wav[36:]
+    spliced = head + b"LIST" + struct.pack("<I", 3) + b"abc\x00" + data_chunk
+    got, rate = mm.decode_wav(spliced)
+    assert np.array_equal(got, pcm) and rate == 8000
+    # 8-bit unsigned: 128 -> 0, 0 -> -128, 255 -> 127
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + 3, b"WAVE", b"fmt ", 16, 1, 1, 8000, 8000, 1, 8,
+        b"data", 3,
+    )
+    got8, _ = mm.decode_wav(hdr + bytes([128, 0, 255]))
+    assert got8.tolist() == [0, -128, 127]
+    with pytest.raises(mm.DecodeUnavailable):
+        mm.decode_wav(b"ID3\x04" + b"\x00" * 64)  # mp3, not RIFF
+    # compressed (non-PCM) WAV: format tag 85 (MP3-in-RIFF)
+    bad = bytearray(wav)
+    struct.pack_into("<H", bad, 20, 85)
+    with pytest.raises(mm.DecodeUnavailable):
+        mm.decode_wav(bytes(bad))
