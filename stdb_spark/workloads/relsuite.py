@@ -1933,3 +1933,350 @@ def _pagerank_oracle() -> str:
 
 
 _q("rel_supplier_pagerank", _rel_pagerank, _pagerank_oracle())
+
+
+# ------------------------------------------------------- partsupp suite
+# The driver's testdata ships no partsupp table, which kept TPC-H
+# Q2/Q9/Q11/Q16/Q20 out of the suite (r5 VERDICT #8).  Instead of a
+# written-off exclusion, partsupp is DERIVED deterministically from
+# part x supplier with the TPC-H generator's own supplier-assignment
+# formula (4 suppliers per part: suppkey = (partkey + i*(S/4 +
+# (partkey-1)/S)) % S + 1, dbgen's dss.h PART_SUPP_BRIDGE) plus integer
+# hash columns for availqty/supplycost — pure integer arithmetic, so
+# the SAME derivation runs as a Spark plan and as a DuckDB CTE and the
+# five queries get full value-hash oracles.  Supplycost is carried in
+# CENTS (BIGINT) end-to-end; money math stays exact and converts to
+# DOUBLE only at the output edge.
+
+_PS_CTE = """partsupp AS (
+  SELECT p_partkey AS ps_partkey,
+         (p_partkey + ii.i * (s.n // 4 + (p_partkey - 1) // s.n)) % s.n + 1
+           AS ps_suppkey,
+         (p_partkey * 37 + ii.i * 119) % 9999 + 1 AS ps_availqty,
+         (p_partkey * 13 + ii.i * 31) % 99900 + 100 AS ps_supplycost_cents
+  FROM part,
+       (SELECT unnest([0, 1, 2, 3]) AS i) ii,
+       (SELECT count(*) AS n FROM supplier) s
+)"""
+
+
+def _partsupp(spark, sf):
+    part = model.load_table(spark, sf, "part")
+    sup = model.load_table(spark, sf, "supplier")
+    sc = sup.agg(F.count("*").alias("_s"))
+    return (
+        part.crossJoin(F.broadcast(spark.range(4).select(F.col("id").alias("i"))))
+        .crossJoin(F.broadcast(sc))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.expr(
+                "(p_partkey + i * (_s div 4 + (p_partkey - 1) div _s)) % _s + 1"
+            ).alias("ps_suppkey"),
+            F.expr("(p_partkey * 37 + i * 119) % 9999 + 1").alias("ps_availqty"),
+            F.expr("(p_partkey * 13 + i * 31) % 99900 + 100").alias(
+                "ps_supplycost_cents"
+            ),
+        )
+    )
+
+
+# Q2: min-cost supplier per part (size <= 15, STANDARD parts, EUROPE).
+# The correlated min-cost subquery becomes a per-part window min over
+# the region-filtered cost table — one exchange, no self-join.
+def _rel_q2(spark, sf):
+    from pyspark.sql import Window
+
+    t = model.load_tables(spark, sf, ("part", "supplier", "nation", "region"))
+    ps = _partsupp(spark, sf)
+    eur = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].join(
+                    t["region"].filter(F.col("r_name") == "EUROPE"),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    cand = (
+        ps.join(
+            F.broadcast(
+                t["part"].filter(
+                    (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+                )
+            ),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .join(eur, F.col("ps_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        cand.withColumn("_min_c", F.min("ps_supplycost_cents").over(w))
+        .filter(F.col("ps_supplycost_cents") == F.col("_min_c"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            (F.col("ps_supplycost_cents").cast("double") / 100).alias(
+                "supplycost"
+            ),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+_q(
+    "rel_q2_min_cost_supplier",
+    _rel_q2,
+    f"""
+WITH {_PS_CTE},
+eur AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+),
+cand AS (
+  SELECT ps.*, p.p_brand, p.p_partkey, e.s_acctbal, e.s_name, e.n_name,
+         min(ps_supplycost_cents) OVER (PARTITION BY ps_partkey) AS _min_c
+  FROM partsupp ps
+  JOIN part p ON ps_partkey = p_partkey
+   AND p.p_size <= 15 AND p.p_type = 'STANDARD'
+  JOIN eur e ON ps_suppkey = e.s_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       CAST(ps_supplycost_cents AS DOUBLE) / 100 AS supplycost
+FROM cand WHERE ps_supplycost_cents = _min_c
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+
+
+# Q9: product-type profit by nation and year for red parts.  Profit is
+# carried as 100x (cents-scaled) decimal so the supplycost term stays
+# integer: 100*disc_price - cents*qty; the /100 happens once, in
+# DOUBLE, at the output edge.
+_Q9_AMT = (
+    f"CAST(100 AS DECIMAL(12,0)) * {DISC_PRICE} "
+    f"- CAST(ps_supplycost_cents AS DECIMAL(18,0)) * {QTY}"
+)
+
+
+def _rel_q9(spark, sf):
+    t = model.load_tables(
+        spark, sf, ("part", "supplier", "nation", "orders", "lineitem")
+    )
+    ps = _partsupp(spark, sf)
+    red = t["part"].filter(F.col("p_name").like("%red%"))
+    li = (
+        t["lineitem"]
+        .join(
+            ps.join(
+                F.broadcast(red), F.col("ps_partkey") == F.col("p_partkey")
+            ),
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        li.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            (F.expr(f"CAST(sum({_Q9_AMT}) AS DOUBLE)") / 100).alias(
+                "sum_profit"
+            )
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+_q(
+    "rel_q9_product_type_profit",
+    _rel_q9,
+    f"""
+WITH {_PS_CTE}
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(CAST(sum({_Q9_AMT}) AS VARCHAR) AS DOUBLE) / 100 AS sum_profit
+FROM lineitem
+JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+JOIN part ON ps_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+""",
+)
+
+
+# Q11: important stock in one nation — pure BIGINT money math
+# (cents x qty), threshold = total div 10000 in exact integer compare.
+def _rel_q11(spark, sf):
+    t = model.load_tables(spark, sf, ("supplier", "nation"))
+    ps = _partsupp(spark, sf)
+    nat = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_7")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    scoped = ps.join(F.broadcast(nat), F.col("ps_suppkey") == F.col("s_suppkey"))
+    per_part = scoped.groupBy("ps_partkey").agg(
+        F.expr("sum(ps_supplycost_cents * ps_availqty)").alias("value_cents")
+    )
+    total = scoped.agg(
+        F.expr("sum(ps_supplycost_cents * ps_availqty)").alias("_tot")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.expr("value_cents > _tot div 10000"))
+        .select("ps_partkey", F.col("value_cents").cast("long").alias("value_cents"))
+        .orderBy(F.col("value_cents").desc(), "ps_partkey")
+    )
+
+
+_q(
+    "rel_q11_important_stock",
+    _rel_q11,
+    f"""
+WITH {_PS_CTE},
+scoped AS (
+  SELECT ps.* FROM partsupp ps
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+)
+SELECT ps_partkey,
+       CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT) AS value_cents
+FROM scoped
+GROUP BY ps_partkey
+HAVING sum(ps_supplycost_cents * ps_availqty)
+     > (SELECT sum(ps_supplycost_cents * ps_availqty) FROM scoped) // 10000
+ORDER BY value_cents DESC, ps_partkey
+""",
+)
+
+
+# Q16: supplier count per (brand, type, size) bucket for the spec's
+# size list, excluding one brand and one type family.
+def _rel_q16(spark, sf):
+    t = model.load_tables(spark, sf, ("part",))
+    ps = _partsupp(spark, sf)
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    return (
+        ps.join(F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+_q(
+    "rel_q16_parts_supplier_relationship",
+    _rel_q16,
+    f"""
+WITH {_PS_CTE}
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp
+JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+
+
+# Q20: suppliers holding surplus stock of small parts — availqty
+# exceeding half of 1996's shipped quantity for that (part, supplier),
+# compared in exact decimal (2*availqty > sum qty).
+def _rel_q20(spark, sf):
+    t = model.load_tables(
+        spark, sf, ("part", "supplier", "nation", "lineitem")
+    )
+    ps = _partsupp(spark, sf)
+    small = t["part"].filter(F.col("p_name").like("small%"))
+    shipped = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("_pk"), F.col("l_suppkey").alias("_sk")
+        )
+        .agg(F.expr(f"sum({QTY})").alias("_qty"))
+    )
+    surplus = (
+        ps.join(F.broadcast(small), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("_pk"))
+            & (F.col("ps_suppkey") == F.col("_sk")),
+        )
+        .filter(F.expr("CAST(ps_availqty * 2 AS DECIMAL(18,2)) > _qty"))
+    )
+    return (
+        surplus.join(
+            F.broadcast(
+                t["supplier"].join(
+                    F.broadcast(
+                        t["nation"].filter(F.col("n_name") == "NATION_9")
+                    ),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                )
+            ),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_name")
+        .distinct()
+        .orderBy("s_name")
+    )
+
+
+_q(
+    "rel_q20_potential_promotion",
+    _rel_q20,
+    f"""
+WITH {_PS_CTE},
+shipped AS (
+  SELECT l_partkey AS _pk, l_suppkey AS _sk, sum({QTY}) AS _qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY 1, 2
+)
+SELECT DISTINCT s_name
+FROM partsupp
+JOIN part ON ps_partkey = p_partkey AND p_name LIKE 'small%'
+JOIN shipped ON ps_partkey = _pk AND ps_suppkey = _sk
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_9'
+WHERE CAST(ps_availqty * 2 AS DECIMAL(18,2)) > _qty
+ORDER BY s_name
+""",
+)
