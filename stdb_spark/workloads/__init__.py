@@ -92,36 +92,38 @@ _PRIORITY = [
     "emb_ann_bruteforce",           # similarity: ANN baseline
     "mm_manifest_stats",            # multimodal binary plumbing (full oracle)
     # Tier 2 (27-49): rotated each round toward never-driver-proven
-    # families (VERDICT r3 #3, r4 #2).  r5 swaps ALL r4-driver-green
-    # tier-2 slots (filter-value/sma/cusum/cma/top-timeweighted/
-    # interval-join/pivot-by-tag/knn/funnel/retention/transitions/
-    # rollup/pagerank/stream-funnel/... — each stays proven by the r4
-    # record + the full local gate) for flagships of families no driver
-    # round has yet hashed, including the four freshly-oracled exact
-    # k-means entries.
-    "ts_gapfill_interpolate",        # gapfill/interpolation family
-    "ingest_versioned_timetravel",   # versioned store / time travel
-    "sp_trajectory_bbox_zordered",   # Z-order trajectory pruning
-    "doc_bm25_search",               # retrieval (BM25 ranking)
-    "emb_ann_lsh_presigned",         # ANN presigned-LSH (100 TB shape)
-    "ts_sliding_group_aggregate",    # sliding windows
-    "rel_salted_skew_join",          # skew mitigation family
-    "doc_winnowing",                 # document fingerprinting
-    "emb_ann_ivf",                   # r5: exact integer IVF (new oracle)
-    "emb_ann_ivf_trained",           # r5: exact k-means IVF (new oracle)
-    "emb_semantic_dedup",            # r5: exact SemDeDup (new oracle)
-    "emb_ann_pq",                    # r5: exact PQ/ADC (new oracle)
-    "ts_search_fuzzy",               # §2.8 fuzzy-prefix search
-    "ts_suggest_metric_names",       # §2.8 suggest
-    "sp_knn_grid",                   # §2.9 grid-pruned KNN (ring probes)
-    "ts_group_aggregate_backward",   # §2.4 backward buckets
-    "ts_holt_winters",               # lane-lockstep numpy kernel family
-    "ingest_tcp_resp_live",          # r5: live TCP socket ingest (new)
-    "stream_sessionize",             # streaming session windows
-    "ingest_upsert_merge",           # storage upsert/compaction
-    "ts_set_intersect",              # set ops family
-    "doc_dup_span_scrub",            # exact-substring scrub (Lee et al.)
-    "sp_point_in_polygon",           # spatial predicate family
+    # families (VERDICT r3 #3, r4 #2, r5 #2).  r6 swaps ALL r5-proven
+    # tier-2 slots (gapfill/versioned/zorder/bm25/presigned/sliding/
+    # skew/winnowing/ivf/pq/semantic-dedup/fuzzy/suggest/knn-grid/
+    # backward/holt-winters/tcp/sessionize/upsert/set-ops/dup-span/
+    # point-in-polygon — each stays proven by the r5 record + the full
+    # local gate) for flagships of families no driver round has yet
+    # hashed, led by this round's new capabilities: RESP event-body
+    # ingest (the last §2 gap), the freshly-oracled LTTB/DTW kernels,
+    # and the derived-partsupp TPC-H family.
+    "ingest_resp_events_roundtrip",  # r6: §2.1 RESP event-body ingest (new)
+    "ts_lttb",                       # r6: exact-integer LTTB (new oracle)
+    "ts_dtw_metrics",                # r6: DTW wavefront CTE (new oracle)
+    "rel_q9_product_type_profit",    # r6: derived-partsupp TPC-H (new)
+    "ts_funnel",                     # behavior: funnels
+    "ts_retention",                  # behavior: retention cohorts
+    "ts_changepoints",               # behavior: changepoint detection
+    "doc_paragraph_dedup",           # dedup: paragraph-level (C4/Dolma)
+    "doc_contamination",             # eval-set contamination
+    "rel_q7_volume_shipping",        # TPC-H volume shipping
+    "rel_top3_suppliers_per_nation", # per-group top-k
+    "stream_counter_rate",           # streaming counter rates
+    "stream_hopping_aggregate",      # streaming hopping windows
+    "ts_anomaly_zscore",             # anomaly detection
+    "ts_seasonal_decompose",         # seasonal decomposition
+    "ts_histogram",                  # value histograms
+    "ts_quality_profile",            # series quality profiling
+    "doc_quality_score",             # text quality scoring
+    "doc_pii_scrub",                 # PII scrubbing
+    "doc_tfidf_top_terms",           # TF-IDF term weighting
+    "emb_knn_classify",              # embedding kNN classification
+    "sp_grid_density",               # spatial grid density
+    "ts_rank_ntile",                 # two-phase global ranks/ntile
 ]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
 QUERIES = {
