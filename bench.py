@@ -224,6 +224,15 @@ HEADLINE = [
     "rel_revenue_rollup",
     "rel_supplier_pagerank",
     "ingest_versioned_timetravel",
+    # r6 additions: RESP event-body ingest, exact-integer LTTB, and the
+    # derived-partsupp TPC-H family
+    "ingest_resp_events_roundtrip",
+    "ts_lttb",
+    "rel_q2_min_cost_supplier",
+    "rel_q9_product_type_profit",
+    "rel_q11_important_stock",
+    "rel_q16_parts_supplier_relationship",
+    "rel_q20_potential_promotion",
 ]
 
 
