@@ -457,11 +457,53 @@ def embedding_near_duplicates(
     )
 
 
+#: one-task cutoff for the connected-components kernel — same
+#: size-dispatch rationale as operators/graph.py:SINGLE_TASK_MAX_EDGES
+SINGLE_TASK_MAX_EDGES = 20_000_000
+
+
+def _cc_single_task_kernel():
+    """mapInPandas kernel: vectorized hash-min label propagation with
+    pointer jumping over one task's doubled edge list.  Labels are
+    indices into the SORTED unique-node array, so min index == min id
+    and the emitted cluster_id is the component's smallest member —
+    bit-identical to the distributed loop's fixpoint."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches):
+        dfs = list(batches)
+        if not dfs:
+            return
+        df = pd.concat(dfs, ignore_index=True)
+        codes, nodes = pd.factorize(
+            pd.concat([df["src"], df["dst"]], ignore_index=True), sort=True
+        )
+        m = len(df)
+        sid = codes[:m].astype(np.int64)
+        did = codes[m:].astype(np.int64)
+        lab = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            new = lab.copy()
+            # edges are already doubled by the caller, one direction
+            # suffices per round; pointer jumping halves the rounds
+            np.minimum.at(new, did, lab[sid])
+            new = np.minimum(new, new[new])
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        arr = np.asarray(nodes)
+        yield pd.DataFrame({"id": arr, "cluster_id": arr[lab]})
+
+    return fn
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "a",
     dst: str = "b",
     max_iter: int = 30,
+    single_task_max_edges: int = SINGLE_TASK_MAX_EDGES,
 ) -> DataFrame:
     """Cluster assignment over an undirected near-dup pair graph:
     (id, cluster_id) for every id that occurs in ``pairs``, where
@@ -480,7 +522,15 @@ def connected_components(
     strictly decreases until fixpoint (decimal sum — exact, no
     float/overflow wobble).  Lineage is cut per round with an eager
     localCheckpoint, otherwise the iterated join plan grows without
-    bound (at cluster scale use a reliable checkpoint dir instead)."""
+    bound (at cluster scale use a reliable checkpoint dir instead).
+
+    Below SINGLE_TASK_MAX_EDGES the whole propagation runs as ONE
+    Arrow-batched numpy task instead (vectorized min-label rounds with
+    pointer jumping) — no per-round shuffles or driver barriers, the
+    same size-dispatch the PageRank kernel uses
+    (operators/graph.py:SINGLE_TASK_MAX_EDGES).  The result is
+    identical by construction: cluster_id = min member id of the
+    component, independent of which algorithm finds it."""
     spark = pairs.sparkSession
     e_fwd = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     # persist the doubled edge list: without it every round's join (and
@@ -491,6 +541,18 @@ def connected_components(
         pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
     ).persist()
     n_edges = edges.count()
+    if n_edges <= int(single_task_max_edges):
+        id_type = dict(edges.dtypes)["src"]
+        out = edges.repartition(1).mapInPandas(
+            _cc_single_task_kernel(),
+            f"id {id_type}, cluster_id {id_type}",
+        )
+        # materialize the single kernel task so the edge cache can be
+        # released without the caller's action re-running the (often
+        # expensive) candidate-pair lineage
+        out = out.localCheckpoint(eager=True)
+        edges.unpersist()
+        return out
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # graph-scale exchanges: the per-round shuffles carry label rows,
     # not the corpus.  SINGLE-WRITER ASSUMPTION: this narrows the

@@ -4194,11 +4194,9 @@ def _ts_dtw(spark, sf):
 # two previous diagonals, carried as DOUBLE lists) reproduces the
 # numpy kernel bit-for-bit on the bit-equal decimal-summed profiles.
 # NULL list slots = outside band/grid (read back as +inf, exactly the
-# kernel's untouched-initialization semantics).
-_q(
-    "ts_dtw_metrics",
-    _ts_dtw,
-    f"""
+# kernel's untouched-initialization semantics).  Shared by
+# ts_dtw_metrics and ts_shape_clusters.
+_DTW_CTES = f"""
 WITH RECURSIVE d AS (
   SELECT event_type AS series,
          (epoch_us(ts) - {JAN01_US}) // {D1_US} AS b,
@@ -4236,9 +4234,12 @@ w AS (
       END)::DOUBLE[] AS cur,
     cur AS prev
   FROM w WHERE dg < n + m
-)
-SELECT a, b, cur[n] AS dtw FROM w WHERE dg = n + m
-""",
+)"""
+
+_q(
+    "ts_dtw_metrics",
+    _ts_dtw,
+    _DTW_CTES + "\nSELECT a, b, cur[n] AS dtw FROM w WHERE dg = n + m\n",
 )
 
 
@@ -5470,7 +5471,32 @@ def _ts_shape_clusters(spark, sf):
     )
 
 
-_q("ts_shape_clusters", _ts_shape_clusters)  # rows-only: DTW kernel
+# Full oracle (r6): the DTW distances come from the shared wavefront
+# CTE (bit-exact, see _DTW_CTES), the median threshold is ulp-robust
+# (no pairwise distance lies strictly between the two engines'
+# interpolated medians — both land in the open interval between the
+# two middle order statistics, so the <= cut selects the same pairs),
+# and the connected-components closure replays as min-label
+# reachability (the doc_dedup_clusters oracle shape).
+_q(
+    "ts_shape_clusters",
+    _ts_shape_clusters,
+    _DTW_CTES
+    + """,
+dist AS (SELECT a, b, cur[n] AS dtw FROM w WHERE dg = n + m),
+med AS (SELECT quantile_cont(dtw, 0.5) AS m FROM dist),
+e AS (
+  SELECT a AS src, b AS dst FROM dist, med WHERE dtw <= m
+  UNION SELECT b, a FROM dist, med WHERE dtw <= m
+),
+reach(id, lbl) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e2.dst, r.lbl FROM reach r JOIN e e2 ON e2.src = r.id
+)
+SELECT id AS series, min(lbl) AS cluster_id FROM reach GROUP BY id
+""",
+)
 
 
 # ----------------------------------------------------- peak hour

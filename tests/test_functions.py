@@ -1396,3 +1396,38 @@ def test_assign_q_expr_equals_pandas_path(spark):
         ).alias("c"),
     ).collect()
     assert sorted(map(tuple, got_pd)) == sorted(map(tuple, got_ex))
+
+
+def test_connected_components_kernel_and_distributed_bit_equal(spark):
+    """The size-dispatched regimes (single-task numpy hash-min kernel
+    vs the distributed propagation loop) must emit identical
+    (id, cluster_id) labelings — min member id per component either
+    way."""
+    from stdb_spark.functions import dedup
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24),
+         (3, 24)],
+        "a long, b long",
+    )
+    kernel = {
+        (r.id, r.cluster_id)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    dist = {
+        (r.id, r.cluster_id)
+        for r in dedup.connected_components(
+            pairs, single_task_max_edges=0
+        ).collect()
+    }
+    assert kernel == dist
+    # the 3-24 bridge merges the chain and the long path into one
+    # component labeled by its smallest member
+    assert {(24, 1), (20, 1), (10, 10), (11, 10)} <= kernel
+    # string ids take the lexicographic min
+    spairs = spark.createDataFrame([("b", "c"), ("c", "a")], "a string, b string")
+    got = {
+        (r.id, r.cluster_id)
+        for r in dedup.connected_components(spairs).collect()
+    }
+    assert got == {("a", "a"), ("b", "a"), ("c", "a")}
