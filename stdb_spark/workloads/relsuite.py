@@ -2009,7 +2009,7 @@ def _rel_q2(spark, sf):
             ),
             F.col("ps_partkey") == F.col("p_partkey"),
         )
-        .join(eur, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(eur), F.col("ps_suppkey") == F.col("s_suppkey"))
     )
     w = Window.partitionBy("ps_partkey")
     return (

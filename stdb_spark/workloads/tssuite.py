@@ -317,6 +317,65 @@ _q(
 )
 
 
+# Streaming RESP EVENT-body ingest: the r6 wire write path for
+# annotations/logs (parse_event_value, protocolparser.cc:409-422)
+# through Structured Streaming file replay — event PDUs (``+!type
+# tags / :ts / +body``) parsed incrementally by parse_resp_events,
+# proving the streaming and batch paths read event bodies identically.
+def _stream_resp_events(spark, sf):
+    from stdb_spark.sources.resp import parse_resp_events
+
+    ev = model.events_raw_ns(spark, sf)
+    wire = model.derived_cache_path(sf, "resp_event_wire4", "events")
+    if not model.cache_ready(wire):
+        pdus = ev.select(
+            F.format_string(
+                "+!%s user=%s\n:%d\n+%s",
+                F.col("event_type"),
+                F.col("user_id").cast("string"),
+                F.col("ts").cast("long"),
+                F.col("props"),
+            ).alias("value")
+        )
+        pdus.repartition(4).write.mode("overwrite").parquet(wire)
+    schema = spark.read.parquet(wire).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(wire)
+    )
+    out = parse_resp_events(sdf).select(
+        F.concat("metric", F.lit(" user="), F.col("tags")["user"]).alias(
+            "series"
+        ),
+        F.expr("ts div 1000").alias("ts"),
+        "body",
+    )
+    sink = "stream_resp_events_sink"
+    if sink in [t.name for t in spark.catalog.listTables()]:
+        spark.catalog.dropTempView(sink)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+_q(
+    "stream_resp_events",
+    _stream_resp_events,
+    """
+SELECT '!' || event_type || ' user=' || CAST(user_id AS VARCHAR) AS series,
+       epoch_us(ts) AS ts, props AS body
+FROM events
+""",
+)
+
+
 # Streaming RESP session with a wire-format dictionary prelude
 # (protocolparser.h:165-199): the session's in-stream id->series
 # arrays become the broadcast mapping handed to parse_resp_pdus, and
@@ -351,7 +410,10 @@ def _stream_resp_dict(spark, sf):
     names = sorted(r[0] for r in ev.select(cname.alias("n")).distinct().collect())
     dictionary = {i + 1: n for i, n in enumerate(names)}
     inv = {n: i for i, n in dictionary.items()}
-    wire = model.derived_cache_path(sf, "resp_wire", "events")
+    # artifact name carries the layout (4 files): an existing cache
+    # with the old 32-file layout must not satisfy the 2-per-trigger
+    # replay below (it would balloon into 16 epochs)
+    wire = model.derived_cache_path(sf, "resp_wire4", "events")
     if not model.cache_ready(wire):
         mdf = spark.createDataFrame(
             list(inv.items()), "_n string, _id long"
@@ -381,11 +443,14 @@ def _stream_resp_dict(spark, sf):
                 .alias("value")
             )
         )
-        pdus.write.mode("overwrite").parquet(wire)
+        # 4 wire files / 2 per trigger = 2 micro-batches: still a real
+        # multi-epoch replay (dictionary state must survive the epoch
+        # boundary), without paying 4-5 epochs of trigger scheduling
+        pdus.repartition(4).write.mode("overwrite").parquet(wire)
     schema = spark.read.parquet(wire).schema
     sdf = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "8")
+        .option("maxFilesPerTrigger", "2")
         .parquet(wire)
     )
     out = parse_resp_pdus(sdf, dictionary=dictionary).select(
