@@ -586,3 +586,46 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(key).asc())
         .limit(k)
     )
+
+
+def chunk_windows(
+    docs: DataFrame,
+    width: int = 200,
+    stride: int = 150,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """RAG-style document chunking: overlapping character windows of
+    ``width`` chars every ``stride`` chars (the retrieval-index
+    pre-processing stage every RAG pipeline runs before embedding).
+    Chunk count per doc = 1 + ceil(max(len - width, 0) / stride), so
+    the final window always reaches the end of the document and every
+    character is covered; windows beyond the first overlap the
+    previous by ``width - stride`` chars.
+
+    Emits (key, chunk_idx, chunk_text, chunk_chars).  Pure integer
+    arithmetic + substring — embarrassingly parallel, no exchange at
+    all (chunking is a flatMap); at 100 TB the only cost is the scan
+    and the output write."""
+    if stride <= 0 or width <= 0:
+        raise ValueError("width and stride must be positive")
+    nc_expr = (
+        f"CASE WHEN length({text_col}) > {width} "
+        f"THEN ((length({text_col}) - {width}) + {stride - 1}) div {stride} "
+        f"ELSE 0 END"
+    )
+    return (
+        docs.select(
+            F.col(key),
+            F.col(text_col).alias("_t"),
+            F.explode(F.expr(f"sequence(0, {nc_expr})")).alias("chunk_idx"),
+        )
+        .select(
+            key,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.expr(f"substring(_t, chunk_idx * {stride} + 1, {width})").alias(
+                "chunk_text"
+            ),
+        )
+        .withColumn("chunk_chars", F.length("chunk_text").cast("long"))
+    )

@@ -3956,3 +3956,31 @@ SELECT digest, CAST(dup_count AS BIGINT) AS dup_count,
 FROM r WHERE rk = 1 AND dup_count > 1
 """.replace("{QS}", ORACLES["doc_quality_score"]),
 )
+
+
+# ------------------------------------------------------- RAG chunking
+# Overlapping character windows (the retrieval-index pre-processing
+# stage before embedding): width 200 / stride 150, final window always
+# reaching the document end.  flatMap shape — zero exchanges.
+_q(
+    "doc_chunk_windows",
+    lambda spark, sf: text.chunk_windows(
+        model.load_table(spark, sf, "documents"), width=200, stride=150
+    ),
+    """
+WITH k AS (
+  SELECT doc_id, text,
+         CASE WHEN length(text) > 200
+              THEN ((length(text) - 200) + 149) // 150 ELSE 0 END AS nc
+  FROM documents
+),
+g AS (
+  SELECT doc_id, text, unnest(generate_series(0, nc)) AS chunk_idx FROM k
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       substr(text, CAST(chunk_idx * 150 + 1 AS BIGINT), 200) AS chunk_text,
+       CAST(length(substr(text, CAST(chunk_idx * 150 + 1 AS BIGINT), 200)) AS BIGINT)
+         AS chunk_chars
+FROM g
+""",
+)

@@ -1431,3 +1431,31 @@ def test_connected_components_kernel_and_distributed_bit_equal(spark):
         for r in dedup.connected_components(spairs).collect()
     }
     assert got == {("a", "a"), ("b", "a"), ("c", "a")}
+
+
+def test_chunk_windows_coverage_and_overlap(spark):
+    from stdb_spark.functions import text as t
+
+    docs = spark.createDataFrame(
+        [(0, "a" * 553), (1, "b" * 200), (2, "c" * 10), (3, "d" * 201)],
+        "doc_id long, text string",
+    )
+    out = t.chunk_windows(docs, width=200, stride=150).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 553 chars: ceil((553-200)/150)=3 strides -> 4 chunks; last chunk
+    # starts at 451 and runs 103 chars to the end
+    assert [len(c.chunk_text) for c in sorted(by_doc[0], key=lambda c: c.chunk_idx)] == [200, 200, 200, 103]
+    # exactly-width doc: one chunk; tiny doc: one chunk; width+1: two
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_chars == 200
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_chars == 10
+    assert len(by_doc[3]) == 2
+    # overlap: consecutive chunks share width - stride = 50 chars
+    c0, c1 = sorted(by_doc[0], key=lambda c: c.chunk_idx)[:2]
+    assert c0.chunk_text[150:] == c1.chunk_text[:50]
+    # full coverage: concatenating stride-prefixes + last chunk
+    # reconstructs the document
+    chunks = sorted(by_doc[0], key=lambda c: c.chunk_idx)
+    rebuilt = "".join(c.chunk_text[:150] for c in chunks[:-1]) + chunks[-1].chunk_text
+    assert rebuilt == "a" * 553
