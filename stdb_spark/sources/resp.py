@@ -253,9 +253,17 @@ def _parse_resp_full(
     (possibly compound) series names; id-addressed PDUs (``:7\\n...``)
     resolve through a broadcast join.
     """
-    strip = lambda c: F.regexp_replace(c, r"^[+:]", "")  # noqa: E731
+    # prefix strip / CR scrub / array-size parse are all plain string
+    # ops, not regexes — the parser runs per wire row at ingest scale,
+    # and JVM regex evaluation was ~half its cost
+    strip = lambda c: F.when(  # noqa: E731
+        c.startswith("+") | c.startswith(":"),
+        c.substr(F.lit(2), F.length(c)),
+    )
     df = pdus.select(
-        F.split(F.regexp_replace(F.col(value_col), "\r", ""), "\n").alias("_l")
+        F.split(F.replace(F.col(value_col), F.lit("\r"), F.lit("")), "\n").alias(
+            "_l"
+        )
     )
     first = F.col("_l")[0]
     if dictionary:
@@ -288,7 +296,9 @@ def _parse_resp_full(
                 F.slice(
                     F.col("_l"),
                     F.lit(4),
-                    F.regexp_extract(arr_hdr, r"^\*(\d+)$", 1).cast("int"),
+                    # non-numeric header -> NULL length -> NULL slice ->
+                    # whole PDU dropped by the size filter below
+                    arr_hdr.substr(F.lit(2), F.length(arr_hdr)).cast("int"),
                 ),
             )
             .otherwise(F.array(arr_hdr))
@@ -308,8 +318,9 @@ def _parse_resp_full(
                 "_raw",
                 lambda m, r: F.struct(
                     F.when(
-                        ~m.startswith("!") & r.rlike(r"^[+:]"),
-                        F.regexp_replace(r, r"^[+:]", "").cast("double"),
+                        ~m.startswith("!")
+                        & (r.startswith("+") | r.startswith(":")),
+                        r.substr(F.lit(2), F.length(r)).cast("double"),
                     ).alias("value"),
                     F.when(
                         m.startswith("!")
@@ -354,12 +365,25 @@ def _parse_resp_full(
     )
 
 
+def parse_resp_full(
+    pdus: DataFrame,
+    value_col: str = "value",
+    dictionary: dict[int, str] | None = None,
+) -> DataFrame:
+    """Mixed wire in ONE parse pass: ``(series_id, metric, tags, ts,
+    value, body)`` with exactly one of value/body set per row (metric
+    columns carry value, ``!``-event columns carry body).  Use this
+    when a feed interleaves metrics and events — the split projections
+    below each re-evaluate the parse lineage when used together."""
+    return _parse_resp_full(pdus, value_col, dictionary)
+
+
 def parse_resp_pdus(
     pdus: DataFrame,
     value_col: str = "value",
     dictionary: dict[int, str] | None = None,
 ) -> DataFrame:
-    """Numeric samples from pre-framed RESP PDUs (see _parse_resp_full):
+    """Numeric samples from pre-framed RESP PDUs (see parse_resp_full):
     ``(series_id, metric, tags, ts, value)``.  Event columns riding the
     same wire (``!``-metrics) are routed to :func:`parse_resp_events`,
     never coerced to doubles."""

@@ -1981,7 +1981,7 @@ FROM events WHERE user_id % 2 = 1
 # must reproduce the events table exactly: every row lands as an event
 # body, odd rows also land as the numeric sample.
 def _ingest_resp_events(spark, sf):
-    from stdb_spark.sources.resp import parse_resp_events, parse_resp_pdus
+    from stdb_spark.sources.resp import parse_resp_full
 
     ev = model.events_raw_ns(spark, sf)
     pdus = ev.select(
@@ -2008,21 +2008,18 @@ def _ingest_resp_events(spark, sf):
         )
         .alias("value")
     )
-    _sel = lambda df, val, body: df.select(  # noqa: E731
+    # ONE parse pass: the full parser emits exactly one of value/body
+    # per exploded element, so the events-plus-samples union IS the
+    # full output (a separate parse_resp_events + parse_resp_pdus
+    # union would evaluate the whole wire lineage twice)
+    return parse_resp_full(pdus).select(
         F.concat("metric", F.lit(" user="), F.col("tags")["user"]).alias(
             "series"
         ),
         F.expr("ts div 1000").alias("ts"),
-        val.alias("value"),
-        body.alias("body"),
+        "value",
+        "body",
     )
-    events = _sel(
-        parse_resp_events(pdus), F.lit(None).cast("double"), F.col("body")
-    )
-    samples = _sel(
-        parse_resp_pdus(pdus), F.col("value"), F.lit(None).cast("string")
-    )
-    return events.unionByName(samples)
 
 
 _q(
