@@ -8,13 +8,20 @@ numpy:
 - PNG (ISO/IEC 15948): 8-bit gray/gray+alpha/RGB/RGBA, non-interlaced,
   zlib-inflated IDAT, all five row filters (None/Sub/Up/Average/Paeth).
 
+JPEG decode is REAL for baseline sequential DCT (ITU-T T.81 — Huffman
+entropy decode with restart markers, dequantization, exact separable
+IDCT, 4:2:0/4:2:2 chroma upsampling, JFIF YCbCr->RGB) via
+``functions/jpeg.py``, which also ships a baseline encoder (Annex K
+tables, libjpeg-style quality, 4:4:4 / 4:2:0, DRI) used as the test
+fixture; progressive/arithmetic/12-bit modes raise DecodeUnavailable.
+
 AUDIO decode is REAL for RIFF/WAV PCM (8/16-bit, any channel count,
 chunk-walking per the Microsoft/IBM WAVE spec) via ``decode_wav`` —
 pure ``struct`` + numpy.  ``make_fake_media(kind="image"|"audio")``
 emits genuine PNG / WAV payloads, so the image feature/pHash and audio
 feature pipelines run on real decoded samples end-to-end.
-JPEG/WebP/AVIF and compressed audio/video codecs (MP3/AAC/H.264...)
-still raise ``DecodeUnavailable`` — those need native codec libs this
+WebP/AVIF and compressed audio/video codecs (MP3/AAC/H.264...) still
+raise ``DecodeUnavailable`` — those need native codec libs this
 container doesn't ship; swapping in Pillow/torchaudio changes one
 function body, not the plan.  Unrecognized payloads in the feature
 extractors fall back to the deterministic byte-tiling/-centering fake
@@ -315,16 +322,24 @@ def _decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode a PNM (P5/P6) or 8-bit non-interlaced PNG payload to a
-    uint8 array — (h, w) grayscale or (h, w, c).  Pure stdlib + numpy;
-    other containers raise DecodeUnavailable (the explicit codec
-    boundary a real deployment fills with Pillow)."""
+    """Decode a PNM (P5/P6), 8-bit non-interlaced PNG, or baseline
+    sequential JPEG payload to a uint8 array — (h, w) grayscale or
+    (h, w, c).  Pure stdlib + numpy (JPEG: functions/jpeg.py, T.81
+    baseline with Huffman decode, dequant, exact IDCT, chroma
+    upsampling); other containers raise DecodeUnavailable (the explicit
+    codec boundary a real deployment fills with Pillow)."""
     payload = bytes(payload)
     if payload[:2] in (b"P5", b"P6"):
         return _decode_pnm(payload)
     if payload[:8] == _PNG_MAGIC:
         return _decode_png(payload)
-    raise DecodeUnavailable("unrecognized image container (PNM/PNG supported)")
+    if payload[:2] == b"\xff\xd8":
+        from stdb_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise DecodeUnavailable(
+        "unrecognized image container (PNM/PNG/JPEG supported)"
+    )
 
 
 def to_grayscale(img: np.ndarray) -> np.ndarray:

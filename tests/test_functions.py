@@ -1459,3 +1459,28 @@ def test_chunk_windows_coverage_and_overlap(spark):
     chunks = sorted(by_doc[0], key=lambda c: c.chunk_idx)
     rebuilt = "".join(c.chunk_text[:150] for c in chunks[:-1]) + chunks[-1].chunk_text
     assert rebuilt == "a" * 553
+
+
+def test_image_features_decode_jpeg_payload(spark):
+    """A baseline-JPEG payload flows through the Spark feature extractor
+    on genuinely decoded pixels (not the byte-tiling fallback): the
+    extracted mean matches a local decode of the same payload."""
+    import numpy as np
+
+    from stdb_spark.functions import jpeg
+    from stdb_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        extract_image_features,
+    )
+
+    img = np.add.outer(np.arange(24) * 4, np.arange(32) * 3).astype(np.uint8)
+    payload = jpeg.encode_jpeg(img, quality=92)
+    media = spark.createDataFrame(
+        [(0, "image", "image/jpeg", 32, 24, 0, payload)], MEDIA_SCHEMA
+    )
+    r = extract_image_features(media).collect()[0]
+    local = decode_image(payload)
+    assert r.n_px == local.size == 24 * 32
+    assert abs(r.mean_px - float(local.mean())) < 1e-9
+    assert abs(r.std_px - float(local.std())) < 1e-9

@@ -844,3 +844,71 @@ def test_wav_decoder_chunk_walking_and_rejections():
     struct.pack_into("<H", bad, 20, 85)
     with pytest.raises(mm.DecodeUnavailable):
         mm.decode_wav(bytes(bad))
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    mode=st.sampled_from(["gray", "rgb444", "rgb420"]),
+    quality=st.sampled_from([85, 92, 100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=20, deadline=None)
+def test_jpeg_codec_roundtrip_property(w, h, mode, quality, seed):
+    """decode(encode(img)) stays within quantization tolerance for
+    SMOOTH images at any size/mode — the pure-numpy baseline JPEG codec
+    is a faithful (lossy) T.81 implementation: per-pixel error bounded,
+    shape/dtype preserved."""
+    import numpy as np
+
+    from stdb_spark.functions import jpeg
+
+    rng = np.random.default_rng(seed)
+    base = np.add.outer(
+        np.arange(h) * rng.uniform(0.5, 2.5), np.arange(w) * rng.uniform(0.5, 2.5)
+    ) + rng.uniform(0, 100)
+    if mode == "gray":
+        img = np.clip(base, 0, 255).astype(np.uint8)
+        enc = jpeg.encode_jpeg(img, quality=quality)
+    else:
+        img = np.clip(
+            np.stack([base, base + 40, base + 80], -1), 0, 255
+        ).astype(np.uint8)
+        enc = jpeg.encode_jpeg(
+            img, quality=quality, subsampling="420" if mode == "rgb420" else "444"
+        )
+    dec = jpeg.decode_jpeg(enc)
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    err = np.abs(dec.astype(int) - img.astype(int))
+    # smooth content: DC + low-frequency only; Annex-K quantization at
+    # q>=85 keeps per-pixel error tiny (chroma table is coarser)
+    assert err.max() <= (3 if mode == "gray" else 10), err.max()
+
+
+def test_jpeg_decoder_structural_paths():
+    """Paths the roundtrip property can't pin: restart-marker resync is
+    bit-identical to the unrestarted stream, gray roundtrip of smooth
+    gradients stays within quantization tolerance at q95, and
+    non-baseline modes reject."""
+    import numpy as np
+    import pytest
+
+    from stdb_spark.functions import jpeg
+    from stdb_spark.functions.multimodal import DecodeUnavailable, decode_image
+
+    g = np.add.outer(np.arange(37) * 2, np.arange(53) * 3).astype(np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=95))
+    assert np.abs(dec.astype(int) - g.astype(int)).max() <= 3
+    ref = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=90))
+    rst = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=90, restart_interval=2))
+    assert np.array_equal(ref, rst)
+    # decode_image dispatches on the SOI magic
+    assert decode_image(jpeg.encode_jpeg(g, quality=95)).shape == g.shape
+    # progressive (SOF2) is the declared boundary
+    enc = bytearray(jpeg.encode_jpeg(g))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with pytest.raises(DecodeUnavailable):
+        jpeg.decode_jpeg(bytes(enc))
+    with pytest.raises(DecodeUnavailable):
+        jpeg.decode_jpeg(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
