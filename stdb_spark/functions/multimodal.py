@@ -82,6 +82,21 @@ def make_fake_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
             ).astype(np.int16)
             payload = encode_wav(pcm, rate=8000)
             rows.append((i, kind, "audio/wav", 32, 24, 1000 + i, payload))
+        elif kind == "video":
+            frames = [
+                np.clip(
+                    np.add.outer(np.arange(16) * 4, np.arange(16) * 3)
+                    + 10 * f
+                    + 2 * i,
+                    0,
+                    255,
+                ).astype(np.uint8)
+                for f in range(6)
+            ]
+            payload = encode_avi_mjpeg(frames, fps=4)
+            rows.append(
+                (i, kind, "video/x-msvideo", 16, 16, 1000 + i, payload)
+            )
         else:
             payload = bytes(rng.integers(0, 256, size=256, dtype=np.uint8))
             rows.append((i, kind, f"{kind}/fake", 32, 24, 1000 + i, payload))
@@ -478,13 +493,143 @@ def resize_plan(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     )
 
 
+def encode_avi_mjpeg(
+    frames: list[np.ndarray], fps: int = 4, quality: int = 90
+) -> bytes:
+    """Minimal RIFF/AVI container around baseline-JPEG frames (MJPEG) —
+    pure struct + the in-repo JPEG encoder.  avih/strh/strf headers per
+    the Microsoft AVI spec, frames as ``00dc`` chunks in the ``movi``
+    list, word-aligned."""
+    import struct
+
+    from stdb_spark.functions.jpeg import encode_jpeg
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    payloads = [encode_jpeg(f, quality=quality) for f in frames]
+    us_per_frame = 1_000_000 // int(fps)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<14I",
+        us_per_frame, 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, int(fps), 0,
+                      len(frames), 0, 10_000, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_frames(payload: bytes) -> tuple[list[np.ndarray], int]:
+    """Walk a RIFF/AVI container and decode its MJPEG frames (``00dc``/
+    ``00db`` chunks) with the in-repo baseline JPEG decoder.  Returns
+    (frames, us_per_frame).  Non-AVI payloads, or AVIs whose frames are
+    not baseline JPEG, raise DecodeUnavailable — compressed codecs
+    (H.264 etc.) remain the declared boundary."""
+    import struct
+
+    from stdb_spark.functions.jpeg import decode_jpeg
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise DecodeUnavailable("not a RIFF/AVI payload")
+    us_per_frame = 0
+    frames: list[np.ndarray] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal us_per_frame
+        pos = 0
+        while pos + 8 <= len(buf):
+            tag = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            body = buf[pos + 8 : pos + 8 + size]
+            if tag == b"LIST":
+                walk(body[4:])
+            elif tag == b"avih" and len(body) >= 4:
+                (us_per_frame,) = struct.unpack_from("<I", body, 0)
+            elif tag in (b"00dc", b"00db") and body:
+                frames.append(decode_jpeg(body))
+            pos += 8 + size + (size & 1)
+
+    walk(payload[12:])
+    if not frames:
+        raise DecodeUnavailable("AVI payload carries no MJPEG frames")
+    return frames, int(us_per_frame)
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_ms", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("mean_px", T.DoubleType()),
+        T.StructField("n_px", T.LongType()),
+    ]
+)
+
+
 def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling plumbing for video rows: one output row per sampled
-    timestamp (explode of a sequence) — the decode of each frame is the
-    stubbed boundary."""
-    ticks = F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
-    return df.filter(F.col("kind") == "video").select(
-        "media_id", F.explode(ticks).alias("frame_ms"), "payload"
+    """Frame sampling for video rows: one output row per sampled
+    timestamp, with REAL per-frame statistics when the payload is an
+    MJPEG AVI (decode_avi_frames — RIFF walk + in-repo JPEG decode of
+    the frame nearest each tick).  Opaque payloads (compressed codecs,
+    the declared boundary) flow through on the deterministic
+    byte-tiling fake so the plumbing stays exercisable.  mapInPandas,
+    Arrow-batched — the same contract as the image/audio extractors."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "frame_ms": [], "frame_idx": [],
+                "mean_px": [], "n_px": [],
+            }
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                try:
+                    frames, uspf = decode_avi_frames(bytes(payload))
+                except DecodeUnavailable:
+                    frames, uspf = None, 0
+                for tick in range(0, int(dur) + 1, every_ms):
+                    if frames is not None:
+                        idx = min(
+                            len(frames) - 1,
+                            (tick * 1000) // max(uspf, 1),
+                        )
+                        img = frames[idx]
+                    else:
+                        idx = -1  # fallback marker: no real decode
+                        img = _fake_decode(bytes(payload), 16, 16)
+                    out["media_id"].append(int(mid))
+                    out["frame_ms"].append(int(tick))
+                    out["frame_idx"].append(int(idx))
+                    out["mean_px"].append(float(img.mean()))
+                    out["n_px"].append(int(img.size))
+            yield pd.DataFrame(out)
+
+    return (
+        df.filter(F.col("kind") == "video")
+        .select("media_id", "payload", "duration_ms")
+        .mapInPandas(fn, schema=VIDEO_FRAME_SCHEMA)
     )
 
 

@@ -1484,3 +1484,37 @@ def test_image_features_decode_jpeg_payload(spark):
     assert r.n_px == local.size == 24 * 32
     assert abs(r.mean_px - float(local.mean())) < 1e-9
     assert abs(r.std_px - float(local.std())) < 1e-9
+
+
+def test_video_frame_sampling_real_mjpeg(spark):
+    """Video frame sampling decodes REAL MJPEG-AVI frames: each sampled
+    tick maps to the frame nearest its timestamp and the emitted stats
+    equal a local decode; opaque payloads still flow via the fallback
+    (frame_idx = -1)."""
+    import numpy as np
+
+    from stdb_spark.functions import multimodal as mm
+
+    media = mm.make_fake_media(spark, n=3, kind="video")
+    out = mm.sample_video_frames(media, every_ms=250).collect()
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    assert all(r.frame_idx >= 0 for r in out)
+    for r in out:
+        frames, uspf = mm.decode_avi_frames(payloads[r.media_id])
+        idx = min(len(frames) - 1, (r.frame_ms * 1000) // uspf)
+        assert r.frame_idx == idx
+        assert abs(r.mean_px - float(frames[idx].mean())) < 1e-9
+    # ticks cover [0, duration] at the sampling cadence
+    per = {}
+    for r in out:
+        per.setdefault(r.media_id, []).append(r.frame_ms)
+    for mid, ticks in per.items():
+        dur = 1000 + mid
+        assert sorted(ticks) == list(range(0, dur + 1, 250))
+    # opaque payload -> fallback marker
+    opaque = spark.createDataFrame(
+        [(9, "video", "video/h264", 0, 0, 500, bytes(range(64)))],
+        mm.MEDIA_SCHEMA,
+    )
+    fb = mm.sample_video_frames(opaque, every_ms=250).collect()
+    assert fb and all(r.frame_idx == -1 for r in fb)
