@@ -15,6 +15,10 @@ IDCT, 4:2:0/4:2:2 chroma upsampling, JFIF YCbCr->RGB) via
 tables, libjpeg-style quality, 4:4:4 / 4:2:0, DRI) used as the test
 fixture; progressive/arithmetic/12-bit modes raise DecodeUnavailable.
 
+VIDEO decode is REAL for MJPEG-in-AVI (RIFF chunk walk, 00dc/00db
+frames through the baseline JPEG decoder) via ``decode_avi_frames``;
+``encode_avi_mjpeg`` writes the container for fixtures.
+
 AUDIO decode is REAL for RIFF/WAV PCM (8/16-bit, any channel count,
 chunk-walking per the Microsoft/IBM WAVE spec) via ``decode_wav`` —
 pure ``struct`` + numpy.  ``make_fake_media(kind="image"|"audio")``
@@ -53,7 +57,7 @@ MEDIA_SCHEMA = T.StructType(
 
 class DecodeUnavailable(NotImplementedError):
     """Raised for container formats needing codec libs this container
-    doesn't ship (JPEG/WebP/compressed audio/video)."""
+    doesn't ship (WebP/AVIF, progressive JPEG, MP3/AAC/H.264...)."""
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -63,7 +67,8 @@ def make_fake_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
     """Deterministic media payloads for the pipelines: images are REAL
     PNGs (seeded gradient + noise, decoded back by decode_image), audio
     payloads are REAL RIFF/WAV PCM (seeded tone + noise, decoded back
-    by decode_wav); video stays seeded opaque bytes (no codec)."""
+    by decode_wav), video payloads are REAL MJPEG AVIs (moving seeded
+    gradients, decoded back by decode_avi_frames)."""
     rows = []
     for i in range(n):
         rng = np.random.default_rng(i)
