@@ -224,9 +224,12 @@ HEADLINE = [
     "rel_revenue_rollup",
     "rel_supplier_pagerank",
     "ingest_versioned_timetravel",
-    # r6 additions: RESP event-body ingest, exact-integer LTTB, and the
-    # derived-partsupp TPC-H family
+    # r6 additions: RESP event-body ingest (batch + streaming),
+    # exact-integer LTTB, RAG chunking, and the derived-partsupp
+    # TPC-H family
     "ingest_resp_events_roundtrip",
+    "stream_resp_events",
+    "doc_chunk_windows",
     "ts_lttb",
     "rel_q2_min_cost_supplier",
     "rel_q9_product_type_profit",
