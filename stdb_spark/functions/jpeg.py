@@ -269,7 +269,19 @@ def _extend(v: int, t: int) -> int:
 # ----------------------------------------------------------- decoder
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline sequential JPEG -> uint8 array (h, w) grayscale or
-    (h, w, 3) RGB.  Non-baseline modes raise DecodeUnavailable."""
+    (h, w, 3) RGB.  Non-baseline modes raise DecodeUnavailable, and so
+    do truncated/corrupt payloads — raw parse errors must not escape
+    into the Spark extractors, whose fallback catches exactly
+    DecodeUnavailable."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except NotImplementedError:
+        raise  # DecodeUnavailable passes through unchanged
+    except (struct.error, IndexError, ValueError, KeyError, TypeError) as exc:
+        raise _decode_unavailable(f"corrupt JPEG payload: {exc}") from exc
+
+
+def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise _decode_unavailable("not a JPEG payload (missing SOI)")
     pos = 2

@@ -575,7 +575,14 @@ def decode_avi_frames(payload: bytes) -> tuple[list[np.ndarray], int]:
                 frames.append(decode_jpeg(body))
             pos += 8 + size + (size & 1)
 
-    walk(payload[12:])
+    try:
+        walk(payload[12:])
+    except NotImplementedError:
+        raise  # DecodeUnavailable (e.g. non-MJPEG frames) unchanged
+    except (struct.error, IndexError, ValueError) as exc:
+        # truncated/corrupt container: declared boundary, not a task
+        # crash — the extractors' fallback catches DecodeUnavailable
+        raise DecodeUnavailable(f"corrupt AVI payload: {exc}") from exc
     if not frames:
         raise DecodeUnavailable("AVI payload carries no MJPEG frames")
     return frames, int(us_per_frame)
@@ -650,7 +657,7 @@ def image_phash(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     pigeonhole pairing, same one-shuffle plan.
 
     Arrow-batched mapInPandas; the DCT is a fixed 32×32 matrix multiply
-    per image (numpy, vectorized).  Decode is REAL for PNG/PNM payloads
+    per image (numpy, vectorized).  Decode is REAL for PNG/PNM/baseline-JPEG payloads
     (grayscale luma, nearest-neighbor 32×32 resample); unrecognized
     containers fall back to the deterministic byte-tiling fake."""
     N = 32

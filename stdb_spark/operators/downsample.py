@@ -62,6 +62,34 @@ def m4(
     )
 
 
+def _hashed_per_series_apply(
+    samples: DataFrame,
+    pick_one,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Shared dispatch for sequential per-series kernels: ONE
+    applyInPandas call per hash partition of series (per-group Arrow
+    overhead dominates with many short series), each series intact in
+    one frame, the kernel applied per series inside."""
+    import pandas as pd
+
+    out_schema = f"{series_col} string, {ts_col} long, {value_col} double"
+
+    def _pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = [
+            pick_one(g) for _, g in pdf.groupby(series_col, sort=False)
+        ]
+        return pd.concat(parts, ignore_index=True)
+
+    n_pg = int(samples.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    tagged = samples.select(series_col, ts_col, value_col).withColumn(
+        "_pg", F.pmod(F.xxhash64(series_col), F.lit(n_pg))
+    )
+    return tagged.groupBy("_pg").applyInPandas(_pick, schema=out_schema)
+
+
 def lttb(
     samples: DataFrame,
     n_out: int,
@@ -89,8 +117,6 @@ def lttb(
     import numpy as np
     import pandas as pd
 
-    out_schema = f"{series_col} string, {ts_col} long, {value_col} double"
-
     def _pick_one(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col)
         n = len(pdf)
@@ -115,17 +141,9 @@ def lttb(
         out = pdf.iloc[keep]
         return out[[series_col, ts_col, value_col]]
 
-    def _pick(pdf: pd.DataFrame) -> pd.DataFrame:
-        parts = [
-            _pick_one(g) for _, g in pdf.groupby(series_col, sort=False)
-        ]
-        return pd.concat(parts, ignore_index=True)
-
-    n_pg = int(samples.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    tagged = samples.select(series_col, ts_col, value_col).withColumn(
-        "_pg", F.pmod(F.xxhash64(series_col), F.lit(n_pg))
+    return _hashed_per_series_apply(
+        samples, _pick_one, series_col, ts_col, value_col
     )
-    return tagged.groupBy("_pg").applyInPandas(_pick, schema=out_schema)
 
 
 def lttb_exact_int(
@@ -157,7 +175,8 @@ def lttb_exact_int(
     sequential kernel per series inside an Arrow frame."""
     import pandas as pd
 
-    out_schema = f"{series_col} string, {ts_col} long, {value_col} double"
+    if n_out < 2:
+        raise ValueError("n_out must be >= 2 (first + last always kept)")
 
     def _pick_one(pdf: pd.DataFrame) -> pd.DataFrame:
         # (ts, value) order: deterministic arrays even when timestamps
@@ -166,6 +185,10 @@ def lttb_exact_int(
         n = len(pdf)
         if n <= n_out:
             return pdf[[series_col, ts_col, value_col]]
+        if n_out == 2:
+            # endpoints only: no interior buckets (and the bucket-edge
+            # formula would divide by n_out - 2)
+            return pdf.iloc[[0, n - 1]][[series_col, ts_col, value_col]]
         t = [int(x) for x in pdf[ts_col]]
         # one IEEE multiply then truncation toward zero — the exact
         # spec DuckDB's trunc(value * qscale) reproduces
@@ -192,17 +215,9 @@ def lttb_exact_int(
         keep.append(n - 1)
         return pdf.iloc[keep][[series_col, ts_col, value_col]]
 
-    def _pick(pdf: pd.DataFrame) -> pd.DataFrame:
-        parts = [
-            _pick_one(g) for _, g in pdf.groupby(series_col, sort=False)
-        ]
-        return pd.concat(parts, ignore_index=True)
-
-    n_pg = int(samples.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    tagged = samples.select(series_col, ts_col, value_col).withColumn(
-        "_pg", F.pmod(F.xxhash64(series_col), F.lit(n_pg))
+    return _hashed_per_series_apply(
+        samples, _pick_one, series_col, ts_col, value_col
     )
-    return tagged.groupBy("_pg").applyInPandas(_pick, schema=out_schema)
 
 
 def decimate(

@@ -152,11 +152,14 @@ def pagerank_exact(
     # one scalar action: size dispatch + cache fill
     n_edges = e.count()
     if n_edges <= int(single_task_max_edges):
+        # node ids keep the caller's type (string suppliers, long doc
+        # ids, ...) — a hard-coded schema would crash Arrow conversion
+        id_type = dict(e.dtypes)["src"]
         pr = e.repartition(1).mapInPandas(
             _pagerank_single_task_kernel(
                 iterations, damp_num, damp_den, early_exit
             ),
-            "node string, pr long",
+            f"node {id_type}, pr long",
         )
         if checkpoint:
             # materialize the single kernel task so the edge cache can

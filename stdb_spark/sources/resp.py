@@ -296,9 +296,19 @@ def _parse_resp_full(
                 F.slice(
                     F.col("_l"),
                     F.lit(4),
-                    # non-numeric header -> NULL length -> NULL slice ->
-                    # whole PDU dropped by the size filter below
-                    arr_hdr.substr(F.lit(2), F.length(arr_hdr)).cast("int"),
+                    # non-numeric or NEGATIVE header -> NULL length ->
+                    # NULL slice -> whole PDU dropped by the size filter
+                    # below (a bare negative would be a runtime error in
+                    # F.slice, killing the job on one bad wire row)
+                    F.when(
+                        arr_hdr.substr(F.lit(2), F.length(arr_hdr)).cast(
+                            "int"
+                        )
+                        >= 0,
+                        arr_hdr.substr(F.lit(2), F.length(arr_hdr)).cast(
+                            "int"
+                        ),
+                    ),
                 ),
             )
             .otherwise(F.array(arr_hdr))

@@ -701,3 +701,22 @@ def test_peak_concurrency_adjacent_intervals_not_concurrent(spark):
     )
     out = behavior.peak_concurrency(df, bucket=100).collect()
     assert {(r.bucket_start, r.peak) for r in out} == {(0, 1)}
+
+
+def test_pagerank_kernel_preserves_long_node_ids(spark):
+    """The single-task kernel output schema follows the caller's node
+    type — long-keyed graphs under the threshold must not crash Arrow
+    conversion (the distributed path always preserved the type)."""
+    from stdb_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 1)], "src long, dst long"
+    )
+    got = {r.node: r.pr for r in graph.pagerank_exact(edges, iterations=3).collect()}
+    dist = {
+        r.node: r.pr
+        for r in graph.pagerank_exact(
+            edges, iterations=3, single_task_max_edges=0
+        ).collect()
+    }
+    assert got == dist and set(got) == {1, 2, 3}

@@ -1518,3 +1518,46 @@ def test_video_frame_sampling_real_mjpeg(spark):
     )
     fb = mm.sample_video_frames(opaque, every_ms=250).collect()
     assert fb and all(r.frame_idx == -1 for r in fb)
+
+
+def test_corrupt_media_payloads_fall_back_not_crash(spark):
+    """Truncated/corrupt JPEG and AVI payloads raise DecodeUnavailable
+    (not raw struct/Index/Value errors), so the Spark extractors'
+    documented fallback engages instead of killing the task."""
+    import pytest
+
+    from stdb_spark.functions import multimodal as mm
+    from stdb_spark.functions.jpeg import decode_jpeg
+
+    for bad in (
+        b"\xff\xd8\xff\xc0\x00\x04\x08",          # truncated SOF
+        b"\xff\xd8\xff\xda\x00\x02",              # empty SOS body
+        b"\xff\xd8\xff\xdb\x00\x05\x00\x01\x02",  # short DQT
+    ):
+        with pytest.raises(mm.DecodeUnavailable):
+            decode_jpeg(bad)
+    with pytest.raises(mm.DecodeUnavailable):
+        mm.decode_avi_frames(b"RIFF\x20\x00\x00\x00AVI LIST\xff\xff\xff\xff")
+    # end-to-end: a corrupt JPEG row flows through the image extractor
+    # via the byte-tiling fallback
+    media = spark.createDataFrame(
+        [(0, "image", "image/jpeg", 8, 8, 0, b"\xff\xd8\xff\xc0\x00\x04\x08")],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = mm.extract_image_features(media).collect()
+    assert len(rows) == 1 and rows[0].n_px > 0
+
+
+def test_lttb_exact_int_endpoint_modes(spark):
+    from stdb_spark.operators import downsample
+
+    df = spark.createDataFrame(
+        [("s", i, float(i % 7)) for i in range(30)],
+        "series string, ts long, value double",
+    )
+    two = downsample.lttb_exact_int(df, 2).collect()
+    assert sorted(r.ts for r in two) == [0, 29]
+    import pytest
+
+    with pytest.raises(ValueError):
+        downsample.lttb_exact_int(df, 1)

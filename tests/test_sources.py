@@ -486,3 +486,19 @@ def test_spark_socket_source_opentsdb_stream(spark, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_parse_resp_negative_array_size_drops_pdu(spark):
+    """A malformed '*-2' array header must drop THAT PDU, never kill
+    the whole batch (F.slice with a negative length is a runtime
+    error)."""
+    pdus = spark.createDataFrame(
+        [
+            ("+cpu|mem h=1\n:5\n*-2\n:1\n:2",),
+            ("+ok h=1\n:7\n+1.5",),
+            ("+cpu|mem h=1\n:5\n*junk\n:1\n:2",),
+        ],
+        "value string",
+    )
+    got = [(r.metric, r.ts, r.value) for r in parse_resp_pdus(pdus).collect()]
+    assert got == [("ok", 7, 1.5)]
