@@ -68,6 +68,11 @@ PICK = [
     ("sp_knn_grid", "grid KNN phase 2: bbox predicates reach PushedFilters, TakeOrdered(k)"),
     ("ingest_resp_roundtrip", "RESP parse: JVM split/slice/arrays_zip/explode — row-protocol zip, no Python"),
     ("ts_event_funnel", "windowed funnel: cumulative conditional-min windows stack on ONE user exchange, tiny stage histogram"),
+    ("ingest_resp_events_roundtrip", "RESP event-body ingest: one parse pass emits value XOR body per element, all JVM exprs"),
+    ("rel_q9_product_type_profit", "derived partsupp in-plan: part x range(4) broadcast cross, cents-decimal profit, dims broadcast"),
+    ("rel_supplier_pagerank", "PageRank (small regime): one dispatch count + ONE Arrow task runs the whole integer loop"),
+    ("doc_chunk_windows", "RAG chunking: explode(sequence) + substring, flatMap shape — zero exchanges"),
+    ("ts_lttb", "exact-integer LTTB: one hash exchange, sequential kernel per series inside Arrow frames"),
     ("ts_retention_matrix", "retention matrix: one scan, one user exchange — cohort via whole-partition min window, no self-join"),
     ("ts_time_rollup", "time-hierarchy ROLLUP: single Expand into one partial->final cell aggregate"),
     ("rel_revenue_rollup", "region/nation ROLLUP: facts pre-aggregated to 25 cells BEFORE Expand; dims broadcast"),
