@@ -274,10 +274,13 @@ def pagerank_oracle_sql(
     """The DuckDB oracle for :func:`pagerank_exact`: unrolled CTE
     iterations over ``edges_cte`` (a CTE body yielding (src, dst))
     reproducing the same integer floor arithmetic bit-for-bit."""
+    # AS MATERIALIZED: every iteration references e/deg/nodes — without
+    # the hint DuckDB inlines the (possibly expensive) edge CTE into all
+    # K join pipelines, which at 100x scale spilled the temp dir dry
     parts = [
-        f"WITH e AS ({edges_cte})",
-        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
-        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        f"WITH e AS MATERIALIZED ({edges_cte})",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
         "nn AS (SELECT count(*) AS n FROM nodes)",
         f"p0 AS (SELECT node, {SCALE} // (SELECT n FROM nn) AS pr FROM nodes)",
     ]
