@@ -475,7 +475,14 @@ def _cc_single_task_kernel():
         dfs = list(batches)
         if not dfs:
             return
-        df = pd.concat(dfs, ignore_index=True)
+        # drop null endpoints BEFORE factorize: factorize codes null as
+        # -1, which would silently index the LAST node via numpy
+        # negative indexing — the distributed loop drops null keys
+        # through its joins, and bit-equality across regimes requires
+        # the kernel to match that
+        df = pd.concat(dfs, ignore_index=True).dropna(subset=["src", "dst"])
+        if df.empty:
+            return
         codes, nodes = pd.factorize(
             pd.concat([df["src"], df["dst"]], ignore_index=True), sort=True
         )
@@ -532,6 +539,11 @@ def connected_components(
     identical by construction: cluster_id = min member id of the
     component, independent of which algorithm finds it."""
     spark = pairs.sparkSession
+    # null endpoints are meaningless in a pair graph and the two
+    # size-dispatched regimes would otherwise diverge on them (groupBy
+    # keeps a null group, factorize codes null as -1): drop them HERE so
+    # both regimes see the identical graph
+    pairs = pairs.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
     e_fwd = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     # persist the doubled edge list: without it every round's join (and
     # the init fold) re-executes the CALLER's pair lineage — for the

@@ -226,6 +226,10 @@ class _BitReader:
                 self.pos += 1
             self.bitbuf = (self.bitbuf << 8) | b
             self.nbits += 8
+        # Drop already-consumed high bits: without this mask the Python
+        # int grows 8 bits per byte scanned and entropy decode turns
+        # O(n^2) in scan size on large images.
+        self.bitbuf &= (1 << self.nbits) - 1
 
     def read_bit(self) -> int:
         if self.nbits == 0:

@@ -69,7 +69,14 @@ def _pagerank_single_task_kernel(
         dfs = list(batches)
         if not dfs:
             return
-        df = pd.concat(dfs, ignore_index=True)
+        # drop null endpoints BEFORE factorize: factorize codes null as
+        # -1, which would silently index the LAST node (numpy negative
+        # indexing) in outdeg/pr lookups — the distributed loop drops
+        # null keys through its joins, and the regimes must stay
+        # bit-equal
+        df = pd.concat(dfs, ignore_index=True).dropna(subset=["src", "dst"])
+        if df.empty:
+            return
         codes, nodes = pd.factorize(
             pd.concat([df["src"], df["dst"]], ignore_index=True), sort=True
         )
@@ -146,9 +153,17 @@ def pagerank_exact(
     count stays worker-side).
     """
     spark = edges.sparkSession
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).persist()
+    # null endpoints are meaningless in an edge list and the regimes
+    # would diverge on them (groupBy keeps a null group; factorize codes
+    # null as -1 → negative indexing): drop them HERE so every regime
+    # sees the identical graph
+    e = (
+        edges.filter(
+            F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+        )
+        .select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .persist()
+    )
     # one scalar action: size dispatch + cache fill
     n_edges = e.count()
     if n_edges <= int(single_task_max_edges):

@@ -643,7 +643,18 @@ def commit_epoch_idempotent(
             # different filesystems — os.replace raises EXDEV there
             if exc.errno != errno.EXDEV:
                 raise
-            shutil.move(f, dst)
+            # Cross-filesystem: copy to a temp name INSIDE dst_dir (same
+            # fs as dst), then rename atomically — shutil.move straight
+            # to dst would expose a partial parquet to concurrent
+            # readers / file-stream replay if we crash mid-copy.
+            tmp = os.path.join(dst_dir, f".e{batch_id}-tmp-{os.path.basename(f)}")
+            try:
+                shutil.copyfile(f, tmp)
+                os.replace(tmp, dst)
+            finally:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+            os.remove(f)
         # ms spacing: ordered within the batch
         last = base + i * 0.001
         os.utime(dst, (last, last))

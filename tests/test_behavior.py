@@ -720,3 +720,27 @@ def test_pagerank_kernel_preserves_long_node_ids(spark):
         ).collect()
     }
     assert got == dist and set(got) == {1, 2, 3}
+
+
+def test_pagerank_kernel_drops_null_edges_like_distributed(spark):
+    """ADVICE r6: factorize codes null as -1, which would index the
+    LAST node via numpy negative indexing.  Null endpoints must be
+    dropped in the kernel exactly as the distributed joins drop them —
+    bit-equality across regimes includes null-containing edge lists."""
+    from stdb_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), (None, "a"), ("b", None), (None, None)],
+        "src string, dst string",
+    )
+    kernel = {
+        r.node: r.pr for r in graph.pagerank_exact(edges, iterations=4).collect()
+    }
+    dist = {
+        r.node: r.pr
+        for r in graph.pagerank_exact(
+            edges, iterations=4, single_task_max_edges=0
+        ).collect()
+    }
+    assert kernel == dist
+    assert set(kernel) == {"a", "b"}

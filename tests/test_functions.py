@@ -1561,3 +1561,35 @@ def test_lttb_exact_int_endpoint_modes(spark):
 
     with pytest.raises(ValueError):
         downsample.lttb_exact_int(df, 1)
+
+
+def test_connected_components_kernel_drops_null_edges(spark):
+    """ADVICE r6: null endpoints factorize to code -1 and would corrupt
+    labels via negative indexing; the kernel must drop them like the
+    distributed joins do."""
+    from stdb_spark.functions import dedup
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (None, 5), (7, None), (2, 3)], "a long, b long"
+    )
+    kernel = {
+        (r.id, r.cluster_id) for r in dedup.connected_components(pairs).collect()
+    }
+    dist = {
+        (r.id, r.cluster_id)
+        for r in dedup.connected_components(pairs, single_task_max_edges=0).collect()
+    }
+    assert kernel == dist
+    assert kernel == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_jpeg_bitreader_accumulator_stays_bounded():
+    """ADVICE r6: the MSB-first bit accumulator must mask off consumed
+    high bits — without the mask it grows 8 bits per byte scanned and
+    entropy decode turns O(n^2) on large images."""
+    from stdb_spark.functions.jpeg import _BitReader
+
+    r = _BitReader(b"\xaa" * 4096, 0)
+    for _ in range(4096 * 8):
+        r.read_bit()
+    assert r.bitbuf.bit_length() <= 64

@@ -842,3 +842,57 @@ def test_commit_epoch_stamp_cursor_is_monotone(spark, tmp_path):
     # and the cursor advanced past everything epoch 1 stamped
     with open(cursor_file) as fh:
         assert float(fh.read()) >= max(os.stat(f).st_mtime for f in e1) - 1e-6
+
+
+def test_commit_epoch_exdev_fallback_is_atomic(spark, tmp_path, monkeypatch):
+    """ADVICE r6: when the stage dir and the table live on different
+    filesystems, the fallback must never expose a partially-copied
+    parquet under its final name — copy to a dot-temp inside the
+    destination dir, then os.replace.  Simulate EXDEV for every
+    stage->table move and check the result is byte-identical to the
+    same-fs path, with no temp remnants."""
+    import errno
+    import glob
+    import os
+
+    from stdb_spark import model
+    from stdb_spark.streaming import ingest as si
+
+    samples = model.events_as_samples(spark, "/root/testdata/sf0.001").limit(200)
+    batch = samples.cache()
+    n = batch.count()
+    layout = str(tmp_path / "layout")
+    summary = str(tmp_path / "summary")
+    ckpt = str(tmp_path / "ckpt")
+
+    real_replace = os.replace
+    crossed = {"n": 0}
+
+    def fake_replace(src_p, dst_p, *a, **kw):
+        # only the stage->table move crosses "filesystems"; the
+        # tmp->final rename inside the table dir must still work
+        if str(src_p).startswith(ckpt) and str(dst_p).startswith(layout):
+            crossed["n"] += 1
+            raise OSError(errno.EXDEV, "cross-device link")
+        return real_replace(src_p, dst_p, *a, **kw)
+
+    monkeypatch.setattr(os, "replace", fake_replace)
+    si.commit_epoch_idempotent(batch, 0, layout, summary, ckpt)
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    assert crossed["n"] > 0  # the fallback actually ran
+    assert spark.read.parquet(layout).count() == n
+    # no dot-temp remnants anywhere under the table
+    leftovers = [
+        f
+        for f in glob.glob(os.path.join(layout, "**", "*"), recursive=True)
+        if os.path.basename(f).startswith(".e")
+    ]
+    assert leftovers == []
+    # staged sources are consumed (moved, not left behind)
+    staged = glob.glob(
+        os.path.join(ckpt, "_epoch_stage", "epoch-0", "**", "*.parquet"),
+        recursive=True,
+    )
+    assert staged == []
+    batch.unpersist()
