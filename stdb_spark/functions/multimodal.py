@@ -63,6 +63,40 @@ class DecodeUnavailable(NotImplementedError):
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
+def fixture_image_array(i: int) -> np.ndarray:
+    """Source pixel array for fixture image ``i`` (pre-encode) — shared
+    by make_fake_media and the independent fixture oracles
+    (workloads/mm_oracles.py), so expected feature values derive from
+    the SOURCE data, never from the decoders under test."""
+    rng = np.random.default_rng(i)
+    return (
+        np.add.outer(np.arange(24) * 3, np.arange(32) * 2)
+        + rng.integers(0, 64, size=(24, 32))
+    ).astype(np.uint8)
+
+
+def fixture_audio_pcm(i: int) -> np.ndarray:
+    """Source PCM samples for fixture audio ``i`` (pre-encode)."""
+    rng = np.random.default_rng(i)
+    t = np.arange(400, dtype=np.float64)
+    return (
+        3000 * np.sin(2 * np.pi * t * (110 + 13 * i) / 8000)
+        + rng.integers(-200, 200, size=t.size)
+    ).astype(np.int16)
+
+
+def fixture_video_frames(i: int) -> list[np.ndarray]:
+    """Source frames for fixture video ``i`` (pre-encode, pre-JPEG)."""
+    return [
+        np.clip(
+            np.add.outer(np.arange(16) * 4, np.arange(16) * 3) + 10 * f + 2 * i,
+            0,
+            255,
+        ).astype(np.uint8)
+        for f in range(6)
+    ]
+
+
 def make_fake_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
     """Deterministic media payloads for the pipelines: images are REAL
     PNGs (seeded gradient + noise, decoded back by decode_image), audio
@@ -73,32 +107,13 @@ def make_fake_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
     for i in range(n):
         rng = np.random.default_rng(i)
         if kind == "image":
-            img = (
-                np.add.outer(np.arange(24) * 3, np.arange(32) * 2)
-                + rng.integers(0, 64, size=(24, 32))
-            ).astype(np.uint8)
-            payload = encode_png(img)
+            payload = encode_png(fixture_image_array(i))
             rows.append((i, kind, "image/png", 32, 24, 1000 + i, payload))
         elif kind == "audio":
-            t = np.arange(400, dtype=np.float64)
-            pcm = (
-                3000 * np.sin(2 * np.pi * t * (110 + 13 * i) / 8000)
-                + rng.integers(-200, 200, size=t.size)
-            ).astype(np.int16)
-            payload = encode_wav(pcm, rate=8000)
+            payload = encode_wav(fixture_audio_pcm(i), rate=8000)
             rows.append((i, kind, "audio/wav", 32, 24, 1000 + i, payload))
         elif kind == "video":
-            frames = [
-                np.clip(
-                    np.add.outer(np.arange(16) * 4, np.arange(16) * 3)
-                    + 10 * f
-                    + 2 * i,
-                    0,
-                    255,
-                ).astype(np.uint8)
-                for f in range(6)
-            ]
-            payload = encode_avi_mjpeg(frames, fps=4)
+            payload = encode_avi_mjpeg(fixture_video_frames(i), fps=4)
             rows.append(
                 (i, kind, "video/x-msvideo", 16, 16, 1000 + i, payload)
             )
@@ -412,16 +427,28 @@ def extract_image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     table is bounded by `spark.sql.files.maxPartitionBytes`, not RAM."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         for pdf in batches:
             out = {"media_id": [], "mean_px": [], "std_px": [], "n_px": []}
             for mid, payload, w, h in zip(
                 pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
             ):
                 img = _decode_any(bytes(payload), int(w), int(h))
+                # mean/std through EXACT integer sums, then one float op
+                # per step — the same op tree a SQL oracle evaluates, so
+                # the values reproduce bit-for-bit cross-engine
+                # (np.std's pairwise float path would differ in ulps)
+                g = img.astype(np.int64)
+                n = int(g.size)
+                s = int(g.sum())
+                ss = int((g * g).sum())
+                mean = s / n
+                var = ss / n - mean * mean
                 out["media_id"].append(int(mid))
-                out["mean_px"].append(float(img.mean()))
-                out["std_px"].append(float(img.std()))
-                out["n_px"].append(int(img.size))
+                out["mean_px"].append(mean)
+                out["std_px"].append(math.sqrt(var if var > 0.0 else 0.0))
+                out["n_px"].append(n)
             yield pd.DataFrame(out)
 
     return df.select("media_id", "payload", "width", "height").mapInPandas(
@@ -453,6 +480,8 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     touching the plan."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         for pdf in batches:
             out = {
                 "media_id": [], "duration_ms": [], "rms": [],
@@ -472,13 +501,18 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                         np.frombuffer(payload, dtype=np.uint8).astype(np.int16)
                         - 128
                     )
+                # RMS through an EXACT integer sum of squares, then one
+                # division + one sqrt — reproduces bit-for-bit in SQL
+                p64 = pcm.astype(np.int64)
+                n = int(p64.size)
+                ss = int((p64 * p64).sum())
                 out["media_id"].append(int(mid))
                 out["duration_ms"].append(int(dur))
-                out["rms"].append(float(np.sqrt(np.mean(pcm.astype("f8") ** 2))))
+                out["rms"].append(math.sqrt(ss / n) if n else 0.0)
                 out["zero_crossings"].append(
                     int(np.count_nonzero(np.diff(np.signbit(pcm))))
                 )
-                out["n_samples"].append(int(pcm.size))
+                out["n_samples"].append(n)
             yield pd.DataFrame(out)
 
     return df.filter(F.col("kind") == "audio").select(
@@ -634,7 +668,11 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                     out["media_id"].append(int(mid))
                     out["frame_ms"].append(int(tick))
                     out["frame_idx"].append(int(idx))
-                    out["mean_px"].append(float(img.mean()))
+                    # exact integer sum / one float division — the SQL
+                    # oracle's op tree exactly
+                    out["mean_px"].append(
+                        int(img.astype(np.int64).sum()) / int(img.size)
+                    )
                     out["n_px"].append(int(img.size))
             yield pd.DataFrame(out)
 

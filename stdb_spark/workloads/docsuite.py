@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from stdb_spark import model
 from stdb_spark.functions import dedup, similarity, text
+from stdb_spark.workloads import mm_oracles
 
 QUERIES = {}
 ORACLES = {}
@@ -690,10 +691,13 @@ _q("emb_ann_lsh_presigned", _emb_ann_lsh_presigned, _emb_ann_lsh_sql())
 
 
 # ------------------------------------------------------------- multimodal
-# Opaque-binary media plumbing (decode stubbed behind a deterministic
-# fake — no codec libs in this container): Arrow-batched mapInPandas
-# feature extraction and frame-sampling.  Rows-only driver check; exact
-# values pinned by pytest.
+# REAL in-repo decoders (PNG / RIFF-WAV PCM / MJPEG-AVI baseline JPEG)
+# over deterministic fixture payloads, Arrow-batched mapInPandas.  Full
+# value-hash oracles since r7: expected outputs are derived
+# INDEPENDENTLY of the decoders (from the source arrays, plus an
+# independent dequant+IDCT for the lossy JPEG frames) and embedded as
+# DuckDB VALUES tables — see workloads/mm_oracles.py for the
+# independence argument per entry.
 def _mm_features(spark, sf):
     from stdb_spark.functions import multimodal
 
@@ -701,7 +705,7 @@ def _mm_features(spark, sf):
     return multimodal.extract_image_features(media)
 
 
-_q("mm_image_features", _mm_features)
+_q("mm_image_features", _mm_features, mm_oracles.image_features_sql(64))
 
 
 # Media-manifest statistics with a FULL value-hash oracle: documents'
@@ -760,22 +764,21 @@ def _mm_frames(spark, sf):
     return multimodal.sample_video_frames(media, every_ms=250)
 
 
-_q("mm_video_frame_sample", _mm_frames)
+_q("mm_video_frame_sample", _mm_frames, mm_oracles.video_frames_sql(16, 250))
 
 
 def _mm_audio(spark, sf):
     """RMS / zero-crossing features over GENUINE PCM: the payloads are
     real RIFF/WAV containers decoded by the stdlib parser
-    (multimodal.decode_wav); rows-only because sample decode has no SQL
-    analog, with the feature math pinned against direct numpy in
-    test_functions.test_audio_features."""
+    (multimodal.decode_wav); oracle = independent derivation from the
+    source PCM (mm_oracles.audio_features_sql)."""
     from stdb_spark.functions import multimodal
 
     media = multimodal.make_fake_media(spark, n=32, kind="audio")
     return multimodal.extract_audio_features(media)
 
 
-_q("mm_audio_features", _mm_audio)
+_q("mm_audio_features", _mm_audio, mm_oracles.audio_features_sql(32))
 
 
 # ------------------------------------------- exact-arithmetic k-means
@@ -1204,11 +1207,14 @@ GROUP BY doc_id
 )
 
 
-# Multimodal dedup: perceptual hash over the (stubbed) decode, then the
+# Multimodal dedup: perceptual hash over the REAL PNG decode, then the
 # SAME full-recall Hamming pairing used for text SimHash — one pipeline
 # for text and image near-dup discovery.  The fixture plants exact
-# payload duplicates (ids 100+i), so pairs are guaranteed; rows-only
-# (DCT floats aren't portable SQL), semantics pinned in pytest.
+# payload duplicates (ids 100+i), so pairs are guaranteed.  Oracle:
+# clean-room pHash over the SOURCE arrays (independent DCT basis /
+# contraction / median) + brute-force all-pairs scan — identical output
+# because the pigeonhole blocking provably misses nothing at
+# distance <= blocks-1 (the doc_hamming_near_dups argument).
 def _mm_phash_near_dups(spark, sf):
     from stdb_spark.functions import multimodal
 
@@ -1220,10 +1226,10 @@ def _mm_phash_near_dups(spark, sf):
     hashes = multimodal.image_phash(media.unionByName(dup))
     return dedup.hamming_pairs(
         hashes, sig_col="phash", key="media_id", max_distance=3
-    )
+    ).select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 
-_q("mm_phash_near_dups", _mm_phash_near_dups)
+_q("mm_phash_near_dups", _mm_phash_near_dups, mm_oracles.phash_pairs_sql(48, 8, 3))
 
 
 # Weighted (importance) sampling: inclusion probability = per-row

@@ -1,0 +1,218 @@
+"""Independent fixture oracles for the multimodal registry entries.
+
+The multimodal entries run the REAL in-repo decoders (PNG, RIFF/WAV
+PCM, MJPEG-in-AVI with baseline JPEG) over deterministic fixture
+payloads.  Until round 7 they were rows-only: pixel/PCM decode has no
+SQL analog over the parquet views.  But the decoders are deterministic
+functions of deterministic inputs, so each entry CAN carry a full
+value-hash oracle — a DuckDB VALUES table of expected outputs, derived
+INDEPENDENTLY of the production decoders (VERDICT r6 directive #2):
+
+- expected image/audio features come from the SOURCE arrays
+  (multimodal.fixture_*/pre-encode), never from decode_image/decode_wav
+  — the oracle therefore checks the full encode->decode round trip;
+- expected video frame stats reconstruct the decoded pixels from the
+  encoder's quantized DCT coefficients with an INDEPENDENT
+  dequant+IDCT implementation (own basis built with math.cos, own
+  contraction, own rounding) — never decode_avi_frames/decode_jpeg/
+  _BitReader.  The encoder side (quantization) is by definition the
+  input, not the unit under test;
+- expected pHashes re-derive the DCT/median/bit pipeline from the
+  source arrays with an independently built DCT (math.cos basis,
+  different contraction order) and pure-Python median/bit logic.
+
+All float outputs are derived from EXACT integer sums with one IEEE
+double op per step, mirrored verbatim in the SQL text, so both engines
+produce identical doubles (the driver additionally rounds floats to 6
+decimals before hashing).
+
+Reference parity note: the reference engine stores opaque event blobs
+(stdb/common/basic.h:32) and leaves media decoding to clients; these
+entries are the LLM-pipeline extension the build brief requires.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from stdb_spark.functions import multimodal
+
+
+# --------------------------------------------------------------- helpers
+def _int_sum(values) -> int:
+    """Pure-Python exact integer sum (no numpy reductions)."""
+    total = 0
+    for v in values:
+        total += int(v)
+    return total
+
+
+def _values_sql(rows: list[tuple], cols: str) -> str:
+    body = ",\n  ".join("(" + ", ".join(str(v) for v in r) + ")" for r in rows)
+    return f"(VALUES\n  {body}\n) AS t({cols})"
+
+
+# --------------------------------------------------- image features oracle
+def image_features_sql(n: int = 64) -> str:
+    """Expected (media_id, mean_px, std_px, n_px) from the SOURCE pixel
+    arrays: exact integer sum / sum-of-squares per image, with the
+    mean/std float tree evaluated by DuckDB exactly as the extractor
+    evaluates it."""
+    rows = []
+    for i in range(n):
+        img = multimodal.fixture_image_array(i)
+        flat = img.reshape(-1).tolist()
+        s = _int_sum(flat)
+        ss = _int_sum(v * v for v in flat)
+        rows.append((i, s, ss, len(flat)))
+    vals = _values_sql(rows, "media_id, s, ss, n")
+    return f"""
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(s AS DOUBLE) / n AS mean_px,
+       sqrt(greatest(CAST(ss AS DOUBLE) / n
+                     - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                     0.0)) AS std_px,
+       CAST(n AS BIGINT) AS n_px
+FROM {vals}
+"""
+
+
+# --------------------------------------------------- audio features oracle
+def audio_features_sql(n: int = 32) -> str:
+    """Expected (media_id, duration_ms, rms, zero_crossings, n_samples)
+    from the SOURCE PCM: exact integer sum of squares and a pure-Python
+    signbit-change count (matching np.diff(np.signbit(...)) semantics:
+    a crossing is a sign-BIT change between consecutive samples; zero
+    counts as non-negative)."""
+    rows = []
+    for i in range(n):
+        pcm = multimodal.fixture_audio_pcm(i).tolist()
+        ss = _int_sum(v * v for v in pcm)
+        zc = 0
+        for a, b in zip(pcm, pcm[1:]):
+            if (a < 0) != (b < 0):
+                zc += 1
+        rows.append((i, 1000 + i, ss, zc, len(pcm)))
+    vals = _values_sql(rows, "media_id, duration_ms, ss, zc, n")
+    return f"""
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(duration_ms AS BIGINT) AS duration_ms,
+       sqrt(CAST(ss AS DOUBLE) / n) AS rms,
+       CAST(zc AS BIGINT) AS zero_crossings,
+       CAST(n AS BIGINT) AS n_samples
+FROM {vals}
+"""
+
+
+# ------------------------------------------------- independent JPEG math
+def _indep_dct_basis(size: int) -> np.ndarray:
+    """Orthonormal DCT-II basis built with math.cos over Python floats —
+    independently of jpeg._dct_basis / the pHash basis (which use
+    np.cos over numpy-broadcast angle grids)."""
+    b = np.empty((size, size), dtype=np.float64)
+    for k in range(size):
+        a = math.sqrt(1.0 / size) if k == 0 else math.sqrt(2.0 / size)
+        for x in range(size):
+            b[k, x] = a * math.cos((2 * x + 1) * k * math.pi / (2 * size))
+    return b
+
+
+def _expected_decoded_frame(frame: np.ndarray, quality: int = 90) -> np.ndarray:
+    """Reconstruct the pixels a correct baseline-JPEG decoder must
+    produce for a grayscale fixture frame, WITHOUT the production
+    decoder: quantized coefficients come from the encoder's own
+    quantization (jpeg._fdct2/rint — the encoder defines the input
+    bitstream), then dequant + an INDEPENDENT IDCT (math.cos basis,
+    (B.T @ C) @ B contraction) + round + clamp."""
+    from stdb_spark.functions import jpeg
+
+    q = jpeg._quality_scale(jpeg.QTBL_LUMA.reshape(8, 8), quality)
+    b = _indep_dct_basis(8)
+    h, w = frame.shape
+    out = np.empty((h, w), dtype=np.int64)
+    for y0 in range(0, h, 8):
+        for x0 in range(0, w, 8):
+            block = frame[y0 : y0 + 8, x0 : x0 + 8].astype(np.float64)
+            quant = np.rint(jpeg._fdct2(block - 128.0) / q).astype(np.int64)
+            coeffs = (quant * q).astype(np.float64)
+            pix = (b.T @ coeffs) @ b + 128.0
+            out[y0 : y0 + 8, x0 : x0 + 8] = np.clip(
+                np.rint(pix), 0, 255
+            ).astype(np.int64)
+    return out
+
+
+def video_frames_sql(n: int = 16, every_ms: int = 250) -> str:
+    """Expected (media_id, frame_ms, frame_idx, mean_px, n_px) for the
+    MJPEG frame-sampling entry: per sampled tick, the mean over the
+    INDEPENDENTLY reconstructed decoded frame (exact integer pixel sum,
+    one double division in SQL)."""
+    us_per_frame = 1_000_000 // 4  # encode_avi_mjpeg(fps=4)
+    rows = []
+    for i in range(n):
+        frames = multimodal.fixture_video_frames(i)
+        decoded = [_expected_decoded_frame(f) for f in frames]
+        dur = 1000 + i
+        for tick in range(0, dur + 1, every_ms):
+            idx = min(len(frames) - 1, (tick * 1000) // us_per_frame)
+            img = decoded[idx]
+            s = _int_sum(img.reshape(-1).tolist())
+            rows.append((i, tick, idx, s, int(img.size)))
+    vals = _values_sql(rows, "media_id, frame_ms, frame_idx, s, n")
+    return f"""
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(frame_ms AS BIGINT) AS frame_ms,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(s AS DOUBLE) / n AS mean_px,
+       CAST(n AS BIGINT) AS n_px
+FROM {vals}
+"""
+
+
+# --------------------------------------------------------- pHash oracle
+def _indep_phash(img: np.ndarray) -> int:
+    """Clean-room pHash twin of multimodal.image_phash: nearest-neighbor
+    32x32 (integer floor indexing — exact), DCT via the math.cos basis
+    with a different contraction order, median of the 63 AC terms via
+    sorted()[31], bit i set when block[i] > median, two's-complement
+    into signed 64-bit."""
+    size = 32
+    h, w = img.shape
+    ys = [(y * h) // size for y in range(size)]
+    xs = [(x * w) // size for x in range(size)]
+    small = img[np.ix_(ys, xs)].astype(np.float64)
+    b = _indep_dct_basis(size)
+    coeffs = (b @ small) @ b.T
+    block = [float(coeffs[u, v]) for u in range(8) for v in range(8)]
+    med = sorted(block[1:])[31]
+    bits = 0
+    for i, c in enumerate(block):
+        if c > med:
+            bits |= 1 << i
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def phash_pairs_sql(n: int = 48, dups: int = 8, max_distance: int = 3) -> str:
+    """Expected near-dup pairs for mm_phash_near_dups: hashes re-derived
+    from the SOURCE arrays by the clean-room pHash, pairing replicated
+    as the brute-force all-pairs scan (the pigeonhole blocking provably
+    misses nothing at distance <= blocks-1, so outputs are identical —
+    the doc_hamming_near_dups oracle argument)."""
+    rows = []
+    for i in range(n):
+        rows.append((i, _indep_phash(multimodal.fixture_image_array(i))))
+    for i in range(dups):  # planted exact-duplicate payloads, ids 100+
+        rows.append((100 + i, _indep_phash(multimodal.fixture_image_array(i))))
+    vals = _values_sql(rows, "media_id, phash")
+    return f"""
+WITH p AS (SELECT CAST(media_id AS BIGINT) AS media_id,
+                  CAST(phash AS BIGINT) AS phash FROM {vals})
+SELECT x.media_id AS a, y.media_id AS b,
+       CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+FROM p x JOIN p y ON x.media_id < y.media_id
+WHERE bit_count(xor(x.phash, y.phash)) <= {max_distance}
+"""
