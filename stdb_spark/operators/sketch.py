@@ -77,3 +77,147 @@ def misra_gries_topk(
         .orderBy(F.col("est_count").desc(), F.col("item").asc())
         .limit(top)
     )
+
+
+# ------------------------------------------------ portable HLL registers
+# Deterministic-by-spec HyperLogLog whose register states and estimate
+# reproduce bit-for-bit in ANY engine (the ts_distinct_users_hll_portable
+# pattern, generalized): md5-derived 60-bit hash, m registers
+# (bucket = h % m, rank = (60 - log2(m)) + 1 - bitlength(h // m), merge
+# = integer MAX), harmonic sum as EXACT integer 2^(60-r) adds, estimate
+# = one double division K / S with K precomputed in python, and the
+# small-range (linear-counting) correction served from a python-
+# precomputed integer lookup so no libm enters either engine's output
+# path.  Register tables are ordinary (group..., b, r) rows — the
+# mergeable "sketch column" a 100 TB rollup materializes once per day
+# and unions for any coarser period.
+import math as _math
+
+
+def hll_alpha_k(m: int) -> float:
+    """alpha_m * m^2 * 2^60 — the integer-scaled estimate numerator."""
+    return 0.7213 / (1.0 + 1.079 / m) * (m * m) * float(2**60)
+
+
+def hll_lc_table(m: int) -> list[int]:
+    """Linear-counting lookup: floor(m * ln(m / v)) for v in 1..m-1."""
+    return [int(_math.floor(m * _math.log(m / v))) for v in range(1, m)]
+
+
+def hll_registers(
+    df: DataFrame, item_col: str, group_cols: list[str], m: int = 4096
+) -> DataFrame:
+    """Sparse register table (group..., b, r): one row per non-empty
+    register, r = max rank observed.  m must be a power of two."""
+    assert m & (m - 1) == 0, "m must be a power of two"
+    wbits = 60 - m.bit_length() + 1  # 60 - log2(m)
+    h = F.conv(
+        F.substring(F.md5(F.col(item_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    d = df.select(
+        *group_cols, (h % m).alias("b"), F.shiftright(h, m.bit_length() - 1).alias("w")
+    ).withColumn(
+        "r",
+        F.when(
+            F.col("w") > 0, F.lit(wbits + 1) - F.length(F.expr("bin(w)"))
+        ).otherwise(F.lit(wbits + 1)),
+    )
+    return d.groupBy(*group_cols, "b").agg(F.max("r").alias("r"))
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str], m: int = 4096
+) -> DataFrame:
+    """Merge register rows by MAX and emit (group..., distinct_est):
+    raw = floor(K / S) with S the exact integer harmonic sum; when the
+    raw estimate is small (<= 2.5 m) and empty registers remain, the
+    linear-counting lookup replaces it (classic HLL correction)."""
+    merged = registers.groupBy(*group_cols, "b").agg(F.max("r").alias("r"))
+    agg = merged.groupBy(*group_cols).agg(
+        F.sum(F.expr("CAST(shiftleft(1L, 60 - r) AS DECIMAL(38,0))")).alias("_sp"),
+        F.count("*").alias("_present"),
+    )
+    s_total = F.expr(
+        f"_sp + CAST({m} - _present AS DECIMAL(38,0))"
+        f" * CAST({2**60} AS DECIMAL(38,0))"
+    )
+    raw = F.floor(F.lit(hll_alpha_k(m)) / s_total.cast("double")).cast("long")
+    v = (F.lit(m) - F.col("_present")).cast("long")
+    spark = registers.sparkSession
+    lc = spark.createDataFrame(
+        [(i + 1, x) for i, x in enumerate(hll_lc_table(m))], "v long, _lc long"
+    )
+    est = agg.select(*group_cols, raw.alias("_raw"), v.alias("v"))
+    est = est.join(F.broadcast(lc), "v", "left")
+    out = est.select(
+        *group_cols,
+        F.when(
+            (F.col("v") > 0) & (F.col("_raw") <= int(2.5 * m)), F.col("_lc")
+        )
+        .otherwise(F.col("_raw"))
+        .alias("distinct_est"),
+    )
+    return out
+
+
+def hll_oracle_sql(
+    item_sql: str,
+    group_sql: list[str],
+    source_sql: str,
+    m: int = 4096,
+    day_sql: str | None = None,
+) -> str:
+    """DuckDB twin of hll_registers + hll_estimate over ``source_sql``.
+    ``item_sql`` is the hashed expression (VARCHAR), ``group_sql`` the
+    group columns; with ``day_sql`` the registers fold through a daily
+    level first (associative MAX — same merged state by construction)
+    and an n_days column is emitted."""
+    wbits = 60 - m.bit_length() + 1
+    g = ", ".join(group_sql)
+    lc_vals = ", ".join(str(x) for x in hll_lc_table(m))
+    day_sel = f", {day_sql} AS _day" if day_sql else ""
+    day_grp = ", _day" if day_sql else ""
+    days_cte = (
+        f", days AS (SELECT {g}, CAST(count(DISTINCT _day) AS BIGINT)"
+        f" AS n_days FROM daily GROUP BY ALL)"
+        if day_sql
+        else ""
+    )
+    days_join = f" JOIN days USING ({g})" if day_sql else ""
+    days_col = ", n_days" if day_sql else ""
+    return f"""
+WITH src AS (
+  SELECT {g}{day_sel},
+         ('0x' || substr(md5({item_sql}), 1, 15))::BIGINT AS h
+  FROM {source_sql}
+),
+rk AS (
+  SELECT {g}{day_grp}, h % {m} AS b,
+         CASE WHEN h // {m} > 0
+              THEN {wbits + 1} - length(bin(h // {m}))
+              ELSE {wbits + 1} END AS r
+  FROM src
+),
+daily AS (SELECT {g}{day_grp}, b, max(r) AS r FROM rk GROUP BY ALL),
+merged AS (SELECT {g}, b, max(r) AS r FROM daily GROUP BY ALL)
+{days_cte},
+agg AS (
+  SELECT {g},
+         SUM(CAST(1 AS BIGINT) << (60 - r)) AS _sp,
+         count(*) AS _present
+  FROM merged GROUP BY ALL
+),
+est AS (
+  SELECT {g},
+    CAST(floor({hll_alpha_k(m)!r} /
+      CAST(_sp + ({m} - _present) * (CAST(1 AS HUGEINT) << 60) AS DOUBLE)
+    ) AS BIGINT) AS raw,
+    CAST({m} - _present AS BIGINT) AS v
+  FROM agg
+)
+SELECT {g},
+  CAST(CASE WHEN v > 0 AND raw <= {int(2.5 * m)}
+       THEN ([{lc_vals}])[v]
+       ELSE raw END AS BIGINT) AS distinct_est{days_col}
+FROM est{days_join}
+"""

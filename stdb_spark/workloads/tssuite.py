@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from stdb_spark import model
 from stdb_spark.engine import Engine
+from stdb_spark.operators import sketch as _sketch
 
 # ---------------------------------------------------------------- constants
 JAN01_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
@@ -6037,35 +6038,64 @@ FROM m
 )
 
 
-# Mergeable distinct-count rollup (Datasketches HLL): per-(metric, day)
-# user sketches union into per-metric monthly distincts — the 100 TB
-# rollup pattern where daily sketches are materialized once (summary-
-# table style) and ANY coarser period is a cheap sketch union, never a
-# re-scan of the raw data.  Estimates are sketch-specific, so the gate
-# entry is rows-only; accuracy is pinned in pytest
-# (test_hll_rollup_accuracy: <2% relative error vs exact).
+# Mergeable distinct-count rollup over MATERIALIZED sketch columns —
+# the 100 TB pattern where per-(metric, day) register tables are
+# written once at ingest (summary-table style) and ANY coarser period
+# is a cheap register MAX-merge, never a re-scan of the raw data.
+# Since r7 the sketch is the portable register spec
+# (operators/sketch.py:hll_registers — md5 hash, m=4096, exact integer
+# harmonic sum, python-precomputed linear-counting table), so the whole
+# entry carries a FULL value-hash oracle; the engine-native
+# Datasketches twin (F.hll_sketch_agg / hll_union_agg) stays covered by
+# pytest (test_hll_rollup_datasketches_accuracy) — its register states
+# hash with the library's internal hash and are not reconstructable in
+# DuckDB.  Unlike ts_distinct_users_hll_portable (inline registers from
+# raw), this entry reads the registers from a derived parquet cache —
+# sketches as STORED columns.
+_HLL_ROLLUP_M = 4096
+
+
 def _ts_hll_rollup(spark, sf):
-    ev = model.events_raw_ns(spark, sf)
-    daily = ev.groupBy(
-        "event_type", F.expr(f"ts div {D1_US * 1000}").alias("_day")
-    ).agg(F.hll_sketch_agg("user_id").alias("_sk"))
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("_sk"))
-            .cast("long")
-            .alias("distinct_users_est"),
-            F.count("*").cast("long").alias("n_days"),
+    cache = model.derived_cache_path(sf, "hll_daily_reg", "events")
+    if not model.cache_ready(cache):
+        ev = model.events_raw_ns(spark, sf)
+        daily = _sketch.hll_registers(
+            ev.select(
+                F.col("event_type").alias("metric"),
+                F.expr(f"ts div {D1_US * 1000}").alias("_day"),
+                "user_id",
+            ),
+            "user_id",
+            ["metric", "_day"],
+            m=_HLL_ROLLUP_M,
         )
-        .select(
-            F.col("event_type").alias("metric"),
-            "distinct_users_est",
-            "n_days",
-        )
+        daily.coalesce(4).write.mode("overwrite").parquet(cache)
+    daily = spark.read.parquet(cache)
+    est = _sketch.hll_estimate(daily, ["metric"], m=_HLL_ROLLUP_M)
+    days = (
+        daily.select("metric", "_day")
+        .distinct()
+        .groupBy("metric")
+        .agg(F.count("*").cast("long").alias("n_days"))
+    )
+    return est.join(days, "metric").select(
+        "metric",
+        F.col("distinct_est").alias("distinct_users_est"),
+        "n_days",
     )
 
 
-_q("ts_distinct_users_hll_rollup", _ts_hll_rollup)
+_q(
+    "ts_distinct_users_hll_rollup",
+    _ts_hll_rollup,
+    _sketch.hll_oracle_sql(
+        "CAST(user_id AS VARCHAR)",
+        ["metric"],
+        "(SELECT event_type AS metric, user_id, ts FROM events)",
+        m=_HLL_ROLLUP_M,
+        day_sql=f"epoch_us(ts) // {D1_US}",
+    ).replace("distinct_est", "distinct_users_est"),
+)
 
 
 # PORTABLE HLL twin with a FULL value-hash oracle (r5): the same

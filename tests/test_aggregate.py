@@ -269,9 +269,10 @@ def test_p95_sketch_tracks_exact(spark):
 
 def test_hll_rollup_accuracy(spark):
     """The mergeable HLL rollup's estimate must land within 2% of the
-    exact per-metric distinct-user count (Datasketches lgK=12 keeps
-    relative error ~0.8% at any cardinality; the union of daily
-    sketches must not degrade it)."""
+    exact per-metric distinct-user count (portable spec m=4096 keeps
+    relative error ~1.6%, and the linear-counting correction dominates
+    at fixture cardinalities; the daily->monthly register MAX-merge
+    must not degrade it)."""
     from stdb_spark.workloads import QUERIES
 
     sf = "/root/testdata/sf0.01"
@@ -419,3 +420,64 @@ def test_ohlc_from_summaries_matches_leaf(spark, dense_ramp):
         map(tuple, ohlc(dense_ramp, step_ns=300, begin_ns=100).collect())
     )
     assert got == want and got
+
+
+def test_hll_rollup_datasketches_accuracy(spark):
+    """Engine-native Datasketches twin of the portable register rollup
+    (the registry entry graduated to the portable spec in r7; the
+    native API path stays covered here): per-(metric, day) hll_sketch_agg
+    unioned into per-metric monthly distincts, within 2% of exact."""
+    from pyspark.sql import functions as F2
+
+    from stdb_spark import model
+
+    sf = "/root/testdata/sf0.01"
+    ev = model.events_raw_ns(spark, sf)
+    daily = ev.groupBy(
+        "event_type", F2.expr("ts div 86400000000000").alias("_day")
+    ).agg(F2.hll_sketch_agg("user_id").alias("_sk"))
+    got = {
+        r.event_type: r.est
+        for r in daily.groupBy("event_type")
+        .agg(
+            F2.hll_sketch_estimate(F2.hll_union_agg("_sk"))
+            .cast("long")
+            .alias("est")
+        )
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F2.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for m, est in got.items():
+        assert abs(est - exact[m]) <= max(1, 0.02 * exact[m]), (m, est, exact[m])
+
+
+def test_approx_distinct_tracks_exact(spark):
+    """The rows-only ts_approx_distinct entry (engine-native HLL++,
+    rsd=0.01): estimates must land within 3*rsd of the exact
+    per-metric distinct-user counts."""
+    from pyspark.sql import functions as F2
+
+    from stdb_spark import model
+    from stdb_spark.workloads import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r.metric: r.approx_users
+        for r in QUERIES["ts_approx_distinct"](spark, sf).collect()
+    }
+    exact = {
+        r.metric: r.n
+        for r in model.events_as_samples(spark, sf)
+        .groupBy("metric")
+        .agg(F2.countDistinct(F2.col("tags")["user"]).alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for m, est in got.items():
+        assert abs(est - exact[m]) <= max(1, 0.03 * exact[m]), (m, est, exact[m])
