@@ -296,7 +296,7 @@ def pagerank_oracle_sql(
         f"WITH e AS MATERIALIZED ({edges_cte})",
         "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
-        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes)",
         f"p0 AS (SELECT node, {SCALE} // (SELECT n FROM nn) AS pr FROM nodes)",
     ]
     tele = (

@@ -372,7 +372,7 @@ WITH toks AS (
   SELECT doc_id,
     ('0x' || substr(md5(unnest(g)), 1, 8))::BIGINT AS h
   FROM sh
-), hs AS (
+), hs AS MATERIALIZED (
   SELECT doc_id, i,
     min(({_MH_A_LIST}[i + 1] * h + {_MH_B_LIST}[i + 1])
         % {dedup.MINHASH_PRIME}) AS h
@@ -794,7 +794,7 @@ _KMQ = similarity.KM_QSCALE
 
 def _km_x_cte(src: str = "embeddings") -> str:
     """Exploded quantized components: (vec_id, pos 1-based, qx)."""
-    return f"""x AS (
+    return f"""x AS MATERIALIZED (
   SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_KMQ}.0) AS BIGINT) AS qx
   FROM {src})"""
@@ -803,7 +803,7 @@ def _km_x_cte(src: str = "embeddings") -> str:
 def _km_seeds_cte(k_sql: str, src: str = "embeddings") -> str:
     """k smallest (md5-hash, key) rows -> 0-based cell ids (the
     deterministic seeding rule of kmeans_fit_exact)."""
-    return f"""seeds AS (
+    return f"""seeds AS MATERIALIZED (
   SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS cell
   FROM (SELECT vec_id,
                ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
@@ -816,8 +816,13 @@ def _km_iters_cte(iters: int, p: str = "", pos_filter: str = "") -> str:
     ``p`` prefixes CTE names (PQ trains one chain per subspace);
     ``pos_filter`` restricts to a subspace's component range."""
     w = f" WHERE {pos_filter}" if pos_filter else ""
+    # c{i} is referenced by BOTH d{i+1} and c{i+1}: un-materialized,
+    # DuckDB may inline the whole prior chain into each reference —
+    # exponential plan growth in the iteration count (the PageRank
+    # oracle bomb, commit 3273086).  Centroid tables are bounded
+    # (k x dim rows), so materializing is always safe.
     blocks = [
-        f"""{p}c0 AS (
+        f"""{p}c0 AS MATERIALIZED (
   SELECT s.cell, x.pos, x.qx AS c FROM seeds s JOIN x ON s.vec_id = x.vec_id{w})"""
     ]
     for i in range(1, iters + 1):
@@ -832,7 +837,7 @@ def _km_iters_cte(iters: int, p: str = "", pos_filter: str = "") -> str:
 {p}s{i} AS (
   SELECT a.cell, x.pos, CAST(SUM(x.qx) AS BIGINT) // COUNT(*) AS m
   FROM {p}a{i} a JOIN x USING (vec_id){w} GROUP BY 1, 2),
-{p}c{i} AS (
+{p}c{i} AS MATERIALIZED (
   SELECT pr.cell, pr.pos, COALESCE(s.m, pr.c) AS c
   FROM {p}c{i-1} pr LEFT JOIN {p}s{i} s ON pr.cell = s.cell AND pr.pos = s.pos)""")
     return ",\n".join(blocks)
@@ -842,7 +847,7 @@ def _km_query_cte(name: str = "qv") -> str:
     """The quantized query vector as (pos 1-based, qq) rows."""
     qq = similarity.quantize_query(_QVEC, _KMQ)
     vals = ", ".join(f"({i + 1}, {v})" for i, v in enumerate(qq))
-    return f"{name} AS (SELECT * FROM (VALUES {vals}) AS t(pos, qq))"
+    return f"{name} AS MATERIALIZED (SELECT * FROM (VALUES {vals}) AS t(pos, qq))"
 
 
 # IVF-style ANN over the table's label column as cell ids: probe the 2
@@ -985,7 +990,7 @@ _q(
     _dedup_clusters,
     _MH_CTES.replace("WITH toks", "WITH RECURSIVE toks")
     + """
-, edges AS (
+, edges AS MATERIALIZED (
   SELECT a AS src, b AS dst FROM cands
   UNION SELECT b, a FROM cands
 ), reach(id, lbl) AS (
@@ -3213,7 +3218,7 @@ _q(
     _dedup_cluster_sizes,
     _MH_CTES.replace("WITH toks", "WITH RECURSIVE toks")
     + """
-, edges AS (
+, edges AS MATERIALIZED (
   SELECT a AS src, b AS dst FROM cands
   UNION SELECT b, a FROM cands
 ), reach(id, lbl) AS (

@@ -4268,7 +4268,7 @@ WITH RECURSIVE d AS (
   WHERE epoch_us(ts) >= {JAN01_US} AND epoch_us(ts) < {FEB01_US}
   GROUP BY 1, 2
 ),
-seq AS (
+seq AS MATERIALIZED (
   SELECT series, list(value ORDER BY b) AS xs, count(*) AS n
   FROM d GROUP BY series
 ),
@@ -4341,7 +4341,7 @@ _q(
     AND tu >= {JAN01_US} AND tu < {FEB01_US}
   GROUP BY 1
 ),
-l AS (
+l AS MATERIALIZED (
   SELECT x,
     lead(y, 0) OVER w AS y0, lead(y, 1) OVER w AS y1,
     lead(y, 2) OVER w AS y2, lead(y, 3) OVER w AS y3,
@@ -5085,7 +5085,7 @@ _q(
     _ts_audience_overlap,
     BASE
     + f"""
-, mu AS (
+, mu AS MATERIALIZED (
   SELECT DISTINCT metric, u FROM base
   WHERE tu >= {JAN01_US} AND tu < {FEB01_US}
 ),
@@ -5546,8 +5546,8 @@ _q(
     _ts_shape_clusters,
     _DTW_CTES
     + """,
-dist AS (SELECT a, b, cur[n] AS dtw FROM w WHERE dg = n + m),
-med AS (SELECT quantile_cont(dtw, 0.5) AS m FROM dist),
+dist AS MATERIALIZED (SELECT a, b, cur[n] AS dtw FROM w WHERE dg = n + m),
+med AS MATERIALIZED (SELECT quantile_cont(dtw, 0.5) AS m FROM dist),
 e AS (
   SELECT a AS src, b AS dst FROM dist, med WHERE dtw <= m
   UNION SELECT b, a FROM dist, med WHERE dtw <= m
