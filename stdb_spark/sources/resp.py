@@ -341,19 +341,24 @@ def _parse_resp_full(
                 ),
             ),
         )
-        .filter(
-            F.col("_series").isNotNull()
-            & F.col("ts").isNotNull()
-            # row-protocol contract: exactly one value per metric
-            & (F.size("_ms") == F.size("_raw"))
-            & ~F.exists(
-                "_vs", lambda v: v["value"].isNull() & v["body"].isNull()
-            )
-        )
+    )
+    # Whole-PDU validity is folded into the generator input instead of
+    # a Filter node: an invalid PDU yields NULL, which explode() drops.
+    # A separate .filter() gets pushed below the projections and the
+    # repartition all the way into the scan stage, with every column
+    # alias SUBSTITUTED — the r6 plan evaluated the full
+    # split/replace/zip chain ~30x per wire row inside a single-task
+    # scan-side Filter (2.5 s at sf0.1; 0.5 s with the fold).
+    valid = (
+        F.col("_series").isNotNull()
+        & F.col("ts").isNotNull()
+        # row-protocol contract: exactly one value per metric
+        & (F.size("_ms") == F.size("_raw"))
+        & ~F.exists("_vs", lambda v: v["value"].isNull() & v["body"].isNull())
     )
     tags_part = F.array_join(F.slice(F.split(F.col("_series"), " "), 2, 32), " ")
     df = df.select(
-        F.explode(F.arrays_zip("_ms", "_vs")).alias("_z"),
+        F.explode(F.when(valid, F.arrays_zip("_ms", "_vs"))).alias("_z"),
         "ts",
         F.map_from_entries(
             F.transform(

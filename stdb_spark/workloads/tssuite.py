@@ -342,7 +342,7 @@ def _stream_resp_events(spark, sf):
     schema = spark.read.parquet(wire).schema
     sdf = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "2")
+        .option("maxFilesPerTrigger", "8")
         .parquet(wire)
     )
     out = parse_resp_events(sdf).select(
@@ -411,10 +411,11 @@ def _stream_resp_dict(spark, sf):
     names = sorted(r[0] for r in ev.select(cname.alias("n")).distinct().collect())
     dictionary = {i + 1: n for i, n in enumerate(names)}
     inv = {n: i for i, n in dictionary.items()}
-    # artifact name carries the layout (4 files): an existing cache
-    # with the old 32-file layout must not satisfy the 2-per-trigger
-    # replay below (it would balloon into 16 epochs)
-    wire = model.derived_cache_path(sf, "resp_wire4", "events")
+    # artifact name carries the layout (16 files): an existing cache
+    # with an older layout must not satisfy the 8-per-trigger replay
+    # below (a stale 4-file cache would collapse it to single-task
+    # epochs; a 32-file one would balloon it into 4 epochs)
+    wire = model.derived_cache_path(sf, "resp_wire16", "events")
     if not model.cache_ready(wire):
         mdf = spark.createDataFrame(
             list(inv.items()), "_n string, _id long"
@@ -444,14 +445,17 @@ def _stream_resp_dict(spark, sf):
                 .alias("value")
             )
         )
-        # 4 wire files / 2 per trigger = 2 micro-batches: still a real
+        # 16 wire files / 8 per trigger = 2 micro-batches: still a real
         # multi-epoch replay (dictionary state must survive the epoch
-        # boundary), without paying 4-5 epochs of trigger scheduling
-        pdus.repartition(4).write.mode("overwrite").parquet(wire)
+        # boundary) without paying 4-5 epochs of trigger scheduling,
+        # and each epoch's parse spreads over 8 tasks instead of 2
+        # (r6 bench: the replay floor was parse time on underparallel
+        # epochs, not data volume)
+        pdus.repartition(16).write.mode("overwrite").parquet(wire)
     schema = spark.read.parquet(wire).schema
     sdf = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "2")
+        .option("maxFilesPerTrigger", "8")
         .parquet(wire)
     )
     out = parse_resp_pdus(sdf, dictionary=dictionary).select(
@@ -2009,6 +2013,12 @@ def _ingest_resp_events(spark, sf):
         )
         .alias("value")
     )
+    # The fixture wire materializes from ONE small parquet split, so
+    # without an explicit spread the whole parse would run in a single
+    # task (r6 bench: ~2.5 s of string work on one core).  A real
+    # socket/file feed arrives pre-partitioned; this exchange of raw
+    # PDU strings stands in for that and costs ~2% of the parse.
+    pdus = pdus.repartition(spark.sparkContext.defaultParallelism)
     # ONE parse pass: the full parser emits exactly one of value/body
     # per exploded element, so the events-plus-samples union IS the
     # full output (a separate parse_resp_events + parse_resp_pdus
