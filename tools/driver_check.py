@@ -5,7 +5,13 @@ every conf the engine needs must be applied at runtime by the entry
 points themselves (model.ensure_session_confs).
 
 Usage:  python tools/driver_check.py [sf_dir] [name ...]
+        python tools/driver_check.py [sf_dir] --sample N --seed S
 Prints one line per query (pass/fail/err) and a JSON summary.
+
+--sample N --seed S: check N registry entries drawn by a seeded shuffle
+(seed = round number by convention) — the adversarial self-check of
+VERDICT r6 directive #5: every round ships a fresh random-sample record
+in CORRECTNESS_LOCAL.md on top of the fixed window + full local gate.
 """
 
 from __future__ import annotations
@@ -64,8 +70,18 @@ def _hash(df: pd.DataFrame) -> str:
 def main() -> int:
     from pyspark.sql import SparkSession
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    sample_n = seed = None
+    if "--sample" in args:
+        i = args.index("--sample")
+        sample_n = int(args[i + 1])
+        del args[i : i + 2]
+    if "--seed" in args:
+        i = args.index("--seed")
+        seed = int(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     # BARE session: exactly what the driver hands us.  For LOCAL scale
     # replicas (sf1+) the default 1g driver heap of a bare local JVM is
@@ -104,6 +120,15 @@ def main() -> int:
 
     qs = entry.queries()
     sqls = entry.oracle_sql()
+
+    if sample_n is not None:
+        import random
+
+        rng = random.Random(seed if seed is not None else 0)
+        names = sorted(qs)
+        rng.shuffle(names)
+        only = set(names[:sample_n])
+        print(f"seeded sample (n={sample_n}, seed={seed}): {sorted(only)}")
 
     import time
 
