@@ -51,14 +51,21 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", key: str = "doc_id")
     )
 
 
-def shingles_col(text_col: str = "text", n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles over an ALREADY-MATERIALIZED token
+    array column.
 
     Built as a fold of zip_with over n shifted slices of the token
     array rather than transform(sequence, slice(i, n)) — the per-index
     slice form re-copies the token array per gram and benches ~2.5x
-    slower in codegen."""
-    toks = tokens_col(normalized_text(text_col))
+    slower in codegen.
+
+    Callers must project the token array into its own column first
+    (``with_shingles`` does): this expression references ``toks``
+    ~(n+4) times, and with the tokenize expression inlined (zip_with
+    blocks codegen, so there is no subexpression elimination) each
+    reference would re-run split/lower/regexp per row — the r7 plan
+    audit measured 8 tokenize copies per document."""
     width = F.greatest(F.size(toks) - (n - 1), F.lit(1))
     grams = F.slice(toks, 1, width)
     for i in range(1, n):
@@ -67,6 +74,23 @@ def shingles_col(text_col: str = "text", n: int = 3) -> Column:
     return F.array_distinct(
         F.when(F.size(toks) >= n, grams).otherwise(F.array(F.array_join(toks, " ")))
     )
+
+
+def with_shingles(
+    df: DataFrame, keep: list, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(keep..., _sh) with the token array materialized as its own
+    projection step so the shingle fold reads a column, not an inlined
+    tokenize expression (see shingles_from_tokens)."""
+    return df.select(
+        *keep, tokens_col(normalized_text(text_col)).alias("_t")
+    ).select(*keep, shingles_from_tokens(F.col("_t"), n).alias("_sh"))
+
+
+def shingles_col(text_col: str = "text", n: int = 3) -> Column:
+    """Single-Column shingle expression (compat surface).  Prefer
+    ``with_shingles`` — this form inlines the tokenize per reference."""
+    return shingles_from_tokens(tokens_col(normalized_text(text_col)), n)
 
 
 def _spread(df: DataFrame, *cols: str) -> DataFrame:
@@ -120,9 +144,10 @@ def minhash_signatures(
     equals the groupBy key so the agg reuses the exchange instead of
     shuffling twice.
     """
-    ex = _spread(df.select(F.col(key), F.col(text_col)), key).select(
-        F.col(key), F.explode(shingles_col(text_col, shingle_n)).alias("_s")
-    )
+    ex = with_shingles(
+        _spread(df.select(F.col(key), F.col(text_col)), key),
+        [F.col(key)], text_col, shingle_n,
+    ).select(F.col(key), F.explode("_sh").alias("_s"))
     hs = ex.select(F.col(key), shingle_hash32(F.col("_s")).alias("_h"))
     mins = hs.groupBy(key).agg(
         *[
@@ -266,8 +291,9 @@ def ngram_jaccard_pairs(
     set ``df_cap`` (e.g. 1000).
     """
     blocks = [F.col(block_col)] if block_col else []
-    base = _spread(df.select(F.col(key), *blocks, F.col(text_col)), key).select(
-        F.col(key), *blocks, shingles_col(text_col, n).alias("_sh")
+    base = with_shingles(
+        _spread(df.select(F.col(key), *blocks, F.col(text_col)), key),
+        [F.col(key), *blocks], text_col, n,
     )
     sh = base.select(
         F.col(key),
@@ -313,9 +339,9 @@ def simhash(df: DataFrame, text_col: str = "text", key: str = "doc_id", bits: in
     two flat columns, groupBy(key) with 64 sum() bit-votes — one
     exchange + codegen'd hash-aggregate instead of 64 re-evaluations of
     the tokenization inside nested array folds."""
-    ex = _spread(df.select(F.col(key), F.col(text_col)), key).select(
-        F.col(key), F.explode(shingles_col(text_col)).alias("_s")
-    )
+    ex = with_shingles(
+        _spread(df.select(F.col(key), F.col(text_col)), key), [F.col(key)], text_col
+    ).select(F.col(key), F.explode("_sh").alias("_s"))
     # per-shingle 64-bit value from md5 (two 32-bit halves for exactness)
     hl = ex.select(
         F.col(key),
@@ -697,12 +723,9 @@ def ngram_novelty(
     # per-doc totals are map-side off the shingle ARRAY (one row per
     # doc, no exchange) — deriving them from the exploded postings via
     # distinct() would add a doc-keyed exchange over postings-count rows
-    per_doc = docs.select(
-        F.col(key), F.size(shingles_col(text_col, n)).alias("n_shingles")
-    )
-    base = docs.select(
-        F.col(key), F.explode(shingles_col(text_col, n)).alias("shingle")
-    )
+    sh = with_shingles(docs, [F.col(key)], text_col, n)
+    per_doc = sh.select(F.col(key), F.size("_sh").alias("n_shingles"))
+    base = sh.select(F.col(key), F.explode("_sh").alias("shingle"))
     owners = base.groupBy("shingle").agg(
         F.count("*").alias("_c"), F.min(key).alias("_owner")
     )
