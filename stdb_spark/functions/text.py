@@ -71,8 +71,14 @@ def stopword_ratio_col(text: str | Column = "text", stopwords: list[str] | None 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic document quality: length, mean word length, punctuation
     density, stopword ratio — the standard cheap pre-filters of an LLM
-    data pipeline.  Pure column expressions; pushdown-friendly."""
-    toks = tokens_col(text_col)
+    data pipeline.  Pure column expressions; pushdown-friendly.
+
+    Three projection steps (tokens -> features -> score) so the token
+    array and each feature evaluate ONCE per row: a single-select form
+    embeds a tokenize copy in every feature AND in every score term
+    (the r7 plan audit counted 12), and the HOFs (filter/aggregate)
+    block codegen subexpression elimination from rescuing it."""
+    toks = F.col("_t")
     n_tok = F.size(toks)
     mean_word_len = F.aggregate(
         toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
@@ -80,20 +86,35 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(F.col(text_col))
     punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
     punct_ratio = punct / F.greatest(n_chars, F.lit(1))
-    sw_ratio = stopword_ratio_col(text_col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    sw_ratio = F.size(
+        F.filter(toks, lambda t: F.array_contains(sw, F.lower(t)))
+    ) / F.greatest(n_tok, F.lit(1))
     score = (
-        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
-        + F.when((mean_word_len >= 3) & (mean_word_len <= 10), 0.3).otherwise(0.0)
-        + F.when(punct_ratio <= 0.1, 0.2).otherwise(0.0)
-        + F.least(sw_ratio * 2.0, F.lit(0.1))
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.when(
+            (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10), 0.3
+        ).otherwise(0.0)
+        + F.when(F.col("punct_ratio") <= 0.1, 0.2).otherwise(0.0)
+        + F.least(F.col("stopword_ratio") * 2.0, F.lit(0.1))
     )
-    return df.select(
-        "*",
-        n_tok.alias("n_tokens"),
-        mean_word_len.alias("mean_word_len"),
-        punct_ratio.alias("punct_ratio"),
-        sw_ratio.alias("stopword_ratio"),
-        score.alias("quality_score"),
+    return (
+        df.select("*", tokens_col(text_col).alias("_t"))
+        .select(
+            "*",
+            n_tok.alias("n_tokens"),
+            mean_word_len.alias("mean_word_len"),
+            punct_ratio.alias("punct_ratio"),
+            sw_ratio.alias("stopword_ratio"),
+        )
+        .select(
+            *[c for c in df.columns],
+            "n_tokens",
+            "mean_word_len",
+            "punct_ratio",
+            "stopword_ratio",
+            score.alias("quality_score"),
+        )
     )
 
 

@@ -16,7 +16,7 @@ PICK = [
     ("ts_group_aggregate", "group-aggregate: begin-aligned buckets, partial->final hash agg, one exchange"),
     ("ts_join_pivot", "join: ts-alignment as pivot — zero join operators"),
     ("rel_q5_local_supplier_volume", "multi-way join: dims broadcast, facts shuffle"),
-    ("doc_minhash_lsh_candidates", "minhash+LSH: explode -> flat hashes -> exchange-reused aggregation"),
+    ("doc_minhash_lsh_candidates", "minhash+LSH: tokenize ONCE into a column (r7), explode -> flat hashes -> exchange-reused aggregation"),
     ("emb_ann_bruteforce", "ANN brute force: TakeOrderedAndProject, no global sort"),
     ("ts_asof_join", "as-of join: union + window fill — one shuffle, no range join"),
     ("ts_interval_join", "interval join: bucketized equi-join — shuffled hash join, no nested loop"),
@@ -68,7 +68,7 @@ PICK = [
     ("sp_knn_grid", "grid KNN phase 2: bbox predicates reach PushedFilters, TakeOrdered(k)"),
     ("ingest_resp_roundtrip", "RESP parse: JVM split/slice/arrays_zip/explode — row-protocol zip, no Python"),
     ("ts_event_funnel", "windowed funnel: cumulative conditional-min windows stack on ONE user exchange, tiny stage histogram"),
-    ("ingest_resp_events_roundtrip", "RESP event-body ingest: one parse pass emits value XOR body per element, all JVM exprs"),
+    ("ingest_resp_events_roundtrip", "RESP event-body ingest: one parse pass emits value XOR body per element, all JVM exprs; PDU validity folded into the explode generator (r7: no Filter node, no scan-side re-parse)"),
     ("rel_q9_product_type_profit", "derived partsupp in-plan: part x range(4) broadcast cross, cents-decimal profit, dims broadcast"),
     ("rel_supplier_pagerank", "PageRank (small regime): one dispatch count + ONE Arrow task runs the whole integer loop"),
     ("doc_chunk_windows", "RAG chunking: explode(sequence) + substring, flatMap shape — zero exchanges"),
@@ -77,6 +77,10 @@ PICK = [
     ("ts_time_rollup", "time-hierarchy ROLLUP: single Expand into one partial->final cell aggregate"),
     ("rel_revenue_rollup", "region/nation ROLLUP: facts pre-aggregated to 25 cells BEFORE Expand; dims broadcast"),
     ("rel_supplier_pagerank", "exact PageRank: single edge-lineage eval, graph-scaled exchanges, broadcast ranks below 1M nodes (co-partitioned join above)"),
+    # r7 additions
+    ("ts_distinct_users_hll_rollup", "HLL rollup over MATERIALIZED register parquet: max-merge + exact integer harmonic sum, broadcast LC table — raw events never rescanned"),
+    ("mm_image_features", "media features: Arrow-batched mapInPandas over binary payloads, exact-int mean/std emitted as plain doubles"),
+    ("doc_quality_score", "quality features: tokens -> features -> score as THREE projections, tokenize evaluated once per row (r7: was 12 inlined copies)"),
 ]
 
 
