@@ -136,6 +136,17 @@ _SESSION_CONFS = {
     # side's scan (runtime row-level filtering) — explicit so injected
     # bare sessions behave like session.get_spark ones
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # InferFiltersFromGenerate synthesizes `size(e) > 0` below every
+    # explode and pushdown then SUBSTITUTES the generator input's whole
+    # alias chain into the scan-side predicate — for this engine's
+    # parse/shingle pipelines (HOF-heavy, so codegen CSE can't rescue
+    # them) that re-evaluated the full tokenize per row in the scan
+    # stage (r7 audit: x16 copies; doc_simhash 1.22 s -> 0.31 s at
+    # sf0.1 with the rule off).  Empty-array rows are rare in all our
+    # explodes, so the inferred filter never paid for itself.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
     # Right-size shuffles for the local box: an injected bare session
     # defaults to 200 partitions — pure task overhead at test scale
     # (AQE coalesces batch plans, but streaming state shuffles run all

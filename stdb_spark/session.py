@@ -61,6 +61,12 @@ def get_spark(
         # same way broadcast pruning serves dim joins (plan test:
         # test_plans.test_runtime_bloom_filter_reduces_fact_scan)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # see model._SESSION_CONFS: the inferred size(e)>0 filters push
+        # the full generator-input alias chain into the scan predicate
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("STDB_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
