@@ -696,3 +696,30 @@ def test_unpartitioned_windows_have_bounded_inputs(spark, build):
     assert wins, "expected at least one unpartitioned window in this plan"
     for line, bounded in wins:
         assert bounded, f"unbounded global window over raw rows: {line}"
+
+
+def test_no_inferred_generate_filters_reparse_scan(spark):
+    """r7 regression: InferFiltersFromGenerate + pushdown used to inline
+    the full tokenize / parse chain into scan-side predicates (x16
+    copies).  With the rule excluded and validity folded into the
+    generators, each expensive construct appears a bounded number of
+    times in the plan."""
+    from stdb_spark import model
+    from stdb_spark.workloads import QUERIES
+
+    model.ensure_session_confs(spark)
+    sf = "/root/testdata/sf0.001"
+    for name, cap in [
+        ("doc_simhash", 4),
+        ("doc_minhash_lsh_candidates", 4),
+        ("ingest_resp_events_roundtrip", 4),
+        ("doc_quality_score", 4),
+    ]:
+        plan = (
+            QUERIES[name](spark, sf)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n = plan.count("split(regexp_replace(") + plan.count("split(replace(")
+        assert n <= cap, (name, n)
