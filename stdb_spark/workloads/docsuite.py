@@ -1237,6 +1237,49 @@ def _mm_phash_near_dups(spark, sf):
 _q("mm_phash_near_dups", _mm_phash_near_dups, mm_oracles.phash_pairs_sql(48, 8, 3))
 
 
+# Image near-dup CLUSTERING: the pHash pair graph closed transitively
+# with the SAME connected-components operator text dedup uses — one
+# pipeline from binary payloads to dedup clusters (A~B and B~C collapse
+# even if A~C never paired).  Oracle: the clean-room pHash VALUES +
+# brute-force pair scan (full recall at distance <= blocks-1) + the
+# recursive reachability closure — the doc_dedup_clusters pattern with
+# the pair CTE materialized (it feeds both members of the recursion).
+def _mm_phash_clusters(spark, sf):
+    from stdb_spark.functions import multimodal
+
+    media = multimodal.make_fake_media(spark, n=48, kind="image")
+    dup = media.select(
+        (F.col("media_id") + 100).alias("media_id"),
+        "kind", "mime", "width", "height", "duration_ms", "payload",
+    ).limit(8)
+    hashes = multimodal.image_phash(media.unionByName(dup))
+    pairs = dedup.hamming_pairs(
+        hashes, sig_col="phash", key="media_id", max_distance=3
+    )
+    return dedup.connected_components(pairs, src="a", dst="b").select(
+        F.col("id").alias("media_id"), F.col("cluster_id")
+    )
+
+
+def _mm_phash_clusters_sql() -> str:
+    pairs = mm_oracles.phash_pairs_sql(48, 8, 3)
+    return f"""
+WITH RECURSIVE prs AS MATERIALIZED ({pairs}),
+edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM prs
+  UNION SELECT b, a FROM prs
+), reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS media_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+_q("mm_phash_clusters", _mm_phash_clusters, _mm_phash_clusters_sql())
+
+
 # Weighted (importance) sampling: inclusion probability = per-row
 # weight, decision = content hash — reproducible across engines and
 # repartitions like doc_hash_sample.  Weight here: favor longer docs,
