@@ -96,6 +96,12 @@ HEADLINE = [
     "emb_label_centroids",
     "emb_knn_classify",
     "mm_manifest_stats",
+    "mm_image_features",
+    "mm_audio_features",
+    "mm_video_frame_sample",
+    "mm_phash_near_dups",
+    "mm_phash_clusters",
+    "ts_distinct_users_hll_rollup",
     "doc_hamming_near_dups",
     "doc_hamming_presigned",
     "ts_aggregate_summary_pushdown",
