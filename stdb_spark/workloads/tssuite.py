@@ -4009,6 +4009,73 @@ def _ts_p95_sketch(spark, sf):
 _q("ts_group_aggregate_p95_sketch", _ts_p95_sketch)  # rows-only: sketch path
 
 
+# PORTABLE mergeable-quantile twin with a FULL value-hash oracle (the
+# HLL-portable story applied to percentiles, VERDICT r6 #3): a
+# fixed-width integer histogram — bin = floor(value * 100) — is a
+# deterministic mergeable summary (per-bin counts add associatively;
+# memory bounded by the value range, not row count), and its p95 rule
+# is pure integer arithmetic: the smallest bin whose cumulative count
+# reaches ceil(0.95 n) = (19n + 19) div 20, reported at the bin's
+# upper edge.  Everything reproduces bit-for-bit in SQL — unlike
+# approx_percentile's engine-private GK/KLL state (the rows-only
+# entry above).  At 100 TB the histogram rows are the materialized
+# sketch column: daily tables max-merge by plain count addition.
+def _ts_p95_hist(spark, sf):
+    df = _samples(spark, sf, "error", JAN01_US, FEB01_US)
+    bucket = F.lit(JAN01) + F.lit(H6) * F.expr(f"(ts - {JAN01}L) div {H6}L")
+    hist = df.groupBy(
+        "series",
+        bucket.alias("_b"),
+        F.floor(F.col("value") * 100).alias("_bin"),
+    ).agg(F.count("*").alias("_c"))
+    w = Window.partitionBy("series", "_b").orderBy("_bin")
+    tot = Window.partitionBy("series", "_b")
+    cum = F.sum("_c").over(w)
+    n = F.sum("_c").over(tot)
+    target = F.expr("(19 * _n + 19) div 20")
+    hit = (
+        hist.withColumn("_cum", cum)
+        .withColumn("_n", n)
+        .filter(F.col("_cum") >= target)
+        .groupBy("series", "_b", "_n")
+        .agg(F.min("_bin").alias("_pb"))
+    )
+    return hit.select(
+        "series",
+        F.expr("_b div 1000").alias("ts"),
+        ((F.col("_pb") + 1) / F.lit(100.0)).alias("p95_hist"),
+        F.col("_n").cast("long").alias("n"),
+    )
+
+
+_q(
+    "ts_group_aggregate_p95_histogram",
+    _ts_p95_hist,
+    BASE
+    + f"""
+, h AS (
+  SELECT 'error user=' || u AS series,
+         {JAN01_US} + {H6_US} * ((tu - {JAN01_US}) // {H6_US}) AS b,
+         CAST(floor(value * 100) AS BIGINT) AS bin,
+         count(*) AS c
+  FROM base WHERE metric = 'error' AND tu >= {JAN01_US} AND tu < {FEB01_US}
+  GROUP BY 1, 2, 3
+),
+cw AS (
+  SELECT series, b, bin, c,
+         sum(c) OVER (PARTITION BY series, b ORDER BY bin) AS cum,
+         sum(c) OVER (PARTITION BY series, b) AS n
+  FROM h
+)
+SELECT series, b AS ts,
+       CAST(min(bin) + 1 AS DOUBLE) / CAST(100.0 AS DOUBLE) AS p95_hist,
+       CAST(n AS BIGINT) AS n
+FROM cw WHERE cum >= (19 * n + 19) // 20
+GROUP BY series, b, n
+""",
+)
+
+
 # ------------------------------------------------------- upsert merge
 # Merge-on-read upsert (the WAL-replay/compaction analog for a parquet
 # lakehouse): base snapshot (batch 0) + an update batch re-pricing

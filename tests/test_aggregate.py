@@ -481,3 +481,55 @@ def test_approx_distinct_tracks_exact(spark):
     assert set(got) == set(exact)
     for m, est in got.items():
         assert abs(est - exact[m]) <= max(1, 0.03 * exact[m]), (m, est, exact[m])
+
+
+def test_p95_histogram_within_bin_width_of_exact(spark):
+    """The portable fixed-bin histogram p95 (full value-hash oracle)
+    reports the upper edge of the bin containing the rank-ceil(0.95 n)
+    order statistic, so it must land within one bin width (0.01) above
+    that exact DISCRETE quantile (interpolated p95 can sit a full
+    inter-sample gap away in sparse tails — not the right reference)."""
+    from pyspark.sql import functions as F2
+
+    from stdb_spark import model
+    from stdb_spark.workloads import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        (r.series, r.ts): r.p95_hist
+        for r in QUERIES["ts_group_aggregate_p95_histogram"](spark, sf).collect()
+    }
+    assert got, "histogram produced no buckets"
+    df = model.events_as_samples(spark, sf).filter(F2.col("metric") == "error")
+    JAN01_US, H6_US = 1704067200000000, 21600000000
+    exact = {
+        (r.series, r.ts): r.p95
+        for r in df.filter(
+            (F2.col("ts") >= JAN01_US * 1000)
+            & (F2.col("ts") < (JAN01_US + 31 * 86400000000) * 1000)
+        )
+        .select(
+            F2.concat(
+                F2.col("metric"), F2.lit(" user="), F2.col("tags")["user"]
+            ).alias("series"),
+            (
+                F2.lit(JAN01_US)
+                + F2.lit(H6_US)
+                * F2.expr(f"(ts div 1000 - {JAN01_US}) div {H6_US}")
+            ).alias("ts"),
+            "value",
+        )
+        .groupBy("series", "ts")
+        .agg(
+            F2.expr(
+                "sort_array(collect_list(value))"
+                "[CAST((19 * count(value) + 19) div 20 AS INT) - 1]"
+            ).alias("p95")
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert exact[k] - 1e-9 <= est <= exact[k] + 0.0100001 + 1e-9, (
+            k, est, exact[k],
+        )
