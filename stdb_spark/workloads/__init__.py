@@ -108,10 +108,10 @@ _PRIORITY = [
     "rel_basket_pairs",
     "rel_monthly_revenue_trend",
     "ts_top_per_bucket",
-    "ts_rolling_corr",
+    "mm_phash_clusters",             # r7: image near-dup clustering (new oracle)
     "ts_slo_burn",
     "ts_counter_rate_resets",
-    "ts_periodogram",
+    "ts_group_aggregate_p95_histogram",  # r7: portable mergeable-quantile (new oracle)
     "doc_token_stats",
     "doc_neardup_survivors",
     "doc_unicode_nfc",
