@@ -4019,7 +4019,11 @@ _q("ts_group_aggregate_p95_sketch", _ts_p95_sketch)  # rows-only: sketch path
 # upper edge.  Everything reproduces bit-for-bit in SQL — unlike
 # approx_percentile's engine-private GK/KLL state (the rows-only
 # entry above).  At 100 TB the histogram rows are the materialized
-# sketch column: daily tables max-merge by plain count addition.
+# sketch column: daily tables merge by plain count addition.  Memory
+# caveat: rows scale with VALUE RANGE x resolution, not row count —
+# fine for bounded metrics (latencies, rates); open-ended domains
+# clamp to [lo, hi] with two overflow bins as part of the sketch spec
+# (the oracle story is unchanged by a clamp).
 def _ts_p95_hist(spark, sf):
     df = _samples(spark, sf, "error", JAN01_US, FEB01_US)
     bucket = F.lit(JAN01) + F.lit(H6) * F.expr(f"(ts - {JAN01}L) div {H6}L")
