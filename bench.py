@@ -103,6 +103,7 @@ HEADLINE = [
     "mm_phash_clusters",
     "ts_distinct_users_hll_rollup",
     "ts_group_aggregate_p95_histogram",
+    "ts_heavy_hitters_cms",
     "doc_hamming_near_dups",
     "doc_hamming_presigned",
     "ts_aggregate_summary_pushdown",

@@ -221,3 +221,91 @@ SELECT {g},
        ELSE raw END AS BIGINT) AS distinct_est{days_col}
 FROM est{days_join}
 """
+
+
+# ------------------------------------------------ portable Count-Min
+# Deterministic-by-spec Count-Min sketch (Cormode & Muthukrishnan '05):
+# d independent md5-derived row hashes into w buckets, counters merge
+# by plain addition (the mergeable counter table a 100 TB rollup
+# materializes per day), estimate = min over the d counters — a
+# one-sided overestimate with error <= n/w per row.  Unlike the
+# Misra-Gries fold (order-dependent counter state, see QUERIES.md
+# rationale), every piece is a hash aggregate, so the whole sketch AND
+# its estimates reproduce bit-for-bit in SQL.
+
+
+def cms_bucket_expr(item: "F.Column", row: int, w: int) -> "F.Column":
+    """Bucket of ``item`` in sketch row ``row``: md5-derived 60-bit
+    hash with a per-row salt, modulo w.
+    DuckDB: ('0x' || substr(md5('r<row>:' || x), 1, 15))::BIGINT % w."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"r{row}:"), item)), 1, 15), 16, 10
+    ).cast("long")
+    return h % w
+
+
+def cms_counters(
+    df: DataFrame, item_col: str, d: int = 4, w: int = 512
+) -> DataFrame:
+    """(d, b, c): the d x w counter grid as sparse rows — ONE exchange
+    of (row, bucket) partial counts (each input row contributes to d
+    cells via a map-side explode; the shuffle carries at most d*w rows
+    per partition after partial aggregation)."""
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("d"),
+                    cms_bucket_expr(F.col(item_col), r, w).alias("b"),
+                )
+                for r in range(d)
+            ]
+        )
+    )
+    return (
+        df.select(cells.alias("_c"))
+        .select(F.col("_c.d").alias("d"), F.col("_c.b").alias("b"))
+        .groupBy("d", "b")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame, items: DataFrame, item_col: str, d: int = 4, w: int = 512
+) -> DataFrame:
+    """(item, cm_est): min over the d counters addressed by the item's
+    row hashes.  ``counters`` is broadcast (<= d*w rows by
+    construction), so estimating any candidate set is map-side."""
+    probes = items.select(
+        F.col(item_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("d"),
+                        cms_bucket_expr(F.col(item_col), r, w).alias("b"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("_p"),
+    ).select(item_col, F.col("_p.d").alias("d"), F.col("_p.b").alias("b"))
+    return (
+        probes.join(F.broadcast(counters), ["d", "b"])
+        .groupBy(item_col)
+        .agg(F.min("c").alias("cm_est"))
+    )
+
+
+def cms_oracle_ctes(item_sql: str, source_sql: str, d: int = 4, w: int = 512) -> str:
+    """DuckDB twin: CTEs `cms(d, b, c)` and `cand(item)` over
+    ``source_sql`` (one row per occurrence; ``item_sql`` names the item
+    expression)."""
+    cells = " UNION ALL ".join(
+        f"SELECT {r} AS d, ('0x' || substr(md5('r{r}:' || item), 1, 15))::BIGINT"
+        f" % {w} AS b FROM src"
+        for r in range(d)
+    )
+    return f"""src AS MATERIALIZED (SELECT {item_sql} AS item FROM {source_sql}),
+cms AS MATERIALIZED (SELECT d, b, count(*) AS c FROM ({cells}) GROUP BY d, b),
+cand AS MATERIALIZED (SELECT DISTINCT item FROM src)"""

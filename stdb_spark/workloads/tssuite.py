@@ -4471,6 +4471,65 @@ def _ts_heavy_hitters_sketch(spark, sf):
 _q("ts_heavy_hitters_sketch", _ts_heavy_hitters_sketch)  # rows-only: sketch
 
 
+# PORTABLE Count-Min twin with a FULL value-hash oracle (the third leg
+# of the portable-sketch family after HLL registers and the quantile
+# histogram): the d x w counter grid is md5-addressed and merges by
+# plain addition, the estimate is min over d counters — every piece a
+# hash aggregate, so unlike the order-dependent Misra-Gries fold the
+# whole sketch reproduces bit-for-bit in SQL.  The entry ranks the
+# top-10 series by CM estimate (ties by exact count then name) and
+# carries the exact count alongside, exhibiting the one-sided
+# overestimate (cm_est >= n, pinned in pytest).
+_CMS_D, _CMS_W = 4, 512
+
+
+def _ts_heavy_hitters_cms(spark, sf):
+    items = model.events_as_samples(spark, sf).select(
+        F.concat(F.col("metric"), F.lit(" user="), F.col("tags")["user"]).alias(
+            "series"
+        )
+    )
+    counters = _sketch.cms_counters(items, "series", _CMS_D, _CMS_W)
+    exact = items.groupBy("series").agg(F.count("*").alias("n"))
+    est = _sketch.cms_estimate(counters, exact, "series", _CMS_D, _CMS_W)
+    return (
+        est.join(exact, "series")
+        .orderBy(F.col("cm_est").desc(), F.col("n").desc(), F.col("series"))
+        .limit(10)
+        .select("series", "cm_est", F.col("n").cast("long").alias("n"))
+    )
+
+
+_q(
+    "ts_heavy_hitters_cms",
+    _ts_heavy_hitters_cms,
+    "WITH "
+    + _sketch.cms_oracle_ctes(
+        "event_type || ' user=' || CAST(user_id AS VARCHAR)",
+        "events",
+        _CMS_D,
+        _CMS_W,
+    )
+    + f"""
+, exact AS (SELECT item, count(*) AS n FROM src GROUP BY item),
+probes AS (
+  SELECT c.item, x.d, ('0x' || substr(md5('r' || x.d || ':' || c.item), 1, 15))::BIGINT
+         % {_CMS_W} AS b
+  FROM cand c CROSS JOIN (SELECT unnest(range({_CMS_D})) AS d) x
+),
+est AS (
+  SELECT p.item, min(s.c) AS cm_est
+  FROM probes p JOIN cms s ON p.d = s.d AND p.b = s.b
+  GROUP BY p.item
+)
+SELECT e.item AS series, e.cm_est, CAST(x.n AS BIGINT) AS n
+FROM est e JOIN exact x ON e.item = x.item
+ORDER BY e.cm_est DESC, x.n DESC, e.item
+LIMIT 10
+""",
+)
+
+
 # ----------------------------------------------------- hysteresis alerts
 # Two-threshold alert-rule evaluation (fire >= hi, clear <= lo) with no
 # sequential fold: alert state = most recent crossing event

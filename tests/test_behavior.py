@@ -744,3 +744,32 @@ def test_pagerank_kernel_drops_null_edges_like_distributed(spark):
     }
     assert kernel == dist
     assert set(kernel) == {"a", "b"}
+
+
+def test_cms_overestimates_one_sided_and_bounded(spark):
+    """Portable Count-Min: estimates never undercount (min over d
+    counters each >= the true count), the counter table is bounded by
+    d*w rows, and the top-10 ranking surfaces the true heaviest
+    series."""
+    from pyspark.sql import functions as F2
+
+    from stdb_spark import model
+    from stdb_spark.operators import sketch
+    from stdb_spark.workloads import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    items = model.events_as_samples(spark, sf).select(
+        F2.concat(
+            F2.col("metric"), F2.lit(" user="), F2.col("tags")["user"]
+        ).alias("series")
+    )
+    counters = sketch.cms_counters(items, "series", 4, 512)
+    assert counters.count() <= 4 * 512
+    exact = items.groupBy("series").agg(F2.count("*").alias("n"))
+    est = sketch.cms_estimate(counters, exact, "series", 4, 512)
+    bad = est.join(exact, "series").filter(F2.col("cm_est") < F2.col("n"))
+    assert bad.count() == 0
+    top = QUERIES["ts_heavy_hitters_cms"](spark, sf).collect()
+    assert len(top) == 10
+    for r in top:
+        assert r.cm_est >= r.n
