@@ -110,7 +110,7 @@ _PRIORITY = [
     "ts_top_per_bucket",
     "mm_phash_clusters",             # r7: image near-dup clustering (new oracle)
     "ts_slo_burn",
-    "ts_counter_rate_resets",
+    "ts_heavy_hitters_cms",          # r7: portable Count-Min twin (new oracle)
     "ts_group_aggregate_p95_histogram",  # r7: portable mergeable-quantile (new oracle)
     "doc_token_stats",
     "doc_neardup_survivors",
