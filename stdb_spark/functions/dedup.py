@@ -81,7 +81,14 @@ def with_shingles(
 ) -> DataFrame:
     """(keep..., _sh) with the token array materialized as its own
     projection step so the shingle fold reads a column, not an inlined
-    tokenize expression (see shingles_from_tokens)."""
+    tokenize expression (see shingles_from_tokens).
+
+    ``keep`` must not collide with the two internal working names (r7
+    ADVICE: a collision would make the second select ambiguous)."""
+    kept_names = {c for c in keep if isinstance(c, str)}
+    for reserved in ("_t", "_sh"):
+        if reserved in kept_names:
+            raise ValueError(f"with_shingles: keep column {reserved!r} is reserved")
     return df.select(
         *keep, tokens_col(normalized_text(text_col)).alias("_t")
     ).select(*keep, shingles_from_tokens(F.col("_t"), n).alias("_sh"))

@@ -77,8 +77,15 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     array and each feature evaluate ONCE per row: a single-select form
     embeds a tokenize copy in every feature AND in every score term
     (the r7 plan audit counted 12), and the HOFs (filter/aggregate)
-    block codegen subexpression elimination from rescuing it."""
-    toks = F.col("_t")
+    block codegen subexpression elimination from rescuing it.
+
+    The working column uses a collision-proof internal name (r7 ADVICE:
+    the old ``_t`` collided with any input that already carried ``_t``,
+    e.g. a frame mid-way through dedup's shingle pipeline)."""
+    _TOK = "__qs_tokens"
+    if _TOK in df.columns:  # pragma: no cover - defensive
+        raise ValueError(f"quality_score: input already has a {_TOK} column")
+    toks = F.col(_TOK)
     n_tok = F.size(toks)
     mean_word_len = F.aggregate(
         toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
@@ -99,7 +106,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.least(F.col("stopword_ratio") * 2.0, F.lit(0.1))
     )
     return (
-        df.select("*", tokens_col(text_col).alias("_t"))
+        df.select("*", tokens_col(text_col).alias(_TOK))
         .select(
             "*",
             n_tok.alias("n_tokens"),

@@ -93,6 +93,13 @@ def misra_gries_topk(
 # and unions for any coarser period.
 import math as _math
 
+# Version tag for the register derivation above (hash function, hash
+# width, bucket/rank split).  Any MATERIALIZED register artifact must
+# carry this tag AND the m used in its name so a spec change can never
+# satisfy a cache built under the old derivation (r7 ADVICE).  Bump on
+# any change to hll_registers' hash or rank math.
+HLL_SPEC = "md5r60v1"
+
 
 def hll_alpha_k(m: int) -> float:
     """alpha_m * m^2 * 2^60 — the integer-scaled estimate numerator."""
@@ -166,12 +173,16 @@ def hll_oracle_sql(
     source_sql: str,
     m: int = 4096,
     day_sql: str | None = None,
+    out_col: str = "distinct_est",
 ) -> str:
     """DuckDB twin of hll_registers + hll_estimate over ``source_sql``.
     ``item_sql`` is the hashed expression (VARCHAR), ``group_sql`` the
     group columns; with ``day_sql`` the registers fold through a daily
     level first (associative MAX — same merged state by construction)
-    and an n_days column is emitted."""
+    and an n_days column is emitted.  ``out_col`` names the estimate
+    column directly (r7 ADVICE: callers used to rename via a whole-SQL
+    string replace, which silently rewrote any other occurrence of the
+    substring)."""
     wbits = 60 - m.bit_length() + 1
     g = ", ".join(group_sql)
     lc_vals = ", ".join(str(x) for x in hll_lc_table(m))
@@ -218,7 +229,7 @@ est AS (
 SELECT {g},
   CAST(CASE WHEN v > 0 AND raw <= {int(2.5 * m)}
        THEN ([{lc_vals}])[v]
-       ELSE raw END AS BIGINT) AS distinct_est{days_col}
+       ELSE raw END AS BIGINT) AS {out_col}{days_col}
 FROM est{days_join}
 """
 
@@ -275,7 +286,15 @@ def cms_estimate(
 ) -> DataFrame:
     """(item, cm_est): min over the d counters addressed by the item's
     row hashes.  ``counters`` is broadcast (<= d*w rows by
-    construction), so estimating any candidate set is map-side."""
+    construction), so estimating any candidate set is map-side.
+
+    The probe is a LEFT join with missing cells coalesced to 0 (r7
+    ADVICE): a candidate that never appeared in the counted stream hits
+    counters that were never incremented — the sketch's answer for
+    those cells is 0, not "drop the probe" — so arbitrary candidate
+    sets estimate 0 instead of vanishing or min-ing over a subset of
+    rows.  For observed items every addressed cell exists and the
+    result is unchanged."""
     probes = items.select(
         F.col(item_col),
         F.explode(
@@ -291,9 +310,9 @@ def cms_estimate(
         ).alias("_p"),
     ).select(item_col, F.col("_p.d").alias("d"), F.col("_p.b").alias("b"))
     return (
-        probes.join(F.broadcast(counters), ["d", "b"])
+        probes.join(F.broadcast(counters), ["d", "b"], "left")
         .groupBy(item_col)
-        .agg(F.min("c").alias("cm_est"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0)).cast("long")).alias("cm_est"))
     )
 
 

@@ -6196,7 +6196,11 @@ _HLL_ROLLUP_M = 4096
 
 
 def _ts_hll_rollup(spark, sf):
-    cache = model.derived_cache_path(sf, "hll_daily_reg", "events")
+    # Artifact name encodes the register spec + m (r7 ADVICE): a change
+    # to either recomputes rather than reading a stale layout.
+    cache = model.derived_cache_path(
+        sf, f"hll_daily_reg_{_sketch.HLL_SPEC}_m{_HLL_ROLLUP_M}", "events"
+    )
     if not model.cache_ready(cache):
         ev = model.events_raw_ns(spark, sf)
         daily = _sketch.hll_registers(
@@ -6234,7 +6238,8 @@ _q(
         "(SELECT event_type AS metric, user_id, ts FROM events)",
         m=_HLL_ROLLUP_M,
         day_sql=f"epoch_us(ts) // {D1_US}",
-    ).replace("distinct_est", "distinct_users_est"),
+        out_col="distinct_users_est",
+    ),
 )
 
 

@@ -773,3 +773,25 @@ def test_cms_overestimates_one_sided_and_bounded(spark):
     assert len(top) == 10
     for r in top:
         assert r.cm_est >= r.n
+
+
+def test_cms_estimate_unseen_candidate_estimates_zero(spark):
+    """ADVICE r7: probing an item that never appeared in the counted
+    stream returns 0 (its counters were never incremented), instead of
+    dropping the probe row or min-ing over a partial counter set."""
+    from stdb_spark.operators import sketch
+
+    counted = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3, "series string"
+    )
+    counters = sketch.cms_counters(counted, "series", 4, 512)
+    cand = spark.createDataFrame(
+        [("a",), ("never-seen-item",)], "series string"
+    )
+    est = {
+        r.series: r.cm_est
+        for r in sketch.cms_estimate(counters, cand, "series", 4, 512).collect()
+    }
+    assert est["a"] >= 5
+    assert "never-seen-item" in est
+    assert est["never-seen-item"] == 0

@@ -1593,3 +1593,74 @@ def test_jpeg_bitreader_accumulator_stays_bounded():
     for _ in range(4096 * 8):
         r.read_bit()
     assert r.bitbuf.bit_length() <= 64
+
+
+# ---------------------------------------------------------------- ADVICE r7
+
+
+def test_quality_score_tolerates_preexisting_working_names(spark):
+    """ADVICE r7: the internal token column is collision-proof — an
+    input that already carries ``_t`` (e.g. a frame mid-way through the
+    shingle pipeline) must pass through untouched, not raise on an
+    ambiguous select."""
+    df = spark.createDataFrame(
+        [("hello world again", 7)], "text string, _t int"
+    )
+    row = text.quality_score(df).collect()[0]
+    assert row.n_tokens == 3
+    assert row["_t"] == 7  # user column survives verbatim
+
+
+def test_with_shingles_rejects_reserved_keep_columns(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="reserved"):
+        dedup.with_shingles(df.withColumnRenamed("doc_id", "_sh"), ["_sh"])
+
+
+def test_hll_oracle_sql_out_col_is_a_parameter():
+    """ADVICE r7: renaming the estimate column is a parameter, not a
+    whole-SQL string replace (which rewrote every occurrence of the
+    substring)."""
+    from stdb_spark.operators import sketch
+
+    sql = sketch.hll_oracle_sql("x", ["g"], "t", m=256, out_col="my_est")
+    assert "AS my_est" in sql
+    assert "AS distinct_est" not in sql
+    # default name unchanged for existing callers
+    assert "AS distinct_est" in sketch.hll_oracle_sql("x", ["g"], "t", m=256)
+
+
+def test_hll_rollup_cache_name_encodes_sketch_spec():
+    """ADVICE r7: the materialized register artifact's name carries the
+    register spec tag and m, so changing either recomputes instead of
+    reading a stale layout built under the old derivation."""
+    import inspect
+
+    from stdb_spark.operators import sketch
+    from stdb_spark.workloads import tssuite
+
+    src = inspect.getsource(tssuite._ts_hll_rollup)
+    assert "_sketch.HLL_SPEC" in src and "_HLL_ROLLUP_M" in src
+    assert sketch.HLL_SPEC  # tag exists and is non-empty
+
+
+def test_plan_audit_counts_hof_aggregate_not_operator_names():
+    """ADVICE r7: physical operator headers (HashAggregate( etc.) must
+    not count as the HOF aggregate( expression."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "tools", "plan_audit.py"
+    )
+    spec = importlib.util.spec_from_file_location("_plan_audit", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    plan = (
+        "*(3) HashAggregate(keys=[k], functions=[sum(v)])\n"
+        "+- ObjectHashAggregate(buf)\n"
+        "+- SortAggregate(key)\n"
+        "+- Project [aggregate(arr, 0, lambdafunction(...)) AS s]\n"
+    )
+    assert mod._count(plan, "aggregate(") == 1
+    assert mod._count(plan, "md5(") == 0

@@ -22,6 +22,7 @@ dedup-style plans legitimately repeat md5 across branches.
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -37,6 +38,18 @@ WATCHED = (
     "aggregate(",
     "format_string(",
 )
+
+# "aggregate(" must mean the HOF *expression*, not physical operator
+# names (HashAggregate(/ObjectHashAggregate(/SortAggregate( appear once
+# per aggregation and would inflate every groupBy plan — r7 ADVICE).
+# Count it only when not preceded by a letter.
+_AGG_EXPR = re.compile(r"(?<![A-Za-z])aggregate\(")
+
+
+def _count(plan: str, key: str) -> int:
+    if key == "aggregate(":
+        return len(_AGG_EXPR.findall(plan))
+    return plan.count(key)
 
 
 def main() -> int:
@@ -58,7 +71,7 @@ def main() -> int:
         except Exception as exc:  # report, don't die mid-sweep
             print(f"ERR {name}: {str(exc)[:100]}")
             continue
-        hot = {k: plan.count(k) for k in WATCHED if plan.count(k) >= threshold}
+        hot = {k: _count(plan, k) for k in WATCHED if _count(plan, k) >= threshold}
         if hot:
             flagged.append((max(hot.values()), name, hot))
     flagged.sort(reverse=True)
