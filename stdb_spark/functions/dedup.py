@@ -267,6 +267,58 @@ def minhash_jaccard_estimate(
     )
 
 
+def bbit_minhash_estimate(
+    sigs: DataFrame, candidates: DataFrame, key: str = "doc_id", b: int = 2
+) -> DataFrame:
+    """b-bit minwise hashing (Li & Koenig, "b-Bit Minwise Hashing",
+    WWW'10): store only the lowest ``b`` bits of each minhash slot —
+    a 30x signature-storage cut at b=2 against 60-bit slots, THE lever
+    when the dedup index itself is 100 TB-scale — and unbias the
+    matched-slot fraction: for non-identical sets the truncated slots
+    still collide by chance with probability C ~= 2^-b, so
+    E[frac_match] = C + (1 - C) * J and J_hat = (frac - C) / (1 - C),
+    floored at 0.  Emits the full-width estimate next to the b-bit one
+    so the entry doubles as an accuracy audit of the compression.
+
+    Same join shape as :func:`minhash_jaccard_estimate`: candidates
+    (from LSH banding) x two bounded signature lookups — at scale both
+    joins are on the (already banded) candidate keys, no new shuffle
+    class."""
+    mask = (1 << b) - 1
+    c = 1.0 / (1 << b)
+    sa = sigs.select(F.col(key).alias("a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(key).alias("b"), F.col("sig").alias("sig_b"))
+    # minhash slots are nonnegative (universal hash mod a positive
+    # prime), so % == pmod == low-bit mask in both engines
+    frac_full = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+            )
+        ).cast("double")
+        / F.size("sig_a")
+    )
+    frac_bbit = (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    "sig_a", "sig_b", lambda x, y: (x % (mask + 1)) == (y % (mask + 1))
+                ),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.size("sig_a")
+    )
+    est_bbit = F.greatest(
+        (frac_bbit - F.lit(c)) / F.lit(1.0 - c), F.lit(0.0)
+    )
+    return (
+        candidates.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", frac_full.alias("est_full"), est_bbit.alias("est_bbit"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -935,4 +987,87 @@ def dup_span_scrub(
                 "n_tokens_removed"
             ),
         )
+    )
+
+
+# ------------------------------------------------------------ bloom sidecar
+# Incremental-ingest dedup against an EXISTING corpus without
+# re-scanning it: the prior corpus publishes a Bloom filter of its
+# digests (Bloom '70) as a tiny sidecar artifact; each nightly
+# increment probes the filter map-side and only bloom-positive docs
+# proceed to the (expensive, exact) digest join.  No false negatives
+# by construction; false positives cost one extra lookup, never a
+# wrong drop.
+
+
+def bloom_position_expr(c: Column, i: int, mbits: int) -> Column:
+    """Bit position of hash ``i`` for value ``c`` — md5-derived with a
+    per-hash salt, reproducible in DuckDB as
+    ('0x' || substr(md5('bl<i>:' || x), 1, 15))::BIGINT % mbits."""
+    return _md5_long(c, f"bl{i}:") % mbits
+
+
+def bloom_position_set(
+    df: DataFrame, col: str, mbits: int = 1 << 15, k: int = 4
+) -> DataFrame:
+    """(p): DISTINCT set-bit positions of the Bloom filter over
+    ``df[col]`` — at most ``mbits`` rows regardless of input size (the
+    sketch bound, like HLL registers), produced by one map-side explode
+    + distinct."""
+    return df.select(
+        F.explode(
+            F.array(*[bloom_position_expr(F.col(col), i, mbits) for i in range(k)])
+        ).alias("p")
+    ).distinct()
+
+
+def bloom_probe(
+    incoming: DataFrame,
+    col: str,
+    positions: DataFrame,
+    mbits: int = 1 << 15,
+    k: int = 4,
+    broadcast_max_bits: int = 1 << 20,
+) -> DataFrame:
+    """``incoming`` + boolean ``bloom_hit`` (all k bits set).
+
+    Size-dispatched physical strategy, same result (pinned by
+    test_bloom_probe_bitmap_and_join_paths_agree):
+
+    - ``mbits <= broadcast_max_bits``: collect the position set — an
+      artifact bounded by the SKETCH size (<= mbits bits), not the
+      data — into an mbits-bit bitmap embedded as a 64-bit-word
+      literal array; the probe is a pure map-side expression, zero
+      shuffle.  This is the broadcast-sidecar shape a 100 TB pipeline
+      ships nightly (a 1-GB bitmap covers ~10^9 keys at 4 bits each).
+    - larger ``mbits``: k-row explode + left join against the position
+      set, count-of-matches == k — one uniform-key shuffle, no driver
+      artifact, for filters too big to broadcast."""
+    if mbits <= broadcast_max_bits:
+        setp = [r.p for r in positions.collect()]  # <= mbits rows by bound
+        words = [0] * ((mbits + 63) // 64)
+        for p in setp:
+            words[p // 64] |= 1 << (p % 64)
+        # embed as SIGNED 64-bit literals (Spark LongType)
+        words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+        warr = F.array(*[F.lit(w) for w in words])
+        hit = F.lit(True)
+        for i in range(k):
+            p = bloom_position_expr(F.col(col), i, mbits)
+            word = F.element_at(warr, (p / 64).cast("int") + 1)
+            # getbit reads any bit position incl. the sign bit
+            hit = hit & (F.getbit(word, (p % 64).cast("int")) == 1)
+        return incoming.withColumn("bloom_hit", hit)
+    probes = incoming.select(
+        *incoming.columns,
+        F.explode(
+            F.array(*[bloom_position_expr(F.col(col), i, mbits) for i in range(k)])
+        ).alias("p"),
+    )
+    matched = probes.join(
+        positions.withColumn("_hit", F.lit(1)), "p", "left"
+    )
+    return (
+        matched.groupBy(*incoming.columns)
+        .agg((F.sum(F.coalesce(F.col("_hit"), F.lit(0))) == k).alias("bloom_hit"))
     )

@@ -422,6 +422,42 @@ GROUP BY c.a, c.b
 )
 
 
+# b-bit minwise hashing (Li & Koenig, WWW'10): the same verify step
+# with signatures truncated to the low b bits and the matched fraction
+# unbiased by the chance-collision rate C = 2^-b — the storage lever
+# when the dedup index itself is at TB scale.  Emitted next to the
+# full-width estimate as a built-in accuracy audit.  Determinism: slot
+# values are nonnegative, so % 2^b is the same low-bit mask in both
+# engines; the unbias arithmetic is literal-for-literal identical.
+_BBIT_B = 2
+
+
+def _minhash_bbit(spark, sf):
+    sigs = dedup.minhash_signatures(model.load_table(spark, sf, "documents"))
+    cands = dedup.minhash_lsh_candidates(sigs)
+    return dedup.bbit_minhash_estimate(sigs, cands, b=_BBIT_B)
+
+
+_q(
+    "doc_minhash_bbit",
+    _minhash_bbit,
+    _MH_CTES
+    + f"""
+SELECT c.a, c.b,
+       CAST(count(*) FILTER (ha.h = hb.h) AS DOUBLE) / {_MH_K} AS est_full,
+       greatest(
+         (CAST(count(*) FILTER (ha.h % {1 << _BBIT_B} = hb.h % {1 << _BBIT_B})
+               AS DOUBLE) / {_MH_K} - {1.0 / (1 << _BBIT_B)!r})
+           / {1.0 - 1.0 / (1 << _BBIT_B)!r},
+         0.0) AS est_bbit
+FROM cands c
+JOIN hs ha ON ha.doc_id = c.a
+JOIN hs hb ON hb.doc_id = c.b AND hb.i = ha.i
+GROUP BY c.a, c.b
+""",
+)
+
+
 # End-to-end near-dup removal — the pass a training pipeline actually
 # ships: LSH candidates -> signature-estimate verify (>= threshold) ->
 # greedy survivor set (drop the higher doc_id of each verified pair).
@@ -4036,5 +4072,80 @@ SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
        CAST(length(substr(text, CAST(chunk_idx * 150 + 1 AS BIGINT), 200)) AS BIGINT)
          AS chunk_chars
 FROM g
+""",
+)
+
+
+# ---------------------------------------------------- bloom incremental
+# Nightly-increment dedup against the EXISTING corpus via its Bloom
+# sidecar (functions/dedup.py: bloom_position_set/bloom_probe): prior
+# docs (3 of every 4 ids) publish a 32 Kbit filter of their digests;
+# the incoming quarter probes it map-side, then only the bloom-hits
+# pay the exact digest join.  The per-doc verdict labels the filter's
+# false positives explicitly — the entry doubles as an FP-rate audit
+# of the sketch.  Oracle: identical md5-salted bit positions; bloom
+# membership = all k probe positions found in the prior position set.
+_BLOOM_MBITS, _BLOOM_K = 1 << 15, 4
+
+
+def _bloom_incremental(spark, sf):
+    docs = model.load_table(spark, sf, "documents")
+    dg = F.md5(dedup.normalized_text())
+    prior = docs.filter(F.col("doc_id") % 4 != 0).select(dg.alias("dg"))
+    inc = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", dg.alias("dg"))
+    pos = dedup.bloom_position_set(prior, "dg", _BLOOM_MBITS, _BLOOM_K)
+    probed = dedup.bloom_probe(inc, "dg", pos, _BLOOM_MBITS, _BLOOM_K)
+    exact = prior.distinct().withColumn("_ex", F.lit(True))
+    verdict = (
+        F.when(F.col("bloom_hit") & F.col("exact_dup"), "dup")
+        .when(F.col("bloom_hit") & ~F.col("exact_dup"), "false_positive")
+        .otherwise("new")
+    )
+    return (
+        probed.join(exact, "dg", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce(F.col("_ex"), F.lit(False)).alias("exact_dup"),
+        )
+        .withColumn("verdict", verdict)
+    )
+
+
+_q(
+    "doc_bloom_incremental_dedup",
+    _bloom_incremental,
+    f"""
+WITH prior AS (
+  SELECT md5({_NORM}) AS dg FROM documents WHERE doc_id % 4 <> 0
+),
+prior_d AS (SELECT DISTINCT dg FROM prior),
+pos AS MATERIALIZED (
+  SELECT DISTINCT
+    ('0x' || substr(md5('bl' || CAST(i AS VARCHAR) || ':' || dg), 1, 15))::BIGINT
+      % {_BLOOM_MBITS} AS p
+  FROM prior CROSS JOIN range({_BLOOM_K}) r(i)
+),
+inc AS (
+  SELECT doc_id, md5({_NORM}) AS dg FROM documents WHERE doc_id % 4 = 0
+),
+probe AS (
+  SELECT doc_id, dg,
+    ('0x' || substr(md5('bl' || CAST(i AS VARCHAR) || ':' || dg), 1, 15))::BIGINT
+      % {_BLOOM_MBITS} AS p
+  FROM inc CROSS JOIN range({_BLOOM_K}) r(i)
+),
+hits AS (
+  SELECT probe.doc_id, probe.dg,
+         count(pos.p) = {_BLOOM_K} AS bloom_hit
+  FROM probe LEFT JOIN pos ON probe.p = pos.p
+  GROUP BY 1, 2
+)
+SELECT h.doc_id, h.bloom_hit,
+       prior_d.dg IS NOT NULL AS exact_dup,
+       CASE WHEN h.bloom_hit AND prior_d.dg IS NOT NULL THEN 'dup'
+            WHEN h.bloom_hit THEN 'false_positive'
+            ELSE 'new' END AS verdict
+FROM hits h LEFT JOIN prior_d ON h.dg = prior_d.dg
 """,
 )

@@ -13,6 +13,8 @@ bit-for-bit once sums exceed 2^53 in scaled-integer form.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from stdb_spark import model
@@ -2278,5 +2280,77 @@ JOIN supplier ON ps_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_9'
 WHERE CAST(ps_availqty * 2 AS DECIMAL(18,2)) > _qty
 ORDER BY s_name
+""",
+)
+
+
+# ------------------------------------------------------------- data audit
+# Benford first-digit audit of order totals — the standard screen for
+# fabricated or truncated monetary data in a new ingest feed (Benford
+# '38; Nigrini's audit practice).  Pipeline shape at 100 TB: one
+# narrow scan -> 9-way conditional-count pivot per group (map-side
+# partial agg, one exchange on the group key) -> fixed-order chi-square
+# arithmetic on the 9 counts.  Determinism: the first digit comes from
+# the integer part's decimal string (integer-to-string is exact in
+# both engines, no float formatting); the expected shares
+# log10(1 + 1/d) are python-precomputed literals embedded in BOTH
+# plans; the chi-square sum is a syntactic left-associated chain, so
+# float addition order is identical.
+_BENFORD_P = [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+def _rel_benford(spark, sf):
+    o = model.load_table(spark, sf, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    g = (
+        o.select(F.col("o_orderpriority").alias("priority"), digit.alias("_d"))
+        .groupBy("priority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            *[
+                F.sum(F.when(F.col("_d") == d, 1).otherwise(0)).alias(f"_c{d}")
+                for d in range(1, 10)
+            ],
+        )
+    )
+    terms = []
+    for d in range(1, 10):
+        p = _BENFORD_P[d - 1]
+        t = F.col(f"_c{d}").cast("double") / F.col("n_orders") - F.lit(p)
+        terms.append(t * t / F.lit(p))
+    chi2 = terms[0]
+    for t in terms[1:]:
+        chi2 = chi2 + t
+    return g.select(
+        "priority",
+        "n_orders",
+        (F.col("_c1").cast("double") / F.col("n_orders")).alias("digit1_share"),
+        chi2.alias("chi2_benford"),
+    ).orderBy("priority")
+
+
+_q(
+    "rel_benford_price_audit",
+    _rel_benford,
+    f"""
+WITH g AS (
+  SELECT o_orderpriority AS priority, count(*) AS n_orders,
+    {", ".join(
+        f"count(*) FILTER (substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) = '{d}') AS _c{d}"
+        for d in range(1, 10)
+    )}
+  FROM orders GROUP BY 1
+)
+SELECT priority, n_orders,
+  CAST(_c1 AS DOUBLE) / n_orders AS digit1_share,
+  {" + ".join(
+      f"(CAST(_c{d} AS DOUBLE) / n_orders - {_BENFORD_P[d - 1]!r})"
+      f" * (CAST(_c{d} AS DOUBLE) / n_orders - {_BENFORD_P[d - 1]!r})"
+      f" / {_BENFORD_P[d - 1]!r}"
+      for d in range(1, 10)
+  )} AS chi2_benford
+FROM g ORDER BY priority
 """,
 )

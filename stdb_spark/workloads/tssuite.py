@@ -6983,3 +6983,82 @@ ORDER BY user_id
 
 
 _q("sp_point_in_polygon", _sp_point_in_polygon, _pip_oracle())
+
+
+# --------------------------------------------------- Theil-Sen trend
+# Robust per-metric trend over January's daily means: the Theil-Sen
+# estimator (Theil '50 / Sen '68) = median of all pairwise
+# day-over-day slopes — the outlier-immune replacement for an OLS
+# slope when a feed has spikes.  Scale shape: the pairwise blowup is
+# O(days^2) per metric AFTER the daily rollup (<= 465 pairs for a
+# 31-day window), never O(rows^2) — the heavy part stays one
+# map-side-combined daily aggregate.  Determinism: daily mean =
+# exact decimal sum -> one double division; each slope is two IEEE
+# single ops on those; the median is an order-statistic PICK (lower
+# median, rank (c+1)//2 with a (slope, d1, d2) total order), never an
+# average of two floats.
+def _ts_theilsen(spark, sf):
+    from pyspark.sql import Window as W
+
+    df = _samples_range(spark, sf, JAN01, FEB01)
+    day = F.expr(f"((ts div 1000) - {JAN01_US}L) div {D1_US}L")
+    daily = df.groupBy(F.col("metric"), day.alias("d")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+            / F.count("*")
+        ).alias("m")
+    )
+    a = daily.select("metric", F.col("d").alias("d1"), F.col("m").alias("m1"))
+    b = daily.select("metric", F.col("d").alias("d2"), F.col("m").alias("m2"))
+    pairs = a.join(b, "metric").filter(F.col("d2") > F.col("d1"))
+    slope = (F.col("m2") - F.col("m1")) / (F.col("d2") - F.col("d1")).cast(
+        "double"
+    )
+    sl = pairs.select("metric", "d1", "d2", slope.alias("theil_sen_slope"))
+    w = W.partitionBy("metric").orderBy("theil_sen_slope", "d1", "d2")
+    ranked = sl.select(
+        "metric",
+        "theil_sen_slope",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(W.partitionBy("metric")).alias("_c"),
+    ).filter(F.col("_rn") == F.expr("(_c + 1) div 2"))
+    n_days = daily.groupBy("metric").agg(
+        F.count("*").cast("long").alias("n_days")
+    )
+    return ranked.join(n_days, "metric").select(
+        "metric",
+        "n_days",
+        F.col("_c").cast("long").alias("n_pairs"),
+        "theil_sen_slope",
+    )
+
+
+_q(
+    "ts_theilsen_trend",
+    _ts_theilsen,
+    BASE
+    + f"""
+, daily AS (
+  SELECT metric, (tu - {JAN01_US}) // {D1_US} AS d,
+         CAST(CAST(sum({DEC}) AS VARCHAR) AS DOUBLE) / count(*) AS m
+  FROM base WHERE tu >= {JAN01_US} AND tu < {FEB01_US}
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.metric, a.d AS d1, b.d AS d2,
+         (b.m - a.m) / CAST(b.d - a.d AS DOUBLE) AS theil_sen_slope
+  FROM daily a JOIN daily b ON a.metric = b.metric AND b.d > a.d
+),
+r AS (
+  SELECT metric, theil_sen_slope,
+         row_number() OVER (PARTITION BY metric
+                            ORDER BY theil_sen_slope, d1, d2) AS rn,
+         count(*) OVER (PARTITION BY metric) AS c
+  FROM pairs
+),
+nd AS (SELECT metric, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1)
+SELECT r.metric, n_days, CAST(c AS BIGINT) AS n_pairs, theil_sen_slope
+FROM r JOIN nd ON r.metric = nd.metric
+WHERE rn = (c + 1) // 2
+""",
+)

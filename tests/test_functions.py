@@ -1664,3 +1664,34 @@ def test_plan_audit_counts_hof_aggregate_not_operator_names():
     )
     assert mod._count(plan, "aggregate(") == 1
     assert mod._count(plan, "md5(") == 0
+
+
+def test_bloom_probe_bitmap_and_join_paths_agree(spark):
+    """The broadcast-bitmap probe and the position-join probe are the
+    same filter (size dispatch must never change answers), and the
+    filter has no false negatives: every true duplicate is a hit."""
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i % 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    dg = F.md5(dedup.normalized_text())
+    prior = docs.filter(F.col("doc_id") % 4 != 0).select(dg.alias("dg"))
+    inc = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", dg.alias("dg"))
+    pos = dedup.bloom_position_set(prior, "dg", 1 << 12, 4)
+    bitmap = {
+        (r.doc_id, r.bloom_hit)
+        for r in dedup.bloom_probe(inc, "dg", pos, 1 << 12, 4).collect()
+    }
+    joined = {
+        (r.doc_id, r.bloom_hit)
+        for r in dedup.bloom_probe(
+            inc, "dg", pos, 1 << 12, 4, broadcast_max_bits=0
+        ).collect()
+    }
+    assert bitmap == joined
+    true_dups = {
+        r.doc_id
+        for r in inc.join(prior.distinct(), "dg", "left_semi").collect()
+    }
+    hits = {d for d, h in bitmap if h}
+    assert true_dups <= hits  # no false negatives, ever
