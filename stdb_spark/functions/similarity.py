@@ -1398,3 +1398,96 @@ def ivf_label_top_k_exact(
         .orderBy(F.col("cosine").desc(), F.col(key))
         .limit(k)
     )
+
+
+# ------------------------------------------------------------------
+# Portable dominant eigenvalue — the spectral probe with a full
+# cross-engine oracle.  pca_spectrum's full eigendecomposition is
+# numpy's (LAPACK iteration order, platform last-ulp — rows-only by
+# rationale); but the DOMINANT eigenvalue is reachable bit-for-bit via
+# the operators/graph.py fixed-point recipe: quantize once, keep the
+# iterative core in exact integers with truncating rescale, and let
+# floats appear only in the final Rayleigh division.
+EIG_SCALE_BITS = 20
+_EIG_SCALE = 1 << EIG_SCALE_BITS
+
+
+def _eig_rescale(y: int, am: int) -> int:
+    """sign(y) * ((|y| * 2^20) // am): nonnegative truncating division,
+    identical in python ints and DuckDB HUGEINT."""
+    if am == 0:
+        return 0
+    return -((-y) * _EIG_SCALE // am) if y < 0 else (y * _EIG_SCALE // am)
+
+
+def dominant_eigen_portable(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k_iter: int = 10,
+    qscale: int = KM_QSCALE,
+) -> DataFrame:
+    """(label, n_vecs, lambda1): dominant covariance eigenvalue per
+    label by SPEC — k_iter integer power iterations from the all-ones
+    vector, reproducible bit-for-bit in any engine.
+
+    Spec: q = floor(x * qscale) per coordinate; per label the scaled
+    integer covariance M = n * (Σ q qᵀ) - (Σ q)(Σ q)ᵀ = n² · cov(q)
+    (exact, order-free); x⁰ = 1; each iteration y = M x then
+    x' = sign(y) * (|y| · 2^20 // max|y|); after k_iter rounds
+    lambda1 = (xᵀ M x / xᵀ x) / n² / qscale² — three IEEE divisions on
+    correctly-rounded exact integers, so the float appears ONCE and
+    identically in both engines.  A zero matrix yields lambda1 = 0.
+
+    Scale shape: the heavy part is the one-pass d²-explode Gram
+    aggregate (map-side combined, one exchange keyed (label, i, j));
+    only label-count × d² integer cells reach the driver — an artifact
+    bounded by the schema, not the data — where the 64×64 iteration
+    runs in exact python ints.  Accuracy vs LAPACK is pinned in
+    pytest (test_dominant_eigen_matches_numpy)."""
+    q = df.select(
+        F.col(label_col).alias("label"), quantize_vec_expr(vec_col, qscale).alias("q")
+    )
+    ex = q.select("label", "q", F.posexplode("q").alias("i", "qi"))
+    gram = (
+        ex.select("label", "i", "qi", F.posexplode("q").alias("j", "qj"))
+        .groupBy("label", "i", "j")
+        .agg(F.sum((F.col("qi") * F.col("qj")).cast("decimal(38,0)")).alias("g"))
+    )
+    sums = ex.groupBy("label", "i").agg(
+        F.sum(F.col("qi").cast("decimal(38,0)")).alias("s")
+    )
+    counts = q.groupBy("label").agg(F.count("*").alias("n"))
+    g_rows = gram.collect()  # bounded: labels * d^2 integer cells
+    s_rows = sums.collect()
+    n_rows = counts.collect()
+    spark = df.sparkSession
+    schema = "label int, n_vecs long, lambda1 double"
+    if not n_rows:
+        return spark.createDataFrame([], schema)
+    n_by = {r.label: int(r.n) for r in n_rows}
+    d = max(r.i for r in s_rows) + 1
+    s_by = {}
+    for r in s_rows:
+        s_by.setdefault(r.label, [0] * d)[r.i] = int(r.s)
+    g_by = {}
+    for r in g_rows:
+        g_by.setdefault(r.label, [[0] * d for _ in range(d)])[r.i][r.j] = int(r.g)
+    out = []
+    for label in sorted(n_by):
+        n, s, g = n_by[label], s_by[label], g_by[label]
+        m = [[n * g[i][j] - s[i] * s[j] for j in range(d)] for i in range(d)]
+        x = [1] * d
+        for _ in range(k_iter):
+            y = [sum(m[i][j] * x[j] for j in range(d)) for i in range(d)]
+            am = max(abs(v) for v in y)
+            x = [_eig_rescale(v, am) for v in y]
+        y = [sum(m[i][j] * x[j] for j in range(d)) for i in range(d)]
+        num = sum(x[i] * y[i] for i in range(d))
+        den = sum(v * v for v in x)
+        if den == 0:
+            lam = 0.0
+        else:
+            lam = float(num) / float(den) / float(n * n) / float(qscale * qscale)
+        out.append((int(label), n, lam))
+    return spark.createDataFrame(out, schema)

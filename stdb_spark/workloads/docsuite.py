@@ -4149,3 +4149,96 @@ SELECT h.doc_id, h.bloom_hit,
 FROM hits h LEFT JOIN prior_d ON h.dg = prior_d.dg
 """,
 )
+
+
+# ------------------------------------- portable dominant eigenvalue
+# The spectral-probe graduation path (VERDICT r6 #3 method, applied to
+# PCA): emb_pca_spectrum's full LAPACK eigendecomposition stays
+# rows-only, but the DOMINANT eigenvalue reproduces bit-for-bit via
+# integer power iteration (functions/similarity.py:
+# dominant_eigen_portable) — quantize once, keep the iterative core in
+# exact integers (HUGEINT on the DuckDB side) with truncating rescale,
+# floats only in the final Rayleigh division chain.
+_EIG_K = 10
+_EIG_D = 64  # embeddings are 64-dim in every driver generation
+
+
+def _eig_oracle_sql(k_iter: int = _EIG_K, d: int = _EIG_D, qscale: int = 1000000) -> str:
+    scale = 1 << similarity.EIG_SCALE_BITS
+    ctes = [
+        f"""q AS MATERIALIZED (
+  SELECT label,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * {float(qscale)!r}) AS BIGINT)) AS q
+  FROM embeddings
+)""",
+        f"""gm AS MATERIALIZED (
+  SELECT label, a.i AS i, b.j AS j,
+         SUM(CAST(q[a.i + 1] AS HUGEINT) * q[b.j + 1]) AS g
+  FROM q CROSS JOIN range({d}) a(i) CROSS JOIN range({d}) b(j)
+  GROUP BY 1, 2, 3
+)""",
+        f"""sv AS MATERIALIZED (
+  SELECT label, i, SUM(CAST(q[i + 1] AS HUGEINT)) AS s
+  FROM q CROSS JOIN range({d}) r(i) GROUP BY 1, 2
+)""",
+        """nn AS MATERIALIZED (SELECT label, count(*) AS n FROM q GROUP BY 1)""",
+        """mat AS MATERIALIZED (
+  SELECT gm.label, gm.i, gm.j, nn.n * gm.g - sa.s * sb.s AS m
+  FROM gm JOIN nn ON nn.label = gm.label
+  JOIN sv sa ON sa.label = gm.label AND sa.i = gm.i
+  JOIN sv sb ON sb.label = gm.label AND sb.i = gm.j
+)""",
+        "x0 AS (SELECT DISTINCT label, i AS j, CAST(1 AS HUGEINT) AS x FROM mat)",
+    ]
+    for t in range(1, k_iter + 1):
+        ctes.append(
+            f"""y{t} AS MATERIALIZED (
+  SELECT mat.label, mat.i, SUM(mat.m * x.x) AS y
+  FROM mat JOIN x{t - 1} x ON x.label = mat.label AND x.j = mat.j
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""x{t} AS MATERIALIZED (
+  SELECT y{t}.label, i AS j,
+    CASE WHEN am = 0 THEN CAST(0 AS HUGEINT)
+         WHEN y < 0 THEN -((-y) * {scale} // am)
+         ELSE (y * {scale}) // am END AS x
+  FROM y{t} JOIN (SELECT label, max(abs(y)) AS am FROM y{t} GROUP BY 1) mx
+    ON mx.label = y{t}.label
+)"""
+        )
+    ctes.append(
+        f"""yf AS MATERIALIZED (
+  SELECT mat.label, mat.i, SUM(mat.m * x.x) AS y
+  FROM mat JOIN x{k_iter} x ON x.label = mat.label AND x.j = mat.j
+  GROUP BY 1, 2
+)"""
+    )
+    ctes.append(
+        f"""ray AS (
+  SELECT yf.label, SUM(x.x * yf.y) AS num, SUM(x.x * x.x) AS den
+  FROM yf JOIN x{k_iter} x ON x.label = yf.label AND x.j = yf.i
+  GROUP BY 1
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT ray.label, CAST(nn.n AS BIGINT) AS n_vecs,
+  CASE WHEN den = 0 THEN 0.0
+       ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+            / CAST(nn.n * nn.n AS DOUBLE) / {float(qscale * qscale)!r}
+  END AS lambda1
+FROM ray JOIN nn ON nn.label = ray.label
+"""
+    )
+
+
+_q(
+    "emb_dominant_eigen_portable",
+    lambda spark, sf: similarity.dominant_eigen_portable(
+        model.load_table(spark, sf, "embeddings"), k_iter=_EIG_K
+    ),
+    _eig_oracle_sql(),
+)
