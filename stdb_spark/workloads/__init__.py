@@ -60,66 +60,71 @@ for _m in (tssuite, relsuite, docsuite):
 # check still proves every component class; everything else follows in
 # suite order and is picked up as the window allows.
 _PRIORITY = [
-    # r7 rotation (VERDICT r6 directive #1): every r6 window slot now
-    # has 1-5 green driver rounds, so ALL 50 slots rotate to entries no
-    # driver round has ever hashed — the cumulative driver-proven union
-    # grows by up to 50 (110 -> 160) while every rotated-out entry
-    # stays pinned by its prior driver rows + the full local gate at
-    # sf0.01/sf0.1/sf1 (CORRECTNESS_LOCAL.md).  Family spread: 4
-    # streaming, 1 ingest, 1 spatial, 4 multimodal (freshly graduated
-    # independent-fixture oracles), 15 ts, 12 rel, 9 doc, 4 emb.
-    # Tier 1 (0-26): one never-proven flagship per family group.
-    "ingest_csv_roundtrip",          # §2.1 CSV source roundtrip
-    "ts_group_aggregate_rollup",     # §2.4 summary-combining rollup
-    "ts_aggregate_extended",         # §2.4 extended func surface
-    "ts_frequent_items",             # §2.5 exact heavy hitters
-    "ts_ohlc_from_summaries",        # §2.4 OHLC over summary store
-    "ts_suggest_tag_names",          # §2.8 suggest surface
-    "ts_corr_metrics",               # cross-metric correlation
-    "ts_median_filter",              # §2.5 median filter node
-    "ts_group_aggregate_p95",        # exact percentile buckets
-    "ts_distinct_users_hll_rollup",  # r7: materialized register rollup (new oracle)
-    "ts_distinct_users_hll_portable",# portable HLL register spec
-    "sp_trip_segments",              # §2.9 per-sample locations / trips
-    "stream_resp_events",            # §2.1 RESP event bodies, streaming twin
-    "stream_ohlc",                   # streaming OHLC
-    "stream_group_aggregate_replay", # streaming group-aggregate
-    "stream_heavy_hitters",          # streaming frequency
-    "mm_image_features",             # r7: PNG decode features (new oracle)
-    "mm_audio_features",             # r7: WAV PCM features (new oracle)
-    "mm_video_frame_sample",         # r7: MJPEG frame stats (new oracle)
-    "mm_phash_near_dups",            # r7: pHash + Hamming pairs (new oracle)
-    "rel_colocated_join",            # bucketed co-located join
-    "rel_q2_min_cost_supplier",      # TPC-H Q2 (partsupp family)
-    "doc_bpe_token_count",           # BPE-ish token counting
-    "doc_fingerprint",               # rolling-hash fingerprinting
-    "doc_hamming_near_dups",         # SimHash Hamming pairs
-    "emb_topk_per_label",            # per-label vector top-k
-    "emb_silhouette",                # cluster quality
-    # Tier 2 (27-49): more never-proven family members.
-    "rel_q11_important_stock",
-    "rel_q16_parts_supplier_relationship",
-    "rel_q20_potential_promotion",
-    "rel_q5_local_supplier_volume",
-    "rel_q10_returned_items",
-    "rel_q18_large_volume_customers",
-    "rel_q4_order_priority",
-    "rel_rfm_segments",
-    "rel_basket_pairs",
-    "rel_monthly_revenue_trend",
-    "ts_top_per_bucket",
-    "mm_phash_clusters",             # r7: image near-dup clustering (new oracle)
-    "ts_slo_burn",
-    "ts_heavy_hitters_cms",          # r7: portable Count-Min twin (new oracle)
-    "ts_group_aggregate_p95_histogram",  # r7: portable mergeable-quantile (new oracle)
-    "doc_token_stats",
-    "doc_neardup_survivors",
-    "doc_unicode_nfc",
-    "doc_c4_line_filter",
-    "doc_readability",
-    "doc_curation_funnel",
-    "emb_label_centroids",
-    "emb_duplicate_vectors",
+    # r8 rotation (continuing VERDICT r6 directive #1 / the r7 ADVICE
+    # cadence): every r7 window slot is driver-green, so ALL 50 slots
+    # rotate again to entries no driver round has ever hashed — the
+    # cumulative driver-proven union grows 171 -> up to 221 while every
+    # rotated-out entry stays pinned by its prior driver rows + the
+    # full local gate at sf0.01/sf0.1/sf1 (CORRECTNESS_LOCAL.md).
+    # Family spread: 5 new-in-r8 oracles, 2 streaming, 16 ts, 12 rel,
+    # 9 doc, 6 emb.  No rows-only entries occupy window slots (full
+    # value-hash rows are worth more per slot).
+    # New r8 full-oracle entries first:
+    "emb_dominant_eigen_portable",   # r8: integer power-iteration twin
+    "doc_bloom_incremental_dedup",   # r8: Bloom sidecar increment dedup
+    "doc_minhash_bbit",              # r8: b-bit minwise hashing
+    "rel_benford_price_audit",       # r8: Benford chi-square screen
+    "ts_theilsen_trend",             # r8: median-of-slopes robust trend
+    # Streaming (never proven):
+    "stream_stream_attribution",
+    "stream_alert_hysteresis",
+    # Time-series engine surface (never proven):
+    "ts_counter_rate_resets",        # queued from r7
+    "ts_holt",
+    "ts_wma",
+    "ts_cube_metric_user",
+    "ts_rollup_metric_day",
+    "ts_events_json_stats",
+    "ts_funnel_within",
+    "ts_group_aggregate_calendar_week",
+    "ts_decimate",
+    "ts_concurrency",
+    "ts_autocorrelation",
+    "ts_mad_outliers",
+    "ts_bollinger",
+    "ts_sql_window_portable",
+    "ts_xcorr_lead_lag",
+    "ts_alert_hysteresis",
+    # Relational / TPC-H remainder (never proven):
+    "rel_q6_forecast_revenue",
+    "rel_q8_market_share",
+    "rel_q12_shipmode_priority",
+    "rel_q13_customer_distribution",
+    "rel_q14_promo_effect",
+    "rel_q15_top_supplier",
+    "rel_q17_small_quantity_revenue",
+    "rel_q19_discounted_revenue",
+    "rel_q21_suppliers_waiting",
+    "rel_q22_dormant_customers",
+    "rel_sql_portable",
+    "rel_key_skew_histogram",
+    # Documents / LLM pipeline (never proven):
+    "doc_block_dup_groups",
+    "doc_ngram_jaccard_pairs",
+    "doc_minhash_est_jaccard",
+    "doc_hamming_presigned",
+    "doc_dedup_survivors",
+    "doc_stratified_quota",
+    "doc_repetition_stats",
+    "doc_unigram_logprob",
+    "doc_top_bigrams",
+    # Embeddings (never proven):
+    "emb_near_dup_pairs",
+    "emb_ann_int8",
+    "emb_centroid_outliers",
+    "emb_dim_stats",
+    "emb_lsh_recall_eval",
+    "emb_norm_stats",
 ]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
 QUERIES = {
