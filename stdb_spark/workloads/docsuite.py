@@ -4242,3 +4242,53 @@ _q(
     ),
     _eig_oracle_sql(),
 )
+
+
+# ----------------------------------------- truncated-dimension recall
+# Matryoshka-style serving eval (Kusupati et al., "Matryoshka
+# Representation Learning", NeurIPS'22): search with only the FIRST 16
+# of 64 dims — a 4x compute/IO cut when the index stores truncated
+# prefixes — and measure recall@10 against the full-dim brute force.
+# The standard production pattern is truncated first-pass + full-dim
+# re-rank; this entry quantifies what the first pass alone loses.
+# Determinism: both engines score with identical left-associated
+# float chains over the 16-dim prefix (the _dot_chain parity rule).
+_TRUNC_D = 16
+
+
+def _emb_trunc_recall(spark, sf):
+    emb = model.load_table(spark, sf, "embeddings")
+    cand = similarity.brute_force_top_k(
+        emb.select(
+            "vec_id", F.slice("embedding", 1, _TRUNC_D).alias("embedding")
+        ),
+        _QVEC[:_TRUNC_D],
+        k=10,
+    )
+    return _recall_eval(spark, sf, cand)
+
+
+def _trunc_cand_sql() -> str:
+    dot = " + ".join(
+        f"embedding[{i + 1}]::DOUBLE * {_dlit(_QVEC[i])}" for i in range(_TRUNC_D)
+    )
+    nrm = (
+        "sqrt("
+        + " + ".join(
+            f"embedding[{i}]::DOUBLE * embedding[{i}]::DOUBLE"
+            for i in range(1, _TRUNC_D + 1)
+        )
+        + ")"
+    )
+    qn = (
+        "sqrt("
+        + " + ".join(f"{_dlit(x)} * {_dlit(x)}" for x in _QVEC[:_TRUNC_D])
+        + ")"
+    )
+    return f"""
+  SELECT vec_id, ({dot}) / ({nrm} * {qn}) AS cosine
+  FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+_q("emb_truncated_dim_recall", _emb_trunc_recall, _recall_sql(_trunc_cand_sql()))
