@@ -244,6 +244,15 @@ HEADLINE = [
     "rel_q11_important_stock",
     "rel_q16_parts_supplier_relationship",
     "rel_q20_potential_promotion",
+    # r8 additions: compression-aware dedup (b-bit minhash, Bloom
+    # sidecar), spectral + truncated-dim embedding probes, data-audit
+    # and robust-trend operators
+    "doc_minhash_bbit",
+    "doc_bloom_incremental_dedup",
+    "emb_dominant_eigen_portable",
+    "emb_truncated_dim_recall",
+    "rel_benford_price_audit",
+    "ts_theilsen_trend",
 ]
 
 

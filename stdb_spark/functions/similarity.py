@@ -1426,6 +1426,7 @@ def dominant_eigen_portable(
     label_col: str = "label",
     k_iter: int = 10,
     qscale: int = KM_QSCALE,
+    gram_mode: str = "arrow",
 ) -> DataFrame:
     """(label, n_vecs, lambda1): dominant covariance eigenvalue per
     label by SPEC — k_iter integer power iterations from the all-ones
@@ -1439,28 +1440,107 @@ def dominant_eigen_portable(
     correctly-rounded exact integers, so the float appears ONCE and
     identically in both engines.  A zero matrix yields lambda1 = 0.
 
-    Scale shape: the heavy part is the one-pass d²-explode Gram
-    aggregate (map-side combined, one exchange keyed (label, i, j));
-    only label-count × d² integer cells reach the driver — an artifact
+    Scale shape: the heavy part is the one-pass Gram accumulation —
+    by default an Arrow-batched exact int64 matmul per partition
+    (``gram_mode="arrow"``: each partition ships d²+d+1 integers per
+    label per flush, one (label, i, j) exchange merges partials in
+    decimal), with a pure-JVM d²-explode aggregate as the pinned-equal
+    reference path (``gram_mode="explode"`` —
+    test_dominant_eigen_gram_paths_bit_equal; both are EXACT integer
+    sums, so the dispatch can never change answers).  Only
+    label-count × d² integer cells reach the driver — an artifact
     bounded by the schema, not the data — where the 64×64 iteration
     runs in exact python ints.  Accuracy vs LAPACK is pinned in
     pytest (test_dominant_eigen_matches_numpy)."""
     q = df.select(
         F.col(label_col).alias("label"), quantize_vec_expr(vec_col, qscale).alias("q")
     )
-    ex = q.select("label", "q", F.posexplode("q").alias("i", "qi"))
-    gram = (
-        ex.select("label", "i", "qi", F.posexplode("q").alias("j", "qj"))
-        .groupBy("label", "i", "j")
-        .agg(F.sum((F.col("qi") * F.col("qj")).cast("decimal(38,0)")).alias("g"))
-    )
-    sums = ex.groupBy("label", "i").agg(
-        F.sum(F.col("qi").cast("decimal(38,0)")).alias("s")
-    )
-    counts = q.groupBy("label").agg(F.count("*").alias("n"))
-    g_rows = gram.collect()  # bounded: labels * d^2 integer cells
-    s_rows = sums.collect()
-    n_rows = counts.collect()
+    if gram_mode == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        # int64 partial-sum overflow guard: |q| <= qscale * max|x|; with
+        # embeddings in [-qscale-ish, qscale-ish] each q_i*q_j term is
+        # ~1e12, so flushing partials every 10^6 rows keeps any cell
+        # below 1e18 < 2^63 (the flush also bounds task memory).
+        flush_rows = 1_000_000
+
+        def gram_batches(batches):
+            acc = {}  # label -> [G, s, n]
+
+            def emit():
+                for lbl, (G, s, n) in acc.items():
+                    d = G.shape[0]
+                    ii, jj = np.meshgrid(
+                        np.arange(d), np.arange(d), indexing="ij"
+                    )
+                    yield pd.DataFrame(
+                        {
+                            "label": np.full(d * d + d + 1, lbl, dtype="int64"),
+                            "i": np.concatenate(
+                                [ii.ravel(), np.arange(d), [-1]]
+                            ).astype("int64"),
+                            "j": np.concatenate(
+                                [jj.ravel(), np.full(d, -1), [-1]]
+                            ).astype("int64"),
+                            "v": np.concatenate([G.ravel(), s, [n]]).astype(
+                                "int64"
+                            ),
+                        }
+                    )
+                acc.clear()
+
+            pending = 0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                for lbl, grp in pdf.groupby("label"):
+                    X = np.asarray(
+                        [np.asarray(v, dtype=np.int64) for v in grp["q"]]
+                    )
+                    G, s, n = acc.get(int(lbl), (0, 0, 0))
+                    acc[int(lbl)] = (G + X.T @ X, s + X.sum(0), n + len(X))
+                pending += len(pdf)
+                if pending >= flush_rows:
+                    yield from emit()
+                    pending = 0
+            yield from emit()
+
+        parts = (
+            q.mapInPandas(
+                gram_batches, schema="label long, i long, j long, v long"
+            )
+            .groupBy("label", "i", "j")
+            .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("v"))
+            .collect()
+        )
+        g_rows = [r for r in parts if r.j >= 0]
+        s_rows = [
+            type("R", (), {"label": r.label, "i": r.i, "s": r.v})()
+            for r in parts
+            if r.j == -1 and r.i >= 0
+        ]
+        n_rows = [
+            type("R", (), {"label": r.label, "n": r.v})()
+            for r in parts
+            if r.i == -1
+        ]
+        g_attr = "v"
+    else:
+        ex = q.select("label", "q", F.posexplode("q").alias("i", "qi"))
+        gram = (
+            ex.select("label", "i", "qi", F.posexplode("q").alias("j", "qj"))
+            .groupBy("label", "i", "j")
+            .agg(F.sum((F.col("qi") * F.col("qj")).cast("decimal(38,0)")).alias("g"))
+        )
+        sums = ex.groupBy("label", "i").agg(
+            F.sum(F.col("qi").cast("decimal(38,0)")).alias("s")
+        )
+        counts = q.groupBy("label").agg(F.count("*").alias("n"))
+        g_rows = gram.collect()  # bounded: labels * d^2 integer cells
+        s_rows = sums.collect()
+        n_rows = counts.collect()
+        g_attr = "g"
     spark = df.sparkSession
     schema = "label int, n_vecs long, lambda1 double"
     if not n_rows:
@@ -1472,7 +1552,9 @@ def dominant_eigen_portable(
         s_by.setdefault(r.label, [0] * d)[r.i] = int(r.s)
     g_by = {}
     for r in g_rows:
-        g_by.setdefault(r.label, [[0] * d for _ in range(d)])[r.i][r.j] = int(r.g)
+        g_by.setdefault(r.label, [[0] * d for _ in range(d)])[r.i][r.j] = int(
+            getattr(r, g_attr)
+        )
     out = []
     for label in sorted(n_by):
         n, s, g = n_by[label], s_by[label], g_by[label]

@@ -1715,3 +1715,27 @@ def test_dominant_eigen_matches_numpy(spark):
     C = np.cov(X, rowvar=False, bias=True)
     lam_np = float(np.linalg.eigvalsh(C)[-1])
     assert abs(out[0].lambda1 - lam_np) / lam_np < 1e-3
+
+
+def test_dominant_eigen_gram_paths_bit_equal(spark):
+    """The Arrow int64-matmul Gram and the JVM explode Gram are the
+    same exact integer sums — the speed dispatch can never change the
+    eigenvalue bit pattern."""
+    import math as _math
+
+    rows = [
+        (int(i), [float(_math.sin(i * 3 + j)) for j in range(8)], int(i % 3))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    a = sorted(
+        (r.label, r.n_vecs, r.lambda1)
+        for r in similarity.dominant_eigen_portable(df, gram_mode="arrow").collect()
+    )
+    b = sorted(
+        (r.label, r.n_vecs, r.lambda1)
+        for r in similarity.dominant_eigen_portable(df, gram_mode="explode").collect()
+    )
+    assert a == b  # bit-for-bit, including the float
