@@ -433,15 +433,23 @@ def quality_classifier_score(
     Features (all map-side, engine-portable exact arithmetic):
       mean_word_len, stopword_ratio (both from the token stream) and
       tokens_per_char (token density — penalizes whitespace-sparse
-      blobs).  Fixed-order weighted sum; zero shuffles."""
+      blobs).  Fixed-order weighted sum; zero shuffles.
+
+    Staged projections (tokens -> n_tok -> score -> keep) so the token
+    array and the score tree evaluate ONCE per row: the single-select
+    form embedded a tokenize copy in every feature AND duplicated the
+    whole tree into the keep comparison (the r8 plan audit counted 10
+    split( copies); each alias below is referenced 2+ times downstream,
+    which stops CollapseProject from re-inlining it."""
     if weights is None:
         weights = {
             "mean_word_len": -0.3,
             "stopword_ratio": 4.0,
             "tokens_per_char": 8.0,
         }
-    toks = tokens_col(text_col)
-    n_tok = F.size(toks)
+    _TOK, _NT = "__qc_tokens", "__qc_ntok"
+    toks = F.col(_TOK)
+    n_tok = F.col(_NT)
     sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
     mean_word_len = F.aggregate(
         F.transform(toks, lambda t: F.length(t).cast("double")),
@@ -460,10 +468,15 @@ def quality_classifier_score(
         + F.lit(float(weights["tokens_per_char"])) * tokens_per_char
         + F.lit(float(bias))
     )
-    return df.select(
-        F.col(key),
-        score.alias("quality_lin"),
-        (score > F.lit(float(threshold))).alias("keep"),
+    return (
+        df.select(F.col(key), F.col(text_col), tokens_col(text_col).alias(_TOK))
+        .select(F.col(key), F.col(text_col), F.col(_TOK), F.size(toks).alias(_NT))
+        .select(F.col(key), score.alias("quality_lin"))
+        .select(
+            F.col(key),
+            F.col("quality_lin"),
+            (F.col("quality_lin") > F.lit(float(threshold))).alias("keep"),
+        )
     )
 
 
