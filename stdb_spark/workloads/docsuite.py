@@ -4292,3 +4292,93 @@ def _trunc_cand_sql() -> str:
 
 
 _q("emb_truncated_dim_recall", _emb_trunc_recall, _recall_sql(_trunc_cand_sql()))
+
+
+# -------------------------------------- minhash calibration (P/R eval)
+# The calibration report a dedup rollout runs before trusting LSH at
+# scale: precision/recall of the 32-hash 8x4-band minhash pipeline
+# (candidates -> estimate >= T) against EXACT 3-gram Jaccard >= T
+# ground truth.  The truth side is complete, not sampled: Jaccard > 0
+# requires a shared shingle, so the shared-shingle pair generator
+# covers every true pair — affordable at eval scale (run this on a
+# sample corpus; the capped variants are the production path).
+# Same shingle spec on all three legs (minhash, truth, oracle).
+_PR_T = 0.5
+
+
+def _minhash_pr(spark, sf):
+    docs = model.load_table(spark, sf, "documents")
+    sigs = dedup.minhash_signatures(docs)
+    cands = dedup.minhash_lsh_candidates(sigs)
+    pred = (
+        dedup.minhash_jaccard_estimate(sigs, cands)
+        .filter(F.col("est_jaccard") >= _PR_T)
+        .select("a", "b", F.lit(1).alias("_p"))
+    )
+    truth = (
+        dedup.ngram_jaccard_pairs(docs, n=_MH_SHINGLE_N, threshold=_PR_T)
+        .select("a", "b", F.lit(1).alias("_t"))
+    )
+    j = pred.join(truth, ["a", "b"], "full_outer")
+    agg = j.agg(
+        F.count("_p").cast("long").alias("n_pred"),
+        F.count("_t").cast("long").alias("n_true"),
+        F.sum(F.when(F.col("_p").isNotNull() & F.col("_t").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+    )
+    return agg.select(
+        "n_pred",
+        "n_true",
+        "tp",
+        F.when(F.col("n_pred") == 0, F.lit(0.0))
+        .otherwise(F.col("tp").cast("double") / F.col("n_pred"))
+        .alias("precision"),
+        F.when(F.col("n_true") == 0, F.lit(0.0))
+        .otherwise(F.col("tp").cast("double") / F.col("n_true"))
+        .alias("recall"),
+    )
+
+
+_q(
+    "doc_minhash_precision_recall",
+    _minhash_pr,
+    _MH_CTES
+    + f""",
+est AS (
+  SELECT c.a, c.b,
+         CAST(count(*) FILTER (ha.h = hb.h) AS DOUBLE) / {_MH_K} AS ej
+  FROM cands c
+  JOIN hs ha ON ha.doc_id = c.a
+  JOIN hs hb ON hb.doc_id = c.b AND hb.i = ha.i
+  GROUP BY c.a, c.b
+),
+pred AS (SELECT a, b FROM est WHERE ej >= {_PR_T!r}),
+ex3 AS (
+  SELECT doc_id, len(g) AS n_sh, unnest(g) AS shingle FROM sh
+),
+truth AS (
+  SELECT a, b FROM (
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           count(*) / (any_value(x.n_sh) + any_value(y.n_sh) - count(*))
+             AS jaccard
+    FROM ex3 x JOIN ex3 y
+      ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+  ) WHERE jaccard >= {_PR_T!r}
+),
+m AS (
+  SELECT CAST(count(p.a) AS BIGINT) AS n_pred,
+         CAST(count(t.a) AS BIGINT) AS n_true,
+         CAST(count(*) FILTER (p.a IS NOT NULL AND t.a IS NOT NULL) AS BIGINT)
+           AS tp
+  FROM pred p FULL OUTER JOIN truth t ON p.a = t.a AND p.b = t.b
+)
+SELECT n_pred, n_true, tp,
+  CASE WHEN n_pred = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / n_pred END
+    AS precision,
+  CASE WHEN n_true = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / n_true END
+    AS recall
+FROM m
+""",
+)
