@@ -253,6 +253,7 @@ HEADLINE = [
     "emb_truncated_dim_recall",
     "rel_benford_price_audit",
     "ts_theilsen_trend",
+    "doc_minhash_precision_recall",
 ]
 
 
