@@ -254,6 +254,7 @@ HEADLINE = [
     "rel_benford_price_audit",
     "ts_theilsen_trend",
     "doc_minhash_precision_recall",
+    "rel_part_communities_lpa",
 ]
 
 

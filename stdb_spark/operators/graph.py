@@ -314,3 +314,51 @@ def pagerank_oracle_sql(
             ") c ON n.node = c.node)"
         )
     return ",\n".join(parts) + f"\nSELECT node, CAST(pr AS BIGINT) AS pr FROM p{int(iterations)}"
+
+
+def label_propagation_exact(edges: DataFrame, k_iter: int = 4) -> DataFrame:
+    """(id, community) after ``k_iter`` SYNCHRONOUS label-propagation
+    rounds (Raghavan et al., Phys. Rev. E 76, 2007) made fully
+    deterministic by spec — the community-detection companion to
+    :func:`pagerank_exact` under the same engine-portable recipe:
+    every node starts labeled with its own id; each round a node
+    adopts the most frequent label among its neighbors' current labels
+    plus ONE copy of its own; ties break to the SMALLEST label.
+    Integer counts + a total-order pick — no RNG, no float — so the
+    whole trajectory replays bit-for-bit as unrolled SQL CTEs.
+
+    ``edges``: (a, b) undirected with a != b, deduplicated; both
+    directions are expanded internally.
+
+    Scale shape: each round is one join of the label table against the
+    directed edge list (labels keyed by id, a broadcast below the usual
+    threshold, co-partitioned above) + one (id, label) count exchange +
+    one per-id window pick; k_iter is a small constant, and rounds only
+    ever merge communities."""
+    from pyspark.sql import Window as W
+
+    both = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    labels = (
+        both.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+    )
+    for _ in range(k_iter):
+        nb = (
+            both.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"), "lbl")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        allc = nb.unionByName(
+            labels.select("id", "lbl", F.lit(1).cast("long").alias("c"))
+        )
+        summed = allc.groupBy("id", "lbl").agg(F.sum("c").alias("c"))
+        w = W.partitionBy("id").orderBy(F.col("c").desc(), F.col("lbl").asc())
+        labels = (
+            summed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "lbl")
+        )
+    return labels.select("id", F.col("lbl").alias("community"))

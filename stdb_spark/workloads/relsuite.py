@@ -2354,3 +2354,85 @@ SELECT priority, n_orders,
 FROM g ORDER BY priority
 """,
 )
+
+
+# ------------------------------------------- co-purchase communities
+# Community detection over the part co-purchase graph (edges = part
+# pairs bought together in >= 2 distinct orders) via deterministic
+# synchronous label propagation (operators/graph.py:
+# label_propagation_exact — integer counts, smallest-label
+# tie-break, 4 rounds) — the product-grouping report a merchandising
+# pipeline derives from baskets.  The whole trajectory is integer
+# state, so the oracle replays it as unrolled CTEs.
+_LPA_K = 4
+_LPA_SUPPORT = 2
+
+
+def _rel_part_communities(spark, sf):
+    from stdb_spark.operators import graph
+
+    li = (
+        model.load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .agg(F.count("*").alias("_s"))
+        .filter(F.col("_s") >= _LPA_SUPPORT)
+        .select("a", "b")
+    )
+    labels = graph.label_propagation_exact(edges, k_iter=_LPA_K)
+    return (
+        labels.groupBy("community")
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+
+
+def _lpa_oracle_sql(k_iter: int = _LPA_K) -> str:
+    ctes = [
+        """lip AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)""",
+        f"""e0 AS (
+  SELECT a.p AS a, b.p AS b FROM lip a JOIN lip b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= {_LPA_SUPPORT}
+)""",
+        """edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0
+)""",
+        """l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges)""",
+    ]
+    for t in range(1, k_iter + 1):
+        ctes.append(
+            f"""s{t} AS (
+  SELECT id, lbl, SUM(c) AS c FROM (
+    SELECT e.src AS id, l.lbl, count(*) AS c
+    FROM edges e JOIN l{t - 1} l ON l.id = e.dst GROUP BY 1, 2
+    UNION ALL SELECT id, lbl, 1 FROM l{t - 1}
+  ) GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""l{t} AS MATERIALIZED (
+  SELECT id, lbl FROM (
+    SELECT id, lbl,
+           row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn
+    FROM s{t}
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(lbl AS BIGINT) AS community, CAST(count(*) AS BIGINT) AS n_members
+FROM l{k_iter} GROUP BY 1 HAVING count(*) >= 2
+"""
+    )
+
+
+_q("rel_part_communities_lpa", _rel_part_communities, _lpa_oracle_sql())

@@ -119,3 +119,19 @@ def test_two_phase_null_bucket_policies(spark):
     )
     want_d = df.withColumn("t", F.ntile(3).over(W.orderBy(*order_d)))
     assert sorted(got_d.collect(), key=key) == sorted(want_d.collect(), key=key)
+
+
+def test_label_propagation_hand_computed(spark):
+    """Two triangles joined by one bridge edge: 4 deterministic LPA
+    rounds (min-label tie-break) converge each triangle to its minimum
+    id; the bridge is not enough mass to merge them."""
+    from pyspark.sql import functions as F
+
+    from stdb_spark.operators.graph import label_propagation_exact
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "a long, b long",
+    )
+    out = {r.id: r.community for r in label_propagation_exact(edges, 4).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
