@@ -389,6 +389,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment C(A,B) = |A∩B| / |A| — the
+    partial-duplicate / quote-inclusion detector Jaccard misses: a short
+    doc fully embedded in a long one has tiny Jaccard but containment
+    1.0 (Broder's original resemblance-vs-containment distinction,
+    "On the resemblance and containment of documents", 1997).
+
+    Emits one row per unordered candidate pair with BOTH directions
+    (``cont_a_in_b``, ``cont_b_in_a``); a pair survives when either
+    direction >= ``threshold``.  Same single-exchange postings shape
+    and ``df_cap`` stop-shingle guard as :func:`ngram_jaccard_pairs`
+    (the cap is what keeps pair emission linear at 100 TB)."""
+    blocks = [F.col(block_col)] if block_col else []
+    base = with_shingles(
+        _spread(df.select(F.col(key), *blocks, F.col(text_col)), key),
+        [F.col(key), *blocks], text_col, n,
+    )
+    sh = base.select(
+        F.col(key),
+        *blocks,
+        F.size("_sh").alias("n_sh"),
+        F.explode("_sh").alias("shingle"),
+    )
+    grouped = sh.groupBy(*blocks, "shingle").agg(
+        F.collect_list(F.struct(F.col(key).alias("k"), F.col("n_sh").alias("n"))).alias("ds")
+    )
+    if df_cap is not None:
+        grouped = grouped.filter(F.size("ds") <= df_cap)
+    pairs = (
+        grouped.select(F.explode("ds").alias("x"), F.col("ds"))
+        .select("x", F.explode("ds").alias("y"))
+        .filter(F.col("x.k") < F.col("y.k"))
+    )
+    inter = pairs.groupBy(
+        F.col("x.k").alias("a"),
+        F.col("y.k").alias("b"),
+        F.col("x.n").alias("na"),
+        F.col("y.n").alias("nb"),
+    ).agg(F.count("*").alias("inter"))
+    cab = F.col("inter") / F.col("na")
+    cba = F.col("inter") / F.col("nb")
+    return (
+        inter.select(
+            "a", "b", cab.alias("cont_a_in_b"), cba.alias("cont_b_in_a")
+        )
+        .filter(
+            (F.col("cont_a_in_b") >= threshold) | (F.col("cont_b_in_a") >= threshold)
+        )
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", key: str = "doc_id", bits: int = 64) -> DataFrame:
     """64-bit SimHash over word shingles: bit j of the signature is the
     sign of sum over shingles of (+1 if md5-bit j set else -1).

@@ -291,6 +291,67 @@ def unigram_logprob(
     )
 
 
+def bigrams_col(text: str | Column = "text") -> Column:
+    """Adjacent-token bigram strings ("w1 w2"); empty array for docs
+    with fewer than 2 tokens.  Pure JVM array ops (slice + zip_with),
+    map-side only."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    m = F.greatest(n - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, F.lit(1), m),
+        F.slice(toks, F.lit(2), m),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    corpus: DataFrame | None = None,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Mean per-bigram log-probability under an add-one-smoothed bigram
+    LM fit on the corpus itself — the standard perplexity-filter shape
+    (CCNet-style: score each doc under a corpus LM, drop the tails)
+    without an external model.  p(w2|w1) = (C(w1 w2)+1) / (C(w1·)+V)
+    with V = corpus vocabulary size.
+
+    Scale shape: ONE exchange keyed by bigram builds the count table
+    (context counts C(w1·) derive from it by a second, vocabulary-sized
+    aggregation that is joined back map-side), then the doc-side
+    explode joins on the same uniform bigram key — no all-pairs, no
+    skew (natural-language bigram df is Zipf but the df-heavy keys are
+    exactly the ones whose postings the join replicates by doc, which
+    is linear in corpus size, not quadratic).  Log terms round into
+    decimal(28,16) before summation so the per-doc score is independent
+    of partitioning/accumulation order (same contract as
+    :func:`unigram_logprob`)."""
+    corpus = corpus if corpus is not None else df
+    vocab = corpus.select(F.explode(tokens_col(text_col)).alias("tok")).distinct().count()
+    corpus_bg = corpus.select(F.explode(bigrams_col(text_col)).alias("bg"))
+    big = corpus_bg.groupBy("bg").agg(F.count("*").alias("c12"))
+    ctx = (
+        big.groupBy(F.split(F.col("bg"), " ")[0].alias("w1"))
+        .agg(F.sum("c12").alias("cctx"))
+    )
+    model_tbl = big.join(
+        ctx, F.split(F.col("bg"), " ")[0] == F.col("w1"), "inner"
+    ).select("bg", "c12", "cctx")
+    doc_bg = df.select(F.col(key), F.explode(bigrams_col(text_col)).alias("bg"))
+    logterm = F.log(
+        (F.col("c12") + F.lit(1.0)) / (F.col("cctx") + F.lit(float(vocab)))
+    ).cast("decimal(28,16)")
+    return (
+        doc_bg.join(model_tbl, "bg")
+        .groupBy(key)
+        .agg(
+            (F.sum(logterm).cast("double") / F.count("*")).alias("mean_bigram_logprob"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+
+
 def c4_line_filter(
     df: DataFrame,
     text_col: str = "text",

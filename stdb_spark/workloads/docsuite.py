@@ -253,6 +253,53 @@ SELECT a, b, jaccard FROM (
 )
 
 
+# Asymmetric containment (Broder 1997's resemblance-vs-containment
+# distinction): catches a short doc embedded in a long one, which
+# Jaccard scores near zero.  Same df-capped postings blocking as the
+# capped Jaccard entry; both directions emitted, pair kept when either
+# >= threshold.
+_CONTAIN_T = 0.5
+
+_q(
+    "doc_containment_pairs",
+    lambda spark, sf: dedup.containment_pairs(
+        model.load_table(spark, sf, "documents"),
+        block_col="source",
+        n=_JACCARD_N,
+        threshold=_CONTAIN_T,
+        df_cap=_JACCARD_DF_CAP,
+    ),
+    f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, source,
+    CASE WHEN len(t) >= {_JACCARD_N}
+         THEN list_distinct(list_transform(range(1, len(t) - {_JACCARD_N} + 2),
+              i -> array_to_string(t[i:i+{_JACCARD_N}-1], ' ')))
+         ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks
+), ex AS (
+  SELECT doc_id, source, len(g) AS n_sh, unnest(g) AS shingle FROM sh
+), keep AS (
+  SELECT source, shingle FROM ex
+  GROUP BY source, shingle HAVING count(*) <= {_JACCARD_DF_CAP}
+), exk AS (
+  SELECT e.* FROM ex e JOIN keep k
+    ON e.shingle = k.shingle AND e.source = k.source
+)
+SELECT a, b, cont_a_in_b, cont_b_in_a FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         count(*) / any_value(x.n_sh) AS cont_a_in_b,
+         count(*) / any_value(y.n_sh) AS cont_b_in_a
+  FROM exk x JOIN exk y
+    ON x.shingle = y.shingle AND x.source = y.source AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+) WHERE cont_a_in_b >= {_CONTAIN_T} OR cont_b_in_a >= {_CONTAIN_T}
+""",
+)
+
+
 # ------------------------------------------------------------- embeddings
 _DIM = 64
 _QVEC = [((i * 37) % 19 - 9) / 10.0 for i in range(_DIM)]
@@ -1243,6 +1290,46 @@ SELECT doc_id,
                 AS DECIMAL(28,16))) AS VARCHAR)::DOUBLE / count(*) AS mean_logprob,
   count(*) AS n_tokens
 FROM tok JOIN uni USING (tok)
+GROUP BY doc_id
+""",
+)
+
+
+# Mean bigram log-probability under the corpus' own add-one-smoothed
+# bigram LM — the CCNet-style perplexity filter without an external
+# model (p(w2|w1) = (C(w1 w2)+1)/(C(w1·)+V)).  Same decimal-quantized
+# log-sum contract as the unigram entry, so the score is
+# partitioning-independent and engine-exact.
+def _bigram_lp(spark, sf):
+    docs = model.load_table(spark, sf, "documents")
+    return text.bigram_logprob(docs).select(
+        "doc_id", "mean_bigram_logprob", "n_bigrams"
+    )
+
+
+_q(
+    "doc_bigram_logprob",
+    _bigram_lp,
+    f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), bgs AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t)
+), big AS (
+  SELECT bg, count(*) AS c12 FROM bgs GROUP BY bg
+), ctx AS (
+  SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS cctx FROM big GROUP BY 1
+), vocab AS (
+  SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM t)
+)
+SELECT doc_id,
+  CAST(sum(CAST(ln((c12 + 1.0) / (cctx + (SELECT CAST(v AS DOUBLE) FROM vocab)))
+               AS DECIMAL(28,16))) AS VARCHAR)::DOUBLE / count(*)
+    AS mean_bigram_logprob,
+  count(*) AS n_bigrams
+FROM bgs JOIN big USING (bg)
+JOIN ctx ON split_part(bg, ' ', 1) = ctx.w1
 GROUP BY doc_id
 """,
 )

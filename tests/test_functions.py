@@ -517,6 +517,68 @@ def test_unigram_logprob_ranks_rare_docs_lower(spark):
     assert out[2] < out[1]
 
 
+def test_bigram_logprob_laplace_smoothed_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b"),   # bigrams: "a b", "b a", "a b"
+            (2, "a b c"),     # bigrams: "a b", "b c"
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.mean_bigram_logprob, r.n_bigrams)
+        for r in text.bigram_logprob(df).collect()
+    }
+    # corpus: C(a b)=3, C(b a)=1, C(b c)=1; context counts are bigram
+    # starts: C(a·)=3, C(b·)=2; V=3 (a,b,c).
+    p_ab = (3 + 1) / (3 + 3)
+    p_ba = (1 + 1) / (2 + 3)
+    p_bc = (1 + 1) / (2 + 3)
+    exp1 = (2 * math.log(p_ab) + math.log(p_ba)) / 3
+    exp2 = (math.log(p_ab) + math.log(p_bc)) / 2
+    assert out[1][1] == 3 and out[2][1] == 2
+    assert abs(out[1][0] - exp1) < 1e-9
+    assert abs(out[2][0] - exp2) < 1e-9
+
+
+def test_bigram_logprob_skips_single_token_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two tokens")], "doc_id long, text string"
+    )
+    out = text.bigram_logprob(df).collect()
+    assert {r.doc_id for r in out} == {2}
+
+
+def test_containment_catches_embedded_doc(spark):
+    long_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    short_text = "gamma delta epsilon zeta"  # fully contained in long
+    df = spark.createDataFrame(
+        [(1, long_text), (2, short_text), (3, "unrelated words only here")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.a, r.b): (r.cont_a_in_b, r.cont_b_in_a)
+        for r in dedup.containment_pairs(df, n=2, threshold=0.8).collect()
+    }
+    # doc 2's 3 bigrams are all inside doc 1's 9 → containment(2 in 1)=1.0
+    assert (1, 2) in out
+    assert out[(1, 2)][1] == 1.0          # b (short) fully inside a (long)
+    assert abs(out[(1, 2)][0] - 3 / 9) < 1e-12  # asymmetry preserved
+    assert not any(3 in p for p in out)
+
+
+def test_containment_df_cap_drops_stop_shingles(spark):
+    # shingle "x y" appears in every doc; with df_cap=2 it is dropped, so
+    # the only surviving overlap between 1 and 2 disappears entirely
+    df = spark.createDataFrame(
+        [(1, "x y a"), (2, "x y b"), (3, "x y c")],
+        "doc_id long, text string",
+    )
+    no_cap = dedup.containment_pairs(df, n=2, threshold=0.4).collect()
+    capped = dedup.containment_pairs(df, n=2, threshold=0.4, df_cap=2).collect()
+    assert len(no_cap) == 3 and len(capped) == 0
+
+
 def test_image_phash_dedup_finds_planted_duplicates(spark):
     from stdb_spark.functions import multimodal
 
