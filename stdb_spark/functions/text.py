@@ -352,6 +352,47 @@ def bigram_logprob(
     )
 
 
+def importance_logratio(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weight (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023; same shape
+    as CCNet's target-vs-background LM filter): per-doc mean of
+    ln(p_target(tok) / p_background(tok)) under add-one-smoothed unigram
+    LMs, where the target LM is fit on the rows matching ``target`` and
+    the background LM on the whole corpus.  Docs resembling the target
+    domain score high; resampling by this weight is the selection step.
+
+    Scale shape: two vocabulary-sized count tables built from ONE token
+    explode (the target counts are a filtered re-aggregation), joined
+    back on the uniform token key; log terms quantize into
+    decimal(28,16) before the per-doc sum, so scores are independent of
+    partitioning (the :func:`unigram_logprob` contract)."""
+    toks = df.select(F.col(key), target.alias("_tgt"), F.explode(tokens_col(text_col)).alias("tok"))
+    counts = toks.groupBy("tok").agg(
+        F.count("*").alias("c_bg"),
+        F.sum(F.col("_tgt").cast("long")).alias("c_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("c_bg").alias("n_bg"), F.sum("c_tgt").alias("n_tgt"), F.count("*").alias("v")
+    ).collect()[0]
+    n_bg, n_tgt, vocab = float(totals.n_bg), float(totals.n_tgt), float(totals.v)
+    p_t = (F.col("c_tgt") + F.lit(1.0)) / F.lit(n_tgt + vocab)
+    p_b = (F.col("c_bg") + F.lit(1.0)) / F.lit(n_bg + vocab)
+    logterm = F.log(p_t / p_b).cast("decimal(28,16)")
+    return (
+        toks.join(counts, "tok")
+        .groupBy(key)
+        .agg(
+            (F.sum(logterm).cast("double") / F.count("*")).alias("mean_logratio"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+
 def c4_line_filter(
     df: DataFrame,
     text_col: str = "text",

@@ -1295,6 +1295,36 @@ GROUP BY doc_id
 )
 
 
+# DSIR importance weight (Xie et al. 2023): mean per-token
+# ln(p_target/p_background) with the English subset as the target
+# domain and the whole corpus as background — the resampling weight for
+# domain-targeted data selection.
+_q(
+    "doc_dsir_logratio",
+    lambda spark, sf: text.importance_logratio(
+        model.load_table(spark, sf, "documents"), target=F.col("lang") == "en"
+    ).select("doc_id", "mean_logratio", "n_tokens"),
+    f"""
+WITH tok AS (
+  SELECT doc_id, lang = 'en' AS tgt, unnest({_TOKS}) AS tok FROM documents
+), counts AS (
+  SELECT tok, count(*) AS c_bg,
+         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_tgt
+  FROM tok GROUP BY tok
+), tot AS (
+  SELECT sum(c_bg) AS n_bg, sum(c_tgt) AS n_tgt, count(*) AS v FROM counts
+)
+SELECT doc_id,
+  CAST(sum(CAST(ln(((c_tgt + 1.0) / ((SELECT n_tgt FROM tot) + (SELECT v FROM tot)))
+                 / ((c_bg + 1.0) / ((SELECT n_bg FROM tot) + (SELECT v FROM tot))))
+               AS DECIMAL(28,16))) AS VARCHAR)::DOUBLE / count(*) AS mean_logratio,
+  count(*) AS n_tokens
+FROM tok JOIN counts USING (tok)
+GROUP BY doc_id
+""",
+)
+
+
 # Mean bigram log-probability under the corpus' own add-one-smoothed
 # bigram LM — the CCNet-style perplexity filter without an external
 # model (p(w2|w1) = (C(w1 w2)+1)/(C(w1·)+V)).  Same decimal-quantized

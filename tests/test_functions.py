@@ -549,6 +549,26 @@ def test_bigram_logprob_skips_single_token_docs(spark):
     assert {r.doc_id for r in out} == {2}
 
 
+def test_importance_logratio_dsir_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b", "en"), (2, "b c", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r.doc_id: (r.mean_logratio, r.n_tokens)
+        for r in text.importance_logratio(df, target=F.col("lang") == "en").collect()
+    }
+    # counts: a(bg 2, tgt 2) b(bg 2, tgt 1) c(bg 1, tgt 0); n_bg=5,
+    # n_tgt=3, V=3 → p_t/p_b per token computed with add-one smoothing
+    r_a = math.log((3 / 6) / (3 / 8))
+    r_b = math.log((2 / 6) / (3 / 8))
+    r_c = math.log((1 / 6) / (2 / 8))
+    assert out[1][1] == 3 and out[2][1] == 2
+    assert abs(out[1][0] - (2 * r_a + r_b) / 3) < 1e-9
+    assert abs(out[2][0] - (r_b + r_c) / 2) < 1e-9
+    assert out[1][0] > out[2][0]  # target-domain doc weighs higher
+
+
 def test_containment_catches_embedded_doc(spark):
     long_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     short_text = "gamma delta epsilon zeta"  # fully contained in long
