@@ -47,6 +47,29 @@ def hash_sample(
     return df.filter(hash_bucket(F.col(key), salt) < threshold)
 
 
+def train_val_test_split(
+    df: DataFrame,
+    key: str = "doc_id",
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    salt: str = "split0",
+) -> DataFrame:
+    """Deterministic 3-way split by content-free key hash: adds a
+    ``split`` column ('train'/'val'/'test') decided only by
+    hash(key, salt), so membership is reproducible across engines,
+    reruns, and cluster sizes — no RNG, no global sort, zero shuffles
+    (a map-side expression even at 100 TB).  Disjoint hash ranges make
+    leakage between splits structurally impossible for distinct keys."""
+    if abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError("weights must sum to 1")
+    b = hash_bucket(F.col(key), salt)
+    t1 = int(weights[0] * HASH_DOMAIN)
+    t2 = int((weights[0] + weights[1]) * HASH_DOMAIN)
+    split = (
+        F.when(b < t1, F.lit("train")).when(b < t2, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
 def stratified_quota(
     df: DataFrame,
     group_col: str = "source",

@@ -1112,6 +1112,41 @@ WHERE ('0x' || substr(md5('{_SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15)):
 )
 
 
+# Deterministic train/val/test split: membership decided only by
+# hash(doc_id, salt) ranges — reproducible across engines and cluster
+# sizes, leakage structurally impossible.  Output is the per-source
+# split audit (counts + char mass), the thing a curation run actually
+# publishes.
+_SPLIT_SALT = "split0"
+_SPLIT_T1 = int(0.8 * sampling.HASH_DOMAIN)
+_SPLIT_T2 = int(0.9 * sampling.HASH_DOMAIN)
+
+_q(
+    "doc_train_val_test_split",
+    lambda spark, sf: sampling.train_val_test_split(
+        model.load_table(spark, sf, "documents"), salt=_SPLIT_SALT
+    )
+    .groupBy("source", "split")
+    .agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    ),
+    f"""
+SELECT source,
+  CASE WHEN h < {_SPLIT_T1} THEN 'train'
+       WHEN h < {_SPLIT_T2} THEN 'val'
+       ELSE 'test' END AS split,
+  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM (
+  SELECT source, n_chars,
+         ('0x' || substr(md5('{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM documents
+)
+GROUP BY 1, 2
+""",
+)
+
+
 # Exactly-n-per-source quota sample (mixture weighting), ranked by the
 # same deterministic hash — one shuffle on the group key.
 _q(

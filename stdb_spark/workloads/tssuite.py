@@ -5835,6 +5835,33 @@ _q(
 )
 
 
+# ---------------------------------------------------- ORC ingest
+# Same roundtrip discipline for Spark's other built-in columnar format:
+# ORC carries its schema (no inference pass needed) and its own
+# min/max/bloom indexes, so at 100 TB it is a peer of parquet for
+# scan-heavy workloads; the entry proves the source/sink path and that
+# values survive the type mapping bit-for-bit.
+def _ingest_orc_roundtrip(spark, sf):
+    cache = model.derived_cache_path(sf, "orc_export", "orders")
+    if not model.cache_ready(cache):
+        (
+            model.load_table(spark, sf, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .write.mode("overwrite")
+            .orc(cache)
+        )
+    return spark.read.orc(cache).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+_q(
+    "ingest_orc_roundtrip",
+    _ingest_orc_roundtrip,
+    "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+)
+
+
 # --------------------------------------------- streaming counter rate
 # The stateful streaming twin of ts_counter_rate_resets: last (ts,
 # value) state per series carried across micro-batches; the replayed

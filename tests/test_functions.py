@@ -549,6 +549,27 @@ def test_bigram_logprob_skips_single_token_docs(spark):
     assert {r.doc_id for r in out} == {2}
 
 
+def test_train_val_test_split_deterministic_and_partitioning(spark):
+    from stdb_spark.functions import sampling
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    out = sampling.train_val_test_split(df)
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in out.collect()}
+    assert a == b  # deterministic across runs
+    assert set(a.values()) == {"train", "val", "test"}  # all splits populated
+    # every doc lands in exactly one split and train dominates at 80%
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert sum(c.values()) == 200
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+    with pytest.raises(ValueError):
+        sampling.train_val_test_split(df, weights=(0.5, 0.2, 0.2))
+
+
 def test_importance_logratio_dsir_exact(spark):
     df = spark.createDataFrame(
         [(1, "a a b", "en"), (2, "b c", "de")],
