@@ -6486,6 +6486,281 @@ FROM seg GROUP BY u, trip
 )
 
 
+# Origin-destination flow matrix over the moving-object stream
+# (per-sample locations, stdb/common/basic.h:48-52): per (user, day)
+# the origin is the day's FIRST point and the destination its LAST;
+# both snap to a 0.05-degree grid and flows aggregate per
+# (origin-cell, destination-cell) pair.  Because the synthetic
+# coordinates are a pure function of (u, ts), min(ts)/max(ts) determine
+# the endpoints exactly — TWO hash aggregates total (user-day, then
+# cell-pair), no window, no all-pairs.  At 100 TB both exchanges are
+# uniform keys (user-day, then a bounded cell-pair space); displacement
+# sums run through decimal so the doubles reproduce cross-engine.
+def _sp_od_matrix(spark, sf):
+    ev = model.events_raw_ns(spark, sf)
+    byday = (
+        ev.select(
+            F.col("user_id").alias("u"), F.expr("ts div 1000").alias("tu")
+        )
+        .groupBy("u", F.expr("tu div 86400000000").alias("day"))
+        .agg(F.min("tu").alias("o_tu"), F.max("tu").alias("d_tu"))
+    )
+
+    def _lon(tu_col):
+        return (
+            F.lit(116.0)
+            + (F.col("u") % 40) * F.lit(0.01)
+            + (F.col(tu_col) % 100) * F.lit(1e-5)
+        )
+
+    def _lat(tu_col):
+        return (
+            F.lit(39.0)
+            + F.expr("u div 40") * F.lit(0.01)
+            + (F.col(tu_col) % 7) * F.lit(1e-4)
+        )
+
+    coords = byday.select(
+        "u",
+        "day",
+        _lon("o_tu").alias("o_lon"),
+        _lat("o_tu").alias("o_lat"),
+        _lon("d_tu").alias("d_lon"),
+        _lat("d_tu").alias("d_lat"),
+    )
+    dx = F.col("d_lon") - F.col("o_lon")
+    dy = F.col("d_lat") - F.col("o_lat")
+    cells = coords.select(
+        F.floor(F.col("o_lon") / F.lit(0.05)).cast("long").alias("o_gx"),
+        F.floor(F.col("o_lat") / F.lit(0.05)).cast("long").alias("o_gy"),
+        F.floor(F.col("d_lon") / F.lit(0.05)).cast("long").alias("d_gx"),
+        F.floor(F.col("d_lat") / F.lit(0.05)).cast("long").alias("d_gy"),
+        F.sqrt(dx * dx + dy * dy).alias("_disp"),
+    )
+    return cells.groupBy("o_gx", "o_gy", "d_gx", "d_gy").agg(
+        F.count("*").cast("long").alias("n_trips"),
+        F.expr(
+            "CAST(sum(CAST(_disp AS DECIMAL(28,12))) AS DOUBLE)"
+        ).alias("total_disp"),
+    )
+
+
+_q(
+    "sp_od_matrix",
+    _sp_od_matrix,
+    """
+WITH pts AS (
+  SELECT user_id AS u, epoch_us(ts) AS tu FROM events
+),
+byday AS (
+  SELECT u, tu // 86400000000 AS day, min(tu) AS o_tu, max(tu) AS d_tu
+  FROM pts GROUP BY 1, 2
+),
+coords AS (
+  SELECT u, day,
+    CAST(116.0 AS DOUBLE) + (u % 40) * CAST(0.01 AS DOUBLE)
+      + (o_tu % 100) * CAST(1e-5 AS DOUBLE) AS o_lon,
+    CAST(39.0 AS DOUBLE) + (u // 40) * CAST(0.01 AS DOUBLE)
+      + (o_tu % 7) * CAST(1e-4 AS DOUBLE) AS o_lat,
+    CAST(116.0 AS DOUBLE) + (u % 40) * CAST(0.01 AS DOUBLE)
+      + (d_tu % 100) * CAST(1e-5 AS DOUBLE) AS d_lon,
+    CAST(39.0 AS DOUBLE) + (u // 40) * CAST(0.01 AS DOUBLE)
+      + (d_tu % 7) * CAST(1e-4 AS DOUBLE) AS d_lat
+  FROM byday
+),
+cells AS (
+  SELECT
+    CAST(floor(o_lon / CAST(0.05 AS DOUBLE)) AS BIGINT) AS o_gx,
+    CAST(floor(o_lat / CAST(0.05 AS DOUBLE)) AS BIGINT) AS o_gy,
+    CAST(floor(d_lon / CAST(0.05 AS DOUBLE)) AS BIGINT) AS d_gx,
+    CAST(floor(d_lat / CAST(0.05 AS DOUBLE)) AS BIGINT) AS d_gy,
+    sqrt((d_lon - o_lon) * (d_lon - o_lon)
+       + (d_lat - o_lat) * (d_lat - o_lat)) AS disp
+  FROM coords
+)
+SELECT o_gx, o_gy, d_gx, d_gy,
+       CAST(count(*) AS BIGINT) AS n_trips,
+       CAST(CAST(sum(CAST(disp AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
+         AS total_disp
+FROM cells GROUP BY 1, 2, 3, 4
+""",
+)
+
+
+# Geofence dwell time (the alerting view of the R-tree's MBR surface,
+# rtree.h:681): per user, total time spent INSIDE a fence box counted
+# as the sum of consecutive-point gaps whose BOTH endpoints are inside
+# and whose gap is <= 30 min, plus the number of distinct visits
+# (entry transitions).  Points dedupe to (u, ts) first — coordinates
+# are a function of (u, ts), so the lag window has a total order and
+# the arithmetic is all int64.  One per-user window + one aggregate;
+# partitioned by user, scale-safe.
+def _sp_geofence_dwell(spark, sf):
+    from pyspark.sql import Window as W
+
+    pts = (
+        model.events_raw_ns(spark, sf)
+        .select(F.col("user_id").alias("u"), F.expr("ts div 1000").alias("tu"))
+        .distinct()
+    )
+    lon = (
+        F.lit(116.0)
+        + (F.col("u") % 40) * F.lit(0.01)
+        + (F.col("tu") % 100) * F.lit(1e-5)
+    )
+    lat = (
+        F.lit(39.0)
+        + F.expr("u div 40") * F.lit(0.01)
+        + (F.col("tu") % 7) * F.lit(1e-4)
+    )
+    inside = (
+        lon.between(116.05, 116.20) & lat.between(39.0, 39.02)
+    ).cast("int")
+    w = W.partitionBy("u").orderBy("tu")
+    flagged = pts.select("u", "tu", inside.alias("ins")).select(
+        "u",
+        "tu",
+        "ins",
+        F.lag("ins").over(w).alias("pins"),
+        (F.col("tu") - F.lag("tu").over(w)).alias("gap"),
+    )
+    dwell = F.when(
+        (F.col("ins") == 1)
+        & (F.col("pins") == 1)
+        & (F.col("gap") <= 30 * 60 * 1000000),
+        F.col("gap"),
+    ).otherwise(F.lit(0))
+    enter = F.when(
+        (F.col("ins") == 1)
+        & (
+            F.col("pins").isNull()
+            | (F.col("pins") == 0)
+            | (F.col("gap") > 30 * 60 * 1000000)
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        flagged.groupBy("u")
+        .agg(
+            F.sum(dwell).cast("long").alias("dwell_us"),
+            F.sum(enter).cast("long").alias("n_visits"),
+            F.sum("ins").cast("long").alias("n_inside"),
+        )
+        .filter(F.col("n_inside") > 0)
+    )
+
+
+_q(
+    "sp_geofence_dwell",
+    _sp_geofence_dwell,
+    """
+WITH pts AS (
+  SELECT DISTINCT user_id AS u, epoch_us(ts) AS tu FROM events
+),
+located AS (
+  SELECT u, tu,
+    CASE WHEN (CAST(116.0 AS DOUBLE) + (u % 40) * CAST(0.01 AS DOUBLE)
+                 + (tu % 100) * CAST(1e-5 AS DOUBLE))
+               BETWEEN CAST(116.05 AS DOUBLE) AND CAST(116.20 AS DOUBLE)
+          AND (CAST(39.0 AS DOUBLE) + (u // 40) * CAST(0.01 AS DOUBLE)
+                 + (tu % 7) * CAST(1e-4 AS DOUBLE))
+               BETWEEN CAST(39.0 AS DOUBLE) AND CAST(39.02 AS DOUBLE)
+         THEN 1 ELSE 0 END AS ins
+  FROM pts
+),
+lagged AS (
+  SELECT u, tu, ins,
+    lag(ins) OVER w AS pins,
+    tu - lag(tu) OVER w AS gap
+  FROM located WINDOW w AS (PARTITION BY u ORDER BY tu)
+)
+SELECT u,
+  CAST(sum(CASE WHEN ins = 1 AND pins = 1 AND gap <= 30 * 60 * 1000000
+            THEN gap ELSE 0 END) AS BIGINT) AS dwell_us,
+  CAST(sum(CASE WHEN ins = 1 AND (pins IS NULL OR pins = 0
+                                  OR gap > 30 * 60 * 1000000)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_visits,
+  CAST(sum(ins) AS BIGINT) AS n_inside
+FROM lagged GROUP BY u HAVING sum(ins) > 0
+""",
+)
+
+
+# Multi-resolution spatial density rollup — the hypertable-rollup
+# pattern (storage.py incremental summaries) applied to the spatial
+# grid: aggregate once at the FINE cell level, then derive the coarse
+# zoom by re-aggregating the fine PARTIALS (integer counts + decimal
+# value sums stay exact under re-aggregation), never rescanning the
+# fact table.  At 100 TB the fine aggregate is the only full-data
+# exchange; every additional zoom level costs one re-agg of an
+# already-tiny artifact — exactly how tile servers serve heatmaps.
+def _sp_quadkey_rollup(spark, sf):
+    ev = model.load_table(spark, sf, "events")
+    lon = F.lit(116.0) + (F.col("user_id") % 40) * F.lit(0.01)
+    lat = F.lit(39.0) + F.expr("user_id div 40") * F.lit(0.01)
+    fine = (
+        ev.select(
+            F.floor(lon / F.lit(0.02)).cast("long").alias("gx"),
+            F.floor(lat / F.lit(0.02)).cast("long").alias("gy"),
+            F.col("value"),
+        )
+        .groupBy("gx", "gy")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.expr("sum(CAST(value AS DECIMAL(28,10)))").alias("_vdec"),
+        )
+    )
+    fine.persist()
+    out_fine = fine.select(
+        F.lit(1).alias("zoom"),
+        "gx",
+        "gy",
+        "n_events",
+        F.col("_vdec").cast("double").alias("value_sum"),
+    )
+    coarse = (
+        fine.groupBy(
+            F.expr("gx div 2").alias("gx"), F.expr("gy div 2").alias("gy")
+        )
+        .agg(F.sum("n_events").cast("long").alias("n_events"),
+             F.sum("_vdec").alias("_vdec"))
+        .select(
+            F.lit(0).alias("zoom"),
+            "gx",
+            "gy",
+            "n_events",
+            F.col("_vdec").cast("double").alias("value_sum"),
+        )
+    )
+    return out_fine.unionByName(coarse)
+
+
+_q(
+    "sp_quadkey_rollup",
+    _sp_quadkey_rollup,
+    """
+WITH fine AS (
+  SELECT
+    CAST(floor((CAST(116.0 AS DOUBLE) + (user_id % 40) * CAST(0.01 AS DOUBLE))
+               / CAST(0.02 AS DOUBLE)) AS BIGINT) AS gx,
+    CAST(floor((CAST(39.0 AS DOUBLE) + (user_id // 40) * CAST(0.01 AS DOUBLE))
+               / CAST(0.02 AS DOUBLE)) AS BIGINT) AS gy,
+    CAST(count(*) AS BIGINT) AS n_events,
+    sum(CAST(value AS DECIMAL(28,10))) AS vdec
+  FROM events GROUP BY 1, 2
+)
+SELECT 1 AS zoom, gx, gy, n_events,
+       CAST(CAST(vdec AS VARCHAR) AS DOUBLE) AS value_sum
+FROM fine
+UNION ALL
+SELECT 0 AS zoom, gx // 2 AS gx, gy // 2 AS gy,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(CAST(sum(vdec) AS VARCHAR) AS DOUBLE) AS value_sum
+FROM fine GROUP BY 2, 3
+""",
+)
+
+
 # Apdex score per (metric, day): satisfied (v <= T), tolerating
 # (T < v <= 4T), apdex = (sat + tol/2) / n — the SRE user-satisfaction
 # rollup over the latency-like value stream.  Integer counts, one
