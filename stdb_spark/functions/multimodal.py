@@ -730,3 +730,166 @@ def image_phash(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "phash"])
 
     return df.select("media_id", "payload").mapInPandas(fn, schema=PHASH_SCHEMA)
+
+
+TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("tile_y", T.IntegerType()),
+        T.StructField("tile_x", T.IntegerType()),
+        T.StructField("mean_px", T.DoubleType()),
+        T.StructField("min_px", T.LongType()),
+        T.StructField("max_px", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+    ]
+)
+
+
+def extract_image_tiles(
+    df: DataFrame, tiles_y: int = 2, tiles_x: int = 2
+) -> DataFrame:
+    """Per-tile image statistics: decode, split the pixel grid into a
+    tiles_y x tiles_x quadrant grid (floor-index tile boundaries, the
+    same integer convention as _resize_nn), and emit exact integer
+    stats per tile.  The vision-pipeline primitive behind patch-level
+    quality filters (black-border detection, letterbox crop, per-region
+    exposure).  Same Arrow-batch contract as extract_image_features:
+    executors stream partition-sized batches, nothing collects."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "tile_y": [], "tile_x": [],
+                "mean_px": [], "min_px": [], "max_px": [], "n_px": [],
+            }
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                img = _decode_any(bytes(payload), int(w), int(h)).astype(
+                    np.int64
+                )
+                ih, iw = img.shape
+                for ty in range(tiles_y):
+                    y0, y1 = (ty * ih) // tiles_y, ((ty + 1) * ih) // tiles_y
+                    for tx in range(tiles_x):
+                        x0 = (tx * iw) // tiles_x
+                        x1 = ((tx + 1) * iw) // tiles_x
+                        tile = img[y0:y1, x0:x1]
+                        n = int(tile.size)
+                        s = int(tile.sum())
+                        out["media_id"].append(int(mid))
+                        out["tile_y"].append(ty)
+                        out["tile_x"].append(tx)
+                        out["mean_px"].append(s / n)
+                        out["min_px"].append(int(tile.min()))
+                        out["max_px"].append(int(tile.max()))
+                        out["n_px"].append(n)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload", "width", "height").mapInPandas(
+        fn, schema=TILE_SCHEMA
+    )
+
+
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("thumb_sum", T.LongType()),
+        T.StructField("min_px", T.LongType()),
+        T.StructField("max_px", T.LongType()),
+        T.StructField("px_first", T.LongType()),
+        T.StructField("px_last", T.LongType()),
+    ]
+)
+
+
+def thumbnail_stats(df: DataFrame, w: int = 8, h: int = 8) -> DataFrame:
+    """Thumbnail pipeline through the PRODUCTION resize path: decode ->
+    _resize_nn(w, h) -> exact integer summary of the resized pixels
+    (sum / min / max / first / last).  Proves the resize plumbing a
+    media lake runs at ingest (thumbnail sidecars, fixed-size model
+    inputs) with values an independent oracle can recompute."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "thumb_sum": [], "min_px": [],
+                "max_px": [], "px_first": [], "px_last": [],
+            }
+            for mid, payload, iw, ih in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                img = _decode_any(bytes(payload), int(iw), int(ih))
+                thumb = _resize_nn(img, w, h).astype(np.int64)
+                out["media_id"].append(int(mid))
+                out["thumb_sum"].append(int(thumb.sum()))
+                out["min_px"].append(int(thumb.min()))
+                out["max_px"].append(int(thumb.max()))
+                out["px_first"].append(int(thumb[0, 0]))
+                out["px_last"].append(int(thumb[h - 1, w - 1]))
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload", "width", "height").mapInPandas(
+        fn, schema=THUMB_SCHEMA
+    )
+
+
+SILENCE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_silent", T.LongType()),
+        T.StructField("n_runs", T.LongType()),
+        T.StructField("longest_run", T.LongType()),
+        T.StructField("silence_frac", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_silence(
+    df: DataFrame, threshold: int = 1000, min_run: int = 3
+) -> DataFrame:
+    """Silence-segment detection over REAL decoded PCM (decode_wav):
+    a sample is silent when |v| < threshold; a run is a maximal block
+    of consecutive silent samples, counted when its length >= min_run.
+    The audio-curation primitive (dead-air trimming, voice-activity
+    prefilter).  Integer arithmetic end to end; the one float output
+    (silence_frac) is a single division, bit-reproducible in SQL."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "n_silent": [], "n_runs": [],
+                "longest_run": [], "silence_frac": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    pcm, _rate = decode_wav(bytes(payload))
+                    if pcm.ndim > 1:
+                        pcm = pcm[:, 0]
+                except DecodeUnavailable:
+                    pcm = (
+                        np.frombuffer(payload, dtype=np.uint8).astype(np.int16)
+                        - 128
+                    )
+                silent = np.abs(pcm.astype(np.int64)) < threshold
+                # run-length via edge detection on the padded mask
+                padded = np.concatenate(([False], silent, [False]))
+                edges = np.flatnonzero(np.diff(padded.astype(np.int8)))
+                starts, ends = edges[::2], edges[1::2]
+                lengths = ends - starts
+                kept = lengths[lengths >= min_run]
+                n = int(pcm.size)
+                out["media_id"].append(int(mid))
+                out["n_silent"].append(int(silent.sum()))
+                out["n_runs"].append(int(kept.size))
+                out["longest_run"].append(
+                    int(lengths.max()) if lengths.size else 0
+                )
+                out["silence_frac"].append(int(silent.sum()) / n if n else 0.0)
+            yield pd.DataFrame(out)
+
+    return (
+        df.filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(fn, schema=SILENCE_SCHEMA)
+    )

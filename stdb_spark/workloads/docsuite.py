@@ -864,6 +864,45 @@ def _mm_audio(spark, sf):
 _q("mm_audio_features", _mm_audio, mm_oracles.audio_features_sql(32))
 
 
+def _mm_tiles(spark, sf):
+    """Patch-level image stats over real decoded PNGs; oracle =
+    independent pure-Python tiling over the SOURCE arrays
+    (mm_oracles.image_tiles_sql)."""
+    from stdb_spark.functions import multimodal
+
+    media = multimodal.make_fake_media(spark, n=64, kind="image")
+    return multimodal.extract_image_tiles(media, tiles_y=2, tiles_x=2)
+
+
+_q("mm_image_tiles", _mm_tiles, mm_oracles.image_tiles_sql(64, 2, 2))
+
+
+def _mm_thumbs(spark, sf):
+    """Thumbnail sidecar pipeline through the PRODUCTION decode+resize
+    path; oracle = independent floor-index resample from the SOURCE
+    arrays (mm_oracles.thumbnail_sql)."""
+    from stdb_spark.functions import multimodal
+
+    media = multimodal.make_fake_media(spark, n=64, kind="image")
+    return multimodal.thumbnail_stats(media, w=8, h=8)
+
+
+_q("mm_thumbnail_stats", _mm_thumbs, mm_oracles.thumbnail_sql(64, 8, 8))
+
+
+def _mm_silence(spark, sf):
+    """Silence-run detection over REAL RIFF/WAV PCM; oracle = hand-rolled
+    run-length loop over the SOURCE samples
+    (mm_oracles.audio_silence_sql)."""
+    from stdb_spark.functions import multimodal
+
+    media = multimodal.make_fake_media(spark, n=32, kind="audio")
+    return multimodal.extract_audio_silence(media, threshold=1000, min_run=3)
+
+
+_q("mm_audio_silence", _mm_silence, mm_oracles.audio_silence_sql(32, 1000, 3))
+
+
 # ------------------------------------------- exact-arithmetic k-means
 # Oracle plumbing for the integer fixed-point k-means family
 # (similarity.kmeans_fit_exact — the PageRank pattern from

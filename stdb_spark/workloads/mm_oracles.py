@@ -216,3 +216,104 @@ SELECT x.media_id AS a, y.media_id AS b,
 FROM p x JOIN p y ON x.media_id < y.media_id
 WHERE bit_count(xor(x.phash, y.phash)) <= {max_distance}
 """
+
+
+# ------------------------------------------------------- tile stats oracle
+def image_tiles_sql(n: int = 64, tiles_y: int = 2, tiles_x: int = 2) -> str:
+    """Expected per-tile stats from the SOURCE pixel arrays: pure-Python
+    nested loops over floor-index tile boundaries (independent of the
+    numpy slicing in multimodal.extract_image_tiles); exact integer
+    sums, one double division in SQL."""
+    rows = []
+    for i in range(n):
+        img = multimodal.fixture_image_array(i).tolist()
+        ih, iw = len(img), len(img[0])
+        for ty in range(tiles_y):
+            for tx in range(tiles_x):
+                vals = [
+                    img[y][x]
+                    for y in range((ty * ih) // tiles_y, ((ty + 1) * ih) // tiles_y)
+                    for x in range((tx * iw) // tiles_x, ((tx + 1) * iw) // tiles_x)
+                ]
+                rows.append(
+                    (i, ty, tx, _int_sum(vals), min(vals), max(vals), len(vals))
+                )
+    vals_sql = _values_sql(rows, "media_id, tile_y, tile_x, s, mn, mx, n")
+    return f"""
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(tile_y AS INTEGER) AS tile_y,
+       CAST(tile_x AS INTEGER) AS tile_x,
+       CAST(s AS DOUBLE) / n AS mean_px,
+       CAST(mn AS BIGINT) AS min_px,
+       CAST(mx AS BIGINT) AS max_px,
+       CAST(n AS BIGINT) AS n_px
+FROM {vals_sql}
+"""
+
+
+# -------------------------------------------------------- thumbnail oracle
+def thumbnail_sql(n: int = 64, w: int = 8, h: int = 8) -> str:
+    """Expected thumbnail summaries re-derived from the SOURCE arrays
+    with a pure-Python floor-index resample (independent of
+    multimodal._resize_nn's np.ix_ fancy indexing)."""
+    rows = []
+    for i in range(n):
+        img = multimodal.fixture_image_array(i).tolist()
+        ih, iw = len(img), len(img[0])
+        thumb = [
+            [img[(y * ih) // h][(x * iw) // w] for x in range(w)]
+            for y in range(h)
+        ]
+        flat = [v for row in thumb for v in row]
+        rows.append(
+            (i, _int_sum(flat), min(flat), max(flat), thumb[0][0], thumb[-1][-1])
+        )
+    vals = _values_sql(
+        rows, "media_id, thumb_sum, min_px, max_px, px_first, px_last"
+    )
+    return f"""
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(thumb_sum AS BIGINT) AS thumb_sum,
+       CAST(min_px AS BIGINT) AS min_px,
+       CAST(max_px AS BIGINT) AS max_px,
+       CAST(px_first AS BIGINT) AS px_first,
+       CAST(px_last AS BIGINT) AS px_last
+FROM {vals}
+"""
+
+
+# ---------------------------------------------------- audio silence oracle
+def audio_silence_sql(
+    n: int = 32, threshold: int = 1000, min_run: int = 3
+) -> str:
+    """Expected silence-run accounting from the SOURCE PCM: a hand-rolled
+    run-length loop (independent of the numpy edge-detection in
+    multimodal.extract_audio_silence)."""
+    rows = []
+    for i in range(n):
+        pcm = multimodal.fixture_audio_pcm(i).tolist()
+        n_silent = runs = longest = cur = 0
+        for v in pcm:
+            if abs(v) < threshold:
+                n_silent += 1
+                cur += 1
+            else:
+                if cur >= min_run:
+                    runs += 1
+                if cur > longest:
+                    longest = cur
+                cur = 0
+        if cur >= min_run:
+            runs += 1
+        if cur > longest:
+            longest = cur
+        rows.append((i, n_silent, runs, longest, len(pcm)))
+    vals = _values_sql(rows, "media_id, n_silent, n_runs, longest_run, n")
+    return f"""
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(n_silent AS BIGINT) AS n_silent,
+       CAST(n_runs AS BIGINT) AS n_runs,
+       CAST(longest_run AS BIGINT) AS longest_run,
+       CAST(n_silent AS DOUBLE) / n AS silence_frac
+FROM {vals}
+"""
