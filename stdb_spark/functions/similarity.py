@@ -1573,3 +1573,89 @@ def dominant_eigen_portable(
             lam = float(num) / float(den) / float(n * n) / float(qscale * qscale)
         out.append((int(label), n, lam))
     return spark.createDataFrame(out, schema)
+
+
+MMR_SCHEMA = "pick_rank int, vec_id long, rel double, score double"
+
+
+def mmr_select(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 8,
+    pool_n: int = 64,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification: pick k results that
+    balance relevance to the query against redundancy with what is
+    already picked — score = lam*rel - (1-lam)*max_sim(x, selected),
+    ties broken by key.  The standard RAG / dedup-aware rerank.
+
+    Scale shape: stage 1 is a DISTRIBUTED top-pool_n by relevance
+    (TakeOrdered — per-partition top-k, no shuffle of the table); the
+    sequential MMR loop then runs over that schema-bounded pool on the
+    driver (pool_n x dim floats — the same bounded-artifact rule as
+    k-means centroids).  At 100 TB only stage 1 touches the data.
+
+    Determinism: every float op mirrors the SQL oracle's op tree —
+    left-to-right fold dot products over float32-exact doubles, one
+    multiply per lambda term — so scores reproduce bit-for-bit."""
+    import math
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    pool = (
+        df.select(
+            F.col(key).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            cosine_expr(F.col(vec_col), q).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("vec_id"))
+        .limit(pool_n)
+        .collect()
+    )
+
+    def _dot(a, b):
+        acc = 0.0
+        for xa, xb in zip(a, b):
+            acc = acc + float(xa) * float(xb)
+        return acc
+
+    def _norm(a):
+        acc = 0.0
+        for xa in a:
+            acc = acc + float(xa) * float(xa)
+        return math.sqrt(acc)
+
+    cand = [
+        {"vec_id": r["vec_id"], "vec": list(r["vec"]), "rel": r["rel"],
+         "norm": _norm(r["vec"])}
+        for r in pool
+    ]
+    mu = 1.0 - lam  # driver-side constant; oracle writes the same literal
+    picked = []
+    # first pick: pure relevance (pool is already (rel desc, id) sorted)
+    first = cand.pop(0)
+    picked.append((1, first["vec_id"], first["rel"], first["rel"]))
+    selected = [first]
+    for rank in range(2, min(k, pool_n) + 1):
+        best = None
+        for x in cand:
+            msim = None
+            for s in selected:
+                cos = _dot(x["vec"], s["vec"]) / (x["norm"] * s["norm"])
+                if msim is None or cos > msim:
+                    msim = cos
+            score = lam * x["rel"] - mu * msim
+            if (
+                best is None
+                or score > best[1]
+                or (score == best[1] and x["vec_id"] < best[0]["vec_id"])
+            ):
+                best = (x, score)
+        x, score = best
+        cand.remove(x)
+        selected.append(x)
+        picked.append((rank, x["vec_id"], x["rel"], score))
+    spark = df.sparkSession
+    return spark.createDataFrame(picked, MMR_SCHEMA)

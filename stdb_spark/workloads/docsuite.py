@@ -4485,6 +4485,68 @@ def _trunc_cand_sql() -> str:
 _q("emb_truncated_dim_recall", _emb_trunc_recall, _recall_sql(_trunc_cand_sql()))
 
 
+# ---------------------------------------------------- MMR diversification
+# Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998): k
+# picks balancing query relevance against redundancy with the already
+# picked set.  Stage 1 is a distributed top-pool_n by cosine
+# (TakeOrdered); the sequential selection runs over that bounded pool
+# driver-side (the centroids rule).  Oracle = the same selection
+# unrolled as k CTE stages over a MATERIALIZED pool (the r6 directive
+# for iterative oracles), every float op the same tree.
+_MMR_K, _MMR_POOL, _MMR_LAM = 8, 64, 0.7
+
+
+def _mmr_sql(k: int = _MMR_K, pool_n: int = _MMR_POOL, lam: float = _MMR_LAM) -> str:
+    dot = _dot_chain("x.embedding", "s.embedding")
+    nx = _norm_chain("x.embedding")
+    ns = _norm_chain("s.embedding")
+    lam_sql, mu_sql = _dlit(lam), _dlit(1.0 - lam)
+    parts = [
+        f"""WITH pool AS MATERIALIZED (
+  SELECT vec_id, embedding,
+    ({_qvec_dot('embedding')}) / ({_norm_chain('embedding')} * {_QNORM}) AS rel
+  FROM embeddings ORDER BY rel DESC, vec_id LIMIT {pool_n}
+),
+p1 AS MATERIALIZED (SELECT vec_id, rel, rel AS score FROM pool
+       ORDER BY score DESC, vec_id LIMIT 1)"""
+    ]
+    sel = "SELECT vec_id FROM p1"
+    for i in range(2, k + 1):
+        parts.append(
+            f""",
+c{i} AS MATERIALIZED (
+  SELECT x.vec_id, any_value(x.rel) AS rel,
+         max(({dot}) / ({nx} * {ns})) AS msim
+  FROM pool x JOIN pool s ON s.vec_id IN ({sel})
+  WHERE x.vec_id NOT IN ({sel})
+  GROUP BY x.vec_id
+),
+p{i} AS MATERIALIZED (
+  SELECT vec_id, rel, {lam_sql} * rel - {mu_sql} * msim AS score
+  FROM c{i} ORDER BY score DESC, vec_id LIMIT 1
+)"""
+        )
+        sel += f" UNION ALL SELECT vec_id FROM p{i}"
+    finals = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS pick_rank, vec_id, rel, score FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + finals
+
+
+_q(
+    "emb_mmr_diversify",
+    lambda spark, sf: similarity.mmr_select(
+        model.load_table(spark, sf, "embeddings"),
+        _QVEC,
+        k=_MMR_K,
+        pool_n=_MMR_POOL,
+        lam=_MMR_LAM,
+    ),
+    _mmr_sql(),
+)
+
+
 # -------------------------------------- minhash calibration (P/R eval)
 # The calibration report a dedup rollout runs before trusting LSH at
 # scale: precision/recall of the 32-hash 8x4-band minhash pipeline
