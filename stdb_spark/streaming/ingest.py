@@ -353,6 +353,56 @@ def streaming_hysteresis(
     )
 
 
+def streaming_geofence_visits(
+    samples: DataFrame,
+    key_cols: tuple[str, ...] = ("u",),
+    gap_us: int = 30 * 60 * 1_000_000,
+) -> DataFrame:
+    """Stateful streaming geofence ENTER detection — the continuous twin
+    of the batch sp_geofence_dwell visit accounting: a visit starts when
+    a key's point stream goes outside->inside, first-ever point inside,
+    or re-enters after a gap > gap_us.  Input rows carry (key, ts, ins)
+    with ins precomputed (a pure column expression upstream — the fence
+    test itself never enters Python).  State per key is (last_ts,
+    last_ins, visit_count): O(#keys), three ints.  Duplicate (key, ts)
+    rows dedupe in-state (ts == last_ts skips), mirroring the batch
+    side's DISTINCT.  Rows fold in ts order within each micro-batch;
+    cross-batch order is the replay/ingest order (in-order by
+    construction for the layout-backed replay)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        pts, pins, visits = state.get if state.exists else (-1, 0, 0)
+        out = []
+        chunks = list(pdfs)
+        pdf = (
+            pd.concat(chunks, ignore_index=True).sort_values("ts")
+            if chunks
+            else pd.DataFrame({"ts": [], "ins": []})
+        )
+        for ts, ins in zip(pdf["ts"], pdf["ins"]):
+            ts, ins = int(ts), int(ins)
+            if ts == pts:
+                continue
+            if ins == 1 and (pts < 0 or pins == 0 or ts - pts > gap_us):
+                visits += 1
+                out.append(key + (ts, visits))
+            pts, pins = ts, ins
+        state.update((pts, pins, visits))
+        yield pd.DataFrame(out, columns=[*key_cols, "ts", "visit_no"])
+
+    key_schema = ", ".join(f"{c} string" for c in key_cols)
+    return samples.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key_schema}, ts long, visit_no long",
+        stateStructType="pts long, pins int, visits long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_counter_rate(
     samples: DataFrame,
     key_cols: tuple[str, ...] = ("metric",),

@@ -318,6 +318,75 @@ _q(
 )
 
 
+# Streaming geofence visits: the spatial x stateful-streaming cross —
+# the fence test is a pure column expression over the replayed layout
+# (JVM-side; Python sees only (u, ts, ins)), the enter-transition
+# detection carries three ints of state per user.  Oracle = the batch
+# lag-window over the same DISTINCT (u, ts) point stream.
+def _stream_geofence(spark, sf):
+    from stdb_spark.streaming.ingest import streaming_geofence_visits
+
+    def tf(sdf):
+        u = F.col("tags")["user"]
+        tu = F.expr("ts div 1000")
+        lon = (
+            F.lit(116.0)
+            + (u.cast("long") % 40) * F.lit(0.01)
+            + (tu % 100) * F.lit(1e-5)
+        )
+        lat = (
+            F.lit(39.0)
+            + F.expr("CAST(tags['user'] AS LONG) div 40") * F.lit(0.01)
+            + (tu % 7) * F.lit(1e-4)
+        )
+        ins = (
+            lon.between(116.05, 116.20) & lat.between(39.0, 39.02)
+        ).cast("int")
+        # one metric: the layout replays a single metric's files in
+        # day order (cross-batch ts order holds per key); a multi-
+        # metric union interleaves days across batches and breaks it
+        pts = sdf.filter(F.col("metric") == "click").select(
+            u.alias("u"), tu.alias("ts"), ins.alias("ins")
+        )
+        return streaming_geofence_visits(pts, key_cols=("u",))
+
+    return _replay_stream(spark, sf, tf, "stream_geofence_sink", "append")
+
+
+_q(
+    "stream_geofence_visits",
+    _stream_geofence,
+    """
+WITH pts AS (
+  SELECT DISTINCT user_id AS uid, epoch_us(ts) AS tu FROM events
+  WHERE event_type = 'click'
+),
+located AS (
+  SELECT uid, tu,
+    CASE WHEN (CAST(116.0 AS DOUBLE) + (uid % 40) * CAST(0.01 AS DOUBLE)
+                 + (tu % 100) * CAST(1e-5 AS DOUBLE))
+               BETWEEN CAST(116.05 AS DOUBLE) AND CAST(116.20 AS DOUBLE)
+          AND (CAST(39.0 AS DOUBLE) + (uid // 40) * CAST(0.01 AS DOUBLE)
+                 + (tu % 7) * CAST(1e-4 AS DOUBLE))
+               BETWEEN CAST(39.0 AS DOUBLE) AND CAST(39.02 AS DOUBLE)
+         THEN 1 ELSE 0 END AS ins
+  FROM pts
+),
+lagged AS (
+  SELECT uid, tu, ins,
+    lag(ins) OVER w AS pins,
+    tu - lag(tu) OVER w AS gap
+  FROM located WINDOW w AS (PARTITION BY uid ORDER BY tu)
+)
+SELECT CAST(uid AS VARCHAR) AS u, tu AS ts,
+       CAST(row_number() OVER (PARTITION BY uid ORDER BY tu) AS BIGINT)
+         AS visit_no
+FROM lagged
+WHERE ins = 1 AND (pins IS NULL OR pins = 0 OR gap > 1800000000)
+""",
+)
+
+
 # Streaming RESP EVENT-body ingest: the r6 wire write path for
 # annotations/logs (parse_event_value, protocolparser.cc:409-422)
 # through Structured Streaming file replay — event PDUs (``+!type
@@ -5859,6 +5928,54 @@ _q(
     "ingest_orc_roundtrip",
     _ingest_orc_roundtrip,
     "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+)
+
+
+# ------------------------------------------- parquet schema evolution
+# A long-lived lake accretes columns: batch 'a' (even order keys) was
+# written BEFORE o_orderstatus existed, batch 'b' (odd keys) after.
+# Reading the partitioned root with mergeSchema=true unions the file
+# schemas (the wider schema wins, absent columns read as NULL) and
+# partition discovery types the batch column — the exact upgrade path
+# a 100 TB table takes when a column lands mid-history, with no
+# rewrite of old files.  Oracle reconstructs the same union from the
+# source table.
+def _ingest_schema_evolution(spark, sf):
+    import os
+
+    root = model.derived_cache_path(sf, "schema_evo", "orders")
+    orders = model.load_table(spark, sf, "orders")
+    part_a = os.path.join(root, "batch=a")
+    part_b = os.path.join(root, "batch=b")
+    if not model.cache_ready(part_a):
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderkey", "o_totalprice")
+            .write.mode("overwrite")
+            .parquet(part_a)
+        )
+    if not model.cache_ready(part_b):
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 1)
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+            .write.mode("overwrite")
+            .parquet(part_b)
+        )
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return merged.select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "batch"
+    )
+
+
+_q(
+    "ingest_schema_evolution",
+    _ingest_schema_evolution,
+    """
+SELECT o_orderkey, o_totalprice,
+       CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus,
+       CASE WHEN o_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS batch
+FROM orders
+""",
 )
 
 
