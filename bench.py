@@ -255,6 +255,18 @@ HEADLINE = [
     "ts_theilsen_trend",
     "doc_minhash_precision_recall",
     "rel_part_communities_lpa",
+    # r8 additions (second wave): moving-object analytics (OD matrix,
+    # geofence dwell, zoom rollup), media tiles/thumbnails/silence,
+    # MMR rerank, schema evolution, streaming geofence
+    "sp_od_matrix",
+    "sp_geofence_dwell",
+    "sp_quadkey_rollup",
+    "mm_image_tiles",
+    "mm_thumbnail_stats",
+    "mm_audio_silence",
+    "emb_mmr_diversify",
+    "ingest_schema_evolution",
+    "stream_geofence_visits",
 ]
 
 

@@ -350,7 +350,13 @@ def _stream_geofence(spark, sf):
         )
         return streaming_geofence_visits(pts, key_cols=("u",))
 
-    return _replay_stream(spark, sf, tf, "stream_geofence_sink", "append")
+    # coarse replay granularity: the per-user state shuffle + Python
+    # worker round costs ~1 s per micro-batch regardless of data volume;
+    # 4-5 batches still prove cross-batch state handoff (the
+    # _replay_stream docstring's stream-stream-join precedent)
+    return _replay_stream(
+        spark, sf, tf, "stream_geofence_sink", "append", files_per_trigger=40
+    )
 
 
 _q(
