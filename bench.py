@@ -267,6 +267,8 @@ HEADLINE = [
     "emb_mmr_diversify",
     "ingest_schema_evolution",
     "stream_geofence_visits",
+    "rel_part_triangles",
+    "ts_value_drift_kl",
 ]
 
 

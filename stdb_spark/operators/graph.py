@@ -362,3 +362,74 @@ def label_propagation_exact(edges: DataFrame, k_iter: int = 4) -> DataFrame:
             .select("id", "lbl")
         )
     return labels.select("id", F.col("lbl").alias("community"))
+
+
+def triangle_count_exact(edges: DataFrame) -> DataFrame:
+    """Exact triangle / wedge counting by DEGREE ORIENTATION — the
+    standard shuffle-bounded plan (Cohen 2009; GraphX's triangleCount
+    uses the same idea): orient every undirected edge from its
+    lower-degree endpoint to its higher-degree endpoint (ties by id),
+    enumerate wedges only at each edge's SOURCE (every node emits at
+    most choose(out_deg, 2) wedges, and out-degree under this
+    orientation is O(sqrt(m)) for any graph), then close wedges with
+    one join back to the oriented edge set.  A naive a<b<c 3-way
+    self-join explodes on high-degree hubs; orientation bounds the
+    intermediate to m^1.5 worst-case — the 100 TB discipline.  All
+    integer arithmetic; the closure ratio is one final double division.
+
+    ``edges``: undirected, one row per edge, columns (a, b) with a < b.
+    Returns one row: n_nodes, n_edges, n_wedges, n_triangles,
+    closure_ratio = 3 * triangles / wedges.
+    """
+    e = edges.select("a", "b")
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orientation key: (deg, id) total order, lower endpoint -> higher
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("_db"))
+    ori = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("_da") < F.col("_db"))
+                | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst"))
+            )
+            .alias("o")
+        )
+        .select("o.src", "o.dst")
+    )
+    ori.persist()
+    # wedges at the source: (dst1, dst2) pairs per src, dst1 < dst2 in
+    # the same (deg, id) order the orientation used - both closing
+    # directions collapse to ONE probe because the closing edge is also
+    # oriented
+    w1 = ori.select(F.col("src"), F.col("dst").alias("x"))
+    w2 = ori.select(F.col("src"), F.col("dst").alias("y"))
+    wedges = w1.join(w2, "src").filter(F.col("x") < F.col("y"))
+    closing = ori.select(
+        F.col("src").alias("x"), F.col("dst").alias("y")
+    ).unionAll(ori.select(F.col("dst").alias("x"), F.col("src").alias("y")))
+    tri = wedges.join(closing.filter(F.col("x") < F.col("y")), ["x", "y"])
+    n_tri = tri.count()
+    n_edges = ori.count()
+    stats = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias("n_wedges"),
+    ).collect()[0]
+    ori.unpersist()
+    spark = edges.sparkSession
+    n_wedges = int(stats["n_wedges"] or 0)
+    ratio = 3.0 * float(n_tri) / float(n_wedges) if n_wedges else 0.0
+    return spark.createDataFrame(
+        [(stats["n_nodes"], int(n_edges), n_wedges, int(n_tri), ratio)],
+        "n_nodes long, n_edges long, n_wedges long, n_triangles long, closure_ratio double",
+    )

@@ -2436,3 +2436,61 @@ FROM l{k_iter} GROUP BY 1 HAVING count(*) >= 2
 
 
 _q("rel_part_communities_lpa", _rel_part_communities, _lpa_oracle_sql())
+
+
+# Triangle census over the same support-capped co-purchase graph LPA
+# runs on: the engine side counts by DEGREE ORIENTATION (wedges
+# enumerate only at each edge's lower-(deg,id) endpoint — out-degree
+# O(sqrt(m)) bounds the intermediate, the 100 TB plan); the oracle is
+# the naive a<b<c three-way self-join, which provably counts the same
+# set.  closure_ratio = 3*triangles / wedges(raw degrees) — the global
+# clustering coefficient, one double division at the end.
+def _rel_triangles(spark, sf):
+    from stdb_spark.operators import graph
+
+    li = (
+        model.load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .agg(F.count("*").alias("_s"))
+        .filter(F.col("_s") >= _LPA_SUPPORT)
+        .select("a", "b")
+    )
+    return graph.triangle_count_exact(edges)
+
+
+_q(
+    "rel_part_triangles",
+    _rel_triangles,
+    f"""
+WITH lip AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS MATERIALIZED (
+  SELECT a.p AS a, b.p AS b FROM lip a JOIN lip b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= {_LPA_SUPPORT}
+),
+deg AS (
+  SELECT id, count(*) AS deg FROM (
+    SELECT a AS id FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY id
+),
+tri AS (
+  SELECT count(*) AS n_tri
+  FROM e xy JOIN e yz ON xy.b = yz.a JOIN e xz
+       ON xz.a = xy.a AND xz.b = yz.b
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       (SELECT CAST(n_tri AS BIGINT) FROM tri) AS n_triangles,
+       CAST(3.0 AS DOUBLE) * (SELECT CAST(n_tri AS DOUBLE) FROM tri)
+         / (SELECT CAST(sum(deg * (deg - 1) // 2) AS DOUBLE) FROM deg)
+         AS closure_ratio
+""",
+)

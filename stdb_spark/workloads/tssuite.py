@@ -7501,3 +7501,113 @@ FROM r JOIN nd ON r.metric = nd.metric
 WHERE rn = (c + 1) // 2
 """,
 )
+
+
+# Value-distribution drift monitor per metric: the first half of the
+# month vs the second, histogrammed into fixed 20-unit bins, compared
+# by smoothed KL divergence in BOTH directions (add-one smoothing over
+# the union support).  The training-data / SRE primitive behind "did
+# this feed's distribution shift".  One (metric, bin) aggregate, one
+# per-metric window to attach totals, one final aggregate — all counts
+# integer, each KL term a fixed float-op tree (two divisions, one ln,
+# one multiply) summed through decimal.
+_DRIFT_SPLIT_DAY = 19723 + 15  # 2024-01-16 (epoch days)
+
+
+def _ts_value_drift(spark, sf):
+    from pyspark.sql import Window as W
+
+    ev = model.events_raw_ns(spark, sf)
+    early = F.expr(
+        f"CASE WHEN (ts div 1000) div 86400000000 < {_DRIFT_SPLIT_DAY}"
+        " THEN 1 ELSE 0 END"
+    )
+    binned = ev.select(
+        F.col("event_type").alias("metric"),
+        early.alias("e"),
+        F.floor(F.col("value") / F.lit(20.0)).cast("long").alias("bin"),
+    )
+    counts = binned.groupBy("metric", "bin").agg(
+        F.sum("e").cast("long").alias("ca"),
+        F.sum(1 - F.col("e")).cast("long").alias("cb"),
+    )
+    w = W.partitionBy("metric")
+    tot = counts.select(
+        "metric",
+        "bin",
+        "ca",
+        "cb",
+        F.sum("ca").over(w).alias("na"),
+        F.sum("cb").over(w).alias("nb"),
+        F.count("*").over(w).alias("v"),
+    )
+    p = (F.col("ca") + 1).cast("double") / (F.col("na") + F.col("v")).cast(
+        "double"
+    )
+    q = (F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("v")).cast(
+        "double"
+    )
+    term_ab = p * F.log(p / q)
+    term_ba = q * F.log(q / p)
+    return (
+        tot.select(
+            "metric",
+            term_ab.alias("_tab"),
+            term_ba.alias("_tba"),
+        )
+        .groupBy("metric")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(_tab AS DECIMAL(28,12))) AS DOUBLE)"
+            ).alias("kl_early_late"),
+            F.expr(
+                "CAST(sum(CAST(_tba AS DECIMAL(28,12))) AS DOUBLE)"
+            ).alias("kl_late_early"),
+            F.count("*").cast("long").alias("n_bins"),
+        )
+    )
+
+
+_q(
+    "ts_value_drift_kl",
+    _ts_value_drift,
+    f"""
+WITH binned AS (
+  SELECT event_type AS metric,
+         CASE WHEN epoch_us(ts) // 86400000000 < {_DRIFT_SPLIT_DAY}
+              THEN 1 ELSE 0 END AS e,
+         CAST(floor(value / CAST(20.0 AS DOUBLE)) AS BIGINT) AS bin
+  FROM events
+),
+counts AS (
+  SELECT metric, bin,
+         CAST(sum(e) AS BIGINT) AS ca,
+         CAST(sum(1 - e) AS BIGINT) AS cb
+  FROM binned GROUP BY 1, 2
+),
+tot AS (
+  SELECT metric, bin, ca, cb,
+         sum(ca) OVER (PARTITION BY metric) AS na,
+         sum(cb) OVER (PARTITION BY metric) AS nb,
+         count(*) OVER (PARTITION BY metric) AS v
+  FROM counts
+),
+terms AS (
+  SELECT metric,
+    (CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+      * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+           / (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))) AS tab,
+    (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
+      * ln((CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
+           / (CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))) AS tba
+  FROM tot
+)
+SELECT metric,
+  CAST(CAST(sum(CAST(tab AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
+    AS kl_early_late,
+  CAST(CAST(sum(CAST(tba AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
+    AS kl_late_early,
+  CAST(count(*) AS BIGINT) AS n_bins
+FROM terms GROUP BY metric
+""",
+)
