@@ -795,3 +795,115 @@ def test_cms_estimate_unseen_candidate_estimates_zero(spark):
     assert est["a"] >= 5
     assert "never-seen-item" in est
     assert est["never-seen-item"] == 0
+
+
+def test_triangle_count_k4_and_path(spark):
+    from stdb_spark.operators.graph import triangle_count_exact
+
+    # K4: 4 triangles, C(4,2)=6 edges, every vertex deg 3 -> 12 wedges,
+    # global clustering coefficient 3*4/12 = 1.0
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], "a long, b long"
+    )
+    row = triangle_count_exact(k4).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+        4, 6, 12, 4,
+    )
+    assert row.closure_ratio == 1.0
+    # path 0-1-2-3: no triangles, 2 wedges
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "a long, b long")
+    row = triangle_count_exact(path).collect()[0]
+    assert (row.n_triangles, row.n_wedges) == (0, 2)
+    assert row.closure_ratio == 0.0
+
+
+def test_triangle_count_hub_star_plus_one(spark):
+    from stdb_spark.operators.graph import triangle_count_exact
+
+    # star hub 0 with leaves 1..5 plus one leaf-leaf edge (1,2):
+    # exactly one triangle regardless of hub degree — exercises the
+    # orientation (hub is the HIGH-degree endpoint, so wedges never
+    # enumerate at the hub)
+    edges = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    row = triangle_count_exact(df).collect()[0]
+    assert row.n_triangles == 1
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    from stdb_spark.functions import similarity
+
+    # q = [1, 0]; a and a' are near-duplicates highly relevant, b is
+    # diverse.  Pure relevance ranks (a, a', b); at lam=0.3 the
+    # diversity term dominates and MMR must pick b second.  (lam=0.5
+    # with q collinear to the top pick degenerates to exact 0.0 score
+    # ties for every candidate — any assertion there would only pin
+    # the tie-break.)
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.999, 0.04]),
+        (3, [0.5, 0.86]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.mmr_select(
+        df, [1.0, 0.0], k=3, pool_n=3, lam=0.3
+    ).collect()
+    order = [r.vec_id for r in sorted(out, key=lambda r: r.pick_rank)]
+    assert order == [1, 3, 2]
+
+
+def test_audio_silence_known_runs(spark):
+    import numpy as np
+
+    from stdb_spark.functions import multimodal as mm
+
+    # 10 loud, 5 silent, 3 loud, 2 silent (below min_run), 4 silent
+    pcm = np.concatenate(
+        [
+            np.full(10, 3000, dtype=np.int16),
+            np.zeros(5, dtype=np.int16),
+            np.full(3, -3000, dtype=np.int16),
+            np.zeros(2, dtype=np.int16),
+            np.full(1, 2000, dtype=np.int16),
+            np.zeros(4, dtype=np.int16),
+        ]
+    )
+    payload = mm.encode_wav(pcm, rate=8000)
+    df = spark.createDataFrame(
+        [(0, "audio", "audio/wav", 0, 0, 0, bytearray(payload))],
+        mm.MEDIA_SCHEMA,
+    )
+    row = mm.extract_audio_silence(df, threshold=1000, min_run=3).collect()[0]
+    assert (row.n_silent, row.n_runs, row.longest_run) == (11, 2, 5)
+    assert row.silence_frac == 11 / 25
+
+
+def test_image_tiles_constant_quadrants(spark):
+    import numpy as np
+
+    from stdb_spark.functions import multimodal as mm
+
+    # 4x4 image with constant quadrants 10/20/30/40: each 2x2 tile's
+    # mean/min/max must equal its constant
+    img = np.array(
+        [
+            [10, 10, 20, 20],
+            [10, 10, 20, 20],
+            [30, 30, 40, 40],
+            [30, 30, 40, 40],
+        ],
+        dtype=np.uint8,
+    )
+    payload = mm.encode_png(img)
+    df = spark.createDataFrame(
+        [(0, "image", "image/png", 4, 4, 0, bytearray(payload))],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = mm.extract_image_tiles(df, 2, 2).collect()
+    got = {(r.tile_y, r.tile_x): (r.mean_px, r.min_px, r.max_px, r.n_px) for r in rows}
+    assert got == {
+        (0, 0): (10.0, 10, 10, 4),
+        (0, 1): (20.0, 20, 20, 4),
+        (1, 0): (30.0, 30, 30, 4),
+        (1, 1): (40.0, 40, 40, 4),
+    }
