@@ -66,15 +66,29 @@ _PRIORITY = [
     # cumulative driver-proven union grows 171 -> up to 221 while every
     # rotated-out entry stays pinned by its prior driver rows + the
     # full local gate at sf0.01/sf0.1/sf1 (CORRECTNESS_LOCAL.md).
-    # Family spread: 5 new-in-r8 oracles, 2 streaming, 16 ts, 12 rel,
-    # 9 doc, 6 emb.  No rows-only entries occupy window slots (full
-    # value-hash rows are worth more per slot).
+    # Family spread: 16 new-in-r8 oracles (incl. the second-wave
+    # spatial/multimodal/streaming cross entries), 3 streaming, 10 ts,
+    # 10 rel, 9 doc, 5 emb.  No rows-only entries occupy window slots
+    # (full value-hash rows are worth more per slot).
     # New r8 full-oracle entries first:
     "emb_dominant_eigen_portable",   # r8: integer power-iteration twin
     "doc_bloom_incremental_dedup",   # r8: Bloom sidecar increment dedup
     "doc_minhash_bbit",              # r8: b-bit minwise hashing
     "rel_benford_price_audit",       # r8: Benford chi-square screen
     "ts_theilsen_trend",             # r8: median-of-slopes robust trend
+    # r8 second wave (moving-object, media, MMR, schema evolution,
+    # drift, triangles, streaming geofence — all full value-hash):
+    "sp_od_matrix",
+    "sp_geofence_dwell",
+    "sp_quadkey_rollup",
+    "mm_image_tiles",
+    "mm_thumbnail_stats",
+    "mm_audio_silence",
+    "emb_mmr_diversify",
+    "ingest_schema_evolution",
+    "stream_geofence_visits",
+    "rel_part_triangles",
+    "ts_value_drift_kl",
     # Streaming (never proven):
     "stream_stream_attribution",
     "stream_alert_hysteresis",
@@ -87,13 +101,7 @@ _PRIORITY = [
     "ts_events_json_stats",
     "ts_funnel_within",
     "ts_group_aggregate_calendar_week",
-    "ts_decimate",
-    "ts_concurrency",
-    "ts_autocorrelation",
-    "ts_mad_outliers",
-    "ts_bollinger",
     "ts_sql_window_portable",
-    "ts_xcorr_lead_lag",
     "ts_alert_hysteresis",
     # Relational / TPC-H remainder (never proven):
     "rel_q6_forecast_revenue",
@@ -104,10 +112,7 @@ _PRIORITY = [
     "rel_q15_top_supplier",
     "rel_q17_small_quantity_revenue",
     "rel_q19_discounted_revenue",
-    "rel_q21_suppliers_waiting",
-    "rel_q22_dormant_customers",
     "rel_sql_portable",
-    "rel_key_skew_histogram",
     # Documents / LLM pipeline (never proven):
     "doc_block_dup_groups",
     "doc_ngram_jaccard_pairs",
@@ -123,9 +128,7 @@ _PRIORITY = [
     "emb_ann_int8",
     "emb_centroid_outliers",
     "emb_dim_stats",
-    "emb_lsh_recall_eval",
-    "emb_norm_stats",
-]
+    ]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
 QUERIES = {
     **{k: QUERIES[k] for k in _PRIORITY},
