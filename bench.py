@@ -269,6 +269,7 @@ HEADLINE = [
     "stream_geofence_visits",
     "rel_part_triangles",
     "ts_value_drift_kl",
+    "ingest_malformed_quarantine",
 ]
 
 

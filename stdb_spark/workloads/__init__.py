@@ -89,6 +89,7 @@ _PRIORITY = [
     "stream_geofence_visits",
     "rel_part_triangles",
     "ts_value_drift_kl",
+    "ingest_malformed_quarantine",
     # Streaming (never proven):
     "stream_stream_attribution",
     "stream_alert_hysteresis",
@@ -122,7 +123,6 @@ _PRIORITY = [
     "doc_stratified_quota",
     "doc_repetition_stats",
     "doc_unigram_logprob",
-    "doc_top_bigrams",
     # Embeddings (never proven):
     "emb_near_dup_pairs",
     "emb_ann_int8",

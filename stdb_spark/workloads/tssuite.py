@@ -7611,3 +7611,71 @@ SELECT metric,
 FROM terms GROUP BY metric
 """,
 )
+
+
+# Malformed-record quarantine — the real-world ingest path: a CSV feed
+# where ~1% of rows carry an unparseable value field.  PERMISSIVE read
+# with columnNameOfCorruptRecord keeps the pipeline flowing (clean rows
+# parse, malformed rows land whole in the quarantine column for
+# re-extraction/triage) instead of failing the job — at 100 TB a
+# FAILFAST ingest dies on the first bad byte of row one-of-billions.
+# Quarantined rows recover their key by splitting the raw line (the
+# triage step an ops runbook actually performs).  Corruption rule is
+# deterministic (event_id % 97 == 0), so the oracle reconstructs the
+# same clean/quarantined split from the source table.
+def _ingest_quarantine(spark, sf):
+    from pyspark.sql import types as T
+
+    ev = model.load_table(spark, sf, "events")
+    cache = model.derived_cache_path(sf, "csv_malformed", "events")
+    if not model.cache_ready(cache):
+        (
+            ev.select(
+                F.concat_ws(
+                    ",",
+                    F.col("event_id").cast("string"),
+                    F.col("event_type"),
+                    F.when(
+                        F.col("event_id") % 97 == 0,
+                        F.concat(F.lit("x"), F.col("value").cast("string")),
+                    ).otherwise(F.col("value").cast("string")),
+                ).alias("value")
+            )
+            .write.mode("overwrite")
+            .text(cache)
+        )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("_raw", T.StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_raw")
+        .csv(cache)
+    )
+    return raw.select(
+        F.when(
+            F.col("_raw").isNull(), F.col("event_id")
+        ).otherwise(
+            F.split(F.col("_raw"), ",").getItem(0).cast("long")
+        ).alias("event_id"),
+        "value",
+        F.col("_raw").isNotNull().alias("quarantined"),
+    )
+
+
+_q(
+    "ingest_malformed_quarantine",
+    _ingest_quarantine,
+    """
+SELECT event_id,
+       CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS value,
+       event_id % 97 = 0 AS quarantined
+FROM events
+""",
+)
