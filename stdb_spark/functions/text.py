@@ -281,7 +281,7 @@ def unigram_logprob(
             (
                 F.sum(
                     F.log(F.col("cnt").cast("double") / F.lit(float(total))).cast(
-                        "decimal(28,16)"
+                        "decimal(28,12)"
                     )
                 ).cast("double")
                 / F.count("*")
@@ -324,9 +324,14 @@ def bigram_logprob(
     skew (natural-language bigram df is Zipf but the df-heavy keys are
     exactly the ones whose postings the join replicates by doc, which
     is linear in corpus size, not quadratic).  Log terms round into
-    decimal(28,16) before summation so the per-doc score is independent
+    decimal(28,12) before summation so the per-doc score is independent
     of partitioning/accumulation order (same contract as
-    :func:`unigram_logprob`)."""
+    :func:`unigram_logprob`).  The grid is 1e-12, NOT 1e-16: JVM
+    Math.log and DuckDB's libm log may legally differ by one ulp
+    (~4e-16 absolute at |ln| ~ 3), so a 1e-16 grid quantizes INSIDE the
+    engines' disagreement band and the "exact" decimal flips its last
+    digit (seen once at sf0.001); at 1e-12 a flip needs the
+    disagreement to straddle a grid boundary — ~2500x rarer."""
     corpus = corpus if corpus is not None else df
     vocab = corpus.select(F.explode(tokens_col(text_col)).alias("tok")).distinct().count()
     corpus_bg = corpus.select(F.explode(bigrams_col(text_col)).alias("bg"))
@@ -341,7 +346,7 @@ def bigram_logprob(
     doc_bg = df.select(F.col(key), F.explode(bigrams_col(text_col)).alias("bg"))
     logterm = F.log(
         (F.col("c12") + F.lit(1.0)) / (F.col("cctx") + F.lit(float(vocab)))
-    ).cast("decimal(28,16)")
+    ).cast("decimal(28,12)")
     return (
         doc_bg.join(model_tbl, "bg")
         .groupBy(key)
@@ -369,7 +374,7 @@ def importance_logratio(
     Scale shape: two vocabulary-sized count tables built from ONE token
     explode (the target counts are a filtered re-aggregation), joined
     back on the uniform token key; log terms quantize into
-    decimal(28,16) before the per-doc sum, so scores are independent of
+    decimal(28,12) before the per-doc sum, so scores are independent of
     partitioning (the :func:`unigram_logprob` contract)."""
     toks = df.select(F.col(key), target.alias("_tgt"), F.explode(tokens_col(text_col)).alias("tok"))
     counts = toks.groupBy("tok").agg(
@@ -382,7 +387,7 @@ def importance_logratio(
     n_bg, n_tgt, vocab = float(totals.n_bg), float(totals.n_tgt), float(totals.v)
     p_t = (F.col("c_tgt") + F.lit(1.0)) / F.lit(n_tgt + vocab)
     p_b = (F.col("c_bg") + F.lit(1.0)) / F.lit(n_bg + vocab)
-    logterm = F.log(p_t / p_b).cast("decimal(28,16)")
+    logterm = F.log(p_t / p_b).cast("decimal(28,12)")
     return (
         toks.join(counts, "tok")
         .groupBy(key)

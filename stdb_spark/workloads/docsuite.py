@@ -1361,7 +1361,7 @@ WITH tok AS (
 ), total AS (SELECT count(*) AS n FROM tok)
 SELECT doc_id,
   CAST(sum(CAST(ln(CAST(cnt AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM total))
-                AS DECIMAL(28,16))) AS VARCHAR)::DOUBLE / count(*) AS mean_logprob,
+                AS DECIMAL(28,12))) AS VARCHAR)::DOUBLE / count(*) AS mean_logprob,
   count(*) AS n_tokens
 FROM tok JOIN uni USING (tok)
 GROUP BY doc_id
@@ -1391,7 +1391,7 @@ WITH tok AS (
 SELECT doc_id,
   CAST(sum(CAST(ln(((c_tgt + 1.0) / ((SELECT n_tgt FROM tot) + (SELECT v FROM tot)))
                  / ((c_bg + 1.0) / ((SELECT n_bg FROM tot) + (SELECT v FROM tot))))
-               AS DECIMAL(28,16))) AS VARCHAR)::DOUBLE / count(*) AS mean_logratio,
+               AS DECIMAL(28,12))) AS VARCHAR)::DOUBLE / count(*) AS mean_logratio,
   count(*) AS n_tokens
 FROM tok JOIN counts USING (tok)
 GROUP BY doc_id
@@ -1429,7 +1429,7 @@ WITH t AS (
 )
 SELECT doc_id,
   CAST(sum(CAST(ln((c12 + 1.0) / (cctx + (SELECT CAST(v AS DOUBLE) FROM vocab)))
-               AS DECIMAL(28,16))) AS VARCHAR)::DOUBLE / count(*)
+               AS DECIMAL(28,12))) AS VARCHAR)::DOUBLE / count(*)
     AS mean_bigram_logprob,
   count(*) AS n_bigrams
 FROM bgs JOIN big USING (bg)
