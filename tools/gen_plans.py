@@ -81,6 +81,13 @@ PICK = [
     ("ts_distinct_users_hll_rollup", "HLL rollup over MATERIALIZED register parquet: max-merge + exact integer harmonic sum, broadcast LC table — raw events never rescanned"),
     ("mm_image_features", "media features: Arrow-batched mapInPandas over binary payloads, exact-int mean/std emitted as plain doubles"),
     ("doc_quality_score", "quality features: tokens -> features -> score as THREE projections, tokenize evaluated once per row (r7: was 12 inlined copies)"),
+    # r8 additions
+    ("sp_od_matrix", "OD matrix: endpoints from min/max(ts) — TWO hash aggregates, no window, no self-join"),
+    ("sp_quadkey_rollup", "multi-zoom density: coarse zoom re-aggregates fine-cell PARTIALS (exchange on the tiny fine aggregate, fact scanned once)"),
+    ("ts_value_drift_kl", "KL drift: (metric,bin) agg + per-metric totals window + decimal term sum — one fact exchange"),
+    ("rel_part_triangles", "triangle census: degree-oriented wedge join — high-degree endpoints never enumerate wedges"),
+    ("mm_image_tiles", "patch stats: Arrow-batched mapInPandas, integer tile sums, zero exchanges"),
+    ("ingest_malformed_quarantine", "PERMISSIVE quarantine: corrupt rows recover keys from the raw line, clean rows parse in the scan"),
 ]
 
 
