@@ -270,6 +270,7 @@ HEADLINE = [
     "rel_part_triangles",
     "ts_value_drift_kl",
     "ingest_malformed_quarantine",
+    "sp_dbscan_cells",
 ]
 
 

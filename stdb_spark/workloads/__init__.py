@@ -90,6 +90,7 @@ _PRIORITY = [
     "rel_part_triangles",
     "ts_value_drift_kl",
     "ingest_malformed_quarantine",
+    "sp_dbscan_cells",
     # Streaming (never proven):
     "stream_stream_attribution",
     "stream_alert_hysteresis",
@@ -126,7 +127,6 @@ _PRIORITY = [
     # Embeddings (never proven):
     "emb_near_dup_pairs",
     "emb_ann_int8",
-    "emb_centroid_outliers",
     "emb_dim_stats",
     ]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))

@@ -7679,3 +7679,129 @@ SELECT event_id,
 FROM events
 """,
 )
+
+
+# Grid DBSCAN over the moving-object point stream: a cell is DENSE when
+# it holds >= minPts samples; clusters are connected components of the
+# 8-neighborhood adjacency over dense cells (grid DBSCAN's density-
+# reachability with eps = one cell).  The scale shape: density is ONE
+# hash aggregate over the fact table; adjacency joins the (tiny,
+# bounded) dense-cell set against itself via a 9-offset explode on the
+# cell key (equi-join — no theta join); the component pass reuses
+# dedup.connected_components (size-dispatched hash-min).  Oracle:
+# recursive-CTE reachability, the doc_dedup_clusters pattern.
+_DBSCAN_MINPTS = 70
+
+
+def _sp_dbscan(spark, sf):
+    from stdb_spark.functions.dedup import connected_components
+
+    ev = model.events_raw_ns(spark, sf)
+    pts = ev.select(
+        F.col("user_id").alias("u"), F.expr("ts div 1000").alias("tu")
+    )
+    lon = (
+        F.lit(116.0)
+        + (F.col("u") % 40) * F.lit(0.01)
+        + (F.col("tu") % 100) * F.lit(1e-5)
+    )
+    lat = (
+        F.lit(39.0)
+        + F.expr("u div 40") * F.lit(0.01)
+        + (F.col("tu") % 7) * F.lit(1e-4)
+    )
+    cells = (
+        pts.select(
+            F.floor(lon / F.lit(0.01)).cast("long").alias("cx"),
+            F.floor(lat / F.lit(0.01)).cast("long").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    dense = cells.filter(F.col("n") >= _DBSCAN_MINPTS).withColumn(
+        "id", F.col("cx") * 1000000 + F.col("cy")
+    )
+    dense.persist()
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = dense.select(
+        "id",
+        F.explode(offsets).alias("o"),
+        F.col("cx"),
+        F.col("cy"),
+    ).select(
+        F.col("id").alias("a"),
+        (F.col("cx") + F.col("o.dx")).alias("cx2"),
+        (F.col("cy") + F.col("o.dy")).alias("cy2"),
+    )
+    nbr = dense.select(
+        F.col("id").alias("b"), F.col("cx").alias("cx2"), F.col("cy").alias("cy2")
+    )
+    # a <= b halves the doubled-edge input; the (0,0) offset keeps
+    # isolated dense cells as singleton components
+    pairs = probe.join(nbr, ["cx2", "cy2"]).filter(
+        F.col("a") <= F.col("b")
+    ).select("a", "b")
+    labels = connected_components(pairs)
+    out = (
+        labels.join(dense.select(F.col("id"), "cx", "cy", "n"), "id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum("n").cast("long").alias("n_points"),
+            F.min("cx").alias("cx_min"),
+            F.max("cx").alias("cx_max"),
+            F.min("cy").alias("cy_min"),
+            F.max("cy").alias("cy_max"),
+        )
+    )
+    dense.unpersist()
+    return out
+
+
+_q(
+    "sp_dbscan_cells",
+    _sp_dbscan,
+    f"""
+WITH RECURSIVE pts AS (
+  SELECT user_id AS u, epoch_us(ts) AS tu FROM events
+),
+cells AS (
+  SELECT
+    CAST(floor((CAST(116.0 AS DOUBLE) + (u % 40) * CAST(0.01 AS DOUBLE)
+                + (tu % 100) * CAST(1e-5 AS DOUBLE))
+               / CAST(0.01 AS DOUBLE)) AS BIGINT) AS cx,
+    CAST(floor((CAST(39.0 AS DOUBLE) + (u // 40) * CAST(0.01 AS DOUBLE)
+                + (tu % 7) * CAST(1e-4 AS DOUBLE))
+               / CAST(0.01 AS DOUBLE)) AS BIGINT) AS cy,
+    CAST(count(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1, 2
+),
+ids AS MATERIALIZED (
+  SELECT cx * 1000000 + cy AS id, cx, cy, n
+  FROM cells WHERE n >= {_DBSCAN_MINPTS}
+),
+edges AS MATERIALIZED (
+  SELECT x.id AS src, y.id AS dst
+  FROM ids x JOIN ids y
+    ON abs(x.cx - y.cx) <= 1 AND abs(x.cy - y.cy) <= 1
+),
+reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(n) AS BIGINT) AS n_points,
+       min(cx) AS cx_min, max(cx) AS cx_max,
+       min(cy) AS cy_min, max(cy) AS cy_max
+FROM lab JOIN ids USING (id) GROUP BY cluster_id
+""",
+)
