@@ -723,3 +723,54 @@ def test_no_inferred_generate_filters_reparse_scan(spark):
         )
         n = plan.count("split(regexp_replace(") + plan.count("split(replace(")
         assert n <= cap, (name, n)
+
+
+def test_od_matrix_two_hash_aggregates_no_window(spark):
+    """sp_od_matrix derives endpoints from min/max(ts), not a window:
+    the plan must carry exactly the user-day and cell-pair aggregates
+    (2 exchange levels) and no Window operator."""
+    from stdb_spark import model
+    from stdb_spark.workloads import QUERIES
+
+    model.ensure_session_confs(spark)
+    plan = (
+        QUERIES["sp_od_matrix"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_quadkey_rollup_scans_fact_once(spark):
+    """The coarse zoom re-aggregates the fine partials: both union
+    branches read the persisted fine aggregate (2 InMemoryTableScans),
+    never a second pass over the fact table.  (FileScan appears twice
+    in the STRING because each InMemoryRelation embeds its build plan's
+    text — the build runs once.)"""
+    from stdb_spark import model
+    from stdb_spark.workloads import QUERIES
+
+    model.ensure_session_confs(spark)
+    plan = (
+        QUERIES["sp_quadkey_rollup"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("InMemoryTableScan") == 2
+
+
+def test_triangle_wedges_never_enumerate_at_hubs(spark):
+    """Degree orientation: a star hub of degree d contributes ZERO
+    wedge rows (the hub is every edge's high end), so the wedge join
+    input stays linear even with one huge hub."""
+    from stdb_spark.operators.graph import triangle_count_exact
+
+    edges = [(0, i) for i in range(1, 100)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    row = triangle_count_exact(df).collect()[0]
+    # the census itself: no triangles, wedges reported from RAW degrees
+    assert row.n_triangles == 0
+    assert row.n_wedges == 99 * 98 // 2
