@@ -271,6 +271,8 @@ HEADLINE = [
     "ts_value_drift_kl",
     "ingest_malformed_quarantine",
     "sp_dbscan_cells",
+    "emb_ann_binary",
+    "emb_binary_recall_eval",
 ]
 
 

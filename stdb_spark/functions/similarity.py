@@ -1659,3 +1659,48 @@ def mmr_select(
         picked.append((rank, x["vec_id"], x["rel"], score))
     spark = df.sparkSession
     return spark.createDataFrame(picked, MMR_SCHEMA)
+
+
+def binary_quantize_expr(vec_col: Column, dim: int) -> Column:
+    """Sign-bit binary quantization: bit j set when v[j] > 0 — 64 dims
+    pack into ONE long, a 32x storage/shuffle cut over float32 (the
+    compression modern vector stores call BQ).  Unlike LSH
+    (random-projection signs), BQ keeps the RAW dimension signs, so
+    Hamming distance between codes approximates angular distance
+    directly and the codes double as a coarse index."""
+    bits = None
+    for j in range(dim):
+        b = F.when(
+            vec_col.getItem(j).cast("double") > 0.0,
+            F.shiftleft(F.lit(1).cast("long"), j),
+        ).otherwise(F.lit(0).cast("long"))
+        bits = b if bits is None else bits.bitwiseOR(b)
+    return bits
+
+
+def ann_binary_top_k(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k by Hamming distance between sign-bit codes:
+    one scan over codes (at scale a write-time long column — the scan
+    reads 8 bytes/vector instead of 256), TakeOrdered(k) on
+    (hamming asc, key).  The exactness twin: scores are integers, so
+    the result is bit-deterministic with no float accumulation at all."""
+    dim = len(query_vec)
+    qbits = 0
+    for j, x in enumerate(query_vec):
+        if float(x) > 0.0:
+            qbits |= 1 << j
+    if qbits >= 1 << 63:
+        qbits -= 1 << 64
+    code = binary_quantize_expr(F.col(vec_col), dim)
+    ham = F.bit_count(code.bitwiseXOR(F.lit(qbits).cast("long")))
+    return (
+        df.select(F.col(key), ham.cast("long").alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col(key))
+        .limit(k)
+    )

@@ -91,6 +91,7 @@ _PRIORITY = [
     "ts_value_drift_kl",
     "ingest_malformed_quarantine",
     "sp_dbscan_cells",
+    "emb_ann_binary",
     # Streaming (never proven):
     "stream_stream_attribution",
     "stream_alert_hysteresis",
@@ -120,7 +121,6 @@ _PRIORITY = [
     "doc_ngram_jaccard_pairs",
     "doc_minhash_est_jaccard",
     "doc_hamming_presigned",
-    "doc_dedup_survivors",
     "doc_stratified_quota",
     "doc_repetition_stats",
     "doc_unigram_logprob",

@@ -4635,3 +4635,45 @@ SELECT n_pred, n_true, tp,
 FROM m
 """,
 )
+
+
+# ------------------------------------------ binary quantization (BQ) ANN
+# Sign-bit codes: 64 dims pack into ONE long (32x scan/shuffle cut over
+# float32 — the compression modern vector stores call BQ), ranked by
+# Hamming distance to the query's sign pattern.  Integer-exact end to
+# end.  The oracle never packs: it counts per-dimension sign
+# disagreements directly, which equals bit_count(xor(codes)) by
+# construction — so the engine's packed form is checked against an
+# independent formulation.
+def _bq_hamming_sql(limit: int = 10) -> str:
+    terms = " + ".join(
+        f"CASE WHEN (embedding[{j + 1}]::DOUBLE > 0) != {str(float(_QVEC[j]) > 0.0).upper()}"
+        " THEN 1 ELSE 0 END"
+        for j in range(_DIM)
+    )
+    return f"""
+  SELECT vec_id, CAST({terms} AS BIGINT) AS hamming
+  FROM embeddings ORDER BY hamming, vec_id LIMIT {limit}
+"""
+
+
+_q(
+    "emb_ann_binary",
+    lambda spark, sf: similarity.ann_binary_top_k(
+        model.load_table(spark, sf, "embeddings"), _QVEC, k=10
+    ),
+    "WITH cand AS (" + _bq_hamming_sql(10) + ") SELECT vec_id, hamming FROM cand",
+)
+
+
+def _emb_bq_recall(spark, sf):
+    return _recall_eval(
+        spark,
+        sf,
+        similarity.ann_binary_top_k(
+            model.load_table(spark, sf, "embeddings"), _QVEC, k=10
+        ),
+    )
+
+
+_q("emb_binary_recall_eval", _emb_bq_recall, _recall_sql(_bq_hamming_sql(10)))
