@@ -66,10 +66,11 @@ _PRIORITY = [
     # cumulative driver-proven union grows 171 -> up to 221 while every
     # rotated-out entry stays pinned by its prior driver rows + the
     # full local gate at sf0.01/sf0.1/sf1 (CORRECTNESS_LOCAL.md).
-    # Family spread: 16 new-in-r8 oracles (incl. the second-wave
-    # spatial/multimodal/streaming cross entries), 3 streaming, 10 ts,
-    # 10 rel, 9 doc, 5 emb.  No rows-only entries occupy window slots
-    # (full value-hash rows are worth more per slot).
+    # Family spread: 19 new-in-r8 oracles (incl. the second-wave
+    # spatial/multimodal/streaming cross entries, grid DBSCAN, binary-
+    # quantization ANN, malformed quarantine), plus never-proven
+    # streaming/ts/rel/doc/emb flagships.  No rows-only entries occupy
+    # window slots (full value-hash rows are worth more per slot).
     # New r8 full-oracle entries first:
     "emb_dominant_eigen_portable",   # r8: integer power-iteration twin
     "doc_bloom_incremental_dedup",   # r8: Bloom sidecar increment dedup
