@@ -709,23 +709,31 @@ def connected_components(
         out = out.localCheckpoint(eager=True)
         edges.unpersist()
         return out
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # graph-scale exchanges: the per-round shuffles carry label rows,
-    # not the corpus.  SINGLE-WRITER ASSUMPTION: this narrows the
-    # session-global shuffle width for the duration of the loop (and
-    # restores it in finally) — a query running CONCURRENTLY on the
-    # same SparkSession during propagation would inherit the
-    # graph-scale width.  The engine's execution model is one query at
-    # a time per session (the reference's session is equally
-    # single-threaded, cursor.h:42-86); callers that multiplex a
-    # session should clone it (spark.newSession()) for dedup runs.
-    parts = max(4, min(int(old_parts), n_edges // 1_000_000 + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    # not the corpus.  Width is scoped PER-PLAN — the doubled edge list
+    # is hash-partitioned by src at an explicit width sized to the
+    # graph (~1M edges/task, floor 4), and every round's join reuses
+    # that layout (HashPartitioning(src) satisfies the join's required
+    # distribution, so the cached edge side never re-exchanges; only
+    # the small label side shuffles to match).  The session-global
+    # spark.sql.shuffle.partitions is never touched, so queries running
+    # concurrently on a shared session are unaffected — same discipline
+    # as pagerank_exact (operators/graph.py).
+    parts = max(
+        4,
+        min(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            n_edges // 1_000_000 + 1,
+        ),
+    )
+    edges2 = edges.repartition(parts, "src").persist()
+    edges2.count()  # fill the partitioned cache from the unpartitioned one
+    edges.unpersist()  # ...then release it: one copy cached, not two
     try:
         # init folds the first propagation round in: label(v) = min(v, N(v))
         # (one groupBy instead of a distinct + a full join round)
         labels = (
-            edges.groupBy("src")
+            edges2.groupBy("src")
             .agg(F.min("dst").alias("_m"))
             .select(F.col("src").alias("id"), F.least("src", "_m").alias("lbl"))
             .localCheckpoint(eager=True)
@@ -734,13 +742,14 @@ def connected_components(
             F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
         for _ in range(max_iter):
-            prop = edges.join(labels, edges.src == labels.id).select(
+            prop = edges2.join(labels, edges2.src == labels.id).select(
                 F.col("dst").alias("id"), F.col("lbl")
             )
             prev = labels
             labels = (
                 labels.select("id", "lbl")
                 .union(prop)
+                .repartition(parts, "id")
                 .groupBy("id")
                 .agg(F.min("lbl").alias("lbl"))
                 .localCheckpoint(eager=True)
@@ -756,10 +765,10 @@ def connected_components(
                 break
             prev_sum = cur_sum
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         # inside finally: an exception mid-propagation must not leave
-        # the doubled (persisted) edge list pinned in executor storage
-        # for the session's life
+        # the (persisted) edge lists pinned in executor storage for the
+        # session's life
+        edges2.unpersist()
         edges.unpersist()
     return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
 

@@ -1632,13 +1632,19 @@ def mmr_select(
          "norm": _norm(r["vec"])}
         for r in pool
     ]
+    spark = df.sparkSession
+    if not cand:
+        # empty input: nothing to pick (r8 advice — pop(0) would raise)
+        return spark.createDataFrame([], MMR_SCHEMA)
     mu = 1.0 - lam  # driver-side constant; oracle writes the same literal
     picked = []
     # first pick: pure relevance (pool is already (rel desc, id) sorted)
     first = cand.pop(0)
     picked.append((1, first["vec_id"], first["rel"], first["rel"]))
     selected = [first]
-    for rank in range(2, min(k, pool_n) + 1):
+    # bound by the ACTUAL pool: with fewer rows than min(k, pool_n) the
+    # loop would exhaust cand and unpack best=None (r8 advice)
+    for rank in range(2, min(k, pool_n, len(cand) + 1) + 1):
         best = None
         for x in cand:
             msim = None
@@ -1657,7 +1663,6 @@ def mmr_select(
         cand.remove(x)
         selected.append(x)
         picked.append((rank, x["vec_id"], x["rel"], score))
-    spark = df.sparkSession
     return spark.createDataFrame(picked, MMR_SCHEMA)
 
 
@@ -1668,6 +1673,11 @@ def binary_quantize_expr(vec_col: Column, dim: int) -> Column:
     (random-projection signs), BQ keeps the RAW dimension signs, so
     Hamming distance between codes approximates angular distance
     directly and the codes double as a coarse index."""
+    if dim > 64:
+        # JVM shiftleft wraps the shift amount mod 64, so bit j would
+        # silently collide with bit j-64 — the contract is ONE long per
+        # vector (r8 advice)
+        raise ValueError(f"binary_quantize_expr packs at most 64 dims into one long, got {dim}")
     bits = None
     for j in range(dim):
         b = F.when(
@@ -1691,6 +1701,10 @@ def ann_binary_top_k(
     (hamming asc, key).  The exactness twin: scores are integers, so
     the result is bit-deterministic with no float accumulation at all."""
     dim = len(query_vec)
+    if dim > 64:
+        # same one-long contract as binary_quantize_expr: the Python
+        # qbits two's-complement fold below handles exactly 64 bits
+        raise ValueError(f"ann_binary_top_k packs at most 64 dims into one long, got {dim}")
     qbits = 0
     for j, x in enumerate(query_vec):
         if float(x) > 0.0:

@@ -2487,10 +2487,16 @@ tri AS (
 )
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
        (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
-       (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       COALESCE((SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg),
+                0) AS n_wedges,
        (SELECT CAST(n_tri AS BIGINT) FROM tri) AS n_triangles,
-       CAST(3.0 AS DOUBLE) * (SELECT CAST(n_tri AS DOUBLE) FROM tri)
-         / (SELECT CAST(sum(deg * (deg - 1) // 2) AS DOUBLE) FROM deg)
-         AS closure_ratio
+       -- wedge-free guard mirrors the engine's degenerate-case 0.0
+       -- (graph.triangle_count_exact returns 0.0, not NULL/inf)
+       CASE WHEN COALESCE(
+              (SELECT sum(deg * (deg - 1) // 2) FROM deg), 0) = 0
+            THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(3.0 AS DOUBLE) * (SELECT CAST(n_tri AS DOUBLE) FROM tri)
+               / (SELECT CAST(sum(deg * (deg - 1) // 2) AS DOUBLE) FROM deg)
+       END AS closure_ratio
 """,
 )

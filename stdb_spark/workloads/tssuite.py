@@ -6847,7 +6847,13 @@ def _sp_quadkey_rollup(spark, sf):
             F.expr("sum(CAST(value AS DECIMAL(28,10)))").alias("_vdec"),
         )
     )
-    fine.persist()
+    # eager localCheckpoint instead of a bare persist: both the fine
+    # and coarse branches of the returned union read the materialized
+    # blocks (the fact-table exchange runs ONCE), and the blocks are
+    # reclaimed by the ContextCleaner when the DataFrame is dropped —
+    # a bare persist would pin the session cache per invocation with
+    # nobody responsible for unpersisting the lazy result (r8 advice)
+    fine = fine.localCheckpoint(eager=True)
     out_fine = fine.select(
         F.lit(1).alias("zoom"),
         "gx",

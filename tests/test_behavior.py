@@ -907,3 +907,51 @@ def test_image_tiles_constant_quadrants(spark):
         (1, 0): (30.0, 30, 30, 4),
         (1, 1): (40.0, 40, 40, 4),
     }
+
+
+def test_mmr_pool_smaller_than_k(spark):
+    """Fewer rows than min(k, pool_n): the selection loop is bounded
+    by the actual pool (r8 advice — it used to unpack best=None)."""
+    from stdb_spark.functions import similarity
+
+    rows = [(1, [1.0, 0.0]), (2, [0.5, 0.86])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.mmr_select(df, [1.0, 0.0], k=8, pool_n=64).collect()
+    assert [r.vec_id for r in sorted(out, key=lambda r: r.pick_rank)] == [1, 2]
+
+
+def test_mmr_empty_input(spark):
+    from stdb_spark.functions import similarity
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = similarity.mmr_select(df, [1.0, 0.0], k=4, pool_n=8)
+    assert out.count() == 0
+    assert out.columns == ["pick_rank", "vec_id", "rel", "score"]
+
+
+def test_binary_quantize_rejects_dim_over_64(spark):
+    """One long per vector is the contract: JVM shiftleft wraps the
+    shift amount mod 64, so dim > 64 must fail loudly (r8 advice)."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from stdb_spark.functions import similarity
+
+    with pytest.raises(ValueError):
+        similarity.binary_quantize_expr(F.col("v"), 65)
+    df = spark.createDataFrame([(1, [0.1] * 65)], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        similarity.ann_binary_top_k(df, [0.1] * 65, k=1)
+
+
+def test_triangle_count_empty_edges(spark):
+    """Wedge-free degenerate case: closure_ratio is 0.0 (not NULL or
+    inf) — the convention the DuckDB oracle now mirrors with a CASE
+    guard (r8 advice)."""
+    from stdb_spark.operators.graph import triangle_count_exact
+
+    df = spark.createDataFrame([], "a long, b long")
+    row = triangle_count_exact(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (0, 0, 0, 0)
+    assert row.closure_ratio == 0.0

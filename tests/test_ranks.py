@@ -135,3 +135,51 @@ def test_label_propagation_hand_computed(spark):
     )
     out = {r.id: r.community for r in label_propagation_exact(edges, 4).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
+def test_label_propagation_kernel_matches_distributed(spark):
+    """The single-task Arrow kernel and the distributed join+window
+    loop are bit-equal by construction (identical integer counts +
+    (count desc, label asc) pick): prove it on a graph with bridges,
+    an isolated triangle, and a hub — forced distributed via
+    single_task_max_edges=0."""
+    import random
+
+    from stdb_spark.operators.graph import label_propagation_exact
+
+    rng = random.Random(7)
+    nodes = list(range(40))
+    edges = set()
+    while len(edges) < 70:
+        a, b = rng.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(edges), "a long, b long")
+    kern = {
+        r.id: r.community for r in label_propagation_exact(df, 4).collect()
+    }
+    dist = {
+        r.id: r.community
+        for r in label_propagation_exact(
+            df, 4, single_task_max_edges=0
+        ).collect()
+    }
+    assert kern == dist
+    assert len(kern) == 40
+
+
+def test_label_propagation_string_ids_and_nulls(spark):
+    """Caller id types ride through both regimes; null endpoints are
+    dropped before either regime sees the graph."""
+    from stdb_spark.operators.graph import label_propagation_exact
+
+    df = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("p", "q"), (None, "z"), ("x", None)],
+        "a string, b string",
+    )
+    kern = {r.id: r.community for r in label_propagation_exact(df, 3).collect()}
+    dist = {
+        r.id: r.community
+        for r in label_propagation_exact(df, 3, single_task_max_edges=0).collect()
+    }
+    assert kern == dist
+    assert kern == {"x": "x", "y": "x", "z": "x", "p": "p", "q": "p"}
