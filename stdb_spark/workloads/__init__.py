@@ -60,75 +60,74 @@ for _m in (tssuite, relsuite, docsuite):
 # check still proves every component class; everything else follows in
 # suite order and is picked up as the window allows.
 _PRIORITY = [
-    # r8 rotation (continuing VERDICT r6 directive #1 / the r7 ADVICE
-    # cadence): every r7 window slot is driver-green, so ALL 50 slots
-    # rotate again to entries no driver round has ever hashed — the
-    # cumulative driver-proven union grows 171 -> up to 221 while every
-    # rotated-out entry stays pinned by its prior driver rows + the
-    # full local gate at sf0.01/sf0.1/sf1 (CORRECTNESS_LOCAL.md).
-    # Family spread: 19 new-in-r8 oracles (incl. the second-wave
-    # spatial/multimodal/streaming cross entries, grid DBSCAN, binary-
-    # quantization ANN, malformed quarantine), plus never-proven
-    # streaming/ts/rel/doc/emb flagships.  No rows-only entries occupy
-    # window slots (full value-hash rows are worth more per slot).
-    # New r8 full-oracle entries first:
-    "emb_dominant_eigen_portable",   # r8: integer power-iteration twin
-    "doc_bloom_incremental_dedup",   # r8: Bloom sidecar increment dedup
-    "doc_minhash_bbit",              # r8: b-bit minwise hashing
-    "rel_benford_price_audit",       # r8: Benford chi-square screen
-    "ts_theilsen_trend",             # r8: median-of-slopes robust trend
-    # r8 second wave (moving-object, media, MMR, schema evolution,
-    # drift, triangles, streaming geofence — all full value-hash):
-    "sp_od_matrix",
-    "sp_geofence_dwell",
-    "sp_quadkey_rollup",
-    "mm_image_tiles",
-    "mm_thumbnail_stats",
-    "mm_audio_silence",
-    "emb_mmr_diversify",
-    "ingest_schema_evolution",
-    "stream_geofence_visits",
-    "rel_part_triangles",
-    "ts_value_drift_kl",
-    "ingest_malformed_quarantine",
-    "sp_dbscan_cells",
-    "emb_ann_binary",
-    # Streaming (never proven):
-    "stream_stream_attribution",
-    "stream_alert_hysteresis",
-    # Time-series engine surface (never proven):
-    "ts_counter_rate_resets",        # queued from r7
-    "ts_holt",
-    "ts_wma",
-    "ts_cube_metric_user",
-    "ts_rollup_metric_day",
-    "ts_events_json_stats",
-    "ts_funnel_within",
-    "ts_group_aggregate_calendar_week",
-    "ts_sql_window_portable",
-    "ts_alert_hysteresis",
-    # Relational / TPC-H remainder (never proven):
-    "rel_q6_forecast_revenue",
-    "rel_q8_market_share",
-    "rel_q12_shipmode_priority",
-    "rel_q13_customer_distribution",
-    "rel_q14_promo_effect",
-    "rel_q15_top_supplier",
-    "rel_q17_small_quantity_revenue",
-    "rel_q19_discounted_revenue",
-    "rel_sql_portable",
-    # Documents / LLM pipeline (never proven):
-    "doc_block_dup_groups",
-    "doc_ngram_jaccard_pairs",
-    "doc_minhash_est_jaccard",
-    "doc_hamming_presigned",
-    "doc_stratified_quota",
-    "doc_repetition_stats",
-    "doc_unigram_logprob",
-    # Embeddings (never proven):
-    "emb_near_dup_pairs",
-    "emb_ann_int8",
-    "emb_dim_stats",
+    # r9 rotation (VERDICT r8 directive #1): every r8 window slot is
+    # driver-green, so ALL 50 slots rotate again to entries with NO
+    # external green row in any CORRECTNESS_r0N.json (pool = 120 as of
+    # r8; 115 after excluding the 5 declared rows-only sketch entries,
+    # which never occupy window slots).  The cumulative driver-proven
+    # union grows 212 -> up to 262; every rotated-out entry stays
+    # pinned by its prior driver rows + the full local gate at
+    # sf0.01/sf0.1 (CORRECTNESS_LOCAL.md).
+    # First: the 9 r1/r2 loader-era errors, judge-proven in the r8
+    # independent re-drive but still without a driver row.
+    "ts_aggregate_timestamps",
+    "ts_sma_error",
+    "ts_aggregate_multimetric",
+    "ts_group_aggregate_multimetric",
+    "ts_rate_abs",
+    "ts_ewma_error",
+    "ts_select_events_where_backward",
+    "ts_search_regex",
+    "ts_suggest_startswith",
+    # judge-r8-sampled but never driver-hashed:
+    "doc_ngram_novelty",
+    "doc_phrase_search",
+    "emb_centroid_outliers",
+    "emb_cosine_histogram",
+    # the two heavy graph/calibration entries this round's perf work
+    # touched (persisted lineage; values must stay bit-identical):
+    "rel_part_communities_lpa",
+    "doc_minhash_precision_recall",
+    # relational remainder (never proven):
+    "rel_q21_suppliers_waiting",
+    "rel_q22_dormant_customers",
+    "rel_abc_analysis",
+    "rel_cohort_revenue",
+    "rel_supplier_hhi",
+    "rel_key_skew_histogram",
+    "rel_order_value_deciles",
+    "rel_repeat_purchase_rate",
+    "rel_returns_trend",
+    "rel_ship_delay_profile",
+    # documents / LLM pipeline (never proven):
+    "doc_bigram_logprob",
+    "doc_dsir_logratio",
+    "doc_dedup_keep_longest",
+    "doc_dedup_survivors",
+    "doc_dedup_cluster_sizes",
+    "doc_containment_pairs",
+    "doc_hybrid_neardup",
+    "doc_hybrid_search",
+    "doc_term_lookup",
+    "doc_token_budget_plan",
+    "doc_tokenizer_fertility",
+    "doc_lang_confusion",
+    "doc_quality_classifier",
+    "doc_quality_quantile_filter",
+    "doc_shuffle_shards",
+    # embeddings recall-eval family (never proven):
+    "emb_lsh_recall_eval",
+    "emb_int8_recall_eval",
+    "emb_binary_recall_eval",
+    "emb_truncated_dim_recall",
+    "emb_norm_stats",
+    # time-series analytics (never proven):
+    "ts_bollinger",
+    "ts_rolling_corr",
+    "ts_autocorrelation",
+    "ts_percentile_bands",
+    # sources (never proven):
+    "ingest_orc_roundtrip",
     ]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
 QUERIES = {

