@@ -367,6 +367,48 @@ def _lpa_single_task_kernel(k_iter: int):
     return fn
 
 
+def _lpa_round(both: DataFrame, labels: DataFrame) -> DataFrame:
+    """ONE synchronous LPA round: neighbor-label counts (one join + one
+    (id,lbl) count exchange) + one self-label copy + one per-id window
+    pick by (count desc, label asc).  Factored out so the per-round
+    physical plan is recordable un-checkpointed (PLANS.md; the loop in
+    :func:`label_propagation_exact` cuts lineage per round)."""
+    from pyspark.sql import Window as W
+
+    nb = (
+        both.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(F.col("src").alias("id"), "lbl")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    allc = nb.unionByName(
+        labels.select("id", "lbl", F.lit(1).cast("long").alias("c"))
+    )
+    summed = allc.groupBy("id", "lbl").agg(F.sum("c").alias("c"))
+    w = W.partitionBy("id").orderBy(F.col("c").desc(), F.col("lbl").asc())
+    return (
+        summed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "lbl")
+    )
+
+
+def lpa_round_plan(edges: DataFrame) -> DataFrame:
+    """The distributed LPA per-round lineage (init labels + one round)
+    WITHOUT persists/checkpoints — for plan inspection only; results
+    match round 1 of the distributed loop."""
+    both = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    labels = (
+        both.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+    )
+    return _lpa_round(both, labels).select(
+        "id", F.col("lbl").alias("community")
+    )
+
+
 def label_propagation_exact(
     edges: DataFrame,
     k_iter: int = 4,
@@ -401,8 +443,6 @@ def label_propagation_exact(
     CALLER's lineage, e.g. relsuite's co-purchase self-join, ~k_iter+1
     times; r8 judge finding #1) and the result is materialized with an
     eager localCheckpoint before the cache is released."""
-    from pyspark.sql import Window as W
-
     e = (
         edges.filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .select("a", "b")
@@ -427,33 +467,74 @@ def label_propagation_exact(
         .select("id", F.col("id").alias("lbl"))
     )
     for it in range(k_iter):
-        nb = (
-            both.join(labels.withColumnRenamed("id", "dst"), "dst")
-            .groupBy(F.col("src").alias("id"), "lbl")
-            .agg(F.count("*").cast("long").alias("c"))
-        )
-        allc = nb.unionByName(
-            labels.select("id", "lbl", F.lit(1).cast("long").alias("c"))
-        )
-        summed = allc.groupBy("id", "lbl").agg(F.sum("c").alias("c"))
-        w = W.partitionBy("id").orderBy(F.col("c").desc(), F.col("lbl").asc())
         prev = labels
-        labels = (
-            summed.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("id", "lbl")
-            # eager per-round cut: the iterated join+window plan would
-            # otherwise grow without bound (same discipline as
-            # pagerank_exact / dedup CC); the previous round's blocks
-            # are released once the new round is materialized
-            .localCheckpoint(eager=True)
-        )
+        # eager per-round cut: the iterated join+window plan would
+        # otherwise grow without bound (same discipline as
+        # pagerank_exact / dedup CC); the previous round's blocks
+        # are released once the new round is materialized
+        labels = _lpa_round(both, labels).localCheckpoint(eager=True)
         if it > 0:
             prev.unpersist()
     out = labels.select("id", F.col("lbl").alias("community"))
     both.unpersist()
     e.unpersist()
     return out
+
+
+def _degrees(e: DataFrame) -> DataFrame:
+    return (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+
+
+def _orient(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree orientation: every undirected edge directed from its
+    lower-(deg, id) endpoint to its higher — out-degree under this
+    orientation is O(sqrt(m)), which bounds wedge enumeration."""
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("_db"))
+    return (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("_da") < F.col("_db"))
+                | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst"))
+            )
+            .alias("o")
+        )
+        .select("o.src", "o.dst")
+    )
+
+
+def _close_wedges(ori: DataFrame) -> DataFrame:
+    """Wedges at the source: (dst1, dst2) pairs per src, dst1 < dst2 in
+    the same (deg, id) order the orientation used — both closing
+    directions collapse to ONE probe because the closing edge is also
+    oriented.  Returns the triangle rows (one per closed wedge)."""
+    w1 = ori.select(F.col("src"), F.col("dst").alias("x"))
+    w2 = ori.select(F.col("src"), F.col("dst").alias("y"))
+    wedges = w1.join(w2, "src").filter(F.col("x") < F.col("y"))
+    closing = ori.select(
+        F.col("src").alias("x"), F.col("dst").alias("y")
+    ).unionAll(ori.select(F.col("dst").alias("x"), F.col("src").alias("y")))
+    return wedges.join(closing.filter(F.col("x") < F.col("y")), ["x", "y"])
+
+
+def triangle_plan(edges: DataFrame) -> DataFrame:
+    """The degree-oriented wedge-join lineage (orientation + wedge
+    enumeration + closing probe + count) WITHOUT persists — for plan
+    inspection only (PLANS.md); the count equals n_triangles."""
+    e = edges.select("a", "b")
+    tri = _close_wedges(_orient(e, _degrees(e)))
+    return tri.agg(F.count("*").cast("long").alias("n_triangles"))
 
 
 def triangle_count_exact(edges: DataFrame) -> DataFrame:
@@ -481,43 +562,10 @@ def triangle_count_exact(edges: DataFrame) -> DataFrame:
     # final wedge aggregate).
     e = edges.select("a", "b").persist()
     e.count()
-    deg = (
-        e.select(F.col("a").alias("id"))
-        .unionAll(e.select(F.col("b").alias("id")))
-        .groupBy("id")
-        .agg(F.count("*").alias("deg"))
-    ).persist()
-    # orientation key: (deg, id) total order, lower endpoint -> higher
-    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("_da"))
-    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("_db"))
-    ori = (
-        e.join(da, "a")
-        .join(db, "b")
-        .select(
-            F.when(
-                (F.col("_da") < F.col("_db"))
-                | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))),
-                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
-            )
-            .otherwise(
-                F.struct(F.col("b").alias("src"), F.col("a").alias("dst"))
-            )
-            .alias("o")
-        )
-        .select("o.src", "o.dst")
-    )
+    deg = _degrees(e).persist()
+    ori = _orient(e, deg)
     ori.persist()
-    # wedges at the source: (dst1, dst2) pairs per src, dst1 < dst2 in
-    # the same (deg, id) order the orientation used - both closing
-    # directions collapse to ONE probe because the closing edge is also
-    # oriented
-    w1 = ori.select(F.col("src"), F.col("dst").alias("x"))
-    w2 = ori.select(F.col("src"), F.col("dst").alias("y"))
-    wedges = w1.join(w2, "src").filter(F.col("x") < F.col("y"))
-    closing = ori.select(
-        F.col("src").alias("x"), F.col("dst").alias("y")
-    ).unionAll(ori.select(F.col("dst").alias("x"), F.col("src").alias("y")))
-    tri = wedges.join(closing.filter(F.col("x") < F.col("y")), ["x", "y"])
+    tri = _close_wedges(ori)
     # ONE action for all four scalars: the three aggregates are 1-row
     # DataFrames crossJoined (each crossJoin side is a broadcast of a
     # single row), so the triangle join, the edge count and the degree

@@ -2368,9 +2368,11 @@ _LPA_K = 4
 _LPA_SUPPORT = 2
 
 
-def _rel_part_communities(spark, sf):
-    from stdb_spark.operators import graph
-
+def copurchase_edges(spark, sf):
+    """The support-capped part co-purchase edge list both graph entries
+    (LPA communities, triangle census) and tools/gen_plans.py share:
+    (a, b) part pairs with a < b bought together in >= _LPA_SUPPORT
+    distinct orders."""
     li = (
         model.load_table(spark, sf, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -2378,7 +2380,7 @@ def _rel_part_communities(spark, sf):
     )
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
-    edges = (
+    return (
         a.join(b, "o")
         .filter(F.col("pa") < F.col("pb"))
         .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
@@ -2386,7 +2388,14 @@ def _rel_part_communities(spark, sf):
         .filter(F.col("_s") >= _LPA_SUPPORT)
         .select("a", "b")
     )
-    labels = graph.label_propagation_exact(edges, k_iter=_LPA_K)
+
+
+def _rel_part_communities(spark, sf):
+    from stdb_spark.operators import graph
+
+    labels = graph.label_propagation_exact(
+        copurchase_edges(spark, sf), k_iter=_LPA_K
+    )
     return (
         labels.groupBy("community")
         .agg(F.count("*").cast("long").alias("n_members"))
@@ -2448,22 +2457,7 @@ _q("rel_part_communities_lpa", _rel_part_communities, _lpa_oracle_sql())
 def _rel_triangles(spark, sf):
     from stdb_spark.operators import graph
 
-    li = (
-        model.load_table(spark, sf, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
-        .agg(F.count("*").alias("_s"))
-        .filter(F.col("_s") >= _LPA_SUPPORT)
-        .select("a", "b")
-    )
-    return graph.triangle_count_exact(edges)
+    return graph.triangle_count_exact(copurchase_edges(spark, sf))
 
 
 _q(

@@ -183,3 +183,32 @@ def test_label_propagation_string_ids_and_nulls(spark):
     }
     assert kern == dist
     assert kern == {"x": "x", "y": "x", "z": "x", "p": "p", "q": "p"}
+
+
+def test_graph_plan_helpers_match_operators(spark):
+    """triangle_plan / lpa_round_plan are the un-persisted lineages
+    PLANS.md records; their results must match the real operators
+    (triangle count; one distributed LPA round)."""
+    from stdb_spark.operators.graph import (
+        label_propagation_exact,
+        lpa_round_plan,
+        triangle_count_exact,
+        triangle_plan,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4), (2, 4)],
+        "a long, b long",
+    )
+    assert (
+        triangle_plan(edges).collect()[0].n_triangles
+        == triangle_count_exact(edges).collect()[0].n_triangles
+    )
+    plan1 = {r.id: r.community for r in lpa_round_plan(edges).collect()}
+    loop1 = {
+        r.id: r.community
+        for r in label_propagation_exact(
+            edges, k_iter=1, single_task_max_edges=0
+        ).collect()
+    }
+    assert plan1 == loop1

@@ -85,7 +85,10 @@ PICK = [
     ("sp_od_matrix", "OD matrix: endpoints from min/max(ts) — TWO hash aggregates, no window, no self-join"),
     ("sp_quadkey_rollup", "multi-zoom density: coarse zoom re-aggregates fine-cell PARTIALS (exchange on the tiny fine aggregate, fact scanned once)"),
     ("ts_value_drift_kl", "KL drift: (metric,bin) agg + per-metric totals window + decimal term sum — one fact exchange"),
-    ("rel_part_triangles", "triangle census: degree-oriented wedge join — high-degree endpoints never enumerate wedges"),
+    # rel_part_triangles / rel_part_communities_lpa: the registry
+    # callables collect scalars / cut lineage internally, so their
+    # top-level plans are LocalTableScan — their internal lineages are
+    # recorded by the graph-family section appended in main()
     ("mm_image_tiles", "patch stats: Arrow-batched mapInPandas, integer tile sums, zero exchanges"),
     ("ingest_malformed_quarantine", "PERMISSIVE quarantine: corrupt rows recover keys from the raw line, clean rows parse in the scan"),
 ]
@@ -107,6 +110,34 @@ def main() -> None:
         if note is None:  # streaming entries have no offline plan
             continue
         df = QUERIES[name](spark, SF)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+        out.append(f"## {name}\n\n{note}\n\n```\n{plan.strip()}\n```\n")
+    # graph-family internal lineages (r8 VERDICT directive #9): the
+    # registry callables materialize scalars / checkpoint per round, so
+    # their top-level plans are LocalTableScan — record the un-persisted
+    # internal plans the persist fixes are verifiable against instead.
+    from stdb_spark.operators import graph
+    from stdb_spark.workloads.relsuite import copurchase_edges
+
+    for name, note, df in [
+        (
+            "rel_part_triangles (internal: triangle_plan)",
+            "degree-oriented wedge join: orientation (two deg joins), wedge self-join at the"
+            " source, ONE closing probe, count — high-degree endpoints never enumerate"
+            " wedges (intermediate bounded by m^1.5).  In triangle_count_exact the edge"
+            " input and deg are persisted so the caller's edge lineage runs once.",
+            graph.triangle_plan(copurchase_edges(spark, SF)),
+        ),
+        (
+            "rel_part_communities_lpa (internal: lpa_round_plan)",
+            "one distributed LPA round: ONE edge-label join + one (id,lbl) count exchange +"
+            " one self-label union + one per-id window pick (count desc, lbl asc).  In"
+            " label_propagation_exact the edge list is persisted, each round is cut with an"
+            " eager localCheckpoint, and graphs under 20M edges take a single Arrow-kernel"
+            " task instead.",
+            graph.lpa_round_plan(copurchase_edges(spark, SF)),
+        ),
+    ]:
         plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
         out.append(f"## {name}\n\n{note}\n\n```\n{plan.strip()}\n```\n")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
