@@ -68,7 +68,12 @@ def get_spark(
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        .config("spark.driver.memory", os.environ.get("STDB_SPARK_DRIVER_MEM", "8g"))
+        # local[N] runs all N task threads inside the driver JVM, so
+        # this is the whole executor heap: 24g gives 32 concurrent
+        # tasks ~750 MB each (the 100x rehearsal's shuffle fetches
+        # GC-thrashed at 8g); on a real cluster the same knob moves to
+        # spark.executor.memory
+        .config("spark.driver.memory", os.environ.get("STDB_SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from stdb_spark import model
-from stdb_spark.functions import dedup, similarity, text
+from stdb_spark.functions import dedup, sampling, similarity, text
 from stdb_spark.workloads import mm_oracles
 
 QUERIES = {}
@@ -4558,9 +4558,27 @@ _q(
 # Same shingle spec on all three legs (minhash, truth, oracle).
 _PR_T = 0.5
 
+#: the calibration eval's complete ground truth (uncapped shared-shingle
+#: exact Jaccard) is quadratic in shingle document-frequency — the ONE
+#: deliberately-uncapped path in the suite, affordable only at eval
+#: scale.  Above this corpus size the eval runs on a deterministic
+#: hash-sample of ~this many documents instead (sampling.hash_sample:
+#: md5-keyed, engine-portable) — P/R estimates from a 50k-doc sample
+#: are statistically equivalent for calibration, and the truth-side
+#: work stays bounded no matter the corpus (the r9 sf10 rehearsal
+#: OOM'd the uncapped form at 500k docs).  Every driver/local-gated
+#: scale (sf0.01/0.1/1 = 500/5k/50k docs) is at or under the cap, so
+#: oracle parity there is exact full-corpus.
+_PR_EVAL_MAX_DOCS = 50_000
+
 
 def _minhash_pr(spark, sf):
     docs = model.load_table(spark, sf, "documents")
+    n_docs = docs.count()
+    if n_docs > _PR_EVAL_MAX_DOCS:
+        docs = sampling.hash_sample(
+            docs, fraction=_PR_EVAL_MAX_DOCS / n_docs, salt="prcal0"
+        )
     sigs = dedup.minhash_signatures(docs)
     cands = dedup.minhash_lsh_candidates(sigs)
     pred = (

@@ -745,10 +745,11 @@ def test_od_matrix_two_hash_aggregates_no_window(spark):
 
 def test_quadkey_rollup_scans_fact_once(spark):
     """The coarse zoom re-aggregates the fine partials: both union
-    branches read the persisted fine aggregate (2 InMemoryTableScans),
-    never a second pass over the fact table.  (FileScan appears twice
-    in the STRING because each InMemoryRelation embeds its build plan's
-    text — the build runs once.)"""
+    branches read the eagerly-materialized fine aggregate (two scans of
+    the checkpointed RDD), never a second pass over the fact table —
+    the localCheckpoint cuts lineage, so the fact FileScan does not
+    appear in the returned plan at all (it ran exactly once, at
+    checkpoint time; r9: was a session-pinned persist)."""
     from stdb_spark import model
     from stdb_spark.workloads import QUERIES
 
@@ -759,7 +760,8 @@ def test_quadkey_rollup_scans_fact_once(spark):
         .executedPlan()
         .toString()
     )
-    assert plan.count("InMemoryTableScan") == 2
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "FileScan" not in plan
 
 
 def test_triangle_wedges_never_enumerate_at_hubs(spark):
