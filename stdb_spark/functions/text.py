@@ -777,3 +777,103 @@ def chunk_windows(
         )
         .withColumn("chunk_chars", F.length("chunk_text").cast("long"))
     )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    k_merges: int = 6,
+) -> DataFrame:
+    """Distributed byte-pair-encoding VOCABULARY TRAINING (Sennrich et
+    al., ACL 2016): learn the first ``k_merges`` merge rules from the
+    corpus — the step a from-scratch tokenizer build runs before any
+    encoding.  (``bpe_ish_tokens_col`` above is the cost-accounting
+    proxy for an EXTERNAL tokenizer; this trains one.)
+
+    Deterministic engine-portable spec:
+
+    - training units: lowercased whitespace tokens restricted to
+      ``^[a-z0-9]+$`` (alphanumeric word forms — sidesteps regex-engine
+      unicode divergence), deduplicated into a vocabulary weighted by
+      corpus frequency (the classic BPE trick: the corpus is touched by
+      ONE word-count exchange; every merge round is vocab-scale).
+    - initial segmentation: single characters, space-separated and
+      space-wrapped (`" h e l l o "`).
+    - per round: count ALL adjacent symbol pairs (overlapping
+      occurrences included, weighted by word frequency); the merge is
+      the (pair_count desc, lhs asc, rhs asc) argmax; apply it with one
+      leftmost non-overlapping literal replace of ``" lhs rhs "`` ->
+      ``" lhsrhs "`` (both Spark `replace` and DuckDB `replace` scan
+      left-to-right over non-overlapping matches — identical results).
+
+    Returns (merge_rank, lhs, rhs, pair_count) — the learned merge
+    table, one row per round.
+
+    Scale shape: one corpus-scale exchange (the word count), persisted;
+    each of the k rounds is one vocab-scale explode + pair aggregate
+    and a LIMIT-1 argmax collected to the driver (k bounded scalars —
+    the k-means-centroids rule), then a narrow map-side string replace
+    over the cached vocabulary.  At 100 TB the vocabulary (distinct
+    words) is millions of rows regardless of corpus size, so rounds
+    cost the same at any scale."""
+    if k_merges < 1:
+        raise ValueError("k_merges must be >= 1")
+    spark = docs.sparkSession
+    base = (
+        docs.select(
+            F.explode(tokens_col(F.lower(F.col(text_col)))).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .withColumn(
+            "seg",
+            F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")),
+        )
+        .persist()
+    )
+    base.count()
+    vocab = base
+    rows = []
+    try:
+        for r in range(1, int(k_merges) + 1):
+            syms = F.split(F.trim(F.col("seg")), " ")
+            npairs = F.greatest(F.size(syms) - 1, F.lit(0))
+            big = F.zip_with(
+                F.slice(syms, 1, npairs),
+                F.slice(syms, 2, npairs),
+                lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+            )
+            best = (
+                vocab.select("freq", F.explode(big).alias("p"))
+                .groupBy(
+                    F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs")
+                )
+                .agg(F.sum("freq").cast("long").alias("pair_count"))
+                .orderBy(
+                    F.col("pair_count").desc(),
+                    F.col("lhs").asc(),
+                    F.col("rhs").asc(),
+                )
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break  # every word is a single symbol already
+            b = best[0]
+            rows.append((r, b.lhs, b.rhs, int(b.pair_count)))
+            # literal (not regex) replace: symbols never contain spaces,
+            # so the space-delimited match is unambiguous
+            vocab = vocab.withColumn(
+                "seg",
+                F.replace(
+                    F.col("seg"),
+                    F.lit(f" {b.lhs} {b.rhs} "),
+                    F.lit(f" {b.lhs}{b.rhs} "),
+                ),
+            )
+    finally:
+        base.unpersist()
+    return spark.createDataFrame(
+        rows, "merge_rank int, lhs string, rhs string, pair_count long"
+    )

@@ -4695,3 +4695,64 @@ def _emb_bq_recall(spark, sf):
 
 
 _q("emb_binary_recall_eval", _emb_bq_recall, _recall_sql(_bq_hamming_sql(10)))
+
+
+# ------------------------------------------------ BPE vocabulary training
+# Learn the first k byte-pair-encoding merges from the corpus
+# (functions/text.py:bpe_merges — Sennrich et al. 2016): the tokenizer
+# TRAINING step an LLM data pipeline runs, not just cost accounting
+# with an external tokenizer.  The whole trajectory is integer counts
+# + a (count desc, lhs, rhs) argmax + leftmost non-overlapping literal
+# replaces, so the oracle replays it exactly as k unrolled CTE stages.
+_BPE_K = 6
+
+
+def _bpe_oracle(k: int = _BPE_K) -> str:
+    parts = [
+        f"""WITH words AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest({_TOKS}) AS w FROM documents
+  ) WHERE regexp_full_match(w, '[a-z0-9]+') GROUP BY w
+),
+v0 AS MATERIALIZED (
+  SELECT freq, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seg FROM words
+)"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f""",
+p{r} AS (
+  SELECT bigram, CAST(sum(freq) AS BIGINT) AS pair_count FROM (
+    SELECT freq,
+      unnest(list_transform(range(len(s) - 1),
+                            i -> s[i+1] || ' ' || s[i+2])) AS bigram
+    FROM (SELECT freq, string_split(trim(seg), ' ') AS s FROM v{r - 1})
+    WHERE len(s) > 1
+  ) GROUP BY bigram
+),
+b{r} AS MATERIALIZED (
+  SELECT split_part(bigram, ' ', 1) AS lhs,
+         split_part(bigram, ' ', 2) AS rhs, pair_count
+  FROM p{r} ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1
+),
+v{r} AS MATERIALIZED (
+  SELECT freq, replace(seg,
+    ' ' || (SELECT lhs FROM b{r}) || ' ' || (SELECT rhs FROM b{r}) || ' ',
+    ' ' || (SELECT lhs FROM b{r}) || (SELECT rhs FROM b{r}) || ' ') AS seg
+  FROM v{r - 1}
+)"""
+        )
+    finals = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_rank, lhs, rhs, pair_count FROM b{r}"
+        for r in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + finals
+
+
+_q(
+    "doc_bpe_train",
+    lambda spark, sf: text.bpe_merges(
+        model.load_table(spark, sf, "documents"), k_merges=_BPE_K
+    ),
+    _bpe_oracle(),
+)

@@ -1842,3 +1842,42 @@ def test_dominant_eigen_gram_paths_bit_equal(spark):
         for r in similarity.dominant_eigen_portable(df, gram_mode="explode").collect()
     )
     assert a == b  # bit-for-bit, including the float
+
+
+def test_bpe_merges_hand_computed(spark):
+    """Sennrich-style toy corpus, every round hand-verified including
+    both tie-break axes (count tie -> lhs asc; lhs tie -> rhs asc)."""
+    from stdb_spark.functions.text import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "low low low"), (2, "lower lower"), (3, "newest")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.pair_count)
+        for r in bpe_merges(docs, k_merges=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == [
+        (1, "l", "o", 5),   # (l,o) ties (o,w) at 5 -> lhs asc
+        (2, "lo", "w", 5),
+        (3, "e", "r", 2),   # (e,r) ties (low,e) at 2 -> lhs asc
+        (4, "low", "er", 2),
+        (5, "e", "s", 1),   # (e,w)/(e,s) tie at 1 -> rhs asc
+        (6, "e", "w", 1),   # 'e' < 'es' < 'n' < 'w' -> lhs asc
+    ]
+
+
+def test_bpe_merges_exhausts_gracefully(spark):
+    """Single-char words have no pairs: fewer rows than k_merges."""
+    from stdb_spark.functions.text import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "ab")], "doc_id long, text string"
+    )
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.pair_count)
+        for r in bpe_merges(docs, k_merges=4).collect()
+    ]
+    assert got == [(1, "a", "b", 1)]
