@@ -779,6 +779,49 @@ def chunk_windows(
     )
 
 
+
+
+def _bpe_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, freq, seg): the frequency-weighted word vocabulary with its
+    initial character segmentation (`" h e l l o "`) — shared by
+    :func:`bpe_merges` (training) and :func:`bpe_segmentation`
+    (application)."""
+    return (
+        docs.select(
+            F.explode(tokens_col(F.lower(F.col(text_col)))).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .withColumn(
+            "seg",
+            F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")),
+        )
+    )
+
+
+def bpe_segmentation(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge table (ordered (lhs, rhs) pairs from
+    :func:`bpe_merges`) to the corpus vocabulary: k narrow map-side
+    literal replaces over (w, freq, seg) — embarrassingly parallel at
+    any scale."""
+    base = _bpe_vocab(docs, text_col)
+    for lhs, rhs in merges:
+        base = base.withColumn(
+            "seg",
+            F.replace(
+                F.col("seg"),
+                F.lit(f" {lhs} {rhs} "),
+                F.lit(f" {lhs}{rhs} "),
+            ),
+        )
+    return base
+
+
 def bpe_merges(
     docs: DataFrame,
     text_col: str = "text",
@@ -819,19 +862,7 @@ def bpe_merges(
     if k_merges < 1:
         raise ValueError("k_merges must be >= 1")
     spark = docs.sparkSession
-    base = (
-        docs.select(
-            F.explode(tokens_col(F.lower(F.col(text_col)))).alias("w")
-        )
-        .filter(F.col("w").rlike("^[a-z0-9]+$"))
-        .groupBy("w")
-        .agg(F.count("*").cast("long").alias("freq"))
-        .withColumn(
-            "seg",
-            F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")),
-        )
-        .persist()
-    )
+    base = _bpe_vocab(docs, text_col).persist()
     base.count()
     vocab = base
     rows = []

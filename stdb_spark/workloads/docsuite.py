@@ -4756,3 +4756,67 @@ _q(
     ),
     _bpe_oracle(),
 )
+
+
+# Fertility / compression of the TRAINED tokenizer: apply the k learned
+# merges back to the weighted vocabulary and report corpus-level
+# tokens-per-word and chars-per-token — the metric that tells a
+# pipeline whether its token budget math holds (doc_tokenizer_fertility
+# is the external-tokenizer PROXY; this one measures the tokenizer the
+# corpus itself trained).  Integer sums; two final IEEE divisions of
+# identical BIGINT operands.
+def _doc_bpe_fertility(spark, sf):
+    docs = model.load_table(spark, sf, "documents")
+    merges = [
+        (r.lhs, r.rhs)
+        for r in text.bpe_merges(docs, k_merges=_BPE_K)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    seg = text.bpe_segmentation(docs, merges)
+    sy = F.size(F.split(F.trim(F.col("seg")), " ")).cast("long")
+    ch = F.length(F.replace(F.trim(F.col("seg")), F.lit(" "), F.lit(""))).cast(
+        "long"
+    )
+    agg = seg.agg(
+        F.sum("freq").cast("long").alias("n_words"),
+        F.sum(F.col("freq") * sy).cast("long").alias("n_tokens"),
+        F.sum(F.col("freq") * ch).cast("long").alias("n_chars"),
+    )
+    return agg.select(
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        (F.col("n_tokens").cast("double") / F.col("n_words")).alias(
+            "tokens_per_word"
+        ),
+        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+def _bpe_fertility_oracle(k: int = _BPE_K) -> str:
+    chain = _bpe_oracle(k)
+    # reuse the training CTE chain, swap the final merge-table select
+    # for an aggregate over the final segmentation v{k}
+    chain = chain[: chain.index("\nSELECT CAST(1 AS INTEGER) AS merge_rank")]
+    return (
+        chain
+        + f"""
+SELECT n_words, n_tokens, n_chars,
+  CAST(n_tokens AS DOUBLE) / n_words AS tokens_per_word,
+  CAST(n_chars AS DOUBLE) / n_tokens AS chars_per_token
+FROM (
+  SELECT CAST(sum(freq) AS BIGINT) AS n_words,
+         CAST(sum(freq * len(string_split(trim(seg), ' '))) AS BIGINT)
+           AS n_tokens,
+         CAST(sum(freq * len(replace(trim(seg), ' ', ''))) AS BIGINT)
+           AS n_chars
+  FROM v{k}
+)
+"""
+    )
+
+
+_q("doc_bpe_fertility", _doc_bpe_fertility, _bpe_fertility_oracle())
