@@ -273,6 +273,9 @@ HEADLINE = [
     "sp_dbscan_cells",
     "emb_ann_binary",
     "emb_binary_recall_eval",
+    # r9 additions: BPE vocabulary training + trained-tokenizer fertility
+    "doc_bpe_train",
+    "doc_bpe_fertility",
 ]
 
 

@@ -69,11 +69,13 @@ def get_spark(
         )
         .config("spark.sql.files.maxPartitionBytes", "128m")
         # local[N] runs all N task threads inside the driver JVM, so
-        # this is the whole executor heap: 24g gives 32 concurrent
-        # tasks ~750 MB each (the 100x rehearsal's shuffle fetches
-        # GC-thrashed at 8g); on a real cluster the same knob moves to
-        # spark.executor.memory
-        .config("spark.driver.memory", os.environ.get("STDB_SPARK_DRIVER_MEM", "24g"))
+        # this is the whole executor heap.  12g is the steady-state
+        # sweet spot at the bench scales (a much larger heap lengthens
+        # minor GCs enough to show in the streaming micro-batch
+        # entries); the 100x rehearsal exports STDB_SPARK_DRIVER_MEM=24g
+        # for its big side (8g GC-thrashed there).  On a real cluster
+        # the same knob moves to spark.executor.memory.
+        .config("spark.driver.memory", os.environ.get("STDB_SPARK_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

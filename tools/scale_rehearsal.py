@@ -63,6 +63,9 @@ def _time(fn, spark, sf_dir):
 
 
 def main() -> None:
+    # the big side (10x-100x replicas) needs more heap than the bench
+    # steady-state default; callers can still override explicitly
+    os.environ.setdefault("STDB_SPARK_DRIVER_MEM", "24g")
     names = sys.argv[1:] or DEFAULT
     from stdb_spark import model
 
