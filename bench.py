@@ -273,9 +273,11 @@ HEADLINE = [
     "sp_dbscan_cells",
     "emb_ann_binary",
     "emb_binary_recall_eval",
-    # r9 additions: BPE vocabulary training + trained-tokenizer fertility
+    # r9 additions: BPE vocabulary training + trained-tokenizer fertility,
+    # streaming windowed top-k
     "doc_bpe_train",
     "doc_bpe_fertility",
+    "stream_windowed_topk",
 ]
 
 

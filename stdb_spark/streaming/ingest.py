@@ -778,3 +778,32 @@ def write_to_parquet_with_summary(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_windowed_counts(
+    samples: DataFrame,
+    window: str = "1 day",
+    max_lateness: str = "1 minute",
+    keys: tuple[str, ...] = ("metric",),
+) -> DataFrame:
+    """Tumbling event-time window counts + exact decimal value sums per
+    key — the incremental half of a streaming top-k ("trending
+    metrics/topics per window"): the stream maintains only #windows x
+    #keys rows of state (bounded by the watermark in append mode); the
+    tiny per-window ranking happens batch-side over the sink.  Count
+    and decimal sum are order-insensitive and exact, so replay output
+    is deterministic and fully oracle-checkable."""
+    ev = with_late_data_policy(samples, max_lateness)
+    return (
+        ev.groupBy(F.window("event_time", window).alias("bucket"), *keys)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.expr("sum(CAST(value AS DECIMAL(28,10)))").alias("_vdec"),
+        )
+        .select(
+            *keys,
+            F.unix_micros(F.col("bucket.start")).alias("ts"),
+            "n",
+            F.col("_vdec").cast("double").alias("value_sum"),
+        )
+    )

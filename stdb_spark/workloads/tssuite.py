@@ -3219,6 +3219,65 @@ GROUP BY metric, u, ws
 )
 
 
+# Streaming windowed top-k: "trending metrics per day" as a continuous
+# query — the streaming x ranking cross.  The STREAM maintains only the
+# per-(window, metric) counts + exact decimal sums (state bounded by
+# #windows x #metrics); the top-k rank runs batch-side over the tiny
+# sink, because rank-of-aggregate is not incrementally emittable in
+# append mode and never needs to be.  Spark's 1-day tumbling windows
+# are epoch-aligned in the UTC session, so the oracle's integer
+# `tu div DAY * DAY` mirrors them exactly.
+_DAY_US = 86_400_000_000
+_TOPK_K = 3
+
+
+def _stream_topk(spark, sf):
+    from pyspark.sql import Window as W
+
+    from stdb_spark.streaming.ingest import streaming_windowed_counts
+
+    def tf(sdf):
+        return streaming_windowed_counts(
+            sdf.withColumn("ts", F.expr("(ts div 1000) * 1000")),
+            window="1 day",
+            max_lateness="30 days",
+        )
+
+    # two micro-batches (150-file layout): complete mode rewrites the
+    # whole state each trigger, so extra epochs only multiply the
+    # replay floor; 2 still proves cross-batch state accumulation
+    sink = _replay_stream(
+        spark, sf, tf, "stream_topk_sink", "complete", files_per_trigger=75
+    )
+    w = W.partitionBy("ts").orderBy(F.col("n").desc(), F.col("metric").asc())
+    return (
+        sink.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _TOPK_K)
+        .select("ts", "metric", "n", "value_sum", "rk")
+    )
+
+
+_q(
+    "stream_windowed_topk",
+    _stream_topk,
+    BASE
+    + f"""
+, d AS (
+  SELECT (tu // {_DAY_US}) * {_DAY_US} AS ts, metric,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+           AS value_sum
+  FROM base GROUP BY 1, 2
+)
+SELECT ts, metric, n, value_sum, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY ts ORDER BY n DESC, metric ASC)
+         AS rk
+  FROM d
+) WHERE rk <= {_TOPK_K}
+""",
+)
+
+
 # Ranking window surface (SURVEY §2.5 "Ranking / lead / ntile — absent
 # in the reference, free via Spark Window"): per-series dense value
 # rank + quartile bucket over the January range.  Ties are broken by
