@@ -372,7 +372,12 @@ def main() -> None:
         "failed": failed,
     }
     print(json.dumps(detail), file=sys.stderr, flush=True)
-    detail_path = os.path.join(
+    # BENCH_DETAIL.json is the DRIVER's record (it runs bench.py
+    # per-round); builder-local sweeps must redirect via this env var
+    # (tools/bench_heap_ab.py and BENCH_NOTES use BENCH_LOCAL_DETAIL.json)
+    # so a later driver run can't overwrite the builder's evidence chain
+    # (VERDICT r9 "what's wrong" #2).
+    detail_path = os.environ.get("STDB_SPARK_BENCH_DETAIL") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     try:
@@ -393,7 +398,7 @@ def main() -> None:
                 "sf": detail["sf"],
                 "n_queries": len(timings),
                 "n_failed": len(failed),
-                "detail": "BENCH_DETAIL.json",
+                "detail": os.path.basename(detail_path),
             },
             separators=(",", ":"),
         ),

@@ -60,75 +60,86 @@ for _m in (tssuite, relsuite, docsuite):
 # check still proves every component class; everything else follows in
 # suite order and is picked up as the window allows.
 _PRIORITY = [
-    # r9 rotation (VERDICT r8 directive #1): every r8 window slot is
-    # driver-green, so ALL 50 slots rotate again to entries with NO
-    # external green row in any CORRECTNESS_r0N.json (pool = 120 as of
-    # r8; 115 after excluding the 5 declared rows-only sketch entries,
-    # which never occupy window slots).  The cumulative driver-proven
-    # union grows 212 -> up to 262; every rotated-out entry stays
-    # pinned by its prior driver rows + the full local gate at
-    # sf0.01/sf0.1 (CORRECTNESS_LOCAL.md).
-    # First: the 9 r1/r2 loader-era errors, judge-proven in the r8
-    # independent re-drive but still without a driver row.
-    "ts_aggregate_timestamps",
-    "ts_sma_error",
-    "ts_aggregate_multimetric",
-    "ts_group_aggregate_multimetric",
-    "ts_rate_abs",
-    "ts_ewma_error",
-    "ts_select_events_where_backward",
-    "ts_search_regex",
-    "ts_suggest_startswith",
-    # judge-r8-sampled but never driver-hashed:
-    "doc_ngram_novelty",
-    "doc_phrase_search",
-    "emb_centroid_outliers",
-    "emb_cosine_histogram",
-    # the two heavy graph/calibration entries this round's perf work
-    # touched (persisted lineage; values must stay bit-identical):
-    "rel_part_communities_lpa",
-    "doc_minhash_precision_recall",
-    # relational remainder (never proven):
-    "rel_q21_suppliers_waiting",
-    "rel_q22_dormant_customers",
-    "rel_abc_analysis",
-    "rel_cohort_revenue",
-    "rel_supplier_hhi",
-    "rel_key_skew_histogram",
-    "rel_order_value_deciles",
-    "rel_repeat_purchase_rate",
-    "rel_returns_trend",
-    "rel_ship_delay_profile",
-    # documents / LLM pipeline (never proven):
-    "doc_bigram_logprob",
-    "doc_dsir_logratio",
-    "doc_dedup_keep_longest",
-    "doc_dedup_survivors",
-    "doc_dedup_cluster_sizes",
-    "doc_containment_pairs",
-    "doc_hybrid_neardup",
-    "doc_hybrid_search",
-    "doc_term_lookup",
-    "doc_token_budget_plan",
-    "doc_tokenizer_fertility",
-    "doc_lang_confusion",
-    "doc_quality_classifier",
-    "doc_quality_quantile_filter",
-    "doc_shuffle_shards",
-    # embeddings recall-eval family (never proven):
-    "emb_lsh_recall_eval",
-    "emb_int8_recall_eval",
-    "emb_binary_recall_eval",
-    "emb_truncated_dim_recall",
-    "emb_norm_stats",
-    # time-series analytics (never proven):
-    "ts_bollinger",
-    "ts_rolling_corr",
-    "ts_autocorrelation",
-    "ts_percentile_bands",
-    # sources (never proven):
-    "ingest_orc_roundtrip",
-    ]
+    # r10 rotation (VERDICT r9 directive #1): all 50 window slots move to
+    # the 68 registry entries with no driver green row in any
+    # CORRECTNESS_r01..r09.json (73 never-proven minus the 5 declared
+    # rows-only sketch entries, which never occupy window slots).  The 54
+    # entries no external harness has ever hashed come first and fill the
+    # 50-slot window; the 14 entries the judge independently re-drove green
+    # in r9 (lowest residual risk) close the list so r11's final rotation
+    # picks up the remaining 18.  Union after r10: >=312/335; after r11:
+    # 335/335.  Every rotated-out entry stays pinned by its prior driver
+    # rows + the full local gate at sf0.01/sf0.1 (CORRECTNESS_LOCAL.md).
+    "ts_decimate",
+    "ts_concurrency",
+    "ts_integral_daily",
+    "ts_mad_outliers",
+    "ts_hourofweek_profile",
+    "ts_subsequence_match",
+    "ts_seasonal_naive_backtest",
+    "ts_xcorr_lead_lag",
+    "ts_sla_availability",
+    "ts_top_movers",
+    "ts_sax_motifs",
+    "ts_burstiness",
+    "ts_seasonal_strength",
+    "ts_gap_distribution",
+    "ts_hash_sample",
+    "ts_audience_overlap",
+    "ts_dataset_summary",
+    "ts_weekend_effect",
+    "ts_variance_decomposition",
+    "ts_staleness_monitor",
+    "ts_peak_hour",
+    "ts_delta_histogram",
+    "ts_series_turnover",
+    "ts_downtime_episodes",
+    "ts_time_to_convert",
+    "ts_monthly_digest",
+    "ts_business_hours_share",
+    "ts_value_share_by_metric",
+    "rel_brand_revenue_share",
+    "rel_discount_band_revenue",
+    "rel_priority_trend",
+    "rel_basket_size_trend",
+    "doc_train_val_test_split",
+    "doc_weighted_sample",
+    "doc_top_bigrams",
+    "doc_decontaminated_corpus",
+    "doc_vocab_coverage",
+    "doc_source_mixture",
+    "doc_length_buckets",
+    "doc_dup_ratio_by_source",
+    "doc_pii_audit_by_source",
+    "doc_length_percentiles_by_source",
+    "emb_label_distances",
+    "doc_source_quality_matrix",
+    "doc_boilerplate_lines",
+    "doc_neardup_threshold_curve",
+    "doc_quality_length_corr",
+    "emb_norm_by_label",
+    "doc_dedup_savings",
+    "doc_line_stats_by_source",
+    "doc_curriculum_phases",
+    "doc_ttr_by_source",
+    "doc_exact_dedup_best_quality",
+    "doc_chunk_windows",
+    # judge-r9 independently proven (driver row still pending):
+    "stream_windowed_topk",
+    "ts_dau_wau_stickiness",
+    "ts_periodogram",
+    "ts_shape_clusters",
+    "ts_apdex_daily",
+    "ts_time_rollup",
+    "rel_order_gap_cohorts",
+    "rel_region_quarter_matrix",
+    "doc_snapshot_diff",
+    "doc_dup_spans",
+    "doc_char_entropy",
+    "emb_label_margin",
+    "doc_bpe_train",
+    "doc_bpe_fertility",
+]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
 QUERIES = {
     **{k: QUERIES[k] for k in _PRIORITY},
