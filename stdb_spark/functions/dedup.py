@@ -745,7 +745,6 @@ def connected_components(
             prop = edges2.join(labels, edges2.src == labels.id).select(
                 F.col("dst").alias("id"), F.col("lbl")
             )
-            prev = labels
             labels = (
                 labels.select("id", "lbl")
                 .union(prop)
@@ -754,10 +753,11 @@ def connected_components(
                 .agg(F.min("lbl").alias("lbl"))
                 .localCheckpoint(eager=True)
             )
-            # the new checkpoint is materialized, so the previous round's
-            # blocks can be dropped — otherwise every round leaks executor
-            # storage memory for the life of the session
-            prev.unpersist()
+            # localCheckpoint blocks are RDD-level persisted, not
+            # CacheManager-tracked (unpersist() on the DataFrame is a
+            # no-op for them); the previous round's blocks are
+            # reclaimed by the ContextCleaner once the old `labels`
+            # binding is dropped by this rebind.
             cur_sum = labels.agg(
                 F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
             ).collect()[0]["s"]

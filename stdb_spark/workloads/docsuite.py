@@ -4561,24 +4561,40 @@ _PR_T = 0.5
 #: the calibration eval's complete ground truth (uncapped shared-shingle
 #: exact Jaccard) is quadratic in shingle document-frequency — the ONE
 #: deliberately-uncapped path in the suite, affordable only at eval
-#: scale.  Above this corpus size the eval runs on a deterministic
-#: hash-sample of ~this many documents instead (sampling.hash_sample:
-#: md5-keyed, engine-portable) — P/R estimates from a 50k-doc sample
-#: are statistically equivalent for calibration, and the truth-side
-#: work stays bounded no matter the corpus (the r9 sf10 rehearsal
-#: OOM'd the uncapped form at 500k docs).  Every driver/local-gated
-#: scale (sf0.01/0.1/1 = 500/5k/50k docs) is at or under the cap, so
-#: oracle parity there is exact full-corpus.
+#: scale.  The eval therefore runs on the <=50k documents with the
+#: SMALLEST md5(salt||doc_id) hash — a deterministic top-k that (a) is
+#: the whole corpus whenever n_docs <= cap, so every driver/local-gated
+#: scale (sf0.01/0.1/1 = 500/5k/50k docs) stays exact full-corpus,
+#: (b) is a uniform random-equivalent 50k-doc sample above the cap
+#: (statistically equivalent for P/R calibration; the r9 sf10
+#: rehearsal OOM'd the uncapped form at 500k docs), and (c) unlike the
+#: r9 fraction-based hash_sample needs NO docs.count() pre-scan
+#: (VERDICT r9 directive #4) and is mirrored EXACTLY by the static
+#: oracle's ORDER BY hash LIMIT k (r9 ADVICE: the fraction form's
+#: runtime cap/n threshold could not be expressed in static SQL).
+#: doc_id tie-break makes the set fully deterministic in both engines.
 _PR_EVAL_MAX_DOCS = 50_000
+_PR_SALT = "prcal0"
+
+
+def _pr_eval_sample(docs, cap=None):
+    """The <=cap documents with the smallest md5(salt||doc_id) hash,
+    doc_id tie-break — deterministic, engine-portable, and the whole
+    corpus whenever n_docs <= cap.  TakeOrdered top-k distributed; no
+    count() pre-scan."""
+    return (
+        docs.withColumn("_prh", sampling.hash_bucket(F.col("doc_id"), _PR_SALT))
+        .orderBy("_prh", "doc_id")
+        .limit(cap if cap is not None else _PR_EVAL_MAX_DOCS)
+        .drop("_prh")
+        # the global limit funnels the sample through one partition;
+        # re-spread the (<=cap-row) sample before the shingle explode
+        .repartition("doc_id")
+    )
 
 
 def _minhash_pr(spark, sf):
-    docs = model.load_table(spark, sf, "documents")
-    n_docs = docs.count()
-    if n_docs > _PR_EVAL_MAX_DOCS:
-        docs = sampling.hash_sample(
-            docs, fraction=_PR_EVAL_MAX_DOCS / n_docs, salt="prcal0"
-        )
+    docs = _pr_eval_sample(model.load_table(spark, sf, "documents"))
     sigs = dedup.minhash_signatures(docs)
     cands = dedup.minhash_lsh_candidates(sigs)
     pred = (
@@ -4611,10 +4627,24 @@ def _minhash_pr(spark, sf):
     )
 
 
+# The oracle's minhash/shingle CTE chain, re-rooted on the same
+# deterministic hash-top-k sample the engine evaluates (exact mirror:
+# md5-60-bit ascending, doc_id tie-break, LIMIT cap — a no-op at every
+# corpus size <= _PR_EVAL_MAX_DOCS).
+_PR_CTES = _MH_CTES.replace("FROM documents", "FROM docs_pr").replace(
+    "WITH toks AS (",
+    f"""WITH docs_pr AS MATERIALIZED (
+  SELECT * FROM documents
+  ORDER BY ('0x' || substr(md5('{_PR_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+           doc_id
+  LIMIT {_PR_EVAL_MAX_DOCS}
+), toks AS (""",
+)
+
 _q(
     "doc_minhash_precision_recall",
     _minhash_pr,
-    _MH_CTES
+    _PR_CTES
     + f""",
 est AS (
   SELECT c.a, c.b,

@@ -955,3 +955,39 @@ def test_triangle_count_empty_edges(spark):
     row = triangle_count_exact(df).collect()[0]
     assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (0, 0, 0, 0)
     assert row.closure_ratio == 0.0
+
+
+def test_pagerank_bucketed_edge_layout_bit_equal(spark, monkeypatch):
+    """edge_layout="bucketed" (the zero-storage cluster-loop shape,
+    VERDICT r9 directive #6) is a pure layout choice: forced into the
+    cluster regime, its ranks are bit-equal to the cached layout's and
+    the scratch bucket table is dropped before returning."""
+    from stdb_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a"),
+         ("b", "a"), ("e", "a")],
+        "src string, dst string",
+    )
+    monkeypatch.setattr(graph, "BROADCAST_RANKS_MAX_NODES", 0)
+    cached = {
+        r.node: r.pr
+        for r in graph.pagerank_exact(
+            edges, iterations=6, single_task_max_edges=0
+        ).collect()
+    }
+    bucketed = {
+        r.node: r.pr
+        for r in graph.pagerank_exact(
+            edges,
+            iterations=6,
+            single_task_max_edges=0,
+            edge_layout="bucketed",
+            bucket_table="pagerank_edges_bucketed_testtmp",
+        ).collect()
+    }
+    assert cached == bucketed and len(cached) == 5
+    assert not any(
+        t.name == "pagerank_edges_bucketed_testtmp"
+        for t in edges.sparkSession.catalog.listTables()
+    )

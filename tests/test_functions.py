@@ -1881,3 +1881,84 @@ def test_bpe_merges_exhausts_gracefully(spark):
         for r in bpe_merges(docs, k_merges=4).collect()
     ]
     assert got == [(1, "a", "b", 1)]
+
+
+def test_bpe_merges_checkpoint_boundary_matches_reference(spark):
+    """k=40 crosses the _BPE_REPERSIST_EVERY=32 lineage cut (VERDICT r9
+    directive #5): the checkpointed rounds must stay bit-identical to
+    the module's written spec, pinned here by an independent
+    pure-Python reference (word-freq vocab; per-round overlapping pair
+    count; (count desc, lhs asc, rhs asc) argmax; single-pass
+    left-to-right consuming literal replace — str.replace has exactly
+    those semantics).  Also pins prefix stability: the k=6 table is the
+    first 6 rows of the k=40 table."""
+    from stdb_spark.functions import text as T
+
+    corpus = "abcdefghijklmnopqrstuvwxyz0123456789 zyxwvutsrqponmlkjihgfedcba"
+    docs = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+
+    def ref_bpe(words, k):
+        segs = {w: " " + " ".join(w) + " " for w in words}
+        out = []
+        for r in range(1, k + 1):
+            counts = {}
+            for w, f in words.items():
+                syms = segs[w].split()
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + f
+            if not counts:
+                break
+            (l, rr), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((r, l, rr, c))
+            segs = {
+                w: s.replace(f" {l} {rr} ", f" {l}{rr} ")
+                for w, s in segs.items()
+            }
+        return out
+
+    words = {}
+    for w in corpus.split():
+        words[w] = words.get(w, 0) + 1
+    expect = ref_bpe(words, 40)
+    assert len(expect) == 40  # the corpus genuinely sustains 40 rounds
+
+    assert T._BPE_REPERSIST_EVERY < 40  # the cut is actually exercised
+    got40 = [
+        (r.merge_rank, r.lhs, r.rhs, int(r.pair_count))
+        for r in T.bpe_merges(docs, k_merges=40).orderBy("merge_rank").collect()
+    ]
+    assert got40 == expect
+    got6 = [
+        (r.merge_rank, r.lhs, r.rhs, int(r.pair_count))
+        for r in T.bpe_merges(docs, k_merges=6).orderBy("merge_rank").collect()
+    ]
+    assert got6 == expect[:6]
+
+
+def test_pr_eval_sample_is_deterministic_hash_topk(spark):
+    """doc_minhash_precision_recall's eval corpus (r9 ADVICE + VERDICT
+    directive #4): above the cap it is exactly the cap docs with the
+    smallest md5(salt||doc_id) hash (mirrorable by the static oracle's
+    ORDER BY hash LIMIT k); at-or-below the cap it is the whole corpus.
+    No count() pre-scan either way."""
+    import hashlib
+
+    from stdb_spark.workloads import docsuite as D
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], "doc_id long, text string"
+    )
+
+    def h(doc_id):
+        return int(hashlib.md5(f"{D._PR_SALT}{doc_id}".encode()).hexdigest()[:15], 16)
+
+    expect = sorted(range(20), key=lambda i: (h(i), i))[:7]
+    got = [r.doc_id for r in D._pr_eval_sample(docs, cap=7).collect()]
+    assert sorted(got) == sorted(expect)
+    # below the cap: identity set
+    assert (
+        sorted(r.doc_id for r in D._pr_eval_sample(docs, cap=50).collect())
+        == list(range(20))
+    )
