@@ -262,14 +262,34 @@ GROUP BY metric, u, tu // {D1_US}
 )
 
 
-def _replay_stream(spark, sf, transform, sink_name, mode, files_per_trigger=8):
+def _replay_stream(
+    spark, sf, transform, sink_name, mode, files_per_trigger=8, state_width=None
+):
     """availableNow file-stream replay of the partitioned layout through
     ``transform`` into a memory sink — the harness the stream_* queries
     share.  ``files_per_trigger`` sets the micro-batch granularity:
     stateful single-input queries replay at 8 (many batches exercise
     state handoff), while the stream-stream join coarsens it (join
     state is re-scanned per batch, and dozens of replay batches turn a
-    second-long query into minutes without testing anything extra)."""
+    second-long query into minutes without testing anything extra).
+
+    ``state_width``: streaming state operators shuffle to the session's
+    shuffle.partitions at query start (a per-plan ``repartition`` can't
+    override the state store's required distribution), so each
+    micro-batch pays that many state tasks + Python state workers even
+    when the state itself is a handful of keys.  When set, the replay
+    runs on a SCOPED ``spark.newSession()`` child with that shuffle
+    width — the injected/shared session's conf is never mutated (the r8
+    shuffle-width discipline), concurrent queries are unaffected, and
+    the child shares the SparkContext so the returned sink DataFrame
+    collects normally.  Replay-harness knob only: results are
+    width-independent (pinned by the oracles); on a real cluster the
+    production path sizes state partitions to the key cardinality."""
+    if state_width is not None:
+        child = spark.newSession()
+        model.ensure_session_confs(child)
+        child.conf.set("spark.sql.shuffle.partitions", str(int(state_width)))
+        spark = child
     path = _layout_path(spark, sf)
     schema = spark.read.parquet(path).schema
     sdf = spark.readStream.schema(schema).option(
@@ -356,9 +376,18 @@ def _stream_geofence(spark, sf):
     # 150 files at every sf, so 75/trigger = exactly TWO micro-batches —
     # the minimum that still proves cross-batch state handoff (state
     # written in epoch 1 must carry the in-fence/visit counters into
-    # epoch 2), at sf0.1 5.1 s -> 2.8 s (r8 VERDICT directive #7)
+    # epoch 2), at sf0.1 5.1 s -> 2.8 s (r8 VERDICT directive #7).
+    # state_width=8: 8 state tasks/Python workers per batch instead of
+    # 32 for a few-hundred-key state — 4.1 -> 3.4 s median (r9 VERDICT
+    # directive #7), scoped to a child session (conf never mutated).
     return _replay_stream(
-        spark, sf, tf, "stream_geofence_sink", "append", files_per_trigger=75
+        spark,
+        sf,
+        tf,
+        "stream_geofence_sink",
+        "append",
+        files_per_trigger=75,
+        state_width=8,
     )
 
 
@@ -3245,9 +3274,17 @@ def _stream_topk(spark, sf):
 
     # two micro-batches (150-file layout): complete mode rewrites the
     # whole state each trigger, so extra epochs only multiply the
-    # replay floor; 2 still proves cross-batch state accumulation
+    # replay floor; 2 still proves cross-batch state accumulation.
+    # state_width=8 as in _stream_geofence (state is #windows x
+    # #metrics rows — tiny; the 32-wide state shuffle was pure floor)
     sink = _replay_stream(
-        spark, sf, tf, "stream_topk_sink", "complete", files_per_trigger=75
+        spark,
+        sf,
+        tf,
+        "stream_topk_sink",
+        "complete",
+        files_per_trigger=75,
+        state_width=8,
     )
     w = W.partitionBy("ts").orderBy(F.col("n").desc(), F.col("metric").asc())
     return (
