@@ -113,7 +113,7 @@ def pagerank_exact(
     single_task_max_edges: int = SINGLE_TASK_MAX_EDGES,
     stats: dict | None = None,
     edge_layout: str = "cache",
-    bucket_table: str = "pagerank_edges_bucketed_tmp",
+    bucket_table: str | None = None,
 ) -> DataFrame:
     """Exact integer fixed-point PageRank over a directed edge list.
 
@@ -150,7 +150,12 @@ def pagerank_exact(
     width, src-sorted buckets) and every round scans the bucket files —
     the join still runs exchange-free on the edge side but pins zero
     executor storage, trading memory pressure for scan IO.  The table
-    is dropped before returning (ranks are checkpoint-materialized).
+    is dropped before returning; the ranks are materialized first in
+    BOTH checkpoint modes (with ``checkpoint=False`` a final
+    localCheckpoint is forced, since the lazy plan would otherwise
+    dangle over the dropped table).  ``bucket_table=None`` (default)
+    derives a per-invocation unique name so concurrent bucketed runs
+    on a shared warehouse cannot clobber each other.
     Probed at sf10 in r10 (VERDICT r9 directive #6, BENCH_NOTES) —
     arithmetic and results are bit-identical either way.
 
@@ -220,8 +225,18 @@ def pagerank_exact(
             ),
         )
         if edge_layout == "bucketed":
+            import uuid
+
             from stdb_spark.sources import bucketing
 
+            # per-invocation unique table name unless the caller pins
+            # one: two concurrent bucketed runs on a shared session /
+            # warehouse must not overwrite-then-drop each other's edge
+            # table mid-loop
+            if bucket_table is None:
+                bucket_table = (
+                    f"pagerank_edges_bucketed_{uuid.uuid4().hex[:12]}"
+                )
             # one write-side cluster pass; the per-round join then
             # scans src-sorted bucket files exchange-free with zero
             # executor storage pinned across the rounds
@@ -295,11 +310,16 @@ def pagerank_exact(
         pr = pr.localCheckpoint(eager=True)
     if stats is not None:
         stats["rounds_run"] = rounds_run
-    # release the edge/node caches unconditionally: the final ranks are
-    # already materialized (checkpointed in both modes), so nothing is
-    # recomputed and nothing stays pinned for the session's life
+    # release the edge/node caches: with checkpoint=True the final
+    # ranks are already materialized, so nothing is recomputed and
+    # nothing stays pinned for the session's life
     e.unpersist()
     if ed_bucketed:
+        if not checkpoint:
+            # the lazy rank plan still references spark.table(
+            # bucket_table); dropping it first would break every later
+            # action on the result — materialize before the DROP
+            pr = pr.localCheckpoint(eager=True)
         spark.sql(f"DROP TABLE IF EXISTS `{bucket_table}`")
     else:
         ed.unpersist()

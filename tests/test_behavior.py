@@ -991,3 +991,23 @@ def test_pagerank_bucketed_edge_layout_bit_equal(spark, monkeypatch):
         t.name == "pagerank_edges_bucketed_testtmp"
         for t in edges.sparkSession.catalog.listTables()
     )
+    # checkpoint=False must still return an actionable result: the
+    # scratch table is dropped before returning, so the ranks are
+    # force-materialized first (r10 ADVICE medium item).  The default
+    # bucket_table=None derives a unique name, so no collision with a
+    # concurrent run either.
+    unchk = {
+        r.node: r.pr
+        for r in graph.pagerank_exact(
+            edges,
+            iterations=6,
+            single_task_max_edges=0,
+            edge_layout="bucketed",
+            checkpoint=False,
+        ).collect()
+    }
+    assert unchk == cached
+    assert not any(
+        t.name.startswith("pagerank_edges_bucketed_")
+        for t in edges.sparkSession.catalog.listTables()
+    )

@@ -6,9 +6,9 @@ one cold JVM, warm passes, then the 249-query measured sweep — N times
 per heap setting (STDB_SPARK_DRIVER_MEM=8g vs 12g), alternating A/B/A/B
 so slow box-level drift cancels.  Per-query medians for the 15 worst
 r8->r9 drifters plus the full-suite total are printed as the
-BENCH_NOTES table, and each run's detail JSON is kept under
-BENCH_LOCAL_DETAIL.json (never BENCH_DETAIL.json, which is the driver's
-record).
+BENCH_NOTES table; each run's per-query detail JSON is a scratch
+artifact written to /tmp/bench_heap_<tag>.json (never BENCH_DETAIL.json,
+which is the driver's record).
 
 Usage: python tools/bench_heap_ab.py [runs_per_heap] [sf_dir]
 """
@@ -44,7 +44,10 @@ DRIFTERS = [
 
 
 def run_once(heap: str, tag: str, sf_dir: str) -> dict:
-    detail = os.path.join(REPO, f"/tmp/bench_heap_{tag}.json")
+    # per-run detail JSONs are scratch artifacts and live in /tmp on
+    # purpose; only the aggregated medians table goes to stdout for
+    # BENCH_NOTES
+    detail = f"/tmp/bench_heap_{tag}.json"
     env = dict(
         os.environ,
         STDB_SPARK_DRIVER_MEM=heap,
