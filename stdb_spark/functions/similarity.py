@@ -619,6 +619,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.97,
     vec_col: str = "embedding",
     key: str = "vec_id",
+    cell_col: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate discovery (Abbas et al.
     2023): embeddings are bucketed by their nearest k-means centroid and
@@ -660,9 +661,19 @@ def semantic_dedup_pairs(
     import pandas as pd
 
     ktype = dict(df.dtypes)[key]
-    cells = with_ivf_cells(df, centroids, vec_col).select(
-        "cell", F.col(key).alias("a"), F.col(vec_col).alias("_v")
-    )
+    if cell_col is None:
+        cells = with_ivf_cells(df, centroids, vec_col).select(
+            "cell", F.col(key).alias("a"), F.col(vec_col).alias("_v")
+        )
+    else:
+        # caller-supplied blocking column (e.g. the deterministic
+        # integer cell assignment, so a gate can isolate the BLAS
+        # pairing kernel from float-argmin cell-boundary flips)
+        cells = df.select(
+            F.col(cell_col).alias("cell"),
+            F.col(key).alias("a"),
+            F.col(vec_col).alias("_v"),
+        )
     out_schema = f"a {ktype}, b {ktype}, cosine double"
 
     def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":

@@ -25,7 +25,7 @@ def misra_gries_topk(
     df: DataFrame,
     item_col: str,
     k: int = 16,
-    top: int = 10,
+    top: int | None = 10,
 ) -> DataFrame:
     """Approximate top-``top`` items by a two-phase Misra-Gries sketch
     with ``k`` counters per partition.
@@ -35,7 +35,8 @@ def misra_gries_topk(
     by; emits at most k (item, undercount) rows per partition.
     Phase 2: a plain sum-merge of the summaries (undercounts add:
     merged estimate keeps the one-sided guarantee) and a deterministic
-    top-``top`` (estimate desc, item asc).
+    top-``top`` (estimate desc, item asc).  ``top=None`` skips the
+    truncation and returns the full merged summary.
 
     The shuffle carries at most k rows per partition — this is the
     operator to reach for when the exact groupBy's distinct-item
@@ -71,12 +72,18 @@ def misra_gries_topk(
     summaries = df.select(F.col(item_col)).mapInPandas(
         summarize, schema=f"item {item_type}, est long"
     )
-    return (
-        summaries.groupBy("item")
-        .agg(F.sum("est").cast("long").alias("est_count"))
-        .orderBy(F.col("est_count").desc(), F.col("item").asc())
-        .limit(top)
+    merged = summaries.groupBy("item").agg(
+        F.sum("est").cast("long").alias("est_count")
     )
+    if top is None:
+        # full merged summary (<= k rows per input partition before the
+        # merge, <= k * n_partitions after): the verdict-oracle gate
+        # checks MG's guarantees over ALL surviving counters, not just
+        # the displayed top slice
+        return merged
+    return merged.orderBy(
+        F.col("est_count").desc(), F.col("item").asc()
+    ).limit(top)
 
 
 # ------------------------------------------------ portable HLL registers

@@ -3076,22 +3076,49 @@ def _ts_approx_distinct(spark, sf):
     """HLL++ approximate distinct users per metric — the mergeable-
     sketch path for 100 TB cardinality (exact count_distinct shuffles
     every distinct value; HLL ships a 1.5 kB sketch per partition).
-    Rows-only: DuckDB's approx_distinct is a different sketch, so the
-    estimates legitimately differ; the exact variant is oracle-checked
-    in ts_aggregate_extended."""
+
+    Verdict-oracle form (VERDICT r10 task #2c): DuckDB's
+    approx_distinct is a different sketch, so the estimate itself can
+    never hash-match — instead the query emits the EXACT per-metric
+    cardinality (already proven in ts_aggregate_extended) plus a
+    boolean verdict that the HLL++ estimate is within 5x its
+    configured rsd of the exact value.  Spark's HLL register state is
+    a pure function of the data (registers merge by max, the hash is
+    fixed), so the verdict is partition-independent and deterministic
+    per dataset; rsd=0.01 makes a 5% band a >5-sigma certainty.  The
+    oracle computes the exact side and asserts the verdict TRUE — the
+    sketch estimate is thereby value-checked against a cross-engine
+    ground truth without hashing sketch internals."""
     df = model.events_as_samples(spark, sf)
+    user = F.col("tags")["user"]
     return (
         df.groupBy("metric")
         .agg(
-            F.approx_count_distinct(F.col("tags")["user"], rsd=0.01).alias(
-                "approx_users"
-            )
+            F.count_distinct(user).alias("exact_users"),
+            F.approx_count_distinct(user, rsd=0.01).alias("_approx"),
+        )
+        .select(
+            "metric",
+            F.col("exact_users").cast("long").alias("exact_users"),
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("hll_within_5pct"),
         )
         .orderBy("metric")
     )
 
 
-_q("ts_approx_distinct", _ts_approx_distinct)  # rows-only: sketch-specific
+_q(
+    "ts_approx_distinct",
+    _ts_approx_distinct,
+    BASE
+    + """
+SELECT metric, CAST(count(DISTINCT u) AS BIGINT) AS exact_users,
+  TRUE AS hll_within_5pct
+FROM base GROUP BY metric
+""",
+)
 
 
 # Streaming sessionization: session_window grouping over the replayed
@@ -4178,23 +4205,60 @@ def _ts_p95_sketch(spark, sf):
     value per group through the exchange); `approx_percentile`
     (Greenwald-Khanna/KLL-family) ships a bounded sketch per partition
     and merges map-side, same shape as the HLL path
-    (ts_approx_distinct).  Rows-only: sketch internals are
-    engine-specific; agreement with the exact per-bucket p95 within
-    the accuracy parameter is pinned in pytest
+    (ts_approx_distinct).
+
+    Verdict-oracle form (VERDICT r10 task #2c): the sketch VALUE is
+    engine-specific, but GK's guarantee is rank-error <= 1/accuracy —
+    a property checkable against the group's own data.  The query
+    joins each bucket's sketch p95 back to the bucket's values and
+    asserts the returned value's realized rank brackets 0.95n within
+    eps*n + 2 (eps = 10x the configured 1/10000, +2 absorbs the
+    open/closed rank convention) — theorem-true however the data is
+    partitioned.  The hashed output is the exact per-bucket key and
+    count (the proven aggregate) plus the boolean verdict; the oracle
+    recomputes the exact side and asserts TRUE.  Agreement with the
+    exact p95 is additionally pinned in pytest
     (test_aggregate.py::test_p95_sketch_tracks_exact)."""
     df = _samples(spark, sf, "error", JAN01_US, FEB01_US)
     bucket = F.lit(JAN01) + F.lit(H6) * F.expr(f"(ts - {JAN01}L) div {H6}L")
-    return (
-        df.groupBy("series", bucket.alias("ts"))
+    b = df.select("series", bucket.alias("bts"), "value")
+    sk = b.groupBy("series", "bts").agg(
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("p95a")
+    )
+    # sketch table is one row per (series, bucket) — broadcast side
+    per = (
+        b.join(F.broadcast(sk), ["series", "bts"])
+        .groupBy("series", "bts")
         .agg(
-            F.expr("approx_percentile(value, 0.95, 10000)").alias("p95_approx"),
-            F.count("value").cast("double").alias("count"),
+            F.count("value").alias("n"),
+            F.sum((F.col("value") < F.col("p95a")).cast("long")).alias("nlt"),
+            F.sum((F.col("value") <= F.col("p95a")).cast("long")).alias("nle"),
         )
-        .withColumn("ts", F.expr("ts div 1000"))
+    )
+    slack = 0.001 * F.col("n") + 2
+    ok = (F.col("nlt") <= 0.95 * F.col("n") + slack) & (
+        F.col("nle") >= 0.95 * F.col("n") - slack
+    )
+    return per.select(
+        "series",
+        F.expr("bts div 1000").alias("ts"),
+        F.col("n").cast("long").alias("n"),
+        ok.alias("p95_rank_ok"),
     )
 
 
-_q("ts_group_aggregate_p95_sketch", _ts_p95_sketch)  # rows-only: sketch path
+_q(
+    "ts_group_aggregate_p95_sketch",
+    _ts_p95_sketch,
+    BASE
+    + f"""
+SELECT 'error user=' || u AS series,
+  {JAN01_US} + {H6_US} * ((tu - {JAN01_US}) // {H6_US}) AS ts,
+  CAST(count(value) AS BIGINT) AS n, TRUE AS p95_rank_ok
+FROM base WHERE metric = 'error' AND tu >= {JAN01_US} AND tu < {FEB01_US}
+GROUP BY u, 2
+""",
+)
 
 
 # PORTABLE mergeable-quantile twin with a FULL value-hash oracle (the
@@ -4643,20 +4707,69 @@ FROM m
 # The reference's heavy-hitter node is a bounded-memory SpaceSaver
 # (spacesaver.h:11-150); the exact groupBy variants answer it when the
 # distinct-item exchange fits — this is the mergeable-sketch twin for
-# when it doesn't.  Estimates depend on partition boundaries ->
-# rows-only; the one-sided error guarantee is pinned in pytest.
+# when it doesn't.  Verdict-oracle form (VERDICT r10 task #2c): the
+# merged counter VALUES depend on partition boundaries, but Misra-Gries
+# comes with two theorems that hold for EVERY partitioning — (1) one-
+# sided error: est(x) <= true(x) and true(x) - est(x) <= n/(k+1)
+# (each decrement-all step consumes k+1 occurrences, so total
+# decrements across all partitions are <= n/(k+1)); (2) coverage:
+# every item with true(x) > n/(k+1) survives in the merged summary.
+# The query checks both against the exact counts (the proven groupBy)
+# and hashes one verdict row of exact totals + booleans; the oracle
+# recomputes the exact side and asserts TRUE.  The one-sided guarantee
+# is additionally pinned in pytest.
 def _ts_heavy_hitters_sketch(spark, sf):
     from stdb_spark.operators.sketch import misra_gries_topk
 
-    df = model.events_as_samples(spark, sf).select(
-        F.concat(F.col("metric"), F.lit(" user="), F.col("tags")["user"]).alias(
-            "series"
+    k = 64
+    df = (
+        model.events_as_samples(spark, sf)
+        .select(
+            F.concat(
+                F.col("metric"), F.lit(" user="), F.col("tags")["user"]
+            ).alias("series")
         )
+        .filter(F.col("series").isNotNull())
     )
-    return misra_gries_topk(df, "series", k=64, top=10)
+    summary = misra_gries_topk(df, "series", k=k, top=None)
+    exact = df.groupBy("series").agg(F.count("*").alias("c"))
+    tot = exact.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_series"),
+    )
+    j = (
+        exact.join(summary, exact.series == summary.item, "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("bound", F.col("n_total") / (k + 1))
+    )
+    return j.agg(
+        F.first("n_total").alias("n_total"),
+        F.first("n_series").alias("n_series"),
+        F.min(
+            F.when(F.col("item").isNull(), F.lit(True)).otherwise(
+                (F.col("est_count") <= F.col("c"))
+                & (F.col("c") - F.col("est_count") <= F.col("bound"))
+            )
+        ).alias("one_sided_ok"),
+        F.min(
+            F.when(
+                F.col("c") > F.col("bound"), F.col("item").isNotNull()
+            ).otherwise(F.lit(True))
+        ).alias("heavy_covered"),
+    )
 
 
-_q("ts_heavy_hitters_sketch", _ts_heavy_hitters_sketch)  # rows-only: sketch
+_q(
+    "ts_heavy_hitters_sketch",
+    _ts_heavy_hitters_sketch,
+    BASE
+    + """
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+  CAST(count(DISTINCT metric || ' user=' || u) AS BIGINT) AS n_series,
+  TRUE AS one_sided_ok, TRUE AS heavy_covered
+FROM base WHERE metric IS NOT NULL AND u IS NOT NULL
+""",
+)
 
 
 # PORTABLE Count-Min twin with a FULL value-hash oracle (the third leg

@@ -239,12 +239,17 @@ def test_p95_sketch_tracks_exact(spark):
     sf = "/root/testdata/sf0.001"
     from stdb_spark.workloads.tssuite import H6, JAN01, JAN01_US, FEB01_US, _samples
 
-    approx = {
-        (r.series, r.ts): r.p95_approx
-        for r in QUERIES["ts_group_aggregate_p95_sketch"](spark, sf).collect()
-    }
     df = _samples(spark, sf, "error", JAN01_US, FEB01_US)
     bucket = F.lit(JAN01) + F.lit(H6) * F.expr(f"(ts - {JAN01}L) div {H6}L")
+    approx = {
+        (r.series, r.ts): r.p95_approx
+        for r in df.groupBy("series", bucket.alias("ts"))
+        .agg(
+            F.expr("approx_percentile(value, 0.95, 10000)").alias("p95_approx")
+        )
+        .withColumn("ts", F.expr("ts div 1000"))
+        .collect()
+    }
     exact = {
         (r.series, r.ts): r.p95
         for r in df.groupBy("series", bucket.alias("ts"))
@@ -258,12 +263,13 @@ def test_p95_sketch_tracks_exact(spark):
         # accuracy 10000 => rank error ~1/10000; the sf0.001 buckets are
         # far smaller than that, so the sketch must be near-exact
         assert hi - lo <= max(0.05 * abs(hi), 1e-6)
-    plan = (
-        QUERIES["ts_group_aggregate_p95_sketch"](spark, sf)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    # the gate entry's rank-bracket verdict (VERDICT r10 task #2c) must
+    # hold on every bucket, and the sketch must stay partial-aggregatable
+    gate = QUERIES["ts_group_aggregate_p95_sketch"](spark, sf)
+    rows = gate.collect()
+    assert rows and all(r.p95_rank_ok for r in rows)
+    assert {(r.series, r.ts) for r in rows} == set(exact)
+    plan = gate._jdf.queryExecution().executedPlan().toString()
     assert "partial_approx_percentile" in plan or "partial" in plan
 
 
@@ -458,29 +464,41 @@ def test_hll_rollup_datasketches_accuracy(spark):
 
 
 def test_approx_distinct_tracks_exact(spark):
-    """The rows-only ts_approx_distinct entry (engine-native HLL++,
-    rsd=0.01): estimates must land within 3*rsd of the exact
-    per-metric distinct-user counts."""
+    """The ts_approx_distinct entry (engine-native HLL++, rsd=0.01):
+    estimates must land within 3*rsd of the exact per-metric
+    distinct-user counts, and the gate entry's verdict row (exact
+    cardinality + within-5% boolean, VERDICT r10 task #2c) must agree
+    with an independently-computed exact side."""
     from pyspark.sql import functions as F2
 
     from stdb_spark import model
     from stdb_spark.workloads import QUERIES
 
     sf = "/root/testdata/sf0.01"
+    user = F2.col("tags")["user"]
     got = {
         r.metric: r.approx_users
-        for r in QUERIES["ts_approx_distinct"](spark, sf).collect()
+        for r in model.events_as_samples(spark, sf)
+        .groupBy("metric")
+        .agg(F2.approx_count_distinct(user, rsd=0.01).alias("approx_users"))
+        .collect()
     }
     exact = {
         r.metric: r.n
         for r in model.events_as_samples(spark, sf)
         .groupBy("metric")
-        .agg(F2.countDistinct(F2.col("tags")["user"]).alias("n"))
+        .agg(F2.countDistinct(user).alias("n"))
         .collect()
     }
     assert set(got) == set(exact)
     for m, est in got.items():
         assert abs(est - exact[m]) <= max(1, 0.03 * exact[m]), (m, est, exact[m])
+    gate = {
+        r.metric: (r.exact_users, r.hll_within_5pct)
+        for r in QUERIES["ts_approx_distinct"](spark, sf).collect()
+    }
+    assert {m: v[0] for m, v in gate.items()} == exact
+    assert all(v[1] for v in gate.values())
 
 
 def test_p95_histogram_within_bin_width_of_exact(spark):

@@ -321,19 +321,31 @@ def test_dup_spans_no_pair_blowup_shape(spark):
 
 
 def test_semantic_dedup_single_cell_exchange(spark):
-    # the PRODUCTION (BLAS) twin keeps the matmul rewrite: ONE exchange
-    # (hash by cell) into the Arrow applyInPandas — the old self-join
-    # had join build/probe exchanges
-    df = QUERIES["emb_semantic_dedup_blas"](spark, SF)
+    # the PRODUCTION (BLAS) kernel keeps the matmul rewrite: ONE
+    # exchange (hash by cell) into the Arrow applyInPandas — the old
+    # self-join had join build/probe exchanges.  Asserted on the kernel
+    # directly: the registry entry is now the verdict gate (r10 task
+    # #2b), whose plan necessarily joins the two twins' outputs.
+    from stdb_spark import model
+    from stdb_spark.functions import similarity
+    from stdb_spark.workloads.docsuite import _KMQ, _SEMDEDUP_T, _semdedup_centroids
+
+    spark_sf = SF
+    emb, cents = _semdedup_centroids(spark, spark_sf)
+    df = similarity.semantic_dedup_pairs(
+        emb, [[c / _KMQ for c in cc] for cc in cents], threshold=_SEMDEDUP_T
+    )
     plan = _plan(df)
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
     # the GATE (exact-oracle) twin pairs within cells via a cell-keyed
     # join of two branches — its exchanges stay keyed by cell, never a
-    # cross join
+    # cross join; the verdict gate composes both without a cartesian
     plan2 = _plan(QUERIES["emb_semantic_dedup"](spark, SF))
     assert "CartesianProduct" not in plan2 and "BroadcastNestedLoop" not in plan2
+    plan3 = _plan(QUERIES["emb_semantic_dedup_blas"](spark, SF))
+    assert "CartesianProduct" not in plan3
 
 
 def test_term_lookup_pushes_term_filter_to_scan(spark):
@@ -377,10 +389,25 @@ def test_bm25_takeordered_no_global_sort(spark):
 
 
 def test_mg_sketch_uses_map_in_pandas(spark):
+    # the gate entry folds the MG summary through the verdict aggregate
+    # but must still run the Arrow-batched sketch kernel, never a
+    # per-row UDF; the production top-k form keeps the TakeOrdered
+    # (per-partition top-k, no global sort of the merged summary)
     df = QUERIES["ts_heavy_hitters_sketch"](spark, SF)
     plan = _plan(df)
     assert "MapInPandas" in plan
-    assert "TakeOrderedAndProject" in plan
+    from pyspark.sql import functions as F
+
+    from stdb_spark import model
+    from stdb_spark.operators.sketch import misra_gries_topk
+
+    items = model.events_as_samples(spark, SF).select(
+        F.concat(F.col("metric"), F.lit(" user="), F.col("tags")["user"]).alias(
+            "series"
+        )
+    )
+    plan2 = _plan(misra_gries_topk(items, "series", k=64, top=10))
+    assert "MapInPandas" in plan2 and "TakeOrderedAndProject" in plan2
 
 
 def test_deciles_rfm_no_global_ntile_window(spark):
