@@ -1293,10 +1293,15 @@ SELECT pa, pb, support, rk FROM r WHERE rk <= 10
 # ------------------------------------------------------- ABC analysis
 # Pareto classification of parts by revenue: rank by decimal-exact
 # revenue, cumulative share, A (first 80%), B (to 95%), C (rest) —
-# the inventory-management standard.  The cumulative window runs over
-# the post-aggregate part table.
+# the inventory-management standard.  The part rollup is sf-
+# proportional (~20 M rows at sf100), so the running sum is the
+# two-phase bucket-histogram cumsum (VERDICT r10 directive #3): phase 1
+# sums within log2-magnitude revenue bands in parallel, phase 2's
+# unpartitioned window sees only the #bands histogram.  Decimal sums
+# are exact, so the split is bit-identical to the single-window form
+# (pinned in test_ranks).
 def _rel_abc(spark, sf):
-    from pyspark.sql import Window as W
+    from stdb_spark.operators.ranks import two_phase_cumsum
 
     li = model.load_table(spark, sf, "lineitem")
     rev = li.groupBy("l_partkey").agg(
@@ -1304,19 +1309,26 @@ def _rel_abc(spark, sf):
             "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
         ).alias("r")
     )
-    w = W.orderBy(F.col("r").desc(), F.col("l_partkey").asc())
-    tot = F.sum(F.expr("CAST(r AS DECIMAL(28,6))")).over(
-        W.partitionBy()
-    ).cast("double")
-    cum = F.sum(F.expr("CAST(r AS DECIMAL(28,6))")).over(
-        w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    ).cast("double")
-    share = cum / tot
+    # -floor(log2(r)) is weakly non-increasing in r, hence non-
+    # decreasing along the (r desc, partkey asc) order — the two-phase
+    # bucket contract; revenue is always > 0 so the log is defined
+    cum = two_phase_cumsum(
+        rev,
+        F.expr("CAST(r AS DECIMAL(28,6))"),
+        [F.col("r").desc(), F.col("l_partkey").asc()],
+        -F.floor(F.log2("r")),
+        out_col="_cum",
+    )
+    tot = rev.agg(
+        F.sum(F.expr("CAST(r AS DECIMAL(28,6))")).alias("_tot")
+    )
+    share = F.col("_cum").cast("double") / F.col("_tot").cast("double")
     cls = (
         F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
     )
     return (
-        rev.select("l_partkey", "r", cls.alias("abc"))
+        cum.crossJoin(F.broadcast(tot))
+        .select("l_partkey", "r", cls.alias("abc"))
         .groupBy("abc")
         .agg(
             F.count("*").cast("long").alias("n_parts"),
@@ -1468,10 +1480,12 @@ FROM seg GROUP BY r, f, m
 
 # ------------------------------------------------ brand revenue share
 # Revenue by part brand with share-of-total — broadcast part dim,
-# decimal-exact sums, share over the tiny brand table.
+# decimal-exact sums.  The total is a 1-row aggregate of the brand
+# rollup crossJoin-broadcast back (VERDICT r10 directive #3: no
+# unpartitioned WindowExec anywhere); the rollup's shuffle exchange is
+# shared by both branches (ReusedExchange), so the fact scan still
+# runs once.
 def _rel_brand_share(spark, sf):
-    from pyspark.sql import Window as W
-
     li = model.load_table(spark, sf, "lineitem")
     p = model.load_table(spark, sf, "part")
     rev = (
@@ -1483,11 +1497,15 @@ def _rel_brand_share(spark, sf):
             ).alias("revenue")
         )
     )
-    tot = F.sum(F.expr("CAST(revenue AS DECIMAL(28,6))")).over(
-        W.partitionBy()
-    ).cast("double")
-    return rev.select(
-        "p_brand", "revenue", (F.col("revenue") / tot).alias("share")
+    tot = rev.agg(
+        F.expr(
+            "CAST(sum(CAST(revenue AS DECIMAL(28,6))) AS DOUBLE)"
+        ).alias("_tot")
+    )
+    return rev.crossJoin(F.broadcast(tot)).select(
+        "p_brand",
+        "revenue",
+        (F.col("revenue") / F.col("_tot")).alias("share"),
     )
 
 

@@ -6523,18 +6523,24 @@ FROM d GROUP BY metric
 
 
 # ------------------------------------------------ value share by metric
-# Decimal-exact value totals and share per metric over January.
+# Decimal-exact value totals and share per metric over January.  The
+# grand total is a 1-row aggregate of the metric rollup crossJoin-
+# broadcast back (VERDICT r10 directive #3: no unpartitioned WindowExec
+# anywhere); the rollup exchange is shared by both branches
+# (ReusedExchange), so the events scan still runs once.
 def _ts_value_share(spark, sf):
-    from pyspark.sql import Window as W
-
     df = _samples_range(spark, sf, JAN01, FEB01)
     m = df.groupBy("metric").agg(
         F.expr(f"CAST(sum({DEC}) AS DOUBLE)").alias("total")
     )
-    tot = F.sum(F.expr("CAST(total AS DECIMAL(28,6))")).over(
-        W.partitionBy()
-    ).cast("double")
-    return m.select("metric", "total", (F.col("total") / tot).alias("share"))
+    tot = m.agg(
+        F.expr("CAST(sum(CAST(total AS DECIMAL(28,6))) AS DOUBLE)").alias(
+            "_tot"
+        )
+    )
+    return m.crossJoin(F.broadcast(tot)).select(
+        "metric", "total", (F.col("total") / F.col("_tot")).alias("share")
+    )
 
 
 _q(

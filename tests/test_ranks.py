@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from stdb_spark.operators.ranks import (
     top_k_ranked,
+    two_phase_cumsum,
     two_phase_ntile,
     two_phase_row_number,
 )
@@ -54,6 +55,52 @@ def test_two_phase_ntile_descending_via_negated_bucket(spark):
     assert sorted(got.select("v", "k", "t").collect()) == sorted(
         want.select("v", "k", "t").collect()
     )
+
+
+def test_two_phase_cumsum_matches_window(spark):
+    # exact (decimal) running sums: offset + local prefix must be
+    # bit-identical to the single-window form, ties and skewed
+    # buckets included (VERDICT r10 directive #3)
+    df = _mkdf(spark, ROWS)
+    order = [F.col("v").desc(), F.col("k").asc()]
+    val = F.expr("CAST(v AS DECIMAL(28,6))")
+    got = two_phase_cumsum(
+        df, val, order, F.floor(-F.col("v")), out_col="cum"
+    )
+    want = df.withColumn(
+        "cum",
+        F.sum(val).over(
+            W.orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    assert sorted(got.select("v", "k", "cum").collect()) == sorted(
+        want.select("v", "k", "cum").collect()
+    )
+
+
+def test_two_phase_cumsum_single_bucket_and_nulls(spark):
+    df = _mkdf(spark, ROWS)
+    order = [F.col("v").asc(), F.col("k").asc()]
+    val = F.expr("CAST(v AS DECIMAL(28,6))")
+    got = two_phase_cumsum(df, val, order, F.lit(0), out_col="cum")
+    want = df.withColumn(
+        "cum",
+        F.sum(val).over(
+            W.orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    assert sorted(got.select("v", "k", "cum").collect()) == sorted(
+        want.select("v", "k", "cum").collect()
+    )
+    # a NULL sort key must abort under the default policy, not drop rows
+    withnull = spark.createDataFrame(
+        ROWS + [(None, 99)], "v double, k long"
+    )
+    bad = two_phase_cumsum(
+        withnull, val, order, F.floor(F.col("v")), out_col="cum"
+    )
+    with pytest.raises(Exception):
+        bad.collect()
 
 
 def test_two_phase_single_bucket_degenerates_gracefully(spark):

@@ -52,6 +52,22 @@ def _count(plan: str, key: str) -> int:
     return plan.count(key)
 
 
+# An UNPARTITIONED window spec funnels its whole input through one task
+# (VERDICT r10 directive #3).  In plan text the partition columns come
+# first inside windowspecdefinition(...); if the very first argument
+# already carries an ASC/DESC ordering marker there are no partition
+# keys.  Every hit must be adjudicated bounded (bucket histograms,
+# TakeOrdered top-k pools, post-aggregate dim tables) — sf-proportional
+# hits are scale bugs.
+_UNPART_WINDOW = re.compile(
+    r"windowspecdefinition\([^,()]*#\d+[^,()]* (?:ASC|DESC) NULLS"
+)
+
+
+def _unpartitioned_windows(plan: str) -> int:
+    return len(_UNPART_WINDOW.findall(plan))
+
+
 def main() -> int:
     from stdb_spark.session import get_spark
     from stdb_spark import workloads as w
@@ -61,6 +77,7 @@ def main() -> int:
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     flagged = []
+    unpart = []
     for name, fn in w.QUERIES.items():
         if name.startswith("stream_"):
             continue  # streaming plans need a started sink
@@ -74,10 +91,16 @@ def main() -> int:
         hot = {k: _count(plan, k) for k in WATCHED if _count(plan, k) >= threshold}
         if hot:
             flagged.append((max(hot.values()), name, hot))
+        nw = _unpartitioned_windows(plan)
+        if nw:
+            unpart.append((name, nw))
     flagged.sort(reverse=True)
     for _, name, hot in flagged:
         print(f"{name:40s} {hot}")
     print(f"{len(flagged)} entries with >= {threshold} copies of a watched construct")
+    print(f"{len(unpart)} entries with an unpartitioned window spec:")
+    for name, nw in sorted(unpart):
+        print(f"  {name:40s} x{nw}")
     return 0
 
 
