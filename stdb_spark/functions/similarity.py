@@ -730,6 +730,11 @@ def simplified_silhouette(
     is partitioning- and engine-independent.  Plan: posexplode map-side,
     ONE (key, label) exchange of the distance partial sums (the
     centroid table, #labels × dims rows, broadcasts into the join).
+    The explicit repartition on (key, vlabel) hash-satisfies BOTH
+    downstream groupings (clustered distribution only needs equal keys
+    co-located, and (key, vlabel) is a prefix of (key, vlabel, clabel)),
+    so neither aggregate inserts its own exchange — without it Catalyst
+    shuffles the n·k distance partials twice (pinned in test_plans).
     When cross-engine bit-parity is not required, the kmeans-style
     collected-centroid broadcast fold (ivf_top_k_trained pattern) is
     the cheaper at-scale variant — no distance exchange at all."""
@@ -741,6 +746,7 @@ def simplified_silhouette(
     )
     sq = (
         ex.join(F.broadcast(cents), "pos")
+        .repartition(F.col(key), F.col("vlabel"))
         .groupBy(key, "vlabel", F.col("label").alias("clabel"))
         .agg(F.expr("CAST(sum(CAST((CAST(x AS DOUBLE) - centroid) * (CAST(x AS DOUBLE) - centroid) AS DECIMAL(38,8))) AS DOUBLE)").alias("sq"))
     )

@@ -60,85 +60,69 @@ for _m in (tssuite, relsuite, docsuite):
 # check still proves every component class; everything else follows in
 # suite order and is picked up as the window allows.
 _PRIORITY = [
-    # r10 rotation (VERDICT r9 directive #1): all 50 window slots move to
-    # the 68 registry entries with no driver green row in any
-    # CORRECTNESS_r01..r09.json (73 never-proven minus the 5 declared
-    # rows-only sketch entries, which never occupy window slots).  The 54
-    # entries no external harness has ever hashed come first and fill the
-    # 50-slot window; the 14 entries the judge independently re-drove green
-    # in r9 (lowest residual risk) close the list so r11's final rotation
-    # picks up the remaining 18.  Union after r10: >=312/335; after r11:
-    # 335/335.  Every rotated-out entry stays pinned by its prior driver
-    # rows + the full local gate at sf0.01/sf0.1 (CORRECTNESS_LOCAL.md).
-    "ts_decimate",
-    "ts_concurrency",
-    "ts_integral_daily",
-    "ts_mad_outliers",
-    "ts_hourofweek_profile",
-    "ts_subsequence_match",
-    "ts_seasonal_naive_backtest",
-    "ts_xcorr_lead_lag",
-    "ts_sla_availability",
-    "ts_top_movers",
-    "ts_sax_motifs",
-    "ts_burstiness",
-    "ts_seasonal_strength",
-    "ts_gap_distribution",
-    "ts_hash_sample",
-    "ts_audience_overlap",
-    "ts_dataset_summary",
-    "ts_weekend_effect",
-    "ts_variance_decomposition",
-    "ts_staleness_monitor",
-    "ts_peak_hour",
-    "ts_delta_histogram",
-    "ts_series_turnover",
-    "ts_downtime_episodes",
-    "ts_time_to_convert",
-    "ts_monthly_digest",
-    "ts_business_hours_share",
-    "ts_value_share_by_metric",
-    "rel_brand_revenue_share",
-    "rel_discount_band_revenue",
-    "rel_priority_trend",
-    "rel_basket_size_trend",
-    "doc_train_val_test_split",
-    "doc_weighted_sample",
-    "doc_top_bigrams",
-    "doc_decontaminated_corpus",
-    "doc_vocab_coverage",
-    "doc_source_mixture",
-    "doc_length_buckets",
-    "doc_dup_ratio_by_source",
-    "doc_pii_audit_by_source",
-    "doc_length_percentiles_by_source",
-    "emb_label_distances",
-    "doc_source_quality_matrix",
-    "doc_boilerplate_lines",
-    "doc_neardup_threshold_curve",
-    "doc_quality_length_corr",
-    "emb_norm_by_label",
-    "doc_dedup_savings",
-    "doc_line_stats_by_source",
-    "doc_curriculum_phases",
-    "doc_ttr_by_source",
-    "doc_exact_dedup_best_quality",
+    # r11 rotation (VERDICT r10 directive #1): slots 0-22 are the last
+    # 23 registry entries with no driver green row in any
+    # CORRECTNESS_r01..r10.json — including the 5 former rows-only
+    # sketch entries, which now carry deterministic verdict oracles
+    # (r10 task #2) and so occupy full-oracle window slots for the
+    # first time.  A green r11 window closes the cumulative driver
+    # union at 335/335.  Slots 23-49 are re-proof picks ordered by AGE
+    # of last driver green row (r1: rel_big_orders; r2: sp_range_query;
+    # then the r3 cohort, then the r4 cohort alphabetically) — the
+    # entries whose external proof is stalest.  Every rotated-out
+    # entry stays pinned by its prior driver rows + the full local
+    # gates (CORRECTNESS_LOCAL.md).
+    "doc_bpe_fertility",
+    "doc_bpe_train",
+    "doc_char_entropy",
     "doc_chunk_windows",
-    # judge-r9 independently proven (driver row still pending):
-    "stream_windowed_topk",
-    "ts_dau_wau_stickiness",
-    "ts_periodogram",
-    "ts_shape_clusters",
-    "ts_apdex_daily",
-    "ts_time_rollup",
+    "doc_curriculum_phases",
+    "doc_dup_spans",
+    "doc_exact_dedup_best_quality",
+    "doc_snapshot_diff",
+    "doc_ttr_by_source",
+    "emb_label_margin",
+    "emb_pca_spectrum",
+    "emb_semantic_dedup_blas",
     "rel_order_gap_cohorts",
     "rel_region_quarter_matrix",
-    "doc_snapshot_diff",
-    "doc_dup_spans",
-    "doc_char_entropy",
-    "emb_label_margin",
-    "doc_bpe_train",
-    "doc_bpe_fertility",
+    "stream_windowed_topk",
+    "ts_apdex_daily",
+    "ts_approx_distinct",
+    "ts_dau_wau_stickiness",
+    "ts_group_aggregate_p95_sketch",
+    "ts_heavy_hitters_sketch",
+    "ts_periodogram",
+    "ts_shape_clusters",
+    "ts_time_rollup",
+    # re-proof slots, stalest driver green first:
+    "rel_big_orders",
+    "sp_range_query",
+    "emb_ann_lsh",
+    "sp_trajectory_bbox",
+    "ts_gaj_eval",
+    "ts_gapfill_locf",
+    "ts_heavy_hitters",
+    "ts_join_filter_any",
+    "ts_meta_names",
+    "ts_select_backward_limit",
+    "ts_select_events_regex",
+    "ts_select_partitioned_layout",
+    "ts_select_range_iso",
+    "ts_select_where",
+    "ts_set_except",
+    "ts_suggest_tag_values",
+    "doc_pack_sequences",
+    "ingest_jsonl_roundtrip",
+    "ingest_resp_roundtrip",
+    "rel_revenue_rollup",
+    "rel_supplier_pagerank",
+    "sp_knn",
+    "stream_enrich_join",
+    "stream_funnel",
+    "stream_resp_dictionary_ingest",
+    "ts_aggregate_summary_pushdown",
+    "ts_cma",
 ]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
 QUERIES = {

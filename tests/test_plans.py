@@ -388,6 +388,34 @@ def test_bm25_takeordered_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_char_entropy_single_per_doc_aggregate(spark):
+    # VERDICT r10 directive #6: the r10 rewrite folded H = ln(t) -
+    # sum(c ln c)/t into ONE per-doc aggregate — no totals join, and
+    # only the two aggregation exchanges (doc_id,g then doc_id) may
+    # touch the exploded bigram stream
+    df = QUERIES["doc_char_entropy"](spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_silhouette_broadcast_centroids_one_data_exchange(spark):
+    # VERDICT r10 directive #6: centroids broadcast into the distance
+    # join (never a shuffled join), and the n*k distance partials cross
+    # the wire ONCE — the explicit (vec_id, vlabel) repartition hash-
+    # satisfies both downstream groupings, so Catalyst inserts no
+    # second vector-keyed exchange.  The remaining exchanges are
+    # label-scale (centroid table, final per-label rollup).
+    import re
+
+    df = QUERIES["emb_silhouette"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    vec_scale = [k for k in keys if "vec_id" in k]
+    assert len(vec_scale) == 1, keys
+
+
 def test_mg_sketch_uses_map_in_pandas(spark):
     # the gate entry folds the MG summary through the verdict aggregate
     # but must still run the Arrow-batched sketch kernel, never a
