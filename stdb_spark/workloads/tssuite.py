@@ -500,8 +500,6 @@ _RESP_DICT_MEMO: dict = {}
 # path and the batch path parse the dictionary-compressed wire
 # identically.
 def _stream_resp_dict(spark, sf):
-    import os
-
     from stdb_spark.sources.resp import parse_resp_pdus
 
     ev = model.events_raw_ns(spark, sf)

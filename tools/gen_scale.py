@@ -55,12 +55,25 @@ def main() -> None:
 
     copies = spark.range(factor).withColumnRenamed("id", "_k")
 
-    def write(name, df):
+    # Fact tables write as MANY files.  The source sf0.1 tables are
+    # single-file; a crossJoin-scaled copy inherits that and lands as
+    # ONE parquet file with ONE row group — and parquet splits align to
+    # row-group boundaries, so however many input splits Spark plans,
+    # exactly one task gets all the rows.  Measured live in the r11
+    # sf10 rehearsal: every documents-heavy stage ran (13 empty + 1
+    # straggler)/14 — the whole gram pipeline on one core.  A real
+    # 100 TB table is thousands of files; 32 here matches the local
+    # core count (on a cluster you'd size by target file bytes).
+    fact_files = 32
+
+    def write(name, df, n_files=None):
         out = os.path.join(dst, f"{name}.parquet")
+        if n_files:
+            df = df.repartition(n_files)
         df.write.mode("overwrite").parquet(out)
         print(f"  {name}: {spark.read.parquet(out).count()} rows")
 
-    # dimensions: verbatim
+    # dimensions: verbatim, single file like real dim tables
     for t in ("region", "nation", "part", "supplier"):
         write(t, spark.read.parquet(f"{src}/{t}.parquet"))
 
@@ -73,6 +86,7 @@ def main() -> None:
         .withColumn("event_id", (F.col("event_id") + F.col("_k") * e_span).cast("long"))
         .withColumn("user_id", (F.col("user_id") + F.col("_k") * u_span).cast("long"))
         .drop("_k"),
+        n_files=fact_files,
     )
 
     cu = spark.read.parquet(f"{src}/customer.parquet")
@@ -82,6 +96,7 @@ def main() -> None:
         cu.crossJoin(copies)
         .withColumn("c_custkey", (F.col("c_custkey") + F.col("_k") * c_span).cast("long"))
         .drop("_k"),
+        n_files=fact_files,
     )
 
     o = spark.read.parquet(f"{src}/orders.parquet")
@@ -92,6 +107,7 @@ def main() -> None:
         .withColumn("o_orderkey", (F.col("o_orderkey") + F.col("_k") * ok_span).cast("long"))
         .withColumn("o_custkey", (F.col("o_custkey") + F.col("_k") * c_span).cast("long"))
         .drop("_k"),
+        n_files=fact_files,
     )
 
     li = spark.read.parquet(f"{src}/lineitem.parquet")
@@ -100,6 +116,7 @@ def main() -> None:
         li.crossJoin(copies)
         .withColumn("l_orderkey", (F.col("l_orderkey") + F.col("_k") * ok_span).cast("long"))
         .drop("_k"),
+        n_files=fact_files,
     )
 
     docs = spark.read.parquet(f"{src}/documents.parquet")
@@ -124,6 +141,7 @@ def main() -> None:
         .withColumn("text", mutated)
         .withColumn("n_chars", F.length("text").cast("long"))
         .drop("_k"),
+        n_files=fact_files,
     )
 
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
@@ -153,6 +171,7 @@ def main() -> None:
             ),
         )
         .drop("_k"),
+        n_files=fact_files,
     )
     print(f"done -> {dst}")
     spark.stop()
