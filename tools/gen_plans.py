@@ -91,6 +91,11 @@ PICK = [
     # recorded by the graph-family section appended in main()
     ("mm_image_tiles", "patch stats: Arrow-batched mapInPandas, integer tile sums, zero exchanges"),
     ("ingest_malformed_quarantine", "PERMISSIVE quarantine: corrupt rows recover keys from the raw line, clean rows parse in the scan"),
+    # r11 rewrites (VERDICT r10 directives #3/#6)
+    ("rel_abc_analysis", "Pareto ABC: two-phase bucket-histogram cumsum — the only unpartitioned window sits over the log2-band histogram"),
+    ("emb_silhouette", "silhouette: broadcast centroid join, ONE vector-scale exchange (prefix-partitioning satisfies both groupings)"),
+    ("rel_brand_revenue_share", "share-of-total: 1-row total aggregate crossJoin-broadcast back; rollup exchange reused under AQE, no window"),
+    ("doc_char_entropy", "bigram entropy: single per-doc aggregate, no totals join"),
 ]
 
 
