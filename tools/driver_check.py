@@ -171,6 +171,22 @@ def main() -> int:
         rec["sec"] = round(time.perf_counter() - t0, 2)
         results[name] = rec
         print(f"{name:42s} {status}  [{rec['sec']}s]", flush=True)
+        if "err" in rec and (
+            "Connection refused" in rec["err"]
+            or "Java gateway process" in rec["err"]
+            or "Py4JNetworkError" in rec["err"]
+        ):
+            # the JVM is gone (heap OOM at scale, kernel kill, ...) —
+            # every later entry would err identically; abort so the
+            # log ends at the entry that killed it instead of burying
+            # it under hundreds of connection-refused lines
+            print(
+                f"ABORT: Spark JVM died during {name!r} — remaining"
+                " entries skipped (restart with a bigger"
+                " DRIVER_CHECK_MEM / DUCKDB_MEM)",
+                flush=True,
+            )
+            break
 
     print(
         json.dumps(
