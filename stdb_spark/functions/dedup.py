@@ -251,9 +251,24 @@ def minhash_lsh_candidates(
 def minhash_jaccard_estimate(
     sigs: DataFrame, candidates: DataFrame, key: str = "doc_id"
 ) -> DataFrame:
-    """Estimated Jaccard = fraction of equal signature slots."""
-    sa = sigs.select(F.col(key).alias("a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col(key).alias("b"), F.col("sig").alias("sig_b"))
+    """Estimated Jaccard = fraction of equal signature slots.
+
+    Both join inputs are corpus-proportional (the banded candidate
+    pair set and the signature table), so the two lookups are pinned
+    to shuffle-hash joins: Catalyst's static size estimate for these
+    derived subtrees routinely lands under the session's 64 MB
+    broadcast threshold, and the resulting BroadcastHashJoin OOMs the
+    driver once the corpus outgrows it (observed at the 100x
+    rehearsal: "Not enough memory to build and broadcast").  A
+    shuffle-hash join on the candidate keys is the plan a 1000-executor
+    run needs anyway — per-partition signature maps, no driver-side
+    build."""
+    sa = sigs.select(F.col(key).alias("a"), F.col("sig").alias("sig_a")).hint(
+        "shuffle_hash"
+    )
+    sb = sigs.select(F.col(key).alias("b"), F.col("sig").alias("sig_b")).hint(
+        "shuffle_hash"
+    )
     est = (
         F.size(
             F.filter(
@@ -283,11 +298,17 @@ def bbit_minhash_estimate(
     Same join shape as :func:`minhash_jaccard_estimate`: candidates
     (from LSH banding) x two bounded signature lookups — at scale both
     joins are on the (already banded) candidate keys, no new shuffle
-    class."""
+    class.  The signature lookups carry the same shuffle-hash pin as
+    :func:`minhash_jaccard_estimate` (both sides corpus-proportional —
+    a static-estimate broadcast OOMs at 100x)."""
     mask = (1 << b) - 1
     c = 1.0 / (1 << b)
-    sa = sigs.select(F.col(key).alias("a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col(key).alias("b"), F.col("sig").alias("sig_b"))
+    sa = sigs.select(F.col(key).alias("a"), F.col("sig").alias("sig_a")).hint(
+        "shuffle_hash"
+    )
+    sb = sigs.select(F.col(key).alias("b"), F.col("sig").alias("sig_b")).hint(
+        "shuffle_hash"
+    )
     # minhash slots are nonnegative (universal hash mod a positive
     # prime), so % == pmod == low-bit mask in both engines
     frac_full = (

@@ -102,6 +102,7 @@ def ngram_contamination(
     key: str = "doc_id",
     bench_key: str = "doc_id",
     n: int = 8,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Test-set decontamination: corpus docs sharing at least one
     n-gram with a benchmark doc.  Returns
@@ -114,7 +115,14 @@ def ngram_contamination(
     Spark broadcasts its postings and the corpus side never shuffles;
     the count-by-pair aggregate only sees colliding rows (tiny).  The
     8-gram granularity is the public-standard contamination test (e.g.
-    GPT-2/3 appendix-style 8-gram overlap)."""
+    GPT-2/3 appendix-style 8-gram overlap).
+
+    ``broadcast_benchmark=False`` drops the broadcast pin for callers
+    whose "benchmark" is itself corpus-scale (e.g. cross-corpus overlap
+    screens): the join then shuffles both posting sides on the gram
+    hash — the explicit hint would otherwise FORCE a broadcast Spark
+    can never demote, which is a driver OOM at scale (the
+    tools/broadcast_audit.py failure mode)."""
     from stdb_spark.functions.dedup import normalized_text
 
     def postings(df: DataFrame, k: str, out: str) -> DataFrame:
@@ -150,8 +158,12 @@ def ngram_contamination(
 
     corp = postings(corpus, key, "doc_id")
     bench = postings(benchmark, bench_key, "bench_id")
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    else:
+        bench = bench.hint("shuffle_hash")
     return (
-        corp.join(F.broadcast(bench), "gh")
+        corp.join(bench, "gh")
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("shared_ngrams"))
     )

@@ -831,3 +831,26 @@ def test_triangle_wedges_never_enumerate_at_hubs(spark):
     # the census itself: no triangles, wedges reported from RAW degrees
     assert row.n_triangles == 0
     assert row.n_wedges == 99 * 98 // 2
+
+
+def test_minhash_estimate_sig_joins_never_broadcast(spark):
+    """The candidate->signature lookups in minhash_jaccard_estimate /
+    bbit_minhash_estimate join two corpus-proportional inputs (the
+    banded pair set and the signature table).  Catalyst's static
+    estimate for both derived subtrees lands under the session's 64 MB
+    broadcast threshold, and the statically chosen BroadcastHashJoin is
+    not demotable by AQE — observed as a driver OOM ("Not enough memory
+    to build and broadcast the table") on doc_neardup_threshold_curve
+    at the r11 100x rehearsal.  The shuffle_hash pin must hold: both
+    signature lookups plan as ShuffledHashJoin, at every scale."""
+    from stdb_spark.functions import dedup
+
+    docs = model.load_table(spark, SF, "documents")
+    sigs = dedup.minhash_signatures(docs)
+    cands = dedup.minhash_lsh_candidates(sigs)
+    for est in (
+        dedup.minhash_jaccard_estimate(sigs, cands),
+        dedup.bbit_minhash_estimate(sigs, cands, b=2),
+    ):
+        plan = _plan(est)
+        assert plan.count("ShuffledHashJoin") >= 2, plan
