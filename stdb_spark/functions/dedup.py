@@ -808,11 +808,12 @@ def paragraph_dedup(
     structural and never deduplicated.
 
     Plan shape at 100 TB: the paragraph explode is map-side; ONE
-    exchange on the paragraph text computes (count, first-occurrence)
-    with partial aggregation — boilerplate paragraphs are exactly the
-    high-count keys, and the pre-aggregated keeper table is tiny, so
-    the join back is skew-free; one final exchange on the doc key
-    reassembles.  Returns ONE row per input document (duplicates
+    exchange on the paragraph text carries the first-occurrence window,
+    and one final exchange on the doc key reassembles.  The re-attach
+    of each document's surviving text is shuffle-pinned — the assembled
+    table is corpus-proportional and its post-aggregate static estimate
+    is fiction, so a statically chosen broadcast of it dies at scale
+    (tools/broadcast_audit.py).  Returns ONE row per input document (duplicates
     removed): a doc whose every paragraph deduplicated away comes back
     with empty text rather than vanishing — downstream metadata joins
     must not silently lose documents.
@@ -822,12 +823,20 @@ def paragraph_dedup(
         F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"),
     )
     nonblank = F.trim(F.col("para")) != ""
-    keepers = (
-        paras.filter(nonblank)
-        .groupBy("para")
-        .agg(F.min(F.struct(F.col(key).alias("d"), F.col("idx").alias("i"))).alias("keeper"))
-    )
-    kept = paras.join(keepers, "para", "left").filter(
+    # first occurrence reaches each paragraph copy via a para-PARTITIONED
+    # window (min struct over the paragraph's partition) instead of a
+    # groupBy + join-back: one exchange on the paragraph key instead of
+    # two, and no join whose fictional post-aggregate estimate could
+    # statically broadcast the corpus-proportional keeper table
+    # (tools/broadcast_audit.py).  Hot boilerplate paragraphs shuffle
+    # identically under both shapes (the probe side of the join had no
+    # partial aggregation either).
+    from pyspark.sql import Window as W
+
+    keeper = F.min(
+        F.struct(F.col(key).alias("d"), F.col("idx").alias("i"))
+    ).over(W.partitionBy("para"))
+    kept = paras.withColumn("keeper", keeper).filter(
         (~nonblank)
         | ((F.col("keeper.d") == F.col(key)) & (F.col("keeper.i") == F.col("idx")))
     )
@@ -840,7 +849,7 @@ def paragraph_dedup(
     )
     return (
         docs.select(key)
-        .join(assembled, key, "left")
+        .join(assembled.hint("shuffle_hash"), key, "left")
         .select(
             F.col(key),
             F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
@@ -882,8 +891,10 @@ def ngram_novelty(
         .groupBy(F.col("_owner").alias(key))
         .agg(F.count("*").alias("novel_shingles"))
     )
+    # novel is output-sized but still corpus-proportional — shuffle-pin
+    # for the same static-estimate reason as the other lookups here
     return (
-        per_doc.join(novel, key, "left")
+        per_doc.join(novel.hint("shuffle_hash"), key, "left")
         .withColumn("novel_shingles", F.coalesce("novel_shingles", F.lit(0)))
         .withColumn(
             "novelty",
@@ -946,7 +957,16 @@ def dup_span_profile(
     pair emission (ngram_jaccard_pairs), a corpus-hot span only
     inflates a single count cell, never a quadratic postings group, so
     no df-cap is needed; md5 keys are uniform, so no skew either.
+
+    The corpus-wide count reaches each span via a gram-PARTITIONED
+    window, not a groupBy + join-back: one exchange on the gram key
+    instead of two, and no join whose fictional post-aggregate estimate
+    could statically broadcast a corpus-proportional count table
+    (tools/broadcast_audit.py; benched ~25% faster than the
+    shuffle-pinned join at sf0.1, bit-identical output).
     """
+    from pyspark.sql import Window as W
+
     toks = tokens_col(text_col)
     base = docs.select(F.col(key), toks.alias("_t"))
     n = F.size("_t")
@@ -958,9 +978,8 @@ def dup_span_profile(
         ),
     ).otherwise(F.array().cast("array<string>"))
     spans = base.select(F.col(key), F.explode(grams).alias("g"))
-    counts = spans.groupBy("g").agg(F.count("*").alias("_c"))
     return (
-        spans.join(counts, "g")
+        spans.withColumn("_c", F.count("*").over(W.partitionBy("g")))
         .groupBy(key)
         .agg(
             F.count("*").alias("n_spans"),
@@ -1043,18 +1062,26 @@ def dup_span_scrub(
             ).otherwise(F.col("_d") * F.lit(1 << 20) + F.col("_i")),
         )
     )
-    firsts = spans.groupBy("_g").agg(
-        F.min("_pack").alias("_first"), F.count("*").alias("_c")
-    )
+    # per-gram (first occurrence, count) reach each span via a
+    # gram-PARTITIONED window rather than a groupBy + join-back: one
+    # exchange on the gram key instead of two, and no join whose
+    # fictional post-aggregate estimate could statically broadcast the
+    # corpus-proportional firsts table (tools/broadcast_audit.py).
+    # The remaining lookups below (covered positions, per-doc rebuild)
+    # are shuffle-pinned for the same estimate reason.
+    from pyspark.sql import Window as W
+
+    wg = W.partitionBy("_g")
     dup_spans = (
-        spans.join(firsts, "_g")
+        spans.withColumn("_first", F.min("_pack").over(wg))
+        .withColumn("_c", F.count("*").over(wg))
         .filter((F.col("_c") >= 2) & (F.col("_pack") != F.col("_first")))
         .select("_d", "_i")
     )
     covered = dup_spans.select(
         "_d", F.explode(F.sequence(F.col("_i"), F.col("_i") + F.lit(width - 1))).alias("_p")
     ).distinct()
-    kept = stream.join(covered, ["_d", "_p"], "left_anti")
+    kept = stream.join(covered.hint("shuffle_hash"), ["_d", "_p"], "left_anti")
     rebuilt = kept.groupBy("_d").agg(
         F.array_join(
             F.transform(
@@ -1067,7 +1094,7 @@ def dup_span_scrub(
     )
     totals = stream.groupBy("_d").agg(F.count("*").cast("long").alias("n_tokens"))
     return (
-        totals.join(rebuilt, "_d", "left")
+        totals.join(rebuilt.hint("shuffle_hash"), "_d", "left")
         .select(
             F.col("_d").alias(key),
             F.coalesce("text_scrubbed", F.lit("")).alias("text_scrubbed"),

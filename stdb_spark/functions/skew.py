@@ -48,7 +48,14 @@ def salted_join(
     r_rep = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )
-    out = l_salted.join(r_rep, on + ["_salt"], how)
+    # the salt only does anything in a SHUFFLE join (it spreads a hot
+    # key's rows over `buckets` shuffle partitions); left to its own
+    # static estimate Catalyst would broadcast the replicated right
+    # side, which silently degrades this into a plain broadcast join
+    # carrying x`buckets` build bloat — the one join shape that never
+    # had a skew problem.  Pin the shuffle so the function does what it
+    # says at every size.
+    out = l_salted.join(r_rep.hint("shuffle_hash"), on + ["_salt"], how)
     return out.drop("_salt")
 
 

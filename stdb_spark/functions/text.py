@@ -347,8 +347,13 @@ def bigram_logprob(
     logterm = F.log(
         (F.col("c12") + F.lit(1.0)) / (F.col("cctx") + F.lit(float(vocab)))
     ).cast("decimal(28,12)")
+    # the LM table is the build side BY CONTRACT (model-sized, like
+    # unigram_logprob's broadcast): left unpinned, Catalyst's static
+    # estimate picked the exploded DOC side as the broadcast build —
+    # corpus x tokens rows, a guaranteed driver OOM at scale (caught by
+    # tools/broadcast_audit.py at the 100x replica)
     return (
-        doc_bg.join(model_tbl, "bg")
+        doc_bg.join(F.broadcast(model_tbl), "bg")
         .groupBy(key)
         .agg(
             (F.sum(logterm).cast("double") / F.count("*")).alias("mean_bigram_logprob"),
@@ -388,8 +393,12 @@ def importance_logratio(
     p_t = (F.col("c_tgt") + F.lit(1.0)) / F.lit(n_tgt + vocab)
     p_b = (F.col("c_bg") + F.lit(1.0)) / F.lit(n_bg + vocab)
     logterm = F.log(p_t / p_b).cast("decimal(28,12)")
+    # counts is the vocabulary table — the build side by contract (the
+    # unigram_logprob broadcast shape).  Unpinned, Catalyst's static
+    # estimate broadcast the exploded TOKEN STREAM instead (corpus x
+    # tokens rows; tools/broadcast_audit.py, 100x replica).
     return (
-        toks.join(counts, "tok")
+        toks.join(F.broadcast(counts), "tok")
         .groupBy(key)
         .agg(
             (F.sum(logterm).cast("double") / F.count("*")).alias("mean_logratio"),

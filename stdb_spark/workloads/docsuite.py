@@ -518,8 +518,13 @@ def _neardup_survivors(spark, sf):
     verified = dedup.minhash_jaccard_estimate(sigs, cands).filter(
         F.col("est_jaccard") >= _NEARDUP_T
     )
+    # the drop list is dup-count-proportional — shuffle-pinned so its
+    # fictional post-distinct estimate can't pick a broadcast anti-join
+    # that OOMs at scale (tools/broadcast_audit.py)
     drop = verified.select(F.col("b").alias("doc_id")).distinct()
-    return docs.join(drop, "doc_id", "left_anti").select("doc_id", "source")
+    return docs.join(drop.hint("shuffle_hash"), "doc_id", "left_anti").select(
+        "doc_id", "source"
+    )
 
 
 _q(
@@ -1976,8 +1981,12 @@ FROM pairs
 # Decontamination end-to-end: the corpus that SURVIVES the 4-gram
 # overlap test against the src0 benchmark slice — the left-anti join a
 # pipeline actually ships (doc_contamination is the audit list, this is
-# the clean corpus).  The droplist side is tiny, so the anti join
-# broadcasts it; the corpus side never shuffles.
+# the clean corpus).  The droplist is usually small (docs overlapping a
+# bounded test set) but has NO a-priori bound — one stop-gram shared
+# with the benchmark can pull in an arbitrary corpus fraction — so the
+# anti join is shuffle-pinned rather than broadcast-pinned: the narrow
+# (doc_id, source, n_chars) exchange is cheap at any scale, a droplist
+# broadcast gone wrong is a driver OOM.
 def _decontaminated(spark, sf):
     docs = model.load_table(spark, sf, "documents")
     dropped = sampling.ngram_contamination(
@@ -1987,7 +1996,7 @@ def _decontaminated(spark, sf):
     ).select("doc_id").distinct()
     return (
         docs.filter(F.col("source") != "src0")
-        .join(F.broadcast(dropped), "doc_id", "left_anti")
+        .join(dropped.hint("shuffle_hash"), "doc_id", "left_anti")
         .select("doc_id", "source", "n_chars")
     )
 
@@ -2024,13 +2033,17 @@ WHERE source <> 'src0'
 # testdata).  The real-pipeline shape — a cheap lexical discover stage
 # feeding an embedding verify stage — as ONE plan: the candidate list
 # is candidate-sized (not corpus-sized), so the embedding joins stay
-# cheap; join strategy is left to AQE — at this sf it broadcasts, at
-# corpus scale (billions of candidates) it degrades to shuffle joins
-# on the id keys rather than shipping the list to every executor.
+# cheap.  The candidate side is shuffle-pinned: its post-banding
+# static estimate is fiction, so left alone Catalyst broadcasts the
+# candidate list — fine at this sf, a driver OOM at billions of
+# candidates (the embedding sides are plain narrow scans whose honest
+# estimates flip to shuffle on their own; tools/broadcast_audit.py).
 def _hybrid_neardup(spark, sf):
     docs = model.load_table(spark, sf, "documents")
     emb = model.load_table(spark, sf, "embeddings")
-    cands = dedup.minhash_lsh_candidates(dedup.minhash_signatures(docs))
+    cands = dedup.minhash_lsh_candidates(dedup.minhash_signatures(docs)).hint(
+        "shuffle_hash"
+    )
     ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("_ea"))
     eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("_eb"))
     return (
@@ -3233,8 +3246,12 @@ def _doc_curation_funnel(spark, sf):
             ).alias("is_keeper"),
         )
     )
+    # pred/qual are narrow map-side projections (honest estimates);
+    # keeper carries a corpus-wide window whose static estimate is
+    # fiction — shuffle-pin it so Catalyst can't broadcast a per-doc
+    # table (tools/broadcast_audit.py)
     j = docs.select("doc_id").join(pred, "doc_id").join(qual, "doc_id").join(
-        keeper, "doc_id"
+        keeper.hint("shuffle_hash"), "doc_id"
     )
     en = F.col("lang_pred") == "en"
     return j.agg(
@@ -4331,8 +4348,14 @@ def _bloom_incremental(spark, sf):
         .when(F.col("bloom_hit") & ~F.col("exact_dup"), "false_positive")
         .otherwise("new")
     )
+    # the exact digest set is prior-corpus-proportional — shuffle-pin
+    # the verify join (its post-distinct estimate is fiction; a
+    # broadcast of the full corpus digest set OOMs at scale —
+    # tools/broadcast_audit.py).  The BLOOM side stays the broadcast:
+    # that is the whole point of the sidecar (32 Kbit, size-dispatched
+    # in bloom_probe).
     return (
-        probed.join(exact, "dg", "left")
+        probed.join(exact.hint("shuffle_hash"), "dg", "left")
         .select(
             "doc_id",
             "bloom_hit",

@@ -854,3 +854,68 @@ def test_minhash_estimate_sig_joins_never_broadcast(spark):
     ):
         plan = _plan(est)
         assert plan.count("ShuffledHashJoin") >= 2, plan
+
+
+def test_salted_join_never_broadcasts(spark):
+    """salted_join exists to spread hot keys over SHUFFLE partitions;
+    a broadcast of the salt-replicated right side would silently strip
+    the mitigation while paying x`buckets` build bloat.  The shuffle
+    pin must hold at every size."""
+    from stdb_spark.functions.skew import salted_join
+
+    left = spark.range(1000).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    right = spark.range(100).select(F.col("id").alias("k"), F.lit(2).alias("w"))
+    plan = _plan(salted_join(left, right, ["k"], buckets=4))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_logprob_model_is_the_broadcast_build_side(spark):
+    """bigram_logprob / importance_logratio broadcast their LM table by
+    contract (model-sized).  Left unpinned, Catalyst's static estimate
+    chose the exploded DOC/TOKEN side as the build — corpus x tokens
+    rows, an OOM at scale (tools/broadcast_audit.py, 100x replica).
+    The explicit model broadcast must keep exactly one broadcast join
+    whose build side aggregates the model, with the exploded corpus
+    side never broadcast."""
+    from stdb_spark.functions import text
+
+    docs = model.load_table(spark, SF, "documents")
+    def build_sides(df):
+        out = []
+
+        def walk(n):
+            if "BroadcastHashJoin" in n.nodeName():
+                side = n.buildSide().toString()
+                out.append(n.children().apply(0 if side == "BuildLeft" else 1))
+            for i in range(n.children().size()):
+                walk(n.children().apply(i))
+
+        walk(df._jdf.queryExecution().sparkPlan())
+        return out
+
+    for df in (
+        text.bigram_logprob(docs),
+        text.importance_logratio(docs, (F.col("doc_id") % 2 == 0)),
+    ):
+        builds = build_sides(df)
+        assert builds, "expected the declared model broadcast"
+        for b in builds:
+            tree = b.treeString()
+            # every build side aggregates (the model table); the bare
+            # doc-side explode has no aggregate below it
+            assert "HashAggregate" in tree, tree
+
+
+def test_dup_span_profile_single_gram_exchange_no_join(spark):
+    """The corpus-wide span count reaches each span via a
+    gram-partitioned window — no groupBy + join-back (two exchanges +
+    a statically-broadcastable count table).  The plan must carry NO
+    join at all and exactly two hash exchanges (gram window, per-doc
+    rollup)."""
+    from stdb_spark.functions.dedup import dup_span_profile
+
+    docs = model.load_table(spark, SF, "documents")
+    plan = _plan(dup_span_profile(docs))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan

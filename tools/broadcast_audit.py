@@ -57,10 +57,14 @@ FACT_TABLES = (
 BOUNDING = ("TakeOrderedAndProject", "CollectLimit", "GlobalLimit", "Limit")
 
 
-# a build side that is nothing but a (filtered, projected) base-table
-# scan has an HONEST size estimate — Spark flips it to a shuffle join
-# by itself once the table outgrows the threshold, at any scale.  The
-# unreliable estimates are the DERIVED subtrees.
+# a build side that is a NARROW chain over a base-table scan (filter,
+# projection, column-adding Arrow eval — nothing that multiplies or
+# collapses row counts) keeps an HONEST size estimate: Catalyst scales
+# the scan's file size by column/selectivity ratios, so Spark flips
+# the join to shuffle by itself once the table outgrows the threshold,
+# at any scale.  The unreliable estimates are the subtrees containing
+# row-count-TRANSFORMING ops (Generate/Aggregate/Join/Window/
+# Expand/Distinct), where the propagated estimate is fiction.
 SCAN_ONLY = {
     "Scan parquet",
     "Scan parquet ",
@@ -69,6 +73,8 @@ SCAN_ONLY = {
     "ColumnarToRow",
     "InputAdapter",
     "WholeStageCodegen",
+    "ArrowEvalPython",
+    "BatchEvalPython",
 }
 
 
@@ -102,7 +108,12 @@ def _subtree_fact_info(node):
     scan_only = all(
         n in SCAN_ONLY or n.startswith("WholeStageCodegen") for n in names
     )
-    return facts, bounds, scan_only
+    transforming = sorted(
+        n
+        for n in names
+        if n not in SCAN_ONLY and not n.startswith("WholeStageCodegen")
+    )
+    return facts, bounds, scan_only, transforming
 
 
 def _walk(node, hits, depth=0):
@@ -119,8 +130,8 @@ def _walk(node, hits, depth=0):
                 est = int(link.get().stats().sizeInBytes().toString())
         except Exception:
             pass
-        facts, bounds, scan_only = _subtree_fact_info(child)
-        hits.append((est, facts, bounds, scan_only))
+        facts, bounds, scan_only, transforming = _subtree_fact_info(child)
+        hits.append((est, facts, bounds, scan_only, transforming))
     kids = node.children()
     for i in range(kids.size()):
         _walk(kids.apply(i), hits, depth + 1)
@@ -155,8 +166,8 @@ def main() -> None:
         _walk(plan, hits)
         n_bcast += len(hits)
         fact_ones = [
-            (est, facts, bounds, so)
-            for est, facts, bounds, so in hits
+            (est, facts, bounds, so, tr)
+            for est, facts, bounds, so, tr in hits
             if facts and not so
         ]
         mark = ""
@@ -165,8 +176,9 @@ def main() -> None:
             mark = " FLAG " + "; ".join(
                 f"[{','.join(facts)}]"
                 + (f" bounded-by {','.join(bounds)}" if bounds else " UNBOUNDED")
+                + f" via {','.join(tr)}"
                 + (f" est~{est / 1e6:.1f}MB" if est is not None else "")
-                for est, facts, bounds, _ in fact_ones
+                for est, facts, bounds, _, tr in fact_ones
             )
         print(
             f"{name:36s} {len(hits)} bcast "
@@ -182,8 +194,8 @@ def main() -> None:
                     {
                         "name": n,
                         "subtrees": [
-                            {"est": e, "facts": f, "bounds": b}
-                            for e, f, b, _ in hits
+                            {"est": e, "facts": f, "bounds": b, "via": tr}
+                            for e, f, b, _, tr in hits
                         ],
                     }
                     for n, hits in flagged
