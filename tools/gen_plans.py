@@ -49,14 +49,14 @@ PICK = [
     ("ts_integral_daily", "trapezoid integral: lag window + bucket agg share ONE series exchange (partitioning satisfies both)"),
     ("ts_mad_outliers", "MAD outliers: two exact-percentile windows + rollup on one series exchange"),
     ("ts_bollinger", "Bollinger bands: decimal moment sums in a row frame, one series exchange"),
-    ("doc_dup_spans", "dup spans: md5 gram digests map-side, count + rollup exchanges — no pair blowup"),
+    ("doc_dup_spans", "dup spans: md5 gram digests map-side, gram-partitioned count window + rollup — one gram exchange, no join, no pair blowup"),
     ("doc_winnowing", "winnowing: sliding min-hash selection as pure array exprs — zero exchanges"),
     ("emb_semantic_dedup_blas", "SemDeDup (production): ONE cell exchange into a blocked-BLAS matmul applyInPandas"),
     ("emb_semantic_dedup", "SemDeDup (exact gate twin): integer cell assignment, pair join re-spread by explicit repartition before the fold"),
     ("ts_ohlc_from_summaries", "OHLC rollup from the summary store: combine-only aggregate, ZERO leaf scans"),
     ("ts_distinct_users_hll_portable", "portable HLL: md5 registers, integer MAX merge + exact harmonic sum — all JVM exprs"),
     ("emb_ann_pq", "PQ ADC: byte codes + broadcast distance table, TakeOrderedAndProject"),
-    ("doc_dup_span_scrub", "substring scrub: gram min/count agg + covered-position anti-join — linear, no pairs"),
+    ("doc_dup_span_scrub", "substring scrub: gram-partitioned first/count window + shuffle-pinned covered-position anti-join — linear, no pairs, nothing broadcastable"),
     ("ingest_upsert_merge", "upsert: union + one key-window keep-latest, no join"),
     ("ts_xcorr_lead_lag", "cross-correlation: count agg exchange, tiny post-agg lead window, integer moments"),
     ("ts_heavy_hitters_sketch", "Misra-Gries: mapInPandas partition summaries, <=k rows shuffled per partition"),

@@ -109,14 +109,18 @@ def main() -> None:
             t_small, t_big = ts["small"], ts["big"]
         else:
             fn = QUERIES[name]
-            # warm BOTH sides: one-time artifact builds (k-means
-            # centroids, presigned signatures, layouts) are ingest-side
-            # ETL, not query latency — same steady-state rule bench.py
-            # applies (first rehearsal run showed emb_semantic_dedup at
-            # "87x" of which ~80s was centroid training)
+            # warm each side, then time it IMMEDIATELY: one-time
+            # artifact builds (k-means centroids, presigned signatures,
+            # layouts) are ingest-side ETL, not query latency — same
+            # steady-state rule bench.py applies (first rehearsal run
+            # showed emb_semantic_dedup at "87x" of which ~80s was
+            # centroid training).  The small side is timed BEFORE the
+            # big side ever runs: timing it after the big warm pass
+            # read up to ~7x high (JVM/GC state pollution, r11
+            # BENCH_NOTES), understating every ratio.
             fn(spark, base).write.format("noop").mode("overwrite").save()
-            fn(spark, big).write.format("noop").mode("overwrite").save()
             t_small = _time(fn, spark, base)
+            fn(spark, big).write.format("noop").mode("overwrite").save()
             t_big = _time(fn, spark, big)
         ratio = t_big / t_small if t_small > 0 else float("inf")
         flag = "SUPER-LINEAR" if ratio > flag_at else ""
