@@ -5990,7 +5990,11 @@ def _ts_shape_clusters(spark, sf):
         .groupBy("series", "ts")
         .agg(F.expr(f"CAST(sum({DEC}) AS DOUBLE)").alias("value"))
     )
-    pairs = dtw_pairs(series_profiles(daily), band=7)
+    # ONE execution of the expensive lineage (events scan -> daily agg
+    # -> DTW kernel): the pair table itself is tiny (#metrics^2 rows),
+    # but without the eager checkpoint the median action below AND the
+    # CC edge materialization each re-run the whole upstream pipeline
+    pairs = dtw_pairs(series_profiles(daily), band=7).localCheckpoint(eager=True)
     # threshold at the median pairwise distance: relative, data-driven
     med = pairs.agg(F.expr("percentile(dtw, 0.5)")).first()[0]
     edges = pairs.filter(F.col("dtw") <= med)
