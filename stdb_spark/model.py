@@ -167,6 +167,9 @@ _SESSION_CONFS = {
 }
 
 
+_CONFS_APPLIED: dict = {}
+
+
 def ensure_session_confs(spark: SparkSession) -> SparkSession:
     """Idempotently apply the engine's required runtime confs to any
     injected session (driver harness, bare notebook, tests).
@@ -175,7 +178,15 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     replaced when the session still carries Spark's bare default (200)
     — a deliberate choice made at session build time (get_spark's
     parameter, a cluster deployment's sizing) must not be silently
-    reset by the first registered query."""
+    reset by the first registered query.
+
+    Applied once per session object: the function exists to initialize
+    INJECTED bare sessions, and every registered query calls it, so
+    without the marker each query pays ~10 py4j conf reads for confs
+    that were set on this session's first query (pure driver overhead,
+    guide §7.3)."""
+    if _CONFS_APPLIED.get(id(spark)) is spark:
+        return spark
     for k, v in _SESSION_CONFS.items():
         try:
             cur = spark.conf.get(k, None)
@@ -185,7 +196,53 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
             continue
         if cur != v:
             spark.conf.set(k, v)
+    _CONFS_APPLIED[id(spark)] = spark
     return spark
+
+
+# --------------------------------------------------------------------
+# Session-scoped LAZY-PLAN bindings (the engine's in-memory catalog).
+#
+# A long-running query server opens its tables once and holds the
+# handles for the session's life — it does not re-list files, re-read
+# parquet footers and re-build the projection tree for every query.
+# The Spark analog of that catalog state is the *unmaterialized*
+# DataFrame binding: re-deriving it per query costs 0.1-1.0 s of pure
+# driver-side work (file listing + footer schema read + py4j plan
+# construction; optimization guide §7.3 "planning is driver-side,
+# single-process work") while contributing nothing to the result.
+#
+# This is NOT result caching: the memo holds lazy plans only — no rows,
+# no .cache()/persist of base tables, nothing materialized — so every
+# action still computes from the parquet inputs from scratch.  Keys
+# carry the owning session (a fresh session rebuilds its bindings), the
+# resolved path and the source file's (size, mtime) fingerprint, so a
+# regenerated testdata set can never be served a stale binding (same
+# discipline as derived_cache_path).
+_BINDINGS: dict = {}
+
+
+def table_fingerprint(sf_dir: str, name: str) -> tuple:
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(src)
+        return (os.path.abspath(src), st.st_size, st.st_mtime_ns)
+    except OSError:
+        return (os.path.abspath(src), -1, -1)
+
+
+def session_binding(spark: SparkSession, key: tuple, build):
+    """Memoized lazy-plan binding for ``key`` on ``spark`` (see block
+    comment above).  ``build`` is called once per (session, key); the
+    session object is kept as a strong reference so ``id(spark)`` can
+    never be recycled onto a different live session."""
+    k = (id(spark), key)
+    hit = _BINDINGS.get(k)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = build()
+    _BINDINGS[k] = (spark, df)
+    return df
 
 
 def cache_ready(path: str) -> bool:
@@ -203,7 +260,11 @@ def cache_ready(path: str) -> bool:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return session_binding(
+        spark,
+        ("table", name, table_fingerprint(sf_dir, name)),
+        lambda: spark.read.parquet(f"{sf_dir}/{name}.parquet"),
+    )
 
 
 def load_tables(
@@ -259,8 +320,15 @@ def events_raw_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
     against ``ts_src`` are plain attribute-vs-literal comparisons, so
     they reach the Parquet scan's PushedFilters, which derived-``ts``
     predicates (arithmetic over a timestamp column) never do."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.withColumn("ts_src", F.col("ts")).withColumn("ts", _ts_ns_expr(ev))
+    def build():
+        ev = load_table(spark, sf_dir, "events")
+        return ev.withColumn("ts_src", F.col("ts")).withColumn(
+            "ts", _ts_ns_expr(ev)
+        )
+
+    return session_binding(
+        spark, ("events_raw_ns", table_fingerprint(sf_dir, "events")), build
+    )
 
 
 def ts_src_bounds(df: DataFrame, lo_ns: int, hi_ns: int):
@@ -295,18 +363,31 @@ def events_as_samples(
     metric = event_type, one tag ``user=<user_id>``, ts int64 ns (see
     _ts_ns_expr), value = value.  ``keep_src=True`` appends the physical
     ``ts_src`` column for scan-pushdown range predicates."""
-    ev = events_raw_ns(spark, sf_dir)
-    cols = [
-        F.col("event_type").alias("metric"),
-        F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("tags"),
-        F.col("ts"),
-        F.col("value").cast("double").alias("value"),
-    ]
-    out_cols = ["series_id", "metric", "tags", "ts", "value"]
-    if keep_src:
-        cols.append(F.col("ts_src"))
-        out_cols.append("ts_src")
-    return ev.select(*cols).withColumn("series_id", series_id_col()).select(*out_cols)
+    def build():
+        ev = events_raw_ns(spark, sf_dir)
+        cols = [
+            F.col("event_type").alias("metric"),
+            F.create_map(
+                F.lit("user"), F.col("user_id").cast("string")
+            ).alias("tags"),
+            F.col("ts"),
+            F.col("value").cast("double").alias("value"),
+        ]
+        out_cols = ["series_id", "metric", "tags", "ts", "value"]
+        if keep_src:
+            cols.append(F.col("ts_src"))
+            out_cols.append("ts_src")
+        return (
+            ev.select(*cols)
+            .withColumn("series_id", series_id_col())
+            .select(*out_cols)
+        )
+
+    return session_binding(
+        spark,
+        ("events_as_samples", keep_src, table_fingerprint(sf_dir, "events")),
+        build,
+    )
 
 
 def events_as_event_stream(
@@ -316,18 +397,35 @@ def events_as_event_stream(
     (string body instead of double value): metric = '!' + event_type,
     body = props JSON (reference event convention,
     stdb/query/queryparser.cc:317-329)."""
-    ev = events_raw_ns(spark, sf_dir)
-    cols = [
-        F.concat(F.lit("!"), F.col("event_type")).alias("metric"),
-        F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("tags"),
-        F.col("ts"),
-        F.col("props").alias("body"),
-    ]
-    out_cols = ["series_id", "metric", "tags", "ts", "body"]
-    if keep_src:
-        cols.append(F.col("ts_src"))
-        out_cols.append("ts_src")
-    return ev.select(*cols).withColumn("series_id", series_id_col()).select(*out_cols)
+    def build():
+        ev = events_raw_ns(spark, sf_dir)
+        cols = [
+            F.concat(F.lit("!"), F.col("event_type")).alias("metric"),
+            F.create_map(
+                F.lit("user"), F.col("user_id").cast("string")
+            ).alias("tags"),
+            F.col("ts"),
+            F.col("props").alias("body"),
+        ]
+        out_cols = ["series_id", "metric", "tags", "ts", "body"]
+        if keep_src:
+            cols.append(F.col("ts_src"))
+            out_cols.append("ts_src")
+        return (
+            ev.select(*cols)
+            .withColumn("series_id", series_id_col())
+            .select(*out_cols)
+        )
+
+    return session_binding(
+        spark,
+        (
+            "events_as_event_stream",
+            keep_src,
+            table_fingerprint(sf_dir, "events"),
+        ),
+        build,
+    )
 
 
 def series_registry(samples: DataFrame) -> DataFrame:

@@ -528,6 +528,105 @@ def label_propagation_exact(
     return out
 
 
+def _triangle_single_task_kernel():
+    """mapInPandas kernel: the whole triangle census (nodes, edges,
+    wedges, triangles) on one task's numpy arrays — the same
+    size-dispatch the PageRank/CC kernels use (no per-derivation
+    shuffles, no AQE job round-trips; at the dispatch threshold the
+    arrays are a few hundred MB, bounded like a broadcast join's build
+    side).  The result is identical to the distributed plan by
+    construction: triangle count is orientation-invariant for any
+    consistent acyclic orientation, and wedge/degree counts are plain
+    integer aggregates.  Wedge enumeration is chunked by a fixed pair
+    budget so peak memory stays bounded regardless of degree skew."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc_a, acc_b = [], []
+        for pdf in batches:
+            acc_a.append(pdf["a"].to_numpy())
+            acc_b.append(pdf["b"].to_numpy())
+        out_schema = {
+            "n_nodes": "int64",
+            "n_edges": "int64",
+            "n_wedges": "int64",
+            "n_triangles": "int64",
+        }
+        if not acc_a:
+            yield pd.DataFrame(
+                {k: np.array([0], dtype=v) for k, v in out_schema.items()}
+            )
+            return
+        a = np.concatenate(acc_a)
+        b = np.concatenate(acc_b)
+        ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        m = len(a)
+        ca, cb = inv[:m].astype(np.int64), inv[m:].astype(np.int64)
+        n_nodes = np.int64(len(ids))
+        deg = np.bincount(ca, minlength=int(n_nodes)) + np.bincount(
+            cb, minlength=int(n_nodes)
+        )
+        n_wedges = int((deg.astype(np.int64) * (deg - 1) // 2).sum())
+        # acyclic orientation: lower (deg, code) -> higher
+        swap = (deg[cb] < deg[ca]) | ((deg[cb] == deg[ca]) & (cb < ca))
+        src = np.where(swap, cb, ca)
+        dst = np.where(swap, ca, cb)
+        ekey = np.sort(src * n_nodes + dst)
+        # CSR over oriented out-neighbors
+        order = np.argsort(src, kind="stable")
+        s_sorted, d_sorted = src[order], dst[order]
+        node_range = np.arange(int(n_nodes), dtype=np.int64)
+        starts = np.searchsorted(s_sorted, node_range)
+        ends = np.searchsorted(s_sorted, node_range + 1)
+        outdeg = ends - starts
+        wload = outdeg * (outdeg - 1) // 2
+        cum = np.cumsum(wload)
+        tri = 0
+        budget = 8_000_000
+        i = 0
+        while i < int(n_nodes):
+            base = cum[i - 1] if i > 0 else 0
+            j = int(np.searchsorted(cum, base + budget)) + 1
+            j = min(max(j, i + 1), int(n_nodes))
+            lo, hi = int(starts[i]), int(ends[j - 1])
+            if hi > lo:
+                P = np.arange(lo, hi, dtype=np.int64)
+                sizes = (ends - starts)[i:j]
+                end_of_pos = np.repeat(ends[i:j], sizes)
+                c = end_of_pos - P - 1  # pairs fanned out per position
+                total = int(c.sum())
+                if total:
+                    x = np.repeat(d_sorted[lo:hi], c)
+                    off = np.cumsum(c)
+                    y_idx = (
+                        np.arange(total, dtype=np.int64)
+                        - np.repeat(off - c, c)
+                        + np.repeat(P + 1, c)
+                    )
+                    y = d_sorted[y_idx]
+                    # probe the closing edge in both oriented directions
+                    k1 = x * n_nodes + y
+                    k2 = y * n_nodes + x
+                    p1 = np.searchsorted(ekey, k1)
+                    p2 = np.searchsorted(ekey, k2)
+                    hit1 = (p1 < m) & (ekey[np.minimum(p1, m - 1)] == k1)
+                    hit2 = (p2 < m) & (ekey[np.minimum(p2, m - 1)] == k2)
+                    tri += int(hit1.sum()) + int(hit2.sum())
+            i = j
+        yield pd.DataFrame(
+            {
+                "n_nodes": np.array([n_nodes], dtype="int64"),
+                "n_edges": np.array([m], dtype="int64"),
+                "n_wedges": np.array([n_wedges], dtype="int64"),
+                "n_triangles": np.array([tri], dtype="int64"),
+            }
+        )
+
+    return fn
+
+
 def _degrees(e: DataFrame) -> DataFrame:
     return (
         e.select(F.col("a").alias("id"))
@@ -584,7 +683,10 @@ def triangle_plan(edges: DataFrame) -> DataFrame:
     return tri.agg(F.count("*").cast("long").alias("n_triangles"))
 
 
-def triangle_count_exact(edges: DataFrame) -> DataFrame:
+def triangle_count_exact(
+    edges: DataFrame,
+    single_task_max_edges: int = SINGLE_TASK_MAX_EDGES,
+) -> DataFrame:
     """Exact triangle / wedge counting by DEGREE ORIENTATION — the
     standard shuffle-bounded plan (Cohen 2009; GraphX's triangleCount
     uses the same idea): orient every undirected edge from its
@@ -607,8 +709,55 @@ def triangle_count_exact(edges: DataFrame) -> DataFrame:
     # re-executes once per derivation — r8 judge finding #2.  deg is
     # likewise persisted (used by the orientation join twice and the
     # final wedge aggregate).
-    e = edges.select("a", "b").persist()
-    e.count()
+    e0 = edges.select("a", "b").persist()
+    n_edges = e0.count()
+    spark_ = edges.sparkSession
+    if n_edges == 0:
+        # a fully empty edge set can plan to ZERO partitions, in which
+        # case the kernel function never runs — emit the degenerate row
+        # directly (closure_ratio 0.0, the oracle's CASE-guard shape)
+        e0.unpersist()
+        return spark_.createDataFrame(
+            [(0, 0, 0, 0, 0.0)],
+            "n_nodes long, n_edges long, n_wedges long, n_triangles long, "
+            "closure_ratio double",
+        )
+    if n_edges <= int(single_task_max_edges):
+        # one Arrow-batched numpy task computes the whole census — no
+        # per-derivation shuffles, no AQE job round-trips (the
+        # PageRank/CC size dispatch; see _triangle_single_task_kernel
+        # for the identical-result argument)
+        row = (
+            e0.repartition(1)
+            .mapInPandas(
+                _triangle_single_task_kernel(),
+                "n_nodes long, n_edges long, n_wedges long, n_triangles long",
+            )
+            .collect()[0]
+        )
+        e0.unpersist()
+        n_w, n_t = int(row["n_wedges"]), int(row["n_triangles"])
+        ratio = 3.0 * float(n_t) / float(n_w) if n_w else 0.0
+        return spark_.createDataFrame(
+            [(int(row["n_nodes"]), int(row["n_edges"]), n_w, n_t, ratio)],
+            "n_nodes long, n_edges long, n_wedges long, n_triangles long, "
+            "closure_ratio double",
+        )
+    # scale-adaptive width (the pagerank_exact discipline): ~1M edges
+    # per task.  The caller's edge lineage usually leaves 32+ cached
+    # partitions behind; every downstream map stage (deg, orientation,
+    # wedge join) would otherwise run that many near-empty tasks per
+    # stage — pure scheduling overhead on small graphs, and on big
+    # graphs the explicit width keeps the wedge join's exchanges sized
+    # to the data instead of the session conf (guide §2.2).
+    parts = max(
+        1,
+        min(
+            int(spark_.conf.get("spark.sql.shuffle.partitions")),
+            n_edges // 1_000_000 + 1,
+        ),
+    )
+    e = e0.repartition(parts).persist()
     deg = _degrees(e).persist()
     ori = _orient(e, deg)
     ori.persist()
@@ -632,6 +781,7 @@ def triangle_count_exact(edges: DataFrame) -> DataFrame:
     ori.unpersist()
     deg.unpersist()
     e.unpersist()
+    e0.unpersist()
     spark = edges.sparkSession
     n_wedges = int(stats["n_wedges"] or 0)
     n_tri = int(stats["n_triangles"])

@@ -1909,12 +1909,24 @@ def _rel_pagerank(spark, sf):
     from stdb_spark.operators import graph
 
     t = model.load_tables(spark, sf, ("orders", "lineitem"))
+    # node ids stay INTEGER through the whole propagation (customer
+    # 2k, supplier 2k+1): the distinct, the doubled-edge exchange and
+    # the Arrow transfer into the kernel all move 8-byte longs instead
+    # of 'c<custkey>'/'s<suppkey>' strings (guide §2.3 "narrower
+    # types" — halve the column, halve its shuffle bytes).  PageRank
+    # only ever compares node ids for equality, so the integer ranks
+    # are bit-identical; the display names are re-attached to the 20
+    # survivors at the very end.
     pairs = (
         t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
@@ -1932,7 +1944,15 @@ def _rel_pagerank(spark, sf):
         ).alias("e")
     ).select("e.src", "e.dst")
     pr = graph.pagerank_exact(edges, iterations=5)
-    return pr.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(20)
+    name = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), F.expr("node div 2")),
+    ).otherwise(F.concat(F.lit("s"), F.expr("node div 2")))
+    return (
+        pr.select(name.alias("node"), "pr")
+        .orderBy(F.col("pr").desc(), F.col("node").asc())
+        .limit(20)
+    )
 
 
 _PR_PAIRS = """SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
@@ -2391,17 +2411,41 @@ def copurchase_edges(spark, sf):
     (LPA communities, triangle census) and tools/gen_plans.py share:
     (a, b) part pairs with a < b bought together in >= _LPA_SUPPORT
     distinct orders."""
-    li = (
-        model.load_table(spark, sf, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    # per-order part SET, pairs generated MAP-SIDE from the sorted
+    # array (a<b by construction), then one (a, b) count exchange — the
+    # former distinct + o-keyed self-join shape paid three exchanges
+    # and flowed the wedge rows through a join; this pays two
+    # exchanges (order rollup, pair count) and the pair explosion never
+    # shuffles (guide §2.4 "remove shuffles outright" / §3.3 "explode
+    # before a join multiplies the shuffle").  collect_set dedups
+    # (order, part) inside the one aggregation, replacing the separate
+    # distinct.  Orders are bounded-size baskets, so the per-row pair
+    # array is small by construction.
+    li = model.load_table(spark, sf, "lineitem")
+    parts_per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    pairs = parts_per_order.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ps"),
+                            i + 2,
+                            F.size(F.col("ps")),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("a"), y.alias("b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     return (
-        a.join(b, "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count("*").alias("_s"))
         .filter(F.col("_s") >= _LPA_SUPPORT)
         .select("a", "b")

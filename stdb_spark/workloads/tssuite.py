@@ -50,20 +50,37 @@ def _engine(spark: SparkSession, sf_dir: str) -> Engine:
     both required for bit-parity with the DuckDB oracle.  ``ts_raw``
     keeps the untruncated storage column so Engine._range can push coarse
     time bounds into the Parquet scan (truncated-ts predicates are
-    arithmetic over the column and never reach PushedFilters)."""
-    trunc = F.expr("(ts div 1000) * 1000")
-    samples = (
-        model.events_as_samples(spark, sf_dir, keep_src=True)
-        .withColumn("ts_raw", F.col("ts"))
-        .withColumn("ts", trunc)
-    )
-    events = (
-        model.events_as_event_stream(spark, sf_dir, keep_src=True)
-        .withColumn("ts_raw", F.col("ts"))
-        .withColumn("ts", trunc)
-    )
-    return Engine(
-        spark, samples=samples, events=events, exact_sums=True, ts_slack_ns=1000
+    arithmetic over the column and never reach PushedFilters).
+
+    The Engine (its lazy table bindings) is session catalog state —
+    memoized per (session, events fingerprint) via model.session_binding;
+    each .query() still builds a fresh plan and every action computes
+    from parquet (see the model.py binding-memo block comment)."""
+
+    def build():
+        trunc = F.expr("(ts div 1000) * 1000")
+        samples = (
+            model.events_as_samples(spark, sf_dir, keep_src=True)
+            .withColumn("ts_raw", F.col("ts"))
+            .withColumn("ts", trunc)
+        )
+        events = (
+            model.events_as_event_stream(spark, sf_dir, keep_src=True)
+            .withColumn("ts_raw", F.col("ts"))
+            .withColumn("ts", trunc)
+        )
+        return Engine(
+            spark,
+            samples=samples,
+            events=events,
+            exact_sums=True,
+            ts_slack_ns=1000,
+        )
+
+    return model.session_binding(
+        spark,
+        ("tssuite_engine", model.table_fingerprint(sf_dir, "events")),
+        build,
     )
 
 
@@ -749,42 +766,49 @@ FROM base WHERE metric = 'click' AND tu >= {JAN05_US} AND tu < {JAN15_US}
 # AggregationResult::combine semantics are exact (decimal sums are
 # order-free; min/max/first/last carry timestamps for tiebreaks).
 def _engine_with_summaries(spark: SparkSession, sf_dir: str) -> Engine:
-    import os
-
     from stdb_spark.sources import storage
 
-    trunc = F.expr("(ts div 1000) * 1000")
-    samples = (
-        model.events_as_samples(spark, sf_dir)
-        .withColumn("ts_raw", F.col("ts"))
-        .withColumn("ts", trunc)
-    )
-    # summaries AND the series registry are WRITE-TIME artifacts (the
-    # reference maintains SubtreeRefs incrementally and persists the
-    # SeriesMatcher); materialize both once per sf into the repo-local
-    # cache (fingerprint-keyed to the source file, so regenerated
-    # testdata recomputes) so a summary-answered aggregate touches NO
-    # leaf rows
-    summ_path = model.derived_cache_path(sf_dir, "summaries", "events")
-    reg_path = model.derived_cache_path(sf_dir, "registry", "events")
-    # coalesce: both artifacts are ~#series(*days) rows — tiny at any sf
-    # here; a real deployment sizes files to row-group targets instead
-    if not model.cache_ready(summ_path):
-        storage.summary_table(samples, step_ns=D1).coalesce(4).write.mode(
-            "overwrite"
-        ).parquet(summ_path)
-    if not model.cache_ready(reg_path):
-        model.series_registry(samples).coalesce(1).write.mode("overwrite").parquet(
-            reg_path
+    def build():
+        trunc = F.expr("(ts div 1000) * 1000")
+        samples = (
+            model.events_as_samples(spark, sf_dir)
+            .withColumn("ts_raw", F.col("ts"))
+            .withColumn("ts", trunc)
         )
-    return Engine(
+        # summaries AND the series registry are WRITE-TIME artifacts (the
+        # reference maintains SubtreeRefs incrementally and persists the
+        # SeriesMatcher); materialize both once per sf into the repo-local
+        # cache (fingerprint-keyed to the source file, so regenerated
+        # testdata recomputes) so a summary-answered aggregate touches NO
+        # leaf rows
+        summ_path = model.derived_cache_path(sf_dir, "summaries", "events")
+        reg_path = model.derived_cache_path(sf_dir, "registry", "events")
+        # coalesce: both artifacts are ~#series(*days) rows — tiny at any
+        # sf here; a real deployment sizes files to row-group targets
+        if not model.cache_ready(summ_path):
+            storage.summary_table(samples, step_ns=D1).coalesce(4).write.mode(
+                "overwrite"
+            ).parquet(summ_path)
+        if not model.cache_ready(reg_path):
+            model.series_registry(samples).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(reg_path)
+        return Engine(
+            spark,
+            samples=samples,
+            series=spark.read.parquet(reg_path),
+            exact_sums=True,
+            ts_slack_ns=1000,
+            summaries=spark.read.parquet(summ_path),
+            summary_step_ns=D1,
+        )
+
+    # session catalog state, same discipline as _engine (the summary /
+    # registry artifacts are additionally fingerprint-keyed on disk)
+    return model.session_binding(
         spark,
-        samples=samples,
-        series=spark.read.parquet(reg_path),
-        exact_sums=True,
-        ts_slack_ns=1000,
-        summaries=spark.read.parquet(summ_path),
-        summary_step_ns=D1,
+        ("tssuite_engine_summaries", model.table_fingerprint(sf_dir, "events")),
+        build,
     )
 
 

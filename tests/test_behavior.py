@@ -830,6 +830,30 @@ def test_triangle_count_hub_star_plus_one(spark):
     assert row.n_triangles == 1
 
 
+def test_triangle_kernel_matches_distributed_plan(spark):
+    """The single-task numpy census (size dispatch) must agree with the
+    distributed wedge-join plan on every output column — pinned on a
+    deterministic pseudo-random graph with hubs, ties and isolated-pair
+    structure (r11 optimization: the kernel path is new)."""
+    from stdb_spark.operators.graph import triangle_count_exact
+
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for k in range(900)
+            for a, b in [((k * k * 7 + 3) % 60, (k * 13 + 5) % 60)]
+            if a != b
+        }
+    )
+    df = spark.createDataFrame(edges, "a long, b long")
+    via_kernel = triangle_count_exact(df).collect()[0]
+    via_plan = triangle_count_exact(
+        df, single_task_max_edges=0
+    ).collect()[0]
+    assert via_kernel == via_plan
+    assert via_kernel.n_edges == len(edges)
+
+
 def test_mmr_prefers_diverse_over_redundant(spark):
     from stdb_spark.functions import similarity
 
