@@ -248,6 +248,121 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_estimates(
+    sigs: DataFrame,
+    key: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+    bucket_cap: int | None = None,
+    b: int | None = None,
+) -> DataFrame:
+    """Fused LSH banding + signature-estimate verify: the signatures
+    RIDE THROUGH the banding postings, so every candidate pair already
+    carries both signatures and the estimate is a map-side expression —
+    the two signature-lookup shuffle-hash joins of the two-step form
+    (minhash_lsh_candidates -> minhash_jaccard_estimate) disappear
+    (guide §2.4 "remove shuffles outright").
+
+    Shuffle-byte accounting at scale: this moves ``bands`` copies of
+    each signature through ONE postings exchange (bands x 32 longs per
+    doc — bounded, linear in the corpus), where the two-step form moves
+    two signature copies per CANDIDATE side through the lookup joins
+    plus the candidate list twice — pair-proportional, which for
+    near-dup-heavy corpora is the larger and far less predictable
+    number.  Candidate SET and estimate arithmetic are identical to the
+    two-step form: pairs dedup on (a, b) (signatures are a pure
+    function of the doc, so which duplicate survives is immaterial) and
+    the zip_with slot comparison is the same expression tree.
+
+    ``b``: None returns (a, b, est_jaccard); an integer returns the
+    b-bit audit shape (a, b, est_full, est_bbit) of
+    :func:`bbit_minhash_estimate`."""
+    nb, r = bands, rows_per_band
+    sigs = sigs.withColumn(
+        "sig",
+        F.when(F.size("sig") >= nb * r, F.col("sig")).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"bands*rows_per_band = {nb * r} exceeds the minhash "
+                    "signature length — excess bands would slice empty "
+                    "and bucket ALL docs together"
+                )
+            )
+        ),
+    )
+    banded = sigs.select(
+        F.col(key),
+        F.col("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bd).alias("band"),
+                        F.md5(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", bd * r + 1, r),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bd in range(nb)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        F.col(key), F.col("sig"), F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    grouped = banded.groupBy("band", "bucket").agg(
+        F.collect_list(
+            F.struct(F.col(key).alias("k"), F.col("sig").alias("s"))
+        ).alias("ds")
+    )
+    if bucket_cap is not None:
+        grouped = grouped.filter(F.size("ds") <= bucket_cap)
+    pairs = (
+        grouped.select(F.explode("ds").alias("x"), F.col("ds"))
+        .select("x", F.explode("ds").alias("y"))
+        .filter(F.col("x.k") < F.col("y.k"))
+        .select(
+            F.col("x.k").alias("a"),
+            F.col("y.k").alias("b"),
+            F.col("x.s").alias("sig_a"),
+            F.col("y.s").alias("sig_b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    frac_full = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    ) / F.size("sig_a")
+    if b is None:
+        return pairs.select("a", "b", frac_full.alias("est_jaccard"))
+    mask1 = (1 << b)
+    c = 1.0 / mask1
+    frac_bbit = (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    "sig_a", "sig_b", lambda x, y: (x % mask1) == (y % mask1)
+                ),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.size("sig_a")
+    )
+    return pairs.select(
+        "a",
+        "b",
+        frac_full.cast("double").alias("est_full"),
+        F.greatest(
+            (frac_bbit - F.lit(c)) / F.lit(1.0 - c), F.lit(0.0)
+        ).alias("est_bbit"),
+    )
+
+
 def minhash_jaccard_estimate(
     sigs: DataFrame, candidates: DataFrame, key: str = "doc_id"
 ) -> DataFrame:

@@ -449,9 +449,11 @@ _q(
 # K over the LSH candidate pairs — the full discover→verify pipeline a
 # dedup pass actually runs (candidates alone over-approximate).
 def _minhash_est(spark, sf):
+    # fused banding+verify: signatures ride through the postings, no
+    # signature-lookup joins (dedup.minhash_lsh_estimates; candidate
+    # set and estimate arithmetic identical to the two-step form)
     sigs = dedup.minhash_signatures(model.load_table(spark, sf, "documents"))
-    cands = dedup.minhash_lsh_candidates(sigs)
-    return dedup.minhash_jaccard_estimate(sigs, cands)
+    return dedup.minhash_lsh_estimates(sigs)
 
 
 _q(
@@ -481,8 +483,7 @@ _BBIT_B = 2
 
 def _minhash_bbit(spark, sf):
     sigs = dedup.minhash_signatures(model.load_table(spark, sf, "documents"))
-    cands = dedup.minhash_lsh_candidates(sigs)
-    return dedup.bbit_minhash_estimate(sigs, cands, b=_BBIT_B)
+    return dedup.minhash_lsh_estimates(sigs, b=_BBIT_B)
 
 
 _q(
@@ -514,8 +515,7 @@ _NEARDUP_T = 0.5
 def _neardup_survivors(spark, sf):
     docs = model.load_table(spark, sf, "documents")
     sigs = dedup.minhash_signatures(docs)
-    cands = dedup.minhash_lsh_candidates(sigs)
-    verified = dedup.minhash_jaccard_estimate(sigs, cands).filter(
+    verified = dedup.minhash_lsh_estimates(sigs).filter(
         F.col("est_jaccard") >= _NEARDUP_T
     )
     # the drop list is dup-count-proportional — shuffle-pinned so its
@@ -3347,26 +3347,82 @@ FROM n
 # tolerant at 1e-6).
 def _doc_char_entropy(spark, sf):
     docs = model.load_table(spark, sf, "documents")
-    # substring with a column start needs the expr form
-    grams = F.expr(
-        "CASE WHEN length(text) >= 2 THEN"
-        " transform(sequence(1, length(text) - 1),"
-        "           i -> substring(text, i, 2)) END"
+    # Map-side Arrow kernel (guide §4.2): the former plan exploded one
+    # 2-char string per character position (~n·len(text) rows) through
+    # a (doc_id, gram) exchange; here each task counts bigrams with
+    # numpy (code-point pairs packed into int64 keys, np.unique) and
+    # emits ONE row per doc — zero exchanges, nothing but the pruned
+    # (doc_id, text) columns crosses into Python.
+    #
+    # Bit-parity argument (the oracle quantizes each c·ln(c) term to
+    # DECIMAL(28,10) then sums exactly): the kernel groups each doc's
+    # distinct-gram counts by VALUE, quantizes c·ln(c) once per
+    # distinct c with Python Decimal (Decimal(float) is the exact
+    # binary expansion, quantize(1e-10, HALF_UP) == Spark/DuckDB's
+    # double->DECIMAL(28,10) cast), and sums m_c · q_c in exact integer
+    # arithmetic — the identical decimal sum, at ~1000 Decimal calls
+    # per task instead of one per (doc, gram).  ln is libm log
+    # (math.log), the same library the DuckDB oracle's ln calls.
+    id_type = dict(docs.dtypes)["doc_id"]
+    return docs.select("doc_id", "text").mapInPandas(
+        _char_entropy_kernel(),
+        f"doc_id {id_type}, bigram_entropy double, n_distinct_bigrams long",
     )
-    ex = docs.select("doc_id", F.explode(grams).alias("g"))
-    counts = ex.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-    # H = ln(t) - sum(c*ln c)/t with t = sum(c): both sums live in ONE
-    # per-doc aggregate, so the old totals join (a third aggregate plus
-    # a doc-keyed shuffle join) disappears; the c*ln(c) terms still sum
-    # through decimal, keeping the result order-independent
-    return counts.groupBy("doc_id").agg(
-        F.expr(
-            "ln(CAST(sum(c) AS DOUBLE))"
-            " - CAST(sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))"
-            " AS DECIMAL(28,10))) AS DOUBLE) / CAST(sum(c) AS DOUBLE)"
-        ).alias("bigram_entropy"),
-        F.count("*").cast("long").alias("n_distinct_bigrams"),
-    )
+
+
+def _char_entropy_kernel():
+    def fn(batches):
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        grid = Decimal("1e-10")
+        qmemo: dict = {}  # distinct count value -> quantized int(1e-10)
+
+        def qterm(c: int) -> int:
+            q = qmemo.get(c)
+            if q is None:
+                q = int(
+                    Decimal(float(c) * math.log(float(c)))
+                    .quantize(grid, rounding=ROUND_HALF_UP)
+                    .scaleb(10)
+                )
+                qmemo[c] = q
+            return q
+
+        for pdf in batches:
+            ids, ents, nds = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None or len(text) < 2:
+                    continue  # the explode form drops these docs too
+                codes = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                keys = codes[:-1] * np.int64(0x110000) + codes[1:]
+                _, counts = np.unique(keys, return_counts=True)
+                c_vals, m = np.unique(counts, return_counts=True)
+                total = int(counts.sum())
+                dec_sum = sum(
+                    int(mc) * qterm(int(cv))
+                    for cv, mc in zip(c_vals, m)
+                )
+                dec_as_double = float(Decimal(dec_sum).scaleb(-10))
+                ids.append(doc_id)
+                ents.append(
+                    math.log(float(total)) - dec_as_double / float(total)
+                )
+                nds.append(len(counts))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype=pdf["doc_id"].dtype),
+                    "bigram_entropy": pd.Series(ents, dtype="float64"),
+                    "n_distinct_bigrams": pd.Series(nds, dtype="int64"),
+                }
+            )
+
+    return fn
 
 
 _q(
@@ -4730,9 +4786,8 @@ def _pr_eval_sample(docs, cap=None):
 def _minhash_pr(spark, sf):
     docs = _pr_eval_sample(model.load_table(spark, sf, "documents"))
     sigs = dedup.minhash_signatures(docs)
-    cands = dedup.minhash_lsh_candidates(sigs)
     pred = (
-        dedup.minhash_jaccard_estimate(sigs, cands)
+        dedup.minhash_lsh_estimates(sigs)
         .filter(F.col("est_jaccard") >= _PR_T)
         .select("a", "b", F.lit(1).alias("_p"))
     )

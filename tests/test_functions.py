@@ -1962,3 +1962,95 @@ def test_pr_eval_sample_is_deterministic_hash_topk(spark):
         sorted(r.doc_id for r in D._pr_eval_sample(docs, cap=50).collect())
         == list(range(20))
     )
+
+
+def test_char_entropy_kernel_matches_explode_form(spark):
+    """r11 optimization: the map-side numpy bigram kernel must be
+    bit-equal to the former explode + (doc_id, gram) aggregate on
+    unicode text, repeated grams, and the len<2 / NULL drop rule."""
+    from stdb_spark.workloads import docsuite as D
+
+    rows = [
+        (1, "aaaa"),            # single repeated gram, c=3
+        (2, "abababab"),        # two grams, counts 4 and 3
+        (3, "x"),               # len < 2 -> dropped
+        (4, None),              # NULL -> dropped
+        (5, "héllo wörld héllo"),  # non-ASCII code points
+        (6, "ab"),              # single gram, c=1 -> entropy ln(1)=0
+        (7, "".join(chr(0x4E00 + (i * 7) % 64) for i in range(300))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kernel = {
+        r.doc_id: (r.bigram_entropy, r.n_distinct_bigrams)
+        for r in docs.select("doc_id", "text")
+        .mapInPandas(
+            D._char_entropy_kernel(),
+            "doc_id long, bigram_entropy double, n_distinct_bigrams long",
+        )
+        .collect()
+    }
+    grams = F.expr(
+        "CASE WHEN length(text) >= 2 THEN"
+        " transform(sequence(1, length(text) - 1),"
+        "           i -> substring(text, i, 2)) END"
+    )
+    counts = (
+        docs.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    ref = {
+        r.doc_id: (r.bigram_entropy, r.n_distinct_bigrams)
+        for r in counts.groupBy("doc_id")
+        .agg(
+            F.expr(
+                "ln(CAST(sum(c) AS DOUBLE))"
+                " - CAST(sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))"
+                " AS DECIMAL(28,10))) AS DOUBLE) / CAST(sum(c) AS DOUBLE)"
+            ).alias("bigram_entropy"),
+            F.count("*").cast("long").alias("n_distinct_bigrams"),
+        )
+        .collect()
+    }
+    # entropy compares through round(9): the kernel's ln is glibc libm
+    # (bit-equal to the DuckDB oracle, full value-hash pass at sf0.01
+    # and sf0.1), the explode form's ln is Java Math.log — the two libms
+    # differ by 1 ulp on some inputs (e.g. ln(3)), which is why this
+    # query sits in the parity suite's LIBM_TOLERANT set and the
+    # driver's value hash rounds floats to 6 digits.
+    assert set(kernel) == {1, 2, 5, 6, 7}
+    assert {k: (round(e, 9), n) for k, (e, n) in kernel.items()} == {
+        k: (round(e, 9), n) for k, (e, n) in ref.items()
+    }
+
+
+def test_minhash_lsh_estimates_matches_two_step(spark):
+    """r11 optimization: the fused banding+verify (signatures carried
+    through the postings, no lookup joins) must produce the identical
+    candidate set and bit-identical estimates as the two-step
+    candidates -> estimate form, for both the plain and b-bit shapes."""
+    rows = [
+        (i, ("alpha beta gamma delta epsilon zeta " * 4) + (f"tail {i % 3} ") * 3)
+        for i in range(24)
+    ] + [(100 + i, f"unique document number {i} with words {i*7} {i*13}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(docs)
+    cands = dedup.minhash_lsh_candidates(sigs)
+    two_step = {
+        (r.a, r.b): r.est_jaccard
+        for r in dedup.minhash_jaccard_estimate(sigs, cands).collect()
+    }
+    fused = {
+        (r.a, r.b): r.est_jaccard
+        for r in dedup.minhash_lsh_estimates(sigs).collect()
+    }
+    assert fused == two_step and len(fused) > 0
+    two_step_b = {
+        (r.a, r.b): (r.est_full, r.est_bbit)
+        for r in dedup.bbit_minhash_estimate(sigs, cands, b=2).collect()
+    }
+    fused_b = {
+        (r.a, r.b): (r.est_full, r.est_bbit)
+        for r in dedup.minhash_lsh_estimates(sigs, b=2).collect()
+    }
+    assert fused_b == two_step_b
