@@ -824,14 +824,29 @@ def connected_components(
     # keeps a null group, factorize codes null as -1): drop them HERE so
     # both regimes see the identical graph
     pairs = pairs.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
-    e_fwd = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     # persist the doubled edge list: without it every round's join (and
     # the init fold) re-executes the CALLER's pair lineage — for the
     # dedup suites that lineage is the whole MinHash-LSH banding
-    # pipeline, re-run once per propagation round (r5 perf review)
-    edges = e_fwd.union(
-        pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
-    ).persist()
+    # pipeline, re-run once per propagation round (r5 perf review).
+    # Doubling via explode, not union: a union plants the caller's pair
+    # lineage TWICE in the plan and the cache-fill job computes it twice
+    # (the pagerank edge-doubling discipline).
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("src"), F.col(dst).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("src"), F.col(src).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .persist()
+    )
     n_edges = edges.count()
     if n_edges <= int(single_task_max_edges):
         id_type = dict(edges.dtypes)["src"]

@@ -895,8 +895,22 @@ def bpe_merges(
     if k_merges < 1:
         raise ValueError("k_merges must be >= 1")
     spark = docs.sparkSession
-    base = _bpe_vocab(docs, text_col).persist()
-    base.count()
+    base0 = _bpe_vocab(docs, text_col).persist()
+    n_vocab = base0.count()
+    # size the cached vocab to the data (~1M words/task, floor 1): the
+    # word-count exchange leaves session-width partitions behind, and
+    # every one of the k rounds would otherwise run that many
+    # near-empty map tasks per pair-count job — k x width of pure
+    # scheduling overhead for a vocab that is usually far smaller
+    # (guide §2.2; the pagerank width discipline)
+    parts = max(
+        1,
+        min(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            n_vocab // 1_000_000 + 1,
+        ),
+    )
+    base = base0.repartition(parts).persist()
     vocab = base
     rows = []
     try:
@@ -949,6 +963,7 @@ def bpe_merges(
                 vocab = vocab.localCheckpoint(eager=True)
     finally:
         base.unpersist()
+        base0.unpersist()
     return spark.createDataFrame(
         rows, "merge_rank int, lhs string, rhs string, pair_count long"
     )

@@ -389,14 +389,16 @@ def test_bm25_takeordered_no_global_sort(spark):
 
 
 def test_char_entropy_single_per_doc_aggregate(spark):
-    # VERDICT r10 directive #6: the r10 rewrite folded H = ln(t) -
-    # sum(c ln c)/t into ONE per-doc aggregate — no totals join, and
-    # only the two aggregation exchanges (doc_id,g then doc_id) may
-    # touch the exploded bigram stream
+    # VERDICT r10 directive #6, tightened by the r11 optimization: the
+    # whole bigram count + entropy now runs as ONE map-side Arrow
+    # kernel (numpy np.unique per doc) — no totals join, no exploded
+    # bigram stream, and NO exchange at all between the scan and the
+    # per-doc output rows
     df = QUERIES["doc_char_entropy"](spark, SF)
     plan = _plan(df)
     assert "Join" not in plan
-    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Exchange hashpartitioning" not in plan
+    assert "MapInPandas" in plan
 
 
 def test_silhouette_broadcast_centroids_one_data_exchange(spark):
