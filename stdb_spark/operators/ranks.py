@@ -150,6 +150,7 @@ def two_phase_ntile(
     bucket: Column,
     out_col: str = "tile",
     nulls: str = "error",
+    total_count: int | None = None,
 ) -> DataFrame:
     """Global ``ntile(n_tiles)`` over ``order_cols`` (same contract as
     :func:`two_phase_row_number`) computed from the two-phase rank and
@@ -158,14 +159,22 @@ def two_phase_ntile(
     The total-count aggregate re-evaluates the input lineage once (a
     map-side count, the cheapest possible pass); callers stacking
     several ntiles on an expensive input should cache/checkpoint it
-    first if that pass matters."""
+    first if that pass matters, and may pass the row count they already
+    know as ``total_count`` so the stacked calls share ONE count job
+    instead of each re-deriving it (r11: rel_rfm_segments ran the
+    count three times over progressively deeper ntile lineage)."""
     n = int(n_tiles)
     if n <= 0:
         raise ValueError("n_tiles must be positive")
     ranked = two_phase_row_number(
         df, order_cols, bucket, out_col="_tpn_rank", nulls=nulls
     )
-    total = df.agg(F.count("*").cast("long").alias("_tpn_n"))
+    if total_count is not None:
+        total = df.sparkSession.range(1).select(
+            F.lit(int(total_count)).cast("long").alias("_tpn_n")
+        )
+    else:
+        total = df.agg(F.count("*").cast("long").alias("_tpn_n"))
     # SQL ntile: with N rows and k tiles, tiles 1..(N%k) hold
     # (N div k)+1 rows, the rest hold N div k.
     tile = F.expr(

@@ -1243,15 +1243,32 @@ FROM m
 def _rel_basket_pairs(spark, sf):
     from pyspark.sql import Window as W
 
-    li = model.load_table(spark, sf, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    # per-order part set -> map-side pair explode (a<b from the sorted
+    # array) -> one (pa, pb) count exchange: two exchanges instead of
+    # the former distinct + o-keyed self-join's three, and the pair
+    # fan-out never shuffles (same rewrite as copurchase_edges; basket
+    # size is bounded, so the per-row pair array is small)
+    li = model.load_table(spark, sf, "lineitem")
+    parts_per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_rows = parts_per_order.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                        lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     pairs = (
-        a.join(b, "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
+        pair_rows.groupBy(
+            F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb")
+        )
         .agg(F.count("*").cast("long").alias("support"))
     )
     # TakeOrdered-then-rank: orderBy().limit() plans per-partition
@@ -1434,12 +1451,24 @@ def _rel_rfm(spark, sf):
             "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
         ).alias("monetary"),
     )
+    # materialize the per-customer rollup ONCE (eager localCheckpoint,
+    # #customers rows — dim-scale): each stacked two_phase_ntile
+    # re-evaluates its input lineage for the rank, the histogram and
+    # the total count, so without the cut the orders scan + rollup ran
+    # ~9x across the three quartile dimensions (measured 34 Spark jobs
+    # for this one query; the ranks.py docstring's own advice)
+    per = per.localCheckpoint(eager=True)
+    # one count job over the materialized rollup; all three quartile
+    # dimensions share it (they tile the same row set)
+    n_cust = per.count()
     ck = F.col("o_custkey").asc()
     seg = two_phase_ntile(
-        per, 4, [F.col("recency").asc(), ck], F.col("recency"), out_col="r"
+        per, 4, [F.col("recency").asc(), ck], F.col("recency"),
+        out_col="r", total_count=n_cust,
     )
     seg = two_phase_ntile(
-        seg, 4, [F.col("frequency").desc(), ck], -F.col("frequency"), out_col="f"
+        seg, 4, [F.col("frequency").desc(), ck], -F.col("frequency"),
+        out_col="f", total_count=n_cust,
     )
     seg = two_phase_ntile(
         seg,
@@ -1447,6 +1476,7 @@ def _rel_rfm(spark, sf):
         [F.col("monetary").desc(), ck],
         F.floor(-F.col("monetary") / 1000),
         out_col="m",
+        total_count=n_cust,
     )
     return seg.groupBy("r", "f", "m").agg(
         F.count("*").cast("long").alias("n_customers")
