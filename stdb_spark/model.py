@@ -164,11 +164,6 @@ _SESSION_CONFS = {
     # keeps the final occurrence — the tolerant choice for replayed /
     # at-least-once wire traffic.
     "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
-    # planner may choose shuffled-hash over sort-merge when its size
-    # conditions hold — results identical, hash probe beats two sorts
-    # (guide §3.1; -24% on the join-heavy set at sf0.1; trade-off
-    # documented in session.py)
-    "spark.sql.join.preferSortMergeJoin": "false",
 }
 
 

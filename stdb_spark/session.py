@@ -55,16 +55,14 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        # allow the planner to pick shuffled-hash joins when its size
-        # conditions hold (build side under the broadcast threshold per
-        # partition): hash probe beats sort-merge's two sorts whenever
-        # the build side fits (guide §3.1/§9) — measured -24% on the
-        # join-heavy relational set at sf0.1.  The known trade-off is
-        # an OOM if a build partition badly exceeds its estimate; the
-        # corpus-scale joins that could do that are explicitly
-        # shuffle_hash-hinted OR sized by AQE's runtime stats, and a
-        # deployment can restore sort-merge-only via extra_conf.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # preferSortMergeJoin stays at its default (true): an
+        # alternating-order A/B over the join-heavy set showed NO
+        # effect (initial plans are identical — broadcasts dominate at
+        # bench scale and SHJ's muchSmaller condition rarely holds),
+        # while globally allowing planner-chosen shuffled-hash adds a
+        # build-side OOM class at 100 TB that this repo handles with
+        # explicit per-join shuffle_hash hints instead
+        # (OPTIMIZATION_r11.md "negative results").
         # runtime row-level filtering: a selective filter on one join
         # side injects a bloom filter into the other side's scan —
         # at 100 TB this prunes the fact scan of a fact-fact join the
