@@ -588,41 +588,91 @@ def simhash(df: DataFrame, text_col: str = "text", key: str = "doc_id", bits: in
     """64-bit SimHash over word shingles: bit j of the signature is the
     sign of sum over shingles of (+1 if md5-bit j set else -1).
 
-    Shape chosen for scale (same rationale as minhash_signatures):
-    explode shingles once, derive the per-shingle 64-bit md5 value as
-    two flat columns, groupBy(key) with 64 sum() bit-votes — one
-    exchange + codegen'd hash-aggregate instead of 64 re-evaluations of
-    the tokenization inside nested array folds."""
+    Shape: tokenize/shingle/explode in the JVM (codegen'd, the shingle
+    spec shared with the oracle), then ONE map-side Arrow kernel per
+    partition computes md5, the per-bit vote sums and the final
+    signature with numpy — the former 64-column sum() hash-aggregate
+    is gone and NOTHING shuffles (``_spread`` already co-locates each
+    doc's shingles on one partition, so the kernel's per-doc vote sums
+    are complete; guide §4.2).
+
+    Bit-parity: hashlib.md5 over the shingle's UTF-8 bytes is the
+    identical digest Spark's/DuckDB's md5 produce; ``h``/``l`` are the
+    same first/second 4-byte big-endian words the hex-prefix conv()
+    form extracted, and the vote rule (bit j set iff 2·s_j > count)
+    is integer arithmetic — bit-for-bit the old aggregate (pinned by
+    test_simhash_kernel_matches_aggregate_form and the unchanged
+    DuckDB oracles)."""
+    if bits != 64:
+        raise ValueError("simhash: only the 64-bit form is specified")
     ex = with_shingles(
         _spread(df.select(F.col(key), F.col(text_col)), key), [F.col(key)], text_col
     ).select(F.col(key), F.explode("_sh").alias("_s"))
-    # per-shingle 64-bit value from md5 (two 32-bit halves for exactness)
-    hl = ex.select(
-        F.col(key),
-        F.conv(F.substring(F.md5("_s"), 1, 8), 16, 10).cast("long").alias("_h"),
-        F.conv(F.substring(F.md5("_s"), 9, 8), 16, 10).cast("long").alias("_l"),
+    id_type = dict(ex.dtypes)[key]
+    return ex.mapInPandas(
+        _simhash_vote_kernel(key), f"{key} {id_type}, simhash long"
     )
 
-    def bit(j: int):
-        # branch-free vote: sum the raw bit, recover the +1/-1 vote sign
-        # from 2*set_count - total at the end (v_j = 2*s_j - cnt)
-        src = F.col("_h") if j < 32 else F.col("_l")
-        shift = j if j < 32 else j - 32
-        return F.shiftright(src, shift).bitwiseAND(F.lit(1))
 
-    votes = hl.groupBy(key).agg(
-        F.count("*").alias("_cnt"),
-        *[F.sum(bit(j)).alias(f"_s{j}") for j in range(bits)],
-    )
-    sig = None
-    for j in range(bits):
-        # bit 63 is the long sign bit in two's complement
-        bitval = F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
-        term = F.when(
-            F.lit(2) * F.col(f"_s{j}") > F.col("_cnt"), bitval
-        ).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig.bitwiseOR(term)
-    return votes.select(F.col(key), sig.alias("simhash"))
+def _simhash_vote_kernel(key: str):
+    def fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(64, dtype=np.uint64)
+        # a doc's rows can straddle Arrow batch boundaries: accumulate
+        # (count, per-bit set-count vector) per doc across batches
+        counts: dict = {}
+        votes: dict = {}
+        id_dtype = None
+        for pdf in batches:
+            if id_dtype is None:
+                id_dtype = pdf[key].dtype
+            md5 = hashlib.md5
+            v64 = np.fromiter(
+                (
+                    int.from_bytes(md5(s.encode("utf-8")).digest()[:8], "big")
+                    for s in pdf["_s"]
+                ),
+                dtype=np.uint64,
+                count=len(pdf),
+            )
+            # hex-prefix parity: h = bytes[0:4] BE, l = bytes[4:8] BE;
+            # bit j of the signature reads h bit j (j<32) / l bit j-32,
+            # i.e. bit j of (l<<32 | h)
+            h = v64 >> np.uint64(32)
+            l_ = v64 & np.uint64(0xFFFFFFFF)
+            w = (l_ << np.uint64(32)) | h
+            bits_m = ((w[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            for doc, idx in pd.Series(range(len(pdf))).groupby(
+                pdf[key], sort=False
+            ).indices.items():
+                counts[doc] = counts.get(doc, 0) + len(idx)
+                prev = votes.get(doc)
+                s = bits_m[idx].sum(axis=0)
+                votes[doc] = s if prev is None else prev + s
+        ids = list(votes.keys())
+        if not ids:
+            # object dtype converts to any declared Arrow key type
+            yield pd.DataFrame(
+                {key: pd.Series([], dtype="object"),
+                 "simhash": pd.Series([], dtype="int64")}
+            )
+            return
+        S = np.vstack([votes[d] for d in ids])
+        C = np.array([counts[d] for d in ids], dtype=np.int64)
+        set_bits = (2 * S > C[:, None]).astype(np.uint64)
+        words = (set_bits << shifts).sum(axis=1, dtype=np.uint64)
+        yield pd.DataFrame(
+            {
+                key: pd.Series(ids, dtype=id_dtype),
+                "simhash": pd.Series(words.view(np.int64)),
+            }
+        )
+
+    return fn
 
 
 def hamming_pairs(

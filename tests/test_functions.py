@@ -2054,3 +2054,50 @@ def test_minhash_lsh_estimates_matches_two_step(spark):
         for r in dedup.minhash_lsh_estimates(sigs, b=2).collect()
     }
     assert fused_b == two_step_b
+
+
+def test_simhash_kernel_matches_aggregate_form(spark):
+    """r11 optimization: the map-side numpy vote kernel must be
+    bit-identical to the former 64-column sum() aggregate formulation
+    (same md5 words, same 2*s_j > cnt vote rule, two's-complement bit
+    63), including ties and single-shingle docs."""
+    rows = [
+        (1, "alpha beta gamma delta " * 6),
+        (2, "alpha beta gamma delta " * 6 + "epsilon"),
+        (3, "zz"),                      # single token -> one shingle
+        (4, "one two three four five six seven eight nine ten"),
+        (5, "ONE two THREE two one Two three " * 3),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kernel = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+
+    ex = dedup.with_shingles(
+        dedup._spread(docs.select("doc_id", "text"), "doc_id"),
+        [F.col("doc_id")], "text",
+    ).select("doc_id", F.explode("_sh").alias("_s"))
+    hl = ex.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("_s"), 1, 8), 16, 10).cast("long").alias("_h"),
+        F.conv(F.substring(F.md5("_s"), 9, 8), 16, 10).cast("long").alias("_l"),
+    )
+
+    def bit(j):
+        src = F.col("_h") if j < 32 else F.col("_l")
+        return F.shiftright(src, j if j < 32 else j - 32).bitwiseAND(F.lit(1))
+
+    votes = hl.groupBy("doc_id").agg(
+        F.count("*").alias("_cnt"),
+        *[F.sum(bit(j)).alias(f"_s{j}") for j in range(64)],
+    )
+    sig = None
+    for j in range(64):
+        bitval = F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
+        term = F.when(F.lit(2) * F.col(f"_s{j}") > F.col("_cnt"), bitval).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig.bitwiseOR(term)
+    ref = {
+        r.doc_id: r.simhash
+        for r in votes.select("doc_id", sig.alias("simhash")).collect()
+    }
+    assert kernel == ref and len(kernel) == 5
