@@ -281,6 +281,34 @@ HEADLINE = [
 ]
 
 
+def _group_task_time_ms(sc, store, empty_list, group: str) -> tuple[int, int]:
+    """(executorRunTime ms, executorCpuTime ns) summed over every stage
+    of every job in ``group`` — read from the in-process AppStatusStore
+    (works with spark.ui.enabled=false; same data the REST status API
+    serves).  Read AFTER the wall timing is recorded, so the py4j
+    traversal never pollutes the measured seconds.  VERDICT r11
+    directive #2: the 8-core/32-core wall ratios at sf0.1 sit on a
+    0.3-1 s driver/AQE floor and look flat; recording executor task
+    time alongside wall time makes the scaling signal interpretable
+    (task time tracks compute and is ~invariant across core counts —
+    a query whose task_time >> wall spread IS using the cores)."""
+    run_ms = 0
+    cpu_ns = 0
+    try:
+        for jid in sc.statusTracker().getJobIdsForGroup(group):
+            jd = store.job(jid)
+            sids = jd.stageIds()
+            for i in range(sids.size()):
+                datas = store.stageData(sids.apply(i), False, empty_list, False, None)
+                for k in range(datas.size()):
+                    sdd = datas.apply(k)
+                    run_ms += sdd.executorRunTime()
+                    cpu_ns += sdd.executorCpuTime()
+    except Exception:
+        return (0, 0)
+    return (run_ms, cpu_ns)
+
+
 def main() -> None:
     from stdb_spark import model as _m
     from stdb_spark.session import get_spark
@@ -320,20 +348,53 @@ def main() -> None:
         except Exception:
             pass
 
+    # Additions-only instrumentation (VERDICT r11 directives #2, #7):
+    # - STDB_SPARK_BENCH_RUNS=N (default 1 — the driver contract is
+    #   unchanged) times each query N times and reports the MEDIAN;
+    #   every run is recorded in the detail file.  Builder A/Bs use
+    #   N>=3 so single-cold-run drift stops adjudicating rounds.
+    # - per-query executor task time (run + cpu) from the in-process
+    #   AppStatusStore, recorded next to wall time so the core-scaling
+    #   contract is demonstrable (at sf0.1 wall time sits on a fixed
+    #   driver/AQE floor; task time is the compute signal).
+    bench_runs = max(1, int(os.environ.get("STDB_SPARK_BENCH_RUNS", "1")))
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    empty_list = sc._jvm.java.util.ArrayList()
     timings: dict[str, float] = {}
+    runs_sec: dict[str, list[float]] = {}
+    task_time: dict[str, float] = {}
+    cpu_time: dict[str, float] = {}
     failed: list[str] = []
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # noqa: BLE001 — one broken query must
-            # not abort the whole benchmark after minutes of warm-up
-            # (and unlike the warm passes, the failure is REPORTED)
-            failed.append(name)
-            print(f"  {name}: FAILED {exc}", file=sys.stderr, flush=True)
+        runs: list[float] = []
+        broke = False
+        for r in range(bench_runs):
+            group = f"bench:{name}:{r}"
+            sc.setJobGroup(group, name)
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 — one broken query must
+                # not abort the whole benchmark after minutes of warm-up
+                # (and unlike the warm passes, the failure is REPORTED)
+                failed.append(name)
+                print(f"  {name}: FAILED {exc}", file=sys.stderr, flush=True)
+                broke = True
+                break
+            finally:
+                runs.append(time.perf_counter() - t0)
+                sc.setJobGroup(None, None)
+        if broke:
             continue
-        timings[name] = round(time.perf_counter() - t0, 3)
+        run_ms, cpu_ns = _group_task_time_ms(
+            sc, store, empty_list, f"bench:{name}:{bench_runs - 1}"
+        )
+        task_time[name] = round(run_ms / 1e3, 3)
+        cpu_time[name] = round(cpu_ns / 1e9, 3)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        runs_sec[name] = [round(t, 3) for t in runs]
         print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     # Ingest throughput: time a full write of the events table into the
@@ -350,9 +411,16 @@ def main() -> None:
     from stdb_spark import model as _model
     from stdb_spark.sources import storage as _storage
 
+    sc.setJobGroup("bench:ingest_layout_write:0", "ingest_layout_write")
     t0 = time.perf_counter()
     _storage.write_samples(_model.events_as_samples(spark, sf_dir), ingest_dir)
     timings["ingest_layout_write"] = round(time.perf_counter() - t0, 3)
+    sc.setJobGroup(None, None)
+    run_ms, cpu_ns = _group_task_time_ms(
+        sc, store, empty_list, "bench:ingest_layout_write:0"
+    )
+    task_time["ingest_layout_write"] = round(run_ms / 1e3, 3)
+    cpu_time["ingest_layout_write"] = round(cpu_ns / 1e9, 3)
     print(f"  ingest_layout_write: {timings['ingest_layout_write']}s", file=sys.stderr, flush=True)
     shutil.rmtree(ingest_dir, ignore_errors=True)
 
@@ -362,6 +430,7 @@ def main() -> None:
     # stdout line must stay well under 1 KB: full per-query timings go
     # to stderr + a detail file; stdout carries the headline total plus
     # the slowest-10 map (compact, parseable).
+    task_total = round(sum(task_time.values()), 3)
     detail = {
         "metric": "headline_suite_total",
         "value": total,
@@ -370,6 +439,17 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
         "failed": failed,
+        # scaling-contract evidence (additions-only; VERDICT r11 #2):
+        # executor task time per query — ~invariant across core counts,
+        # so wall/task divergence at low cores demonstrates the bench
+        # honors $SPARK_GRAFT_CPUS even where wall time sits on the
+        # per-query driver/AQE floor.
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "task_time_sec": task_time,
+        "task_cpu_sec": cpu_time,
+        "task_time_total_sec": task_total,
+        "bench_runs": bench_runs,
+        "runs_sec": runs_sec,
     }
     print(json.dumps(detail), file=sys.stderr, flush=True)
     # BENCH_DETAIL.json is the DRIVER's record (it runs bench.py
@@ -398,6 +478,8 @@ def main() -> None:
                 "sf": detail["sf"],
                 "n_queries": len(timings),
                 "n_failed": len(failed),
+                "parallelism": detail["default_parallelism"],
+                "task_time_total_sec": task_total,
                 "detail": os.path.basename(detail_path),
             },
             separators=(",", ":"),

@@ -276,7 +276,16 @@ def minhash_lsh_estimates(
 
     ``b``: None returns (a, b, est_jaccard); an integer returns the
     b-bit audit shape (a, b, est_full, est_bbit) of
-    :func:`bbit_minhash_estimate`."""
+    :func:`bbit_minhash_estimate`.
+
+    Memory note (r11 ADVICE): the fused form's postings rows carry the
+    full signature per member, so an UNCAPPED hot bucket (a boilerplate
+    page exact-duplicated c times) costs ~33x the key-only candidates
+    form in unsplittable per-row aggregation memory.  ``bucket_cap`` is
+    the documented backstop — scale deployments must set it (the
+    standard pipeline runs exact-dedup first, which removes the hot
+    buckets entirely); the in-repo eval callers run uncapped
+    deliberately for exact recall at bounded eval scale."""
     nb, r = bands, rows_per_band
     sigs = sigs.withColumn(
         "sig",

@@ -184,7 +184,17 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     INJECTED bare sessions, and every registered query calls it, so
     without the marker each query pays ~10 py4j conf reads for confs
     that were set on this session's first query (pure driver overhead,
-    guide §7.3)."""
+    guide §7.3).
+
+    CONTRACT (r11 ADVICE, documented loudly): once a session is
+    initialized, these confs are NOT re-asserted per query.  Code that
+    deliberately flips a correctness-critical conf mid-session
+    (spark.sql.ansi.enabled, spark.sql.session.timeZone,
+    mapKeyDedupPolicy) on a session the registry has already used owns
+    the consequences — registered queries will run under the altered
+    semantics.  Tests that need divergent confs must use
+    ``spark.newSession()`` (a fresh object, so a fresh marker), which
+    is also what every in-repo caller does."""
     if _CONFS_APPLIED.get(id(spark)) is spark:
         return spark
     for k, v in _SESSION_CONFS.items():
@@ -226,6 +236,22 @@ def table_fingerprint(sf_dir: str, name: str) -> tuple:
     src = os.path.join(sf_dir, f"{name}.parquet")
     try:
         st = os.stat(src)
+        if os.path.isdir(src):
+            # directory-style (Spark-written) dataset: an in-place
+            # part-file rewrite leaves the DIRECTORY stat unchanged, so
+            # fold the contained files' (size, mtime) maxima into the
+            # fingerprint (r11 ADVICE).  Testdata ships single files,
+            # where the plain stat is exact and this branch never runs.
+            sz = mt = 0
+            with os.scandir(src) as it:
+                for de in it:
+                    try:
+                        fst = de.stat()
+                    except OSError:
+                        continue
+                    sz = max(sz, fst.st_size)
+                    mt = max(mt, fst.st_mtime_ns)
+            return (os.path.abspath(src), st.st_size + sz, max(st.st_mtime_ns, mt))
         return (os.path.abspath(src), st.st_size, st.st_mtime_ns)
     except OSError:
         return (os.path.abspath(src), -1, -1)
@@ -235,12 +261,31 @@ def session_binding(spark: SparkSession, key: tuple, build):
     """Memoized lazy-plan binding for ``key`` on ``spark`` (see block
     comment above).  ``build`` is called once per (session, key); the
     session object is kept as a strong reference so ``id(spark)`` can
-    never be recycled onto a different live session."""
+    never be recycled onto a different live session.
+
+    Keys are ``(logical..., fingerprint)`` tuples with the
+    table_fingerprint LAST: when a dataset is regenerated in place the
+    fingerprint changes, and the insert below evicts the superseded
+    entry for the same (session, logical prefix) instead of letting
+    stale lazy plans accumulate for the process's life (r11 ADVICE).
+    Entries owned by a STOPPED session are pruned on the same slow
+    path, so long-lived servers spawning many sessions don't leak
+    session objects through the memo's strong references."""
     k = (id(spark), key)
     hit = _BINDINGS.get(k)
     if hit is not None and hit[0] is spark:
         return hit[1]
     df = build()
+    # miss path only (builds are rare): evict superseded-fingerprint
+    # twins of this logical key and any binding of a stopped session
+    logical = (id(spark), key[:-1])
+    for ok in [
+        x
+        for x, (osp, _) in _BINDINGS.items()
+        if (x[0], x[1][:-1]) == logical
+        or getattr(getattr(osp, "_sc", None), "_jsc", None) is None
+    ]:
+        _BINDINGS.pop(ok, None)
     _BINDINGS[k] = (spark, df)
     return df
 

@@ -563,6 +563,22 @@ def _triangle_single_task_kernel():
         b = np.concatenate(acc_b)
         ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
         m = len(a)
+        # enforce the documented edge contract (distinct undirected
+        # edges, no self-loops) INSIDE the kernel: duplicate edges or
+        # a==b rows would otherwise skew the searchsorted closing-edge
+        # probe and diverge from the distinct-input result in an
+        # input-size-dependent way (r11 ADVICE).  In-repo callers
+        # always feed distinct a<b pairs, so this is a no-op for them
+        # (np.unique over already-unique keys), just cheap insurance.
+        lo = np.minimum(inv[:m], inv[m:])
+        hi = np.maximum(inv[:m], inv[m:])
+        keep = np.unique(lo * np.int64(len(ids)) + hi)
+        keep = keep[(keep // len(ids)) != (keep % len(ids))]
+        if len(keep) != m:
+            la, lb = keep // len(ids), keep % len(ids)
+            a, b = ids[la], ids[lb]
+            ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+            m = len(a)
         ca, cb = inv[:m].astype(np.int64), inv[m:].astype(np.int64)
         n_nodes = np.int64(len(ids))
         deg = np.bincount(ca, minlength=int(n_nodes)) + np.bincount(

@@ -4785,6 +4785,18 @@ def _pr_eval_sample(docs, cap=None):
 
 def _minhash_pr(spark, sf):
     docs = _pr_eval_sample(model.load_table(spark, sf, "documents"))
+    # Shape deliberately UNCHANGED in r12 (VERDICT r11 directive #4
+    # measured as a negative result; OPTIMIZATION_r12.md §P/R):
+    # - fusing both legs onto one materialized shingle base
+    #   (localCheckpoint) measured SLOWER (2.28 -> 3.88 s median-of-7,
+    #   both orders): the checkpoint barrier + serialization costs more
+    #   than the duplicated pipelined shingle pass it saves, and a
+    #   persist() would be CacheManager-deduped across bench runs
+    #   (cross-run result caching — disallowed);
+    # - replacing the full-outer join with union + (a,b) aggregate
+    #   measured flat-to-worse (2.28 -> 2.55): the join's pred side
+    #   already reuses the dropDuplicates (a,b) exchange, so the union
+    #   form shuffles MORE, not less.
     sigs = dedup.minhash_signatures(docs)
     pred = (
         dedup.minhash_lsh_estimates(sigs)
@@ -4986,13 +4998,21 @@ _q(
 # identical BIGINT operands.
 def _doc_bpe_fertility(spark, sf):
     docs = model.load_table(spark, sf, "documents")
+    # ONE corpus-scale word-count pass shared by training and
+    # application (guide §5): without the shared vocab the query
+    # derives _bpe_vocab twice — once inside bpe_merges, once inside
+    # bpe_segmentation — and the corpus explode+groupBy runs twice
+    # (r12 A/B: 2.95 -> 2.16 s median-of-5 locally).  localCheckpoint
+    # materializes the (w, freq, seg) table (vocab-scale: distinct
+    # words, NOT corpus-scale) and cuts the lineage.
+    vocab = text._bpe_vocab(docs).localCheckpoint(eager=True)
     merges = [
         (r.lhs, r.rhs)
-        for r in text.bpe_merges(docs, k_merges=_BPE_K)
+        for r in text.bpe_merges(docs, k_merges=_BPE_K, vocab=vocab)
         .orderBy("merge_rank")
         .collect()
     ]
-    seg = text.bpe_segmentation(docs, merges)
+    seg = text.bpe_segmentation(docs, merges, vocab=vocab)
     sy = F.size(F.split(F.trim(F.col("seg")), " ")).cast("long")
     ch = F.length(F.replace(F.trim(F.col("seg")), F.lit(" "), F.lit(""))).cast(
         "long"
