@@ -114,6 +114,7 @@ def pagerank_exact(
     stats: dict | None = None,
     edge_layout: str = "cache",
     bucket_table: str | None = None,
+    single_task_hint: int | None = None,
 ) -> DataFrame:
     """Exact integer fixed-point PageRank over a directed edge list.
 
@@ -176,13 +177,37 @@ def pagerank_exact(
     # would diverge on them (groupBy keeps a null group; factorize codes
     # null as -1 → negative indexing): drop them HERE so every regime
     # sees the identical graph
-    e = (
-        edges.filter(
-            F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+    e0 = edges.filter(
+        F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+    ).select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # ``single_task_hint``: a caller-supplied UPPER BOUND on the edge
+    # count (e.g. 2x a fact table's metadata-only count).  When the
+    # bound already fits the kernel, the count-dispatch action — a full
+    # evaluation of the caller's edge lineage just to pick a regime —
+    # is skipped and the kernel job is the ONLY pass over the edge
+    # build (r12: the pagerank edge join+distinct cost ~0.9 s of the
+    # query's 2.3 s, and ran twice: once for the dispatch count, once
+    # into the kernel.  guide §1.2 "don't compute things you throw
+    # away").  The bound is conservative: actual <= hint <= threshold
+    # keeps the single task exactly as memory-bounded as the counted
+    # dispatch.
+    if (
+        single_task_hint is not None
+        and single_task_hint <= int(single_task_max_edges)
+    ):
+        id_type = dict(e0.dtypes)["src"]
+        pr = e0.repartition(1).mapInPandas(
+            _pagerank_single_task_kernel(
+                iterations, damp_num, damp_den, early_exit
+            ),
+            f"node {id_type}, pr long",
         )
-        .select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .persist()
-    )
+        if checkpoint:
+            pr = pr.localCheckpoint(eager=True)
+        if stats is not None:
+            stats["rounds_run"] = None
+        return pr
+    e = e0.persist()
     # one scalar action: size dispatch + cache fill
     n_edges = e.count()
     if n_edges <= int(single_task_max_edges):

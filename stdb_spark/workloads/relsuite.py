@@ -1973,7 +1973,15 @@ def _rel_pagerank(spark, sf):
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    pr = graph.pagerank_exact(edges, iterations=5)
+    # edges <= 2x lineitem rows (each line contributes at most one
+    # distinct (cust, supp) pair, doubled) — a metadata-only count, so
+    # the kernel dispatch skips a full edge-build pass (see
+    # pagerank_exact's single_task_hint)
+    pr = graph.pagerank_exact(
+        edges,
+        iterations=5,
+        single_task_hint=2 * t["lineitem"].count(),
+    )
     name = F.when(
         F.col("node") % 2 == 0,
         F.concat(F.lit("c"), F.expr("node div 2")),
